@@ -1,0 +1,191 @@
+"""Vectorized grok/regex parse stage over the transcript ``text`` column.
+
+Two interchangeable implementations with identical output schema/semantics:
+
+* ``impl="native"`` — pure ``pyspark.sql.functions`` expressions: stays
+  inside WholeStageCodegen, zero JVM↔Python traffic.  This is the fast path
+  at 100 TB.
+* ``impl="arrow"`` — one struct-returning ``pandas_udf`` doing multi-pattern
+  grok extraction over Arrow batches (the sanctioned slow path for patterns
+  that outgrow single regexp_extract calls; never per-row Python).
+
+Taxonomy + extraction shapes derive from the reference:
+  * class constants — ngap-logs.py:86-90; counting/classify loop
+    log_processing.py:73-82 (request/info/error/timing + unknown remainder)
+  * ``'|&|'`` positional split — log_processing.py:64-91
+  * ``Time to gather N responses: F ms`` / ``Error: CODE`` —
+    response_times2.py:8-47
+  * ``Profile timing: <Action> - <detail>`` split —
+    HyraxLogAnalysis.jl:118-139
+  * HTTP-code / code-ref / attempt markers in error text —
+    reference README.md:104-112, ngap-06.11.25/summary.md:80-96
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TURN_CLASSES = ["request", "info", "error", "timing", "unknown"]
+
+# Parsed-field schema — fixed and explicit (SURVEY.md §1.2 rebuild decision:
+# raggedness is handled here and only here; every downstream stage sees
+# these exact columns).
+PARSED_SCHEMA = T.StructType(
+    [
+        T.StructField("turn_class", T.StringType()),
+        T.StructField("http_code", T.IntegerType()),
+        T.StructField("attempt", T.IntegerType()),
+        T.StructField("code_ref", T.StringType()),
+        T.StructField("n_responses", T.IntegerType()),
+        T.StructField("duration_ms", T.DoubleType()),
+        T.StructField("action", T.StringType()),
+        T.StructField("cache_op", T.StringType()),
+        T.StructField("url_path", T.StringType()),
+        T.StructField("http_method", T.StringType()),
+        T.StructField("req_epoch", T.LongType()),
+        T.StructField("instance_id", T.StringType()),
+        T.StructField("pid", T.IntegerType()),
+    ]
+)
+
+PARSED_COLS = [f.name for f in PARSED_SCHEMA.fields]
+
+# regex patterns shared by both impls (Java regex == Python re for these)
+RX_HTTP_CODE_ERR = r"HTTP code of ([0-9]+)"
+RX_ATTEMPT = r"attempt: ([0-9]+)"
+RX_CODE_REF = r"\(([A-Za-z_]+\.(?:cc|h|py|jl):[0-9]+)\)"
+RX_N_RESPONSES = r"gather ([0-9]+) responses"
+RX_DURATION = r"responses: ([0-9.]+) ms"
+RX_ACTION = r"Profile timing: (\S+) - "
+RX_CACHE_OP = r"Cache (hit|miss|put),"
+RX_INFO_PATH = r"path: (\S+)$"
+RX_REQ_PAYLOAD = r"^([A-Z]+) (\S+) ([0-9]+)$"
+
+
+def turn_class_col(text: F.Column) -> F.Column:
+    """Derived routing class (reference taxonomy, log_processing.py:73-82)."""
+    return (
+        F.when(text.startswith("ERROR!"), "error")
+        .when(text.startswith("Profile timing:"), "timing")
+        .when(text.startswith("BESLog::info()"), "info")
+        .when(text.contains("|&|request|&|"), "request")
+        .otherwise("unknown")
+    )
+
+
+def _nullif_int(c: F.Column) -> F.Column:
+    return F.nullif(c, F.lit("")).cast("int")
+
+
+def parse_turns_native(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Parse stage, all-JVM expression form (WholeStageCodegen-friendly)."""
+    t = F.col(text_col)
+    cls = turn_class_col(t)
+    # positional '|&|' split for request-like turns (log_processing.py:71)
+    parts = F.split(t, r"\|&\|")
+    payload = F.element_at(parts, 5)
+    is_req = cls == "request"
+
+    df = df.withColumns(
+        {
+            "turn_class": cls,
+            "http_code": F.coalesce(
+                _nullif_int(F.regexp_extract(t, RX_HTTP_CODE_ERR, 1)),
+                F.when(is_req, _nullif_int(F.regexp_extract(payload, RX_REQ_PAYLOAD, 3))),
+            ),
+            "attempt": _nullif_int(F.regexp_extract(t, RX_ATTEMPT, 1)),
+            "code_ref": F.nullif(F.regexp_extract(t, RX_CODE_REF, 1), F.lit("")),
+            "n_responses": _nullif_int(F.regexp_extract(t, RX_N_RESPONSES, 1)),
+            "duration_ms": F.nullif(F.regexp_extract(t, RX_DURATION, 1), F.lit("")).cast(
+                "double"
+            ),
+            "action": F.nullif(F.regexp_extract(t, RX_ACTION, 1), F.lit("")),
+            "cache_op": F.nullif(F.regexp_extract(t, RX_CACHE_OP, 1), F.lit("")),
+            "url_path": F.coalesce(
+                F.when(is_req, F.nullif(F.regexp_extract(payload, RX_REQ_PAYLOAD, 2), F.lit(""))),
+                F.nullif(F.regexp_extract(t, RX_INFO_PATH, 1), F.lit("")),
+            ),
+            "http_method": F.when(
+                is_req, F.nullif(F.regexp_extract(payload, RX_REQ_PAYLOAD, 1), F.lit(""))
+            ),
+            "req_epoch": F.when(is_req, F.element_at(parts, 1).try_cast("long")),
+            "instance_id": F.when(is_req, F.element_at(parts, 2)),
+            "pid": F.when(is_req, F.element_at(parts, 3).try_cast("int")),
+        }
+    )
+    return df
+
+
+def _grok_pandas(batch):
+    """Arrow-batch grok: one pass of vectorized pandas .str ops per pattern."""
+    t = batch
+    cls = pd.Series("unknown", index=t.index, dtype="object")
+    cls[t.str.contains(r"\|&\|request\|&\|", regex=True, na=False)] = "request"
+    cls[t.str.startswith("BESLog::info()", na=False)] = "info"
+    cls[t.str.startswith("Profile timing:", na=False)] = "timing"
+    cls[t.str.startswith("ERROR!", na=False)] = "error"
+
+    out = pd.DataFrame({"turn_class": cls})
+    is_req = cls == "request"
+    parts = t.where(is_req).str.split(r"\|&\|", regex=True, expand=False)
+
+    err_code = t.str.extract(RX_HTTP_CODE_ERR, expand=False)
+    payload = parts.map(lambda p: p[4] if isinstance(p, list) and len(p) >= 5 else None)
+    req = payload.str.extract(RX_REQ_PAYLOAD)
+    out["http_code"] = (
+        err_code.fillna(req[2]).astype("float").astype("Int32")
+    )
+    out["attempt"] = t.str.extract(RX_ATTEMPT, expand=False).astype("float").astype("Int32")
+    out["code_ref"] = t.str.extract(RX_CODE_REF, expand=False)
+    out["n_responses"] = (
+        t.str.extract(RX_N_RESPONSES, expand=False).astype("float").astype("Int32")
+    )
+    out["duration_ms"] = t.str.extract(RX_DURATION, expand=False).astype("float")
+    out["action"] = t.str.extract(RX_ACTION, expand=False)
+    out["cache_op"] = t.str.extract(RX_CACHE_OP, expand=False)
+    out["url_path"] = req[1].fillna(t.str.extract(RX_INFO_PATH, expand=False))
+    out["http_method"] = req[0]
+    out["req_epoch"] = (
+        parts.map(lambda p: p[0] if isinstance(p, list) and len(p) >= 5 else None)
+        .pipe(lambda s: pd.to_numeric(s, errors="coerce"))
+        .astype("Int64")
+    )
+    out["instance_id"] = parts.map(
+        lambda p: p[1] if isinstance(p, list) and len(p) >= 5 else None
+    )
+    out["pid"] = (
+        parts.map(lambda p: p[2] if isinstance(p, list) and len(p) >= 5 else None)
+        .pipe(lambda s: pd.to_numeric(s, errors="coerce"))
+        .astype("Int32")
+    )
+    return out
+
+
+def parse_turns_arrow(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Parse stage as a single struct-returning pandas UDF (Arrow batches)."""
+
+    @F.pandas_udf(PARSED_SCHEMA)
+    def grok(t: "pd.Series") -> "pd.DataFrame":
+        return _grok_pandas(t)
+
+    df = df.withColumn("_parsed", grok(F.col(text_col)))
+    for name in PARSED_COLS:
+        df = df.withColumn(name, F.col(f"_parsed.{name}"))
+    return df.drop("_parsed")
+
+
+def parse_turns(df: DataFrame, text_col: str = "text", impl: str = "native") -> DataFrame:
+    if impl == "native":
+        return parse_turns_native(df, text_col)
+    if impl == "arrow":
+        return parse_turns_arrow(df, text_col)
+    raise ValueError(f"unknown parse impl: {impl!r}")
+
+
+def class_counts(df: DataFrame) -> DataFrame:
+    """A1 — count per class; caller asserts sum == total (the reference's
+    classification-completeness invariant, log_processing.py:94-95)."""
+    return df.groupBy("turn_class").agg(F.count("*").alias("n"))
