@@ -1,43 +1,73 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` smoke-runs the flagship query; ``queries()`` exposes one
-callable per implemented operator (SURVEY.md §2); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL per query (driver compares row-count + schema +
-order-insensitive value hash at sf0.01).
+callable per implemented operator (SURVEY.md §2 + training-data ops);
+``oracle_sql()`` gives the DuckDB-equivalent SQL per query (driver compares
+row-count + schema + order-insensitive value hash at sf0.01).
+
+Queries without an oracle entry (approximate / hash-seeded / Arrow-UDF ops)
+get the driver's weaker rows-only check and are unit-tested in tests/.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from log_analysis_spark import oracles
-from log_analysis_spark.datagen import transcripts_from_events
+from log_analysis_spark.datagen import (
+    ROLE_TAXONOMY_SQL,
+    TOOL_REGISTRY_SQL,
+    role_taxonomy,
+    tool_registry,
+    transcripts_from_events,
+)
 from log_analysis_spark.functions.parse import parse_turns
+from log_analysis_spark.operators import aggregate as agg
+from log_analysis_spark.operators import (
+    dedup,
+    enrich,
+    joins,
+    multimodal,
+    router,
+    similarity,
+    textstats,
+    windows_ops,
+)
+
+ALL_ACTIONS = ["CurlHandlePool::get", "DmrppArray::read", "TheBESKeys::TheKeys"]
 
 
 def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_turns(transcripts_from_events(spark, sf_dir))
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
 # ---------------------------------------------------------------------------
-# queries
+# transcripts pipeline queries
 # ---------------------------------------------------------------------------
 
 
-def q_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_transcripts(spark, sf_dir):
     """Datagen parity: the derived transcripts table itself."""
     return transcripts_from_events(spark, sf_dir)
 
 
-def q_parse_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_parse_fields(spark, sf_dir):
     """S5/§2.8 — full grok parse output, every extracted field."""
     return _parsed(spark, sf_dir).drop("text")
 
 
-def q_logs_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_logs_overview(spark, sf_dir):
     """Flagship (logs_overview.sh:13-20): counts per (turn_class, http_code)."""
     return (
         _parsed(spark, sf_dir)
@@ -46,9 +76,312 @@ def q_logs_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_class_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_class_counts(spark, sf_dir):
     """A1 (log_processing.py:57-103): count per turn class."""
     return _parsed(spark, sf_dir).groupBy("turn_class").agg(F.count("*").alias("n"))
+
+
+def q_route_counts(spark, sf_dir):
+    """R1-R4 — per-sink counts from the rule router (single tag pass)."""
+    tagged = router.tag_sinks(_parsed(spark, sf_dir), router.default_rules())
+    return router.sink_counts(tagged)
+
+
+def q_enrich_roles(spark, sf_dir):
+    """J1 — broadcast left join vs role_taxonomy with miss sentinel."""
+    out = enrich.enrich_roles(_parsed(spark, sf_dir), role_taxonomy(spark))
+    return out.select("conv_id", "turn_idx", "role", "role_class", "is_human", "role_status")
+
+
+def q_enrich_tools(spark, sf_dir):
+    """J2 — broadcast join vs tool_registry; colliding `role` column proves
+    right-overrides merge (join_json_arrays.py:45)."""
+    out = enrich.enrich_tools(_parsed(spark, sf_dir), tool_registry(spark))
+    return out.select("conv_id", "turn_idx", "tool", "tool_kind", "tool_owner", "role", "tool_status")
+
+
+def q_hourly_rollup(spark, sf_dir):
+    """North-star aggregate: counts by role/tool/hour (window bucketing)."""
+    return agg.hourly_rollup(_parsed(spark, sf_dir))
+
+
+def q_conv_counts_salted(spark, sf_dir):
+    """Salted two-phase groupBy — must equal the plain count exactly."""
+    return agg.salted_group_count(_parsed(spark, sf_dir), "conv_id")
+
+
+def q_distinct_codes(spark, sf_dir):
+    """A3 — sorted distinct values (`jq ... | sort -u`)."""
+    return agg.distinct_sorted(_parsed(spark, sf_dir), "http_code")
+
+
+def q_count_distinct(spark, sf_dir):
+    """A4 — count distinct conv_ids + total turns."""
+    return _parsed(spark, sf_dir).agg(
+        F.countDistinct("conv_id").alias("n_convs"),
+        F.count("*").alias("n_turns"),
+    )
+
+
+def q_timing_stats(spark, sf_dir):
+    """A5 — grouped count/median/max (HyraxLogAnalysis.jl:310-313)."""
+    return agg.grouped_stats(_parsed(spark, sf_dir), "action", "duration_ms")
+
+
+def q_minmax_ts(spark, sf_dir):
+    """A6 — extrema: the log time range."""
+    return agg.extrema(_parsed(spark, sf_dir), "ts")
+
+
+def q_action_set_convs(spark, sf_dir):
+    """A7/U4 — convs whose distinct action set is exactly ALL_ACTIONS."""
+    return agg.groups_with_exact_pair(_parsed(spark, sf_dir), "conv_id", "action", ALL_ACTIONS)
+
+
+def q_duration_histogram(spark, sf_dir):
+    """A8 — fixed-width histogram of duration_ms per action."""
+    return agg.histogram(_parsed(spark, sf_dir), "duration_ms", 500.0, group="action")
+
+
+def q_outliers(spark, sf_dir):
+    """F2/U3 — the NOT-IN remainder class (README.md:76-78)."""
+    p = _parsed(spark, sf_dir)
+    return p.filter(~F.col("turn_class").isin("request", "info", "error", "timing")).select(
+        "conv_id", "turn_idx", "text"
+    )
+
+
+def q_substring_filter(spark, sf_dir):
+    """F3 — substring containment (README.md:102-112 `contains`)."""
+    p = _parsed(spark, sf_dir)
+    return p.filter(F.col("text").contains("BESUtil.cc:29")).select(
+        "conv_id", "turn_idx", "code_ref"
+    )
+
+
+def q_regex_filter(spark, sf_dir):
+    """F4 — regex filter (jq `test`): 4xx errors by code."""
+    p = _parsed(spark, sf_dir)
+    return (
+        p.filter(F.col("text").rlike("HTTP code of 4[0-9][0-9]"))
+        .groupBy("http_code")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_unmatched_roles_anti(spark, sf_dir):
+    """Anti-join — roles absent from the taxonomy (unmatched records)."""
+    p = _parsed(spark, sf_dir)
+    return joins.unmatched_anti(p, role_taxonomy(spark), "role").select(
+        "conv_id", "turn_idx", "role"
+    )
+
+
+def q_req_resp_merge(spark, sf_dir):
+    """J1/J2 — left-outer right-overrides merge of request/response logs."""
+    p = _parsed(spark, sf_dir)
+    req = joins.derive_request_log(p)
+    resp = joins.derive_response_log(p)
+    return joins.merge_right_overrides(req, resp, "request_id").select(
+        "request_id", "url_path", "req_code", "http_response_code", "attempt"
+    )
+
+
+def q_full_outer_merge(spark, sf_dir):
+    """J7 — full-outer group-union merge (merge_request_response.sh:17)."""
+    p = _parsed(spark, sf_dir)
+    req = joins.derive_request_log(p).select("request_id", "url_path", "req_code")
+    resp = joins.derive_response_log(p).select("request_id", "http_response_code")
+    return joins.full_outer_merge(req, resp, "request_id")
+
+
+def q_lookup_sentinel(spark, sf_dir):
+    """J3 — first-match lookup with the reference's miss sentinel."""
+    p = _parsed(spark, sf_dir)
+    req = joins.derive_request_log(p).select("request_id", "req_code")
+    resp = joins.derive_response_log(p).select("request_id", "http_response_code", "resp_ts")
+    out = joins.lookup_with_sentinel(req, resp, "request_id", "resp_ts")
+    return out.select("request_id", "req_code", "http_response_code", "error")
+
+
+def q_request_errors_flat(spark, sf_dir):
+    """J4/J6 flattened — request × same-conv error turns (the nested
+    `bes: [...]` array, emitted flat for engine-portable comparison)."""
+    p = _parsed(spark, sf_dir)
+    req = joins.derive_request_log(p).select("request_id", "conv_id", "req_turn_idx")
+    errs = p.filter(F.col("turn_class") == "error").select(
+        "conv_id", F.col("turn_idx").alias("err_turn_idx"), F.col("http_code").alias("err_code")
+    )
+    return req.join(errs, on="conv_id", how="inner").select(
+        "request_id", "err_turn_idx", "err_code"
+    )
+
+
+def q_interval_join(spark, sf_dir):
+    """J5 — composite-equi + time-interval join (bucketed execution)."""
+    p = _parsed(spark, sf_dir)
+    anchors = p.filter(F.col("turn_class") == "request").select(
+        "conv_id",
+        F.col("turn_idx").alias("anchor_idx"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+    )
+    others = p.filter(F.col("turn_class") != "request").select(
+        "conv_id", F.col("turn_idx").alias("other_idx"), "ts"
+    )
+    out = joins.interval_join(
+        anchors, others, ["conv_id"], "start_ts", "end_ts", "ts", bucketed=True
+    )
+    return out.select("conv_id", "anchor_idx", "other_idx")
+
+
+def q_adjacent_pairing(spark, sf_dir):
+    """W3 — timing turn pairs with the next turn's error code else 200."""
+    return windows_ops.pair_timing_with_next_error(_parsed(spark, sf_dir))
+
+
+def q_turn_ordering(spark, sf_dir):
+    """W4 — stable (conv_id, turn_idx) ordering + lag(turn_class)."""
+    p = windows_ops.with_neighbor_class(_parsed(spark, sf_dir))
+    p = windows_ops.with_stable_order(p)
+    return p.select("rn", "conv_id", "turn_idx", "turn_class", "prev_class")
+
+
+def q_pair_math(spark, sf_dir):
+    """W1/J8 — first/last duration per conv by turn order + span."""
+    p = _parsed(spark, sf_dir).filter(F.col("duration_ms").isNotNull())
+    return p.groupBy("conv_id").agg(
+        F.min_by("duration_ms", "turn_idx").alias("first_val"),
+        F.max_by("duration_ms", "turn_idx").alias("last_val"),
+        (F.max_by("duration_ms", "turn_idx") - F.min_by("duration_ms", "turn_idx")).alias("span"),
+    )
+
+
+def q_union_by_name(spark, sf_dir):
+    """U1 — union with column superset (vcat cols=:union)."""
+    p = _parsed(spark, sf_dir)
+    req = p.filter(F.col("turn_class") == "request").select(
+        "conv_id", "turn_idx", F.lit("request").alias("kind"), "http_code", "url_path"
+    )
+    err = p.filter(F.col("turn_class") == "error").select(
+        "conv_id", "turn_idx", F.lit("error").alias("kind"), "http_code"
+    )
+    return req.unionByName(err, allowMissingColumns=True)
+
+
+def q_scalar_funcs(spark, sf_dir):
+    """§2.8 — scalar function surface: epoch→ISO, case, substring, concat,
+    replace, split+element_at, unit conversion."""
+    p = _parsed(spark, sf_dir).filter(F.col("turn_class") == "request")
+    return p.select(
+        "conv_id",
+        "turn_idx",
+        F.date_format(F.timestamp_seconds(F.col("req_epoch")), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("iso_ts"),
+        F.upper("role").alias("role_uc"),
+        F.lower("instance_id").alias("inst_lc"),
+        F.substring("url_path", 1, 11).alias("path_prefix"),
+        F.concat(F.lit("2. "), F.col("http_method")).alias("tagged_method"),
+        F.regexp_replace("url_path", "/hyrax/ngap", "/h/n").alias("path_short"),
+        F.element_at(F.split("url_path", "/"), 3).alias("path_seg"),
+        (F.col("http_code") / 100).cast("int").alias("code_class"),
+    )
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Sessionization on the raw events table: 30-min-gap sessions/user."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = F.sum(F.when(gap > 1800, 1).otherwise(0)).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ev.withColumn("sess_id", sess)
+        .groupBy("user_id")
+        .agg(
+            (F.max("sess_id") + 1).cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data / documents / embeddings queries
+# ---------------------------------------------------------------------------
+
+
+def q_doc_exact_dedup(spark, sf_dir):
+    """Exact dedup: representative id + copy count per distinct text."""
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_doc_token_count(spark, sf_dir):
+    return textstats.with_token_count(_docs(spark, sf_dir)).select("doc_id", "n_tokens")
+
+
+def q_doc_quality(spark, sf_dir):
+    out = textstats.with_quality(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("mean_token_len", 6).alias("mean_token_len"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("quality_score", 6).alias("quality_score"),
+    )
+
+
+def q_doc_langid(spark, sf_dir):
+    """Language-ID heuristic prediction counts per (lang, lang_pred)."""
+    out = textstats.with_lang_pred(_docs(spark, sf_dir))
+    return out.groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
+
+
+def q_doc_ngram_jaccard(spark, sf_dir):
+    """Blocked n-gram Jaccard near-dup pairs (strong SQL oracle)."""
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), k=2, threshold=0.2, n_blocks=25)
+
+
+def q_doc_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (hash-seeded → rows-only check)."""
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.2)
+
+
+def q_doc_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (Arrow UDF → rows-only check)."""
+    return dedup.simhash_neardup_pairs(dedup.simhash_table(_docs(spark, sf_dir)), max_hamming=8)
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Rolling-hash fingerprints (xxhash64 — rows-only check)."""
+    return textstats.with_fingerprint(_docs(spark, sf_dir)).select(
+        "doc_id", "fingerprint", "md5_full"
+    )
+
+
+def q_embed_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-3 for every 50th vector as query."""
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.cosine_topk(emb, queries, k=3)
+
+
+def q_embed_ivf_topk(spark, sf_dir):
+    """IVF-bucketed ANN top-3 (approximate → rows-only check)."""
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.ivf_topk(emb, queries, k=3, n_centroids=8, n_probe=4)
+
+
+def q_embed_neardup(spark, sf_dir):
+    """Blocked embedding-cosine near-dup pairs."""
+    return similarity.embedding_neardup_pairs(_embeddings(spark, sf_dir), threshold=0.2, n_blocks=25)
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary media columns + Arrow feature extraction (rows-only check)."""
+    media = multimodal.synth_media(_docs(spark, sf_dir))
+    return multimodal.fake_feature_extract(media)
 
 
 # ---------------------------------------------------------------------------
@@ -67,22 +400,400 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_fields": q_parse_fields,
         "logs_overview": q_logs_overview,
         "class_counts": q_class_counts,
+        "route_counts": q_route_counts,
+        "enrich_roles": q_enrich_roles,
+        "enrich_tools": q_enrich_tools,
+        "hourly_rollup": q_hourly_rollup,
+        "conv_counts_salted": q_conv_counts_salted,
+        "distinct_codes": q_distinct_codes,
+        "count_distinct": q_count_distinct,
+        "timing_stats": q_timing_stats,
+        "minmax_ts": q_minmax_ts,
+        "action_set_convs": q_action_set_convs,
+        "duration_histogram": q_duration_histogram,
+        "outliers": q_outliers,
+        "substring_filter": q_substring_filter,
+        "regex_filter": q_regex_filter,
+        "unmatched_roles_anti": q_unmatched_roles_anti,
+        "req_resp_merge": q_req_resp_merge,
+        "full_outer_merge": q_full_outer_merge,
+        "lookup_sentinel": q_lookup_sentinel,
+        "request_errors_flat": q_request_errors_flat,
+        "interval_join": q_interval_join,
+        "adjacent_pairing": q_adjacent_pairing,
+        "turn_ordering": q_turn_ordering,
+        "pair_math": q_pair_math,
+        "union_by_name": q_union_by_name,
+        "scalar_funcs": q_scalar_funcs,
+        "events_sessionize": q_events_sessionize,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_token_count": q_doc_token_count,
+        "doc_quality": q_doc_quality,
+        "doc_langid": q_doc_langid,
+        "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "doc_minhash_lsh": q_doc_minhash_lsh,
+        "doc_simhash": q_doc_simhash,
+        "doc_fingerprint": q_doc_fingerprint,
+        "embed_cosine_topk": q_embed_cosine_topk,
+        "embed_ivf_topk": q_embed_ivf_topk,
+        "embed_neardup": q_embed_neardup,
+        "multimodal_features": q_multimodal_features,
     }
 
 
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_REQ_RESP_CTES = """
+request_log AS (
+  SELECT conv_id || ':' || cast(turn_idx AS STRING) AS request_id,
+         conv_id, turn_idx AS req_turn_idx, url_path, http_method,
+         http_code AS req_code, instance_id, pid, ts AS req_ts
+  FROM parsed WHERE turn_class = 'request'
+),
+response_log AS (
+  SELECT conv_id || ':' || cast(turn_idx - 1 AS STRING) AS request_id,
+         http_code AS http_response_code, attempt, code_ref, ts AS resp_ts
+  FROM parsed WHERE turn_class = 'error'
+)
+"""
+
+_SINK_TAG = """
+CASE WHEN turn_class = 'error' THEN 'errors'
+     WHEN tool <> '-' THEN 'tool_calls'
+     WHEN turn_class = 'request' THEN 'requests'
+     WHEN turn_class = 'info' THEN 'info'
+     WHEN role = 'user' THEN 'human'
+     ELSE 'other' END
+"""
+
+_DOC_TOKENS = "string_split_regex(trim(text), '[^\\w'']+')"
+
+_LANG_HITS = {
+    "en": ["the", "a", "of", "and"],
+    "es": ["el", "la", "de", "y"],
+    "de": ["der", "die", "das", "und"],
+    "fr": ["le", "la", "de", "et"],
+    "zh": ["的", "了", "是", "在"],
+}
+
+
+def _langid_oracle() -> str:
+    hit_cols = ",\n".join(
+        "len(list_filter(toks, x -> x IN ({words}))) AS h_{lang}".format(
+            words=", ".join(f"'{w}'" for w in ws), lang=lang
+        )
+        for lang, ws in _LANG_HITS.items()
+    )
+    # argmax with Spark's array_max tie-break: among equal hit counts the
+    # lexicographically LARGEST language code wins → check in desc order.
+    langs_desc = sorted(_LANG_HITS, reverse=True)
+    cases = []
+    for i, lang in enumerate(langs_desc):
+        others = [f"h_{lang} >= h_{o}" for o in langs_desc if o != lang]
+        cases.append(
+            "WHEN " + " AND ".join([f"h_{lang} > 0"] + others) + f" THEN '{lang}'"
+        )
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'unknown' END"
+    return f"""
+WITH tk AS (
+  SELECT lang, list_transform({_DOC_TOKENS}, x -> lower(x)) AS toks FROM documents
+),
+hits AS (
+  SELECT lang, {hit_cols} FROM tk
+),
+pred AS (
+  SELECT lang, {case_sql} AS lang_pred FROM hits
+)
+SELECT lang, lang_pred, count(*) AS n FROM pred GROUP BY lang, lang_pred
+"""
+
+
+_DOC_SHINGLES_2 = """
+doc_sh AS (
+  SELECT doc_id AS id,
+         list_distinct([array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]) AS sh,
+         doc_id % 25 AS blk
+  FROM (SELECT doc_id, {toks} AS toks FROM documents)
+  WHERE len(toks) >= 2
+)
+""".format(toks=_DOC_TOKENS)
+
+_UNIT_VEC = """
+unitv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS unit
+  FROM (
+    SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    FROM embeddings
+  )
+  WHERE nrm > 0
+)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
+    P = oracles.on_parsed
+    T = oracles.on_transcripts
     return {
-        "transcripts": oracles.on_transcripts("SELECT * FROM transcripts"),
-        "parse_fields": oracles.on_parsed(
+        "transcripts": T("SELECT * FROM transcripts"),
+        "parse_fields": P(
             "SELECT conv_id, turn_idx, role, tool, ts, turn_class, http_code,"
             " attempt, code_ref, n_responses, duration_ms, action, cache_op,"
             " url_path, http_method, req_epoch, instance_id, pid FROM parsed"
         ),
-        "logs_overview": oracles.on_parsed(
+        "logs_overview": P(
             "SELECT turn_class, http_code, count(*) AS n FROM parsed"
             " GROUP BY turn_class, http_code"
         ),
-        "class_counts": oracles.on_parsed(
-            "SELECT turn_class, count(*) AS n FROM parsed GROUP BY turn_class"
+        "class_counts": P("SELECT turn_class, count(*) AS n FROM parsed GROUP BY turn_class"),
+        "route_counts": P(
+            f"SELECT {_SINK_TAG} AS sink, count(*) AS n FROM parsed GROUP BY 1"
         ),
+        "enrich_roles": P(
+            f"""SELECT p.conv_id, p.turn_idx, p.role, rt.role_class, rt.is_human,
+                CASE WHEN rt.role IS NULL
+                     THEN 'Failed to locate matching record for ' || p.role
+                     ELSE 'ok' END AS role_status
+                FROM parsed p LEFT JOIN ({ROLE_TAXONOMY_SQL}) rt ON p.role = rt.role"""
+        ),
+        "enrich_tools": P(
+            f"""SELECT p.conv_id, p.turn_idx, p.tool, tr.tool_kind, tr.tool_owner,
+                COALESCE(tr.role, p.role) AS role,
+                CASE WHEN tr.tool IS NULL
+                     THEN 'Failed to locate matching record for ' || p.tool
+                     ELSE 'ok' END AS tool_status
+                FROM parsed p LEFT JOIN ({TOOL_REGISTRY_SQL}) tr ON p.tool = tr.tool"""
+        ),
+        "hourly_rollup": P(
+            "SELECT role, tool, date_trunc('hour', ts) AS hour, count(*) AS n"
+            " FROM parsed GROUP BY role, tool, date_trunc('hour', ts)"
+        ),
+        "conv_counts_salted": P(
+            "SELECT conv_id, count(*) AS n FROM parsed GROUP BY conv_id"
+        ),
+        "distinct_codes": P(
+            "SELECT DISTINCT http_code FROM parsed WHERE http_code IS NOT NULL"
+        ),
+        "count_distinct": P(
+            "SELECT count(DISTINCT conv_id) AS n_convs, count(*) AS n_turns FROM parsed"
+        ),
+        "timing_stats": P(
+            "SELECT action, count(*) AS n, CAST(median(duration_ms) AS DOUBLE) AS med_val,"
+            " max(duration_ms) AS max_val FROM parsed WHERE duration_ms IS NOT NULL"
+            " GROUP BY action"
+        ),
+        "minmax_ts": P("SELECT min(ts) AS min_val, max(ts) AS max_val FROM parsed"),
+        "action_set_convs": P(
+            "SELECT conv_id, count(*) AS n FROM parsed WHERE action IS NOT NULL"
+            " GROUP BY conv_id"
+            " HAVING list_sort(list_distinct(list(action))) ="
+            " ['CurlHandlePool::get', 'DmrppArray::read', 'TheBESKeys::TheKeys']"
+        ),
+        "duration_histogram": P(
+            "SELECT action, CAST(floor(duration_ms / 500.0) AS BIGINT) AS bin,"
+            " count(*) AS n FROM parsed WHERE duration_ms IS NOT NULL"
+            " GROUP BY action, bin"
+        ),
+        "outliers": P(
+            "SELECT conv_id, turn_idx, text FROM parsed"
+            " WHERE turn_class NOT IN ('request', 'info', 'error', 'timing')"
+        ),
+        "substring_filter": P(
+            "SELECT conv_id, turn_idx, code_ref FROM parsed"
+            " WHERE text LIKE '%BESUtil.cc:29%'"
+        ),
+        "regex_filter": P(
+            "SELECT http_code, count(*) AS n FROM parsed"
+            " WHERE regexp_matches(text, 'HTTP code of 4[0-9][0-9]')"
+            " GROUP BY http_code"
+        ),
+        "unmatched_roles_anti": P(
+            f"""SELECT conv_id, turn_idx, role FROM parsed
+                WHERE role NOT IN (SELECT role FROM ({ROLE_TAXONOMY_SQL}) rt)"""
+        ),
+        "req_resp_merge": P(
+            f""", {_REQ_RESP_CTES.strip().lstrip()}
+            SELECT r.request_id, r.url_path, r.req_code,
+                   s.http_response_code, s.attempt
+            FROM request_log r LEFT JOIN response_log s USING (request_id)"""
+        ),
+        "full_outer_merge": P(
+            f""", {_REQ_RESP_CTES.strip().lstrip()}
+            SELECT COALESCE(r.request_id, s.request_id) AS request_id,
+                   r.url_path, r.req_code, s.http_response_code
+            FROM request_log r FULL OUTER JOIN response_log s USING (request_id)"""
+        ),
+        "lookup_sentinel": P(
+            f""", {_REQ_RESP_CTES.strip().lstrip()},
+            resp1 AS (
+              SELECT * FROM (
+                SELECT request_id, http_response_code,
+                       row_number() OVER (PARTITION BY request_id ORDER BY resp_ts) AS rn
+                FROM response_log
+              ) WHERE rn = 1
+            )
+            SELECT r.request_id, r.req_code, s.http_response_code,
+                   CASE WHEN s.request_id IS NULL
+                        THEN 'Failed to locate matching record for ' || r.request_id
+                        END AS error
+            FROM request_log r LEFT JOIN resp1 s USING (request_id)"""
+        ),
+        "request_errors_flat": P(
+            f""", {_REQ_RESP_CTES.strip().lstrip()}
+            SELECT r.request_id, e.turn_idx AS err_turn_idx, e.http_code AS err_code
+            FROM request_log r JOIN parsed e
+              ON r.conv_id = e.conv_id AND e.turn_class = 'error'"""
+        ),
+        "interval_join": P(
+            """SELECT a.conv_id, a.turn_idx AS anchor_idx, o.turn_idx AS other_idx
+               FROM parsed a JOIN parsed o
+                 ON a.conv_id = o.conv_id
+                AND a.turn_class = 'request' AND o.turn_class <> 'request'
+                AND o.ts >= a.ts AND o.ts <= a.ts + INTERVAL 30 MINUTE"""
+        ),
+        "adjacent_pairing": P(
+            """SELECT conv_id, turn_idx, n_responses, duration_ms, status_code FROM (
+                 SELECT conv_id, turn_idx, turn_class, n_responses, duration_ms,
+                        CASE WHEN lead(turn_class) OVER w = 'error'
+                             THEN lead(http_code) OVER w ELSE 200 END AS status_code
+                 FROM parsed
+                 WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+               ) WHERE turn_class = 'timing'"""
+        ),
+        "turn_ordering": P(
+            """SELECT row_number() OVER (ORDER BY conv_id, turn_idx) AS rn,
+                      conv_id, turn_idx, turn_class,
+                      lag(turn_class) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_class
+               FROM parsed"""
+        ),
+        "pair_math": P(
+            """SELECT conv_id,
+                      min_by(duration_ms, turn_idx) AS first_val,
+                      max_by(duration_ms, turn_idx) AS last_val,
+                      max_by(duration_ms, turn_idx) - min_by(duration_ms, turn_idx) AS span
+               FROM parsed WHERE duration_ms IS NOT NULL GROUP BY conv_id"""
+        ),
+        "union_by_name": P(
+            """SELECT conv_id, turn_idx, 'request' AS kind, http_code, url_path
+               FROM parsed WHERE turn_class = 'request'
+               UNION ALL BY NAME
+               SELECT conv_id, turn_idx, 'error' AS kind, http_code
+               FROM parsed WHERE turn_class = 'error'"""
+        ),
+        "scalar_funcs": P(
+            """SELECT conv_id, turn_idx,
+                      strftime(make_timestamp(req_epoch * 1000000), '%Y-%m-%dT%H:%M:%SZ') AS iso_ts,
+                      upper(role) AS role_uc,
+                      lower(instance_id) AS inst_lc,
+                      substring(url_path, 1, 11) AS path_prefix,
+                      '2. ' || http_method AS tagged_method,
+                      replace(url_path, '/hyrax/ngap', '/h/n') AS path_short,
+                      string_split(url_path, '/')[3] AS path_seg,
+                      CAST(floor(http_code / 100.0) AS INTEGER) AS code_class
+               FROM parsed WHERE turn_class = 'request'"""
+        ),
+        "events_sessionize": (
+            """WITH g AS (
+                 SELECT user_id, ts, event_id,
+                        CASE WHEN epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                             THEN 1 ELSE 0 END AS new_sess
+                 FROM events
+               ),
+               s AS (
+                 SELECT user_id,
+                        sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+                 FROM g
+               )
+               SELECT user_id, CAST(max(sess_id) + 1 AS BIGINT) AS n_sessions,
+                      count(*) AS n_events
+               FROM s GROUP BY user_id"""
+        ),
+        "doc_exact_dedup": (
+            "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text"
+        ),
+        "doc_token_count": (
+            f"SELECT doc_id, len({_DOC_TOKENS}) AS n_tokens FROM documents"
+        ),
+        "doc_quality": _doc_quality_oracle(),
+        "doc_langid": _langid_oracle(),
+        "doc_ngram_jaccard": _ngram_jaccard_oracle(),
+        "embed_cosine_topk": _cosine_topk_oracle(),
+        "embed_neardup": _embed_neardup_oracle(),
+        # rows-only (no oracle): doc_minhash_lsh, doc_simhash, doc_fingerprint,
+        # embed_ivf_topk, multimodal_features
     }
+
+
+def _doc_quality_oracle() -> str:
+    stop = ", ".join(f"'{w}'" for w in _LANG_HITS["en"])
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, {_DOC_TOKENS} AS toks,
+         length(text) AS n_char,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN (n_char - (len(toks) - 1)) / len(toks) ELSE 0.0 END AS mean_token_len,
+         CASE WHEN n_char > 0 THEN CAST(n_punct AS DOUBLE) / n_char ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, x -> lower(x) IN ({stop}))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS stopword_ratio
+  FROM base
+)
+SELECT doc_id, n_tokens,
+       round(mean_token_len, 6) AS mean_token_len,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(least(n_tokens / 64.0, 1.0) * 0.4
+             + (1 - least(punct_ratio * 4, 1.0)) * 0.3
+             + least(stopword_ratio * 5, 1.0) * 0.3, 6) AS quality_score
+FROM feat
+"""
+
+
+def _ngram_jaccard_oracle() -> str:
+    return f"""
+WITH {_DOC_SHINGLES_2.strip()}
+SELECT a.id AS id_a, b.id AS id_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM doc_sh a JOIN doc_sh b ON a.blk = b.blk AND a.id < b.id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+"""
+
+
+def _cosine_topk_oracle() -> str:
+    return f"""
+WITH {_UNIT_VEC.strip()},
+q AS (SELECT vec_id AS query_id, unit AS qvec FROM unitv WHERE query_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS corpus_id,
+         round(list_inner_product(q.qvec, c.unit), 6) AS score
+  FROM q JOIN unitv c ON q.query_id <> c.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, corpus_id) AS rank
+  FROM scored
+)
+SELECT query_id, corpus_id, score, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def _embed_neardup_oracle() -> str:
+    return f"""
+WITH {_UNIT_VEC.strip()},
+blocked AS (SELECT vec_id, unit, vec_id % 25 AS blk FROM unitv)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_inner_product(a.unit, b.unit), 6) AS cosine
+FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.vec_id < b.vec_id
+WHERE round(list_inner_product(a.unit, b.unit), 6) >= 0.2
+"""

@@ -1,0 +1,119 @@
+"""Benchmark harness — prints ONE JSON line the driver records.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``:
+
+  * ``e2e_pipeline``   — parse→enrich→route(write)→aggregate over a
+    synthetic transcripts table (``$SPARK_GRAFT_BENCH_TURNS``, default 2M
+    turns, 10% of rows in 5 hot convs) — the primary metric; also reported
+    as turns/sec.
+  * representative operator queries from __spark_entry__ at the sf dir.
+
+Scaling evidence (local[8] vs local[32]) is produced by
+``tools/bench_scaling.py`` which shells out to this file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_turns = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "2000000"))
+
+    from log_analysis_spark.datagen import synth_transcripts
+    from log_analysis_spark.plans.pipeline import run_pipeline
+    from log_analysis_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+
+    # ---- setup (not timed): synthesize + materialize the transcripts table
+    work = tempfile.mkdtemp(prefix="bench_")
+    tpath = f"{work}/transcripts"
+    synth_transcripts(spark, n_turns, partitions=int(cpus) * 2).write.mode(
+        "overwrite"
+    ).parquet(tpath)
+    turns = spark.read.parquet(tpath)
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # ---- q1: full pipeline incl. fan-out write + aggregates --------------
+    out_dir = f"{work}/pipe"
+    timed(
+        "e2e_pipeline",
+        lambda: run_pipeline(spark, turns, out_dir, parse_impl="native").hourly_rollup.count(),
+    )
+    e2e_throughput = round(n_turns / timings["e2e_pipeline"], 1)
+
+    # same DAG minus the sink write (pure compute throughput)
+    from log_analysis_spark.datagen import role_taxonomy, tool_registry
+    from log_analysis_spark.functions.parse import parse_turns
+    from log_analysis_spark.operators import enrich, router
+
+    def _nowrite():
+        parsed = parse_turns(turns, impl="native")
+        enriched = enrich.enrich_tools(
+            enrich.enrich_roles(parsed, role_taxonomy(spark)), tool_registry(spark)
+        )
+        tagged = router.tag_sinks(enriched, router.default_rules())
+        router.sink_counts(tagged).collect()
+
+    timed("parse_route_agg_nowrite", _nowrite)
+
+    def _arrow_parse():
+        parse_turns(turns, impl="arrow").select("turn_class", "http_code").groupBy(
+            "turn_class", "http_code"
+        ).count().collect()
+
+    timed("parse_arrow", _arrow_parse)
+
+    # ---- representative operator queries at the sf dir -------------------
+    q = entrymod.queries()
+    for name in [
+        "logs_overview",
+        "interval_join",
+        "hourly_rollup",
+        "doc_minhash_lsh",
+        "embed_cosine_topk",
+        "doc_simhash",
+    ]:
+        timed(name, lambda n=name: q[n](spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "e2e parse->enrich->route->aggregate wall time",
+                "value": timings["e2e_pipeline"],
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "bench_turns": n_turns,
+                "cpus": int(cpus),
+                "throughput_turns_per_sec": e2e_throughput,
+                "total_sec": total,
+            }
+        )
+    )
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

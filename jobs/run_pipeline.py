@@ -1,0 +1,62 @@
+"""spark-submit entrypoint for the full parse→enrich→route→aggregate DAG.
+
+Cluster usage (the north-rule launch shape):
+
+    spark-submit --py-files log_analysis_spark.zip jobs/run_pipeline.py \
+        --input /path/transcripts --out /path/out
+
+Sandbox usage:
+
+    python jobs/run_pipeline.py --sf-dir /root/testdata/sf0.001 --out /tmp/pipe
+
+With ``--input`` the job reads an existing transcripts parquet/Iceberg path;
+with ``--sf-dir`` it derives the canonical small-scale transcripts table
+from the events parquet.  Reruns resume from the checkpoint manifest.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="transcripts table path (parquet)")
+    src.add_argument("--sf-dir", help="testdata dir to derive transcripts from")
+    ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument("--parse-impl", default="arrow", choices=["arrow", "native"])
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from log_analysis_spark.datagen import transcripts_from_events
+    from log_analysis_spark.plans.pipeline import run_pipeline
+    from log_analysis_spark.session import get_spark
+
+    spark = get_spark("run_pipeline", master=args.master)
+    if args.input:
+        turns = spark.read.parquet(args.input)
+    else:
+        turns = transcripts_from_events(spark, args.sf_dir)
+
+    res = run_pipeline(spark, turns, args.out, parse_impl=args.parse_impl)
+    print(
+        json.dumps(
+            {
+                "n_turns": res.n_turns,
+                "per_sink_counts": res.per_sink_counts,
+                "wall_sec": round(res.wall_sec, 3),
+                "stages_skipped": res.stages_skipped,
+                "routed_path": res.routed_path,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -87,6 +87,10 @@ SELECT
 FROM base
 """
 
+TRANSCRIPTS_SCHEMA_DDL = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp_ntz"
+)
+
 # Lookup dimensions (broadcast-enrich side; reference: the role/type taxonomy
 # in ngap-logs.py:86-90 and the per-type split in HyraxLogAnalysis.jl:91-116).
 # `auditor` is intentionally ABSENT from role_taxonomy → unmatched-left

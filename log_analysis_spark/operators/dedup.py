@@ -1,0 +1,258 @@
+"""Deduplication operators over the ``documents`` table.
+
+Exact (hash-groupBy), MinHash+LSH (shingle→minhash→band→bucket-join),
+SimHash (vectorized Arrow UDF), n-gram Jaccard, and embedding-cosine
+near-dup (operators/similarity.py supplies the vector math).
+
+Scale design: every near-dup method is *blocked* — candidate pairs only
+form inside a bounded bucket (LSH band bucket, hash-mod block), never a
+full cross join; the verify step runs only on candidates.  At 100 TB the
+bucket-join is a plain shuffle hash join on the band key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from log_analysis_spark.operators.textstats import tokens_col
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the lowest id per distinct text, count the group."""
+    return (
+        df.groupBy(text_col)
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
+
+
+def word_shingles(text_col: str = "text", k: int = 3) -> F.Column:
+    """Distinct k-word shingles (n-grams) of the tokenized text — built with
+    higher-order array functions, all JVM-side."""
+    toks = tokens_col(text_col)
+    n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]),
+    )
+    return F.when(n > 0, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_signature(shingles: F.Column, n_hashes: int = 32) -> F.Column:
+    """MinHash signature: for seed i, min over shingles of
+    xxhash64(seed_i ++ shingle).  Seeded by string prefix — deterministic,
+    shuffle-free, JVM-side."""
+    def seeded_min(i: int) -> F.Column:
+        # NB: the lambda must stay single-parameter — a 2-arg lambda would be
+        # called by transform() as (element, index) and silently break seeding
+        prefix = F.lit(f"mh{i}:")
+        return F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(F.concat(prefix, s)))
+        )
+
+    return F.array(*[seeded_min(i) for i in range(n_hashes)])
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: shingle → signature → band buckets →
+    candidate pairs inside buckets → exact Jaccard verify on shingle sets.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    """
+    rows_per_band = n_hashes // bands
+    sig = (
+        df.select(F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+    )
+    # band key = hash of the band's slice of the signature
+    banded = sig.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", "bb.band", "bb.bkey")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bkey") == F.col("r.bkey"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 2,
+    threshold: float = 0.8,
+    n_blocks: int = 100,
+) -> DataFrame:
+    """Blocked exact n-gram Jaccard: candidate pairs form only inside
+    ``id % n_blocks`` blocks (deterministic blocking), then exact set
+    Jaccard on word k-grams.  Fully SQL-expressible → strong oracle."""
+    base = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh")
+    ).filter(F.size("sh") > 0)
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), (F.col("id") % n_blocks).alias("blk")
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), (F.col("id") % n_blocks).alias("blk")
+    )
+    pairs = a.join(b, on=[a["blk"] == b["blk"], F.col("id_a") < F.col("id_b")])
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        pairs.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+SIMHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("simhash", T.LongType()),
+    ]
+)
+
+
+def simhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """SimHash via a vectorized Arrow UDF: token hashes → per-bit ±1 votes →
+    sign bit.  numpy does the bit math per Arrow batch (no per-row Python
+    in Spark; the tokenizer loop is C-backed pandas .str)."""
+
+    def batch_iter(it):
+        for pdf in it:
+            out_ids = pdf[id_col].astype("int64")
+            sims = np.zeros(len(pdf), dtype=np.uint64)
+            token_lists = pdf[text_col].fillna("").str.lower().str.split(r"[^\w']+")
+            for row_i, toks in enumerate(token_lists):
+                if not toks:
+                    continue
+                hs = np.array(
+                    [hash64_py(t) for t in toks if t], dtype=np.uint64
+                )
+                if hs.size == 0:
+                    continue
+                bits_mat = (hs[:, None] >> np.arange(bits, dtype=np.uint64)) & np.uint64(1)
+                votes = bits_mat.sum(axis=0) * 2 - hs.size
+                sim = np.uint64(0)
+                for b in np.nonzero(votes > 0)[0]:
+                    sim |= np.uint64(1) << np.uint64(b)
+                sims[row_i] = sim
+            yield pd.DataFrame({"doc_id": out_ids, "simhash": sims.astype("int64")})
+
+    return df.select(id_col, text_col).mapInPandas(batch_iter, SIMHASH_SCHEMA)
+
+
+def hash64_py(token: str) -> int:
+    """Deterministic 64-bit token hash (FNV-1a) — stable across processes,
+    unlike Python's builtin hash()."""
+    h = 0xCBF29CE484222325
+    for ch in token.encode("utf-8"):
+        h ^= ch
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def simhash_neardup_pairs(
+    sim_df: DataFrame, max_hamming: int = 8, n_bands: int = 4
+) -> DataFrame:
+    """Candidate pairs whose simhash bands collide; verify by Hamming
+    distance via bit_count(xor) — JVM-side."""
+    width = 64 // n_bands
+    banded = sim_df.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bkey"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bkey")
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bkey") == F.col("r.bkey"),
+                F.col("l.doc_id") < F.col("r.doc_id"),
+            ],
+        )
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", ham).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")

@@ -1,0 +1,181 @@
+"""Join operators (SURVEY.md §2.3 — the heart of the reference).
+
+The reference's request/response/BES logs are re-derived here from the
+transcripts table itself so every join has a deterministic, oracle-checkable
+input:
+
+  * ``request_log``  — request-class turns; ``request_id = conv_id:turn_idx``
+  * ``response_log`` — error-class turns, each answering the immediately
+    preceding turn (``request_id = conv_id:(turn_idx-1)``) — so some
+    requests lack responses and some responses lack requests, exercising
+    unmatched-passthrough / miss-sentinel / anti-join paths.
+
+Operators:
+  * J1/J2 — left-outer equi join, right-overrides merge
+    (join_json_arrays.py:11-52; merge_request_response.py:10-48)
+  * J3 — first-match lookup with miss sentinel (ngap-logs.py:188-213; the
+    reference's docstring/first-vs-last ambiguity is resolved here with an
+    explicit row_number ordering)
+  * J4/J6 — one-to-many join nested as a sorted array
+    (ngap-logs.py:216-242,257-300)
+  * J5 — composite-equi + time-interval join with an hour-bucket
+    prepartitioning variant for scale
+    (join_metrics_log_with_application_log.py:61-175)
+  * J7 — full-outer merge via per-column coalesce (merge_request_response.sh:17)
+  * anti — "unmatched records" (combined_analysis.sh:5-9) as a left_anti join
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MISS_SENTINEL = "Failed to locate matching record"  # ngap-logs.py:209
+
+
+def derive_request_log(parsed: DataFrame) -> DataFrame:
+    return parsed.filter(F.col("turn_class") == "request").select(
+        F.concat_ws(":", "conv_id", "turn_idx").alias("request_id"),
+        "conv_id",
+        F.col("turn_idx").alias("req_turn_idx"),
+        "url_path",
+        "http_method",
+        F.col("http_code").alias("req_code"),
+        "instance_id",
+        "pid",
+        F.col("ts").alias("req_ts"),
+    )
+
+
+def derive_response_log(parsed: DataFrame) -> DataFrame:
+    return parsed.filter(F.col("turn_class") == "error").select(
+        F.concat_ws(":", F.col("conv_id"), (F.col("turn_idx") - 1)).alias("request_id"),
+        F.col("http_code").alias("http_response_code"),
+        F.col("attempt"),
+        F.col("code_ref"),
+        F.col("ts").alias("resp_ts"),
+    )
+
+
+def merge_right_overrides(left: DataFrame, right: DataFrame, key: str) -> DataFrame:
+    """J1/J2 — ``{**left, **right_index.get(key, {})}``: left-outer join;
+    shared columns take the right value when matched, keep left on a miss."""
+    shared = [c for c in right.columns if c in left.columns and c != key]
+    r = right
+    for c in shared:
+        r = r.withColumnRenamed(c, f"__r_{c}")
+    out = left.join(r, on=key, how="left")
+    for c in shared:
+        out = out.withColumn(c, F.coalesce(F.col(f"__r_{c}"), F.col(c))).drop(f"__r_{c}")
+    return out
+
+
+def lookup_with_sentinel(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    order_col: str,
+    error_col: str = "error",
+) -> DataFrame:
+    """J3 — lookup join keeping exactly one right match (first by
+    ``order_col`` — deterministic, unlike the reference's last-match
+    dict-comprehension at ngap-logs.py:202-206); misses get the reference's
+    ERROR sentinel (ngap-logs.py:208-210) in ``error_col``."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(order_col)
+    r1 = (
+        right.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn("_hit", F.lit(True))
+    )
+    out = left.join(r1, on=key, how="left")
+    return out.withColumn(
+        error_col,
+        F.when(F.col("_hit").isNull(), F.concat(F.lit(MISS_SENTINEL + " for "), F.col(key))),
+    ).drop("_hit")
+
+
+def nest_one_to_many(
+    left: DataFrame, right: DataFrame, key: str, order_cols: list[str]
+) -> DataFrame:
+    """J4 — embed all right matches as a sorted array-of-struct column
+    (``"bes": [...]`` in ngap-logs.py:291-295; sorted for determinism,
+    SURVEY.md W4)."""
+    rcols = [c for c in right.columns if c != key]
+    nested = right.groupBy(key).agg(
+        F.sort_array(F.collect_list(F.struct(*order_cols, *[c for c in rcols if c not in order_cols]))).alias(
+            "related"
+        )
+    )
+    out = left.join(nested, on=key, how="left")
+    return out.withColumn("related", F.coalesce(F.col("related"), F.array()))
+
+
+def full_outer_merge(left: DataFrame, right: DataFrame, key: str) -> DataFrame:
+    """J7 — jq group_by(key)|map(add): full-outer join with per-column
+    coalesce (right wins on conflict, matching dict-add order)."""
+    shared = [c for c in right.columns if c in left.columns and c != key]
+    r = right
+    for c in shared:
+        r = r.withColumnRenamed(c, f"__r_{c}")
+    out = left.join(r, on=key, how="full_outer")
+    for c in shared:
+        out = out.withColumn(c, F.coalesce(F.col(f"__r_{c}"), F.col(c))).drop(f"__r_{c}")
+    return out
+
+
+def unmatched_anti(left: DataFrame, right: DataFrame, key: str) -> DataFrame:
+    """Anti-join — the reference's "unmatched records" (records lacking a
+    ``bes`` key after the merge, combined_analysis.sh:5-9)."""
+    return left.join(right, on=key, how="left_anti")
+
+
+def interval_join(
+    anchors: DataFrame,
+    others: DataFrame,
+    equi_keys: list[str],
+    anchor_start: str,
+    anchor_end: str,
+    other_ts: str,
+    bucketed: bool = True,
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """J5 — equi keys AND ``other_ts BETWEEN anchor_start AND anchor_end``
+    (join_metrics_log_with_application_log.py:144-150; the golden test's
+    outside-time-boundary record is excluded by the BETWEEN upper bound).
+
+    ``bucketed=True`` adds an hour-bucket equi key: the anchor side explodes
+    its interval into covered hour buckets (`sequence` + `explode`), the
+    other side joins on its own hour bucket — turning a per-conv range scan
+    into a hash join keyed on (equi_keys, hour). At 100 TB this bounds the
+    join fan-out to per-hour cells instead of per-conv cross products.
+    """
+    cond_range = (F.col(other_ts) >= F.col(anchor_start)) & (
+        F.col(other_ts) <= F.col(anchor_end)
+    )
+    # rename the other side's equi keys to avoid ambiguous column names
+    o = others
+    for k in equi_keys:
+        o = o.withColumnRenamed(k, f"__o_{k}")
+    eq = [F.col(k) == F.col(f"__o_{k}") for k in equi_keys]
+
+    if bucketed:
+        a = anchors.withColumn(
+            "_abucket",
+            F.explode(
+                F.sequence(
+                    F.date_trunc("hour", F.col(anchor_start)),
+                    F.date_trunc("hour", F.col(anchor_end)),
+                    F.expr(f"INTERVAL {bucket}"),
+                )
+            ),
+        )
+        o = o.withColumn("_obucket", F.date_trunc("hour", F.col(other_ts)))
+        cond = eq + [F.col("_abucket") == F.col("_obucket")]
+        joined = a.join(o, on=cond, how="inner")
+        joined = joined.filter(cond_range).drop("_abucket", "_obucket")
+    else:
+        joined = anchors.join(o, on=eq, how="inner").filter(cond_range)
+    return joined.drop(*[f"__o_{k}" for k in equi_keys])

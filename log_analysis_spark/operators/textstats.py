@@ -1,0 +1,103 @@
+"""Text-analysis operators over the ``documents`` table — the pieces a
+large-scale training-data pipeline needs: token counting, quality scoring,
+language-ID heuristic, document fingerprinting.
+
+All hot-path math is JVM-side (split / size / transform / xxhash64 inside
+WholeStageCodegen) — no Python per row anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword language heuristic
+STOPWORDS = {
+    "en": ["the", "a", "of", "and"],
+    "es": ["el", "la", "de", "y"],
+    "de": ["der", "die", "das", "und"],
+    "fr": ["le", "la", "de", "et"],
+    "zh": ["的", "了", "是", "在"],
+}
+
+
+def tokens_col(text_col: str = "text") -> F.Column:
+    """Whitespace tokenization with a BPE-ish fallback: split on runs of
+    non-word characters so punctuation-glued tokens still separate."""
+    t = F.trim(F.col(text_col))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"[^\w']+")
+    )
+
+
+def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("n_tokens", F.size(tokens_col(text_col)))
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-score features: length, mean token length, punctuation ratio,
+    stopword ratio, and a composite [0,1] score."""
+    t = F.col(text_col)
+    toks = tokens_col(text_col)
+    n_tok = F.size(toks)
+    n_char = F.length(t)
+    punct = n_char - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    stop_list = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_list, F.lower(x))))
+    out = (
+        df.withColumn("n_chars_calc", n_char)
+        .withColumn("n_tokens", n_tok)
+        .withColumn(
+            "mean_token_len",
+            F.when(n_tok > 0, (n_char - (n_tok - 1)) / n_tok).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.when(n_char > 0, punct.cast("double") / n_char).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(F.lit(0.0)),
+        )
+    )
+    score = (
+        F.least(F.col("n_tokens") / F.lit(64.0), F.lit(1.0)) * 0.4
+        + (1 - F.least(F.col("punct_ratio") * 4, F.lit(1.0))) * 0.3
+        + F.least(F.col("stopword_ratio") * 5, F.lit(1.0)) * 0.3
+    )
+    return out.withColumn("quality_score", score)
+
+
+def with_lang_pred(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID heuristic: most stopword hits wins; ties break by a fixed
+    language priority (deterministic)."""
+    toks = F.transform(tokens_col(text_col), lambda x: F.lower(x))
+    scores = []
+    for lang, words in STOPWORDS.items():
+        wl = F.array(*[F.lit(w) for w in words])
+        scores.append(
+            F.struct(
+                F.size(F.filter(toks, lambda x: F.array_contains(wl, x))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # array_max on struct orders by first field (hits) then lang string
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(
+        "lang_pred",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("unknown")),
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", k: int = 16) -> DataFrame:
+    """Rolling-hash document fingerprint (winnowing-lite): xxhash64 over
+    every k-char window, fingerprint = min window hash; plus a full-text
+    md5.  All JVM expressions (sequence/transform/substring/xxhash64)."""
+    t = F.col(text_col)
+    n_win = F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
+    win_hashes = F.transform(
+        F.sequence(F.lit(1), n_win), lambda i: F.xxhash64(F.substring(t, i, k))
+    )
+    return df.withColumn("fingerprint", F.array_min(win_hashes)).withColumn(
+        "md5_full", F.md5(t)
+    )

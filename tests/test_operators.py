@@ -1,0 +1,187 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_analysis_spark.datagen import role_taxonomy, tool_registry
+from log_analysis_spark.functions.parse import parse_turns
+from log_analysis_spark.operators import aggregate as agg
+from log_analysis_spark.operators import enrich, joins, router, windows_ops
+
+
+@pytest.fixture(scope="module")
+def parsed(transcripts):
+    df = parse_turns(transcripts).cache()
+    df.count()
+    return df
+
+
+# --------------------------------------------------------------------- enrich
+
+
+def test_enrich_roles_passthrough_and_status(spark, parsed):
+    out = enrich.enrich_roles(parsed, role_taxonomy(spark))
+    # matched rows get taxonomy columns; unmatched ('auditor') pass through
+    # with the miss sentinel (reference: tests/test_join_json_arrays.py:27-55)
+    auditor = out.filter(F.col("role") == "auditor").first()
+    assert auditor["role_class"] is None
+    assert auditor["role_status"].startswith(enrich.MISS_SENTINEL)
+    user = out.filter(F.col("role") == "user").first()
+    assert user["role_class"] == "human" and user["role_status"] == "ok"
+    assert out.count() == parsed.count()  # left join never drops/dups
+
+
+def test_enrich_right_overrides_collision(spark, parsed):
+    # tool_registry carries a colliding `role` column: right wins when
+    # matched (join_json_arrays.py:45), left survives on miss
+    out = enrich.enrich_tools(parsed, tool_registry(spark))
+    matched = out.filter(F.col("tool") == "tool-0").first()
+    assert matched["role"] == "executor"
+    miss = out.filter(F.col("tool") == "tool-7").first()
+    assert miss["role"] in ("user", "assistant", "system", "tool", "auditor")
+    assert miss["tool_status"].startswith(enrich.MISS_SENTINEL)
+
+
+def test_enrich_is_broadcast(spark, parsed):
+    plan = (
+        enrich.enrich_roles(parsed, role_taxonomy(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+# --------------------------------------------------------------------- router
+
+
+def test_router_disjoint_and_complete(spark, parsed):
+    tagged = router.tag_sinks(parsed, router.default_rules())
+    per_sink = router.check_routing_completeness(tagged)
+    assert sum(per_sink.values()) == parsed.count()
+    assert set(per_sink) <= {"errors", "tool_calls", "requests", "info", "human", "other"}
+    assert per_sink["errors"] > 0 and per_sink["other"] > 0
+
+
+def test_router_fanout_write(spark, parsed, tmp_path):
+    tagged = router.tag_sinks(parsed, router.default_rules())
+    out = str(tmp_path / "routed")
+    router.route_write(tagged.select("conv_id", "turn_idx", "turn_class", "tool", "role", "sink"), out)
+    back = spark.read.parquet(out)
+    assert back.count() == parsed.count()
+    # per-sink counts of the written data match the in-memory tagging
+    a = {r["sink"]: r["n"] for r in router.sink_counts(tagged).collect()}
+    b = {r["sink"]: r["n"] for r in back.groupBy("sink").agg(F.count("*").alias("n")).collect()}
+    assert a == b
+
+
+# ------------------------------------------------------------------ aggregate
+
+
+def test_salted_count_equals_plain(spark, parsed):
+    plain = {r["conv_id"]: r["n"] for r in parsed.groupBy("conv_id").agg(F.count("*").alias("n")).collect()}
+    salted = {r["conv_id"]: r["n"] for r in agg.salted_group_count(parsed, "conv_id").collect()}
+    assert plain == salted
+
+
+def test_grouped_stats_and_histogram(spark, parsed):
+    stats = {r["action"]: r for r in agg.grouped_stats(parsed, "action", "duration_ms").collect()}
+    assert set(stats) == {"TheBESKeys::TheKeys", "DmrppArray::read", "CurlHandlePool::get"}
+    for r in stats.values():
+        assert r["max_val"] >= r["med_val"] > 0
+    hist = agg.histogram(parsed, "duration_ms", 500.0, group="action")
+    total = hist.agg(F.sum("n")).first()[0]
+    assert total == parsed.filter(F.col("duration_ms").isNotNull()).count()
+
+
+def test_hourly_rollup_buckets(spark, parsed):
+    roll = agg.hourly_rollup(parsed)
+    assert roll.agg(F.sum("n")).first()[0] == parsed.count()
+    hours = roll.select("hour").distinct().count()
+    assert hours >= 3  # spans multiple hour buckets
+
+
+# -------------------------------------------------------------------- windows
+
+
+def test_adjacent_pairing(spark, parsed):
+    out = windows_ops.pair_timing_with_next_error(parsed)
+    n_timing = parsed.filter(F.col("turn_class") == "timing").count()
+    assert out.count() == n_timing
+    codes = {r["status_code"] for r in out.collect()}
+    assert 200 in codes and any(c != 200 for c in codes)
+
+
+def test_pair_math_span(spark, parsed):
+    out = windows_ops.pair_math(parsed, ["conv_id"], "turn_idx", "duration_ms")
+    row = out.first()
+    assert row["span"] == row["last_val"] - row["first_val"]
+
+
+# ---------------------------------------------------------------------- joins
+
+
+@pytest.fixture(scope="module")
+def req_resp(parsed):
+    return joins.derive_request_log(parsed), joins.derive_response_log(parsed)
+
+
+def test_merge_right_overrides_row_preserving(spark, req_resp):
+    req, resp = req_resp
+    out = joins.merge_right_overrides(req, resp, "request_id")
+    assert out.count() == req.count()
+    # at least one matched (has response code) and one unmatched (null)
+    assert out.filter(F.col("http_response_code").isNotNull()).count() > 0
+    assert out.filter(F.col("http_response_code").isNull()).count() > 0
+
+
+def test_lookup_with_sentinel(spark, req_resp):
+    req, resp = req_resp
+    out = joins.lookup_with_sentinel(req, resp, "request_id", "resp_ts")
+    missed = out.filter(F.col("error").isNotNull())
+    assert missed.count() == joins.unmatched_anti(req, resp, "request_id").count()
+    assert missed.first()["error"].startswith(joins.MISS_SENTINEL)
+    assert out.count() == req.count()  # dedup keeps join row-preserving
+
+
+def test_nest_one_to_many_sorted(spark, parsed, req_resp):
+    req, _ = req_resp
+    errors = parsed.filter(F.col("turn_class") == "error").select(
+        "conv_id", F.col("turn_idx").alias("err_turn_idx"), "http_code"
+    )
+    out = joins.nest_one_to_many(req, errors, "conv_id", ["err_turn_idx"])
+    row = out.filter(F.size("related") > 1).first()
+    idxs = [x["err_turn_idx"] for x in row["related"]]
+    assert idxs == sorted(idxs)
+    # unmatched → empty array, not null (reference keeps "bes": [])
+    assert out.filter(F.col("related").isNull()).count() == 0
+
+
+def test_full_outer_merge(spark, req_resp):
+    req, resp = req_resp
+    out = joins.full_outer_merge(req, resp, "request_id")
+    n_match = req.join(resp, "request_id").count()
+    assert out.count() == req.count() + resp.count() - n_match
+
+
+def test_interval_join_bucketed_equals_naive(spark, parsed):
+    anchors = (
+        parsed.filter(F.col("turn_class") == "request")
+        .select(
+            "conv_id",
+            F.col("turn_idx").alias("anchor_idx"),
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("end_ts"),
+        )
+    )
+    others = parsed.filter(F.col("turn_class") != "request").select(
+        "conv_id", F.col("turn_idx").alias("other_idx"), "ts"
+    )
+    kwargs = dict(
+        equi_keys=["conv_id"], anchor_start="start_ts", anchor_end="end_ts", other_ts="ts"
+    )
+    naive = joins.interval_join(anchors, others, bucketed=False, **kwargs)
+    fast = joins.interval_join(anchors, others, bucketed=True, **kwargs)
+    key = ["conv_id", "anchor_idx", "other_idx"]
+    assert naive.count() == fast.count() > 0
+    assert naive.select(key).exceptAll(fast.select(key)).count() == 0

@@ -1,0 +1,43 @@
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from log_analysis_spark.plans.pipeline import run_pipeline
+
+
+def test_pipeline_end_to_end_and_resume(spark, transcripts, tmp_path):
+    out = str(tmp_path / "pipe")
+    res = run_pipeline(spark, transcripts, out, parse_impl="native")
+    total = transcripts.count()
+    # routing completeness: per-sink counts sum to total
+    assert sum(res.per_sink_counts.values()) == total == res.n_turns
+    assert res.per_sink_counts["errors"] > 0
+    assert res.stages_skipped == []
+
+    # hourly rollup is complete too
+    assert res.hourly_rollup.agg(F.sum("n")).first()[0] == total
+
+    # manifest recorded per-partition lineage
+    with open(f"{out}/_manifest.jsonl") as f:
+        recs = [json.loads(line) for line in f]
+    assert recs and recs[-1]["stage"] == "route"
+    assert recs[-1]["rows"] == total
+    assert sum(recs[-1]["partition_rows"].values()) == total
+
+    # resume: second run skips the route stage, produces identical counts
+    res2 = run_pipeline(spark, transcripts, out, parse_impl="native")
+    assert res2.stages_skipped == ["route"]
+    assert res2.per_sink_counts == res.per_sink_counts
+
+    # idempotence: no double-counted rows after the rerun
+    assert spark.read.parquet(res.routed_path).count() == total
+
+
+def test_pipeline_arrow_parse_same_routing(spark, transcripts, tmp_path):
+    out_a = str(tmp_path / "pa")
+    out_b = str(tmp_path / "pb")
+    ra = run_pipeline(spark, transcripts, out_a, parse_impl="native")
+    rb = run_pipeline(spark, transcripts, out_b, parse_impl="arrow")
+    assert ra.per_sink_counts == rb.per_sink_counts

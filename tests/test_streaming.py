@@ -1,0 +1,25 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from log_analysis_spark.functions.parse import parse_turns
+from log_analysis_spark.operators import router
+from log_analysis_spark.streaming.stream_pipeline import run_stream_to_memory
+
+
+def test_streaming_counts_match_batch(spark, transcripts, tmp_path):
+    path = str(tmp_path / "stream_src")
+    transcripts.write.mode("overwrite").parquet(path)
+
+    out = run_stream_to_memory(spark, path).cache()
+    # total across windows == batch total
+    assert out.agg(F.sum("n")).first()[0] == transcripts.count()
+
+    # per-sink totals match the batch router exactly
+    batch = router.tag_sinks(parse_turns(spark.read.parquet(path)), router.default_rules())
+    b = {r["sink"]: r["n"] for r in router.sink_counts(batch).collect()}
+    s = {
+        r["sink"]: r["n"]
+        for r in out.groupBy("sink").agg(F.sum("n").alias("n")).collect()
+    }
+    assert b == s

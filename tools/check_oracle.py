@@ -32,9 +32,18 @@ def _normalize(df):  # pandas DataFrame → canonical string rows
         elif pd.api.types.is_datetime64_any_dtype(s):
             df[c] = s.dt.strftime("%Y-%m-%d %H:%M:%S.%f")
         elif s.dtype == object:
-            df[c] = s.map(
-                lambda v: str(list(v)) if isinstance(v, (list, tuple)) or hasattr(v, "tolist") and not isinstance(v, str) else str(v)
-            )
+            def norm(v):
+                if v is None or (not isinstance(v, (list, tuple)) and pd.isna(v)):
+                    return "NULL"
+                if isinstance(v, (list, tuple)):
+                    return str(list(v))
+                if hasattr(v, "tolist") and not isinstance(v, str):
+                    return str(v.tolist())
+                return str(v)
+
+            df[c] = s.map(norm)
+    if len(df) == 0:
+        return hashlib.sha256(b"").hexdigest(), 0
     rows = sorted(df.astype(str).apply("|".join, axis=1).tolist())
     return hashlib.sha256("\n".join(rows).encode()).hexdigest(), len(rows)
 
