@@ -287,6 +287,74 @@ def q_scalar_funcs(spark, sf_dir):
     )
 
 
+def q_error_subclasses(spark, sf_dir):
+    """R4 — error-routing partition + completeness total (README.md:113-123
+    "Those numbers add up"): disjoint sub-classes with a rollup grand total."""
+    p = _parsed(spark, sf_dir).filter(F.col("turn_class") == "error")
+    sub = (
+        F.when(F.col("http_code") == 404, "not_found")
+        .when(F.col("http_code") == 500, "server_error")
+        .when(F.col("http_code") == 401, "auth")
+        .otherwise("other")
+    )
+    return p.withColumn("subclass", sub).rollup("subclass").agg(F.count("*").alias("n"))
+
+
+def q_conditional_agg(spark, sf_dir):
+    """A2 — the jq re-scan cascade (combined_analysis.sh) collapsed to ONE
+    scan of conditional sums."""
+    p = _parsed(spark, sf_dir)
+    return p.agg(
+        F.sum(F.when(F.col("http_code") == 404, 1).otherwise(0)).alias("n_404"),
+        F.sum(F.when(F.col("http_code") == 500, 1).otherwise(0)).alias("n_500"),
+        F.sum(F.when(F.col("turn_class") == "error", 1).otherwise(0)).alias("n_errors"),
+        F.sum(F.when(F.col("tool") != "-", 1).otherwise(0)).alias("n_tool_calls"),
+        F.sum(
+            F.when(F.col("url_path").startswith("/hyrax/ngap"), 1).otherwise(0)
+        ).alias("n_ngap"),
+    )
+
+
+def q_nested_errors(spark, sf_dir):
+    """J4/J6 — one-to-many join nested per request (`bes: [...]`), the sorted
+    array emitted as a joined string for engine-portable value hashing."""
+    p = _parsed(spark, sf_dir)
+    req = joins.derive_request_log(p).select("request_id", "conv_id")
+    errs = p.filter(F.col("turn_class") == "error").select(
+        "conv_id", "turn_idx", "http_code"
+    )
+    joined = req.join(errs, "conv_id", "left")
+    item = F.when(
+        F.col("http_code").isNotNull(), F.concat_ws(":", "turn_idx", "http_code")
+    )
+    return joined.groupBy("request_id").agg(
+        F.array_join(F.array_sort(F.collect_list(item)), ",").alias("errs"),
+        F.count("http_code").alias("n_errs"),
+    )
+
+
+def q_pid_fanout(spark, sf_dir):
+    """R2 (log_processing.py:14-41) — per-PID split; the per-PID sink counts
+    plus distinct instances per PID."""
+    p = _parsed(spark, sf_dir).filter(F.col("turn_class") == "request")
+    return p.groupBy("pid").agg(
+        F.count("*").alias("n"), F.countDistinct("instance_id").alias("n_instances")
+    )
+
+
+def q_streaming_hourly(spark, sf_dir):
+    """§2.9 forward path — Structured Streaming twin of the hourly rollup.
+    Strong oracle: watermarked tumbling-window counts over a static dir equal
+    the batch date_trunc('hour') counts."""
+    import tempfile
+
+    from log_analysis_spark.streaming.stream_pipeline import run_stream_to_memory
+
+    tmp = tempfile.mkdtemp(prefix="stream_src_")
+    transcripts_from_events(spark, sf_dir).write.mode("overwrite").parquet(tmp)
+    return run_stream_to_memory(spark, tmp, query_name="q_stream_hourly")
+
+
 def q_events_sessionize(spark, sf_dir):
     """Sessionization on the raw events table: 30-min-gap sessions/user."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -338,8 +406,11 @@ def q_doc_langid(spark, sf_dir):
 
 
 def q_doc_ngram_jaccard(spark, sf_dir):
-    """Blocked n-gram Jaccard near-dup pairs (strong SQL oracle)."""
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), k=2, threshold=0.2, n_blocks=25)
+    """Blocked n-gram Jaccard near-dup pairs (strong SQL oracle).
+
+    threshold=0.08 is calibrated to the synthetic corpus so the result is
+    non-trivial (~45 pairs at sf0.01) — a 0-row match proves nothing."""
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), k=2, threshold=0.08, n_blocks=25)
 
 
 def q_doc_minhash_lsh(spark, sf_dir):
@@ -425,6 +496,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_math": q_pair_math,
         "union_by_name": q_union_by_name,
         "scalar_funcs": q_scalar_funcs,
+        "error_subclasses": q_error_subclasses,
+        "conditional_agg": q_conditional_agg,
+        "nested_errors": q_nested_errors,
+        "pid_fanout": q_pid_fanout,
+        "streaming_hourly": q_streaming_hourly,
         "events_sessionize": q_events_sessionize,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_token_count": q_doc_token_count,
@@ -695,6 +771,44 @@ def oracle_sql() -> dict[str, str]:
                       CAST(floor(http_code / 100.0) AS INTEGER) AS code_class
                FROM parsed WHERE turn_class = 'request'"""
         ),
+        "error_subclasses": P(
+            """SELECT subclass, count(*) AS n FROM (
+                 SELECT CASE WHEN http_code = 404 THEN 'not_found'
+                             WHEN http_code = 500 THEN 'server_error'
+                             WHEN http_code = 401 THEN 'auth'
+                             ELSE 'other' END AS subclass
+                 FROM parsed WHERE turn_class = 'error'
+               ) GROUP BY ROLLUP(subclass)"""
+        ),
+        "conditional_agg": P(
+            """SELECT CAST(sum(CASE WHEN http_code = 404 THEN 1 ELSE 0 END) AS BIGINT) AS n_404,
+                      CAST(sum(CASE WHEN http_code = 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_500,
+                      CAST(sum(CASE WHEN turn_class = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+                      CAST(sum(CASE WHEN tool <> '-' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls,
+                      CAST(sum(CASE WHEN url_path LIKE '/hyrax/ngap%' THEN 1 ELSE 0 END) AS BIGINT) AS n_ngap
+               FROM parsed"""
+        ),
+        "nested_errors": P(
+            f""", {_REQ_RESP_CTES.strip().lstrip()}
+            SELECT r.request_id,
+                   array_to_string(list_sort(list(
+                     CASE WHEN e.http_code IS NOT NULL
+                          THEN cast(e.turn_idx AS STRING) || ':' || cast(e.http_code AS STRING)
+                     END)), ',') AS errs,
+                   count(e.http_code) AS n_errs
+            FROM request_log r LEFT JOIN parsed e
+              ON r.conv_id = e.conv_id AND e.turn_class = 'error'
+            GROUP BY r.request_id"""
+        ),
+        "pid_fanout": P(
+            """SELECT pid, count(*) AS n, count(DISTINCT instance_id) AS n_instances
+               FROM parsed WHERE turn_class = 'request' GROUP BY pid"""
+        ),
+        "streaming_hourly": P(
+            f"""SELECT date_trunc('hour', ts) AS hour, {_SINK_TAG} AS sink, role,
+                       count(*) AS n
+                FROM parsed GROUP BY 1, 2, 3"""
+        ),
         "events_sessionize": (
             """WITH g AS (
                  SELECT user_id, ts, event_id,
@@ -767,7 +881,7 @@ SELECT a.id AS id_a, b.id AS id_b,
              / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
 FROM doc_sh a JOIN doc_sh b ON a.blk = b.blk AND a.id < b.id
 WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.08
 """
 
 
