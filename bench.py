@@ -76,12 +76,13 @@ def main() -> None:
 
     timed("parse_route_agg_nowrite", _nowrite)
 
-    def _arrow_parse():
-        parse_turns(turns, impl="arrow").select("turn_class", "http_code").groupBy(
+    def _parse_with(impl):
+        parse_turns(turns, impl=impl).select("turn_class", "http_code").groupBy(
             "turn_class", "http_code"
         ).count().collect()
 
-    timed("parse_arrow", _arrow_parse)
+    timed("parse_arrow", lambda: _parse_with("arrow"))   # pyarrow/RE2 mapInArrow
+    timed("parse_pandas", lambda: _parse_with("pandas"))  # pandas_udf .str regex
 
     # ---- representative operator queries at the sf dir -------------------
     q = entrymod.queries()

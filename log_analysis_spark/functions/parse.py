@@ -24,6 +24,7 @@ Taxonomy + extraction shapes derive from the reference:
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -130,10 +131,13 @@ def _grok_pandas(batch):
 
     out = pd.DataFrame({"turn_class": cls})
     is_req = cls == "request"
-    parts = t.where(is_req).str.split(r"\|&\|", regex=True, expand=False)
+    # one vectorized split into positional columns (no per-row lambdas);
+    # column 4 == Spark's element_at(parts, 5)
+    parts = t.where(is_req).str.split(r"\|&\|", regex=True, expand=True)
+    parts = parts.reindex(columns=range(5))
 
     err_code = t.str.extract(RX_HTTP_CODE_ERR, expand=False)
-    payload = parts.map(lambda p: p[4] if isinstance(p, list) and len(p) >= 5 else None)
+    payload = parts[4]
     req = payload.str.extract(RX_REQ_PAYLOAD)
     out["http_code"] = (
         err_code.fillna(req[2]).astype("float").astype("Int32")
@@ -148,28 +152,115 @@ def _grok_pandas(batch):
     out["cache_op"] = t.str.extract(RX_CACHE_OP, expand=False)
     out["url_path"] = req[1].fillna(t.str.extract(RX_INFO_PATH, expand=False))
     out["http_method"] = req[0]
-    out["req_epoch"] = (
-        parts.map(lambda p: p[0] if isinstance(p, list) and len(p) >= 5 else None)
-        .pipe(lambda s: pd.to_numeric(s, errors="coerce"))
-        .astype("Int64")
-    )
-    out["instance_id"] = parts.map(
-        lambda p: p[1] if isinstance(p, list) and len(p) >= 5 else None
-    )
-    out["pid"] = (
-        parts.map(lambda p: p[2] if isinstance(p, list) and len(p) >= 5 else None)
-        .pipe(lambda s: pd.to_numeric(s, errors="coerce"))
-        .astype("Int32")
-    )
+    out["req_epoch"] = pd.to_numeric(parts[0], errors="coerce").astype("Int64")
+    out["instance_id"] = parts[1]
+    out["pid"] = pd.to_numeric(parts[2], errors="coerce").astype("Int32")
     return out
 
 
-def parse_turns_arrow(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Parse stage as a single struct-returning pandas UDF (Arrow batches)."""
+def parse_turns_pandas(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Parse stage as a single struct-returning pandas UDF (Arrow transfer,
+    pandas .str regex execution)."""
 
     @F.pandas_udf(PARSED_SCHEMA)
     def grok(t: "pd.Series") -> "pd.DataFrame":
         return _grok_pandas(t)
+
+    df = df.withColumn("_parsed", grok(F.col(text_col)))
+    for name in PARSED_COLS:
+        df = df.withColumn(name, F.col(f"_parsed.{name}"))
+    return df.drop("_parsed")
+
+
+# named-group variants for pyarrow.compute.extract_regex (RE2 engine)
+RXN_REQ_LINE = (
+    r"^(?P<epoch>[0-9]+)\|&\|(?P<inst>[^|]*)\|&\|(?P<pid>[0-9]+)"
+    r"\|&\|request\|&\|(?P<payload>.*)$"
+)
+RXN_REQ_PAYLOAD = r"^(?P<method>[A-Z]+) (?P<path>\S+) (?P<code>[0-9]+)$"
+
+
+def _grok_arrow(t):
+    """Whole-batch grok in pyarrow.compute — every regex runs in C++ (RE2),
+    zero Python per row or per batch beyond expression dispatch.
+
+    Returns dict {parsed_col -> pa.Array}.  Identical to the native impl on
+    the transcript grammar; the one documented divergence: a text whose class
+    is not `request` but which embeds the request delimiter pattern parses
+    request fields as null here (the native impl also nulls them — guarded by
+    turn_class — so the two agree; only >5-delimiter rows would differ, and
+    the grammar has none).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def ex(pattern, field, arr=t):
+        return pc.struct_field(pc.extract_regex(arr, pattern=pattern), field)
+
+    s = pa.scalar
+    cls = pc.if_else(
+        pc.starts_with(t, "ERROR!"), s("error"),
+        pc.if_else(
+            pc.starts_with(t, "Profile timing:"), s("timing"),
+            pc.if_else(
+                pc.starts_with(t, "BESLog::info()"), s("info"),
+                pc.if_else(
+                    pc.match_substring(t, "|&|request|&|"), s("request"),
+                    s("unknown"),
+                ),
+            ),
+        ),
+    )
+    cls = pc.coalesce(cls, s("unknown"))
+    is_req = pc.equal(cls, s("request"))
+
+    req = pc.extract_regex(t, pattern=RXN_REQ_LINE)
+    null_str = s(None, pa.string())
+
+    def req_only(arr):
+        return pc.if_else(is_req, arr, null_str)
+
+    payload = req_only(pc.struct_field(req, "payload"))
+    pm = pc.extract_regex(payload, pattern=RXN_REQ_PAYLOAD)
+
+    i32, i64, f64 = pa.int32(), pa.int64(), pa.float64()
+    out = {
+        "turn_class": cls,
+        "http_code": pc.cast(
+            pc.coalesce(
+                ex(r"HTTP code of (?P<c>[0-9]+)", "c"), pc.struct_field(pm, "code")
+            ),
+            i32,
+        ),
+        "attempt": pc.cast(ex(r"attempt: (?P<a>[0-9]+)", "a"), i32),
+        "code_ref": ex(r"\((?P<r>[A-Za-z_]+\.(?:cc|h|py|jl):[0-9]+)\)", "r"),
+        "n_responses": pc.cast(ex(r"gather (?P<n>[0-9]+) responses", "n"), i32),
+        "duration_ms": pc.cast(ex(r"responses: (?P<d>[0-9.]+) ms", "d"), f64),
+        "action": ex(r"Profile timing: (?P<a>\S+) - ", "a"),
+        "cache_op": ex(r"Cache (?P<o>hit|miss|put),", "o"),
+        "url_path": pc.coalesce(
+            pc.struct_field(pm, "path"), ex(r"path: (?P<p>\S+)$", "p")
+        ),
+        "http_method": pc.struct_field(pm, "method"),
+        "req_epoch": pc.cast(req_only(pc.struct_field(req, "epoch")), i64),
+        "instance_id": req_only(pc.struct_field(req, "inst")),
+        "pid": pc.cast(req_only(pc.struct_field(req, "pid")), i32),
+    }
+    return out
+
+
+def parse_turns_arrow(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Parse stage as a struct-returning ``arrow_udf`` (Spark 4.1): only the
+    text column crosses the JVM↔Python boundary (as a ``pyarrow.Array``), and
+    the whole grok runs in pyarrow.compute / RE2 — no pandas boxing at all."""
+    from pyspark.sql.functions import arrow_udf
+
+    @arrow_udf(PARSED_SCHEMA)
+    def grok(t: pa.Array) -> pa.Array:
+        out = _grok_arrow(t)
+        return pa.StructArray.from_arrays(
+            [out[c] for c in PARSED_COLS], names=PARSED_COLS
+        )
 
     df = df.withColumn("_parsed", grok(F.col(text_col)))
     for name in PARSED_COLS:
@@ -182,6 +273,8 @@ def parse_turns(df: DataFrame, text_col: str = "text", impl: str = "native") -> 
         return parse_turns_native(df, text_col)
     if impl == "arrow":
         return parse_turns_arrow(df, text_col)
+    if impl == "pandas":
+        return parse_turns_pandas(df, text_col)
     raise ValueError(f"unknown parse impl: {impl!r}")
 
 

@@ -32,8 +32,17 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def word_shingles(text_col: str = "text", k: int = 3) -> F.Column:
     """Distinct k-word shingles (n-grams) of the tokenized text — built with
-    higher-order array functions, all JVM-side."""
-    toks = tokens_col(text_col)
+    higher-order array functions, all JVM-side.
+
+    NOTE: prefer ``shingled(df, ...)`` on hot paths.  This single-Column form
+    embeds the tokenizer expression inside the transform lambda, and lambdas
+    are interpreted (not codegen'd), so the trim+split re-evaluates per
+    element — measured ~15× slower than shingling a materialized tokens
+    column."""
+    return shingles_from_tokens(tokens_col(text_col), k)
+
+
+def shingles_from_tokens(toks: F.Column, k: int) -> F.Column:
     n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
     grams = F.transform(
         F.sequence(F.lit(1), n),
@@ -41,6 +50,26 @@ def word_shingles(text_col: str = "text", k: int = 3) -> F.Column:
     )
     return F.when(n > 0, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
+    )
+
+
+def shingled(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, sh) with the tokens array materialized in its own projection, so
+    the lambda in ``shingles_from_tokens`` references a bound attribute (one
+    tokenize per row) instead of re-splitting per element.  Catalyst keeps
+    the two projects separate because the split is non-cheap and
+    multi-referenced (CollapseProject's cost guard).
+
+    Filtering happens on ``size(_toks) >= k`` (≡ ``size(sh) > 0``) BEFORE the
+    shingle projection: a post-hoc ``filter(size(sh) > 0)`` gets predicate-
+    pushed below both projects, re-inlining the whole shingle pipeline into
+    an interpreted Filter — measured 12s → 0.4s on 5k docs."""
+    return (
+        df.select(F.col(id_col).alias("id"), tokens_col(text_col).alias("_toks"))
+        .filter(F.size("_toks") >= k)
+        .select("id", shingles_from_tokens(F.col("_toks"), k).alias("sh"))
     )
 
 
@@ -74,15 +103,13 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
     """
     rows_per_band = n_hashes // bands
-    sig = (
-        df.select(F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
-    )
-    # band key = hash of the band's slice of the signature
+    sh_tbl = shingled(df, text_col, id_col, k)
+    sig = sh_tbl.withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+    # band key = hash of the band's slice of the signature; the band join
+    # carries ONLY (id, band, bkey) — shingle arrays are re-attached after
+    # candidate dedup, so the shuffle stays narrow (SURVEY.md §4.2 skew row)
     banded = sig.select(
         "id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -102,7 +129,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sh", "bb.band", "bb.bkey")
+    ).select("id", "bb.band", "bb.bkey")
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -115,18 +142,16 @@ def minhash_lsh_pairs(
                 F.col("l.id") < F.col("r.id"),
             ],
         )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.sh").alias("sh_a"),
-            F.col("r.sh").alias("sh_b"),
-        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    pairs = cand.join(
+        sh_tbl.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(sh_tbl.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
-        cand.withColumn("jaccard", inter / union)
+        pairs.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -143,9 +168,7 @@ def ngram_jaccard_pairs(
     """Blocked exact n-gram Jaccard: candidate pairs form only inside
     ``id % n_blocks`` blocks (deterministic blocking), then exact set
     Jaccard on word k-grams.  Fully SQL-expressible → strong oracle."""
-    base = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh")
-    ).filter(F.size("sh") > 0)
+    base = shingled(df, text_col, id_col, k)
     a = base.select(
         F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), (F.col("id") % n_blocks).alias("blk")
     )
@@ -153,8 +176,10 @@ def ngram_jaccard_pairs(
         F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), (F.col("id") % n_blocks).alias("blk")
     )
     pairs = a.join(b, on=[a["blk"] == b["blk"], F.col("id_a") < F.col("id_b")])
+    # |A∪B| = |A|+|B|-|A∩B| (shingle arrays are distinct sets) — one hash-set
+    # build per pair instead of two
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     return (
         pairs.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
@@ -174,36 +199,57 @@ def simhash_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:
     """SimHash via a vectorized Arrow UDF: token hashes → per-bit ±1 votes →
-    sign bit.  numpy does the bit math per Arrow batch (no per-row Python
-    in Spark; the tokenizer loop is C-backed pandas .str)."""
+    sign bit.  Whole-batch numpy: tokens explode to one flat array, the
+    (unique-token, 64) bit matrix is built once, per-doc votes come from
+    ``np.add.reduceat`` over contiguous doc segments — no per-row Python.
+    Token hashing is pandas' vectorized 64-bit siphash (fixed key →
+    deterministic across executors/processes)."""
+
+    chunk_tokens = 200_000  # caps the (tokens × bits) matrix ≈ 50 MB / worker
 
     def batch_iter(it):
+        bit_idx = np.arange(bits, dtype=np.uint64)
         for pdf in it:
             out_ids = pdf[id_col].astype("int64")
-            sims = np.zeros(len(pdf), dtype=np.uint64)
-            token_lists = pdf[text_col].fillna("").str.lower().str.split(r"[^\w']+")
-            for row_i, toks in enumerate(token_lists):
-                if not toks:
-                    continue
-                hs = np.array(
-                    [hash64_py(t) for t in toks if t], dtype=np.uint64
-                )
-                if hs.size == 0:
-                    continue
-                bits_mat = (hs[:, None] >> np.arange(bits, dtype=np.uint64)) & np.uint64(1)
-                votes = bits_mat.sum(axis=0) * 2 - hs.size
-                sim = np.uint64(0)
-                for b in np.nonzero(votes > 0)[0]:
-                    sim |= np.uint64(1) << np.uint64(b)
-                sims[row_i] = sim
-            yield pd.DataFrame({"doc_id": out_ids, "simhash": sims.astype("int64")})
+            n = len(pdf)
+            sims = np.zeros(n, dtype=np.uint64)
+            token_lists = pdf[text_col].fillna("").str.lower().str.findall(r"[\w']+")
+            lengths = token_lists.str.len().to_numpy()
+            cum = np.concatenate(([0], np.cumsum(lengths)))
+            flat_all = token_lists.explode().dropna().to_numpy()
+            lo = 0
+            while lo < n:  # doc-chunk loop bounded by token budget, not rows
+                hi = int(np.searchsorted(cum, cum[lo] + chunk_tokens, side="left"))
+                hi = min(max(hi, lo + 1), n)
+                seg_len = lengths[lo:hi]
+                total = int(cum[hi] - cum[lo])
+                if total:
+                    flat = flat_all[cum[lo] : cum[hi]]
+                    uniq, inv = np.unique(flat, return_inverse=True)
+                    uh = pd.util.hash_array(uniq)  # uint64, process-stable
+                    ubits = ((uh[:, None] >> bit_idx) & np.uint64(1)).astype(np.int32)
+                    tok_bits = ubits[inv]  # (chunk_tokens, bits)
+                    offsets = np.zeros(hi - lo, dtype=np.int64)
+                    np.cumsum(seg_len[:-1], out=offsets[1:])
+                    sums = np.add.reduceat(
+                        tok_bits, np.minimum(offsets, total - 1), axis=0
+                    )
+                    votes = 2 * sums.astype(np.int64) - seg_len[:, None]
+                    nonempty = (seg_len > 0)[:, None]
+                    bit_set = ((votes > 0) & nonempty).astype(np.uint64)
+                    sims[lo:hi] = (bit_set << bit_idx).sum(axis=1, dtype=np.uint64)
+                lo = hi
+            yield pd.DataFrame(
+                {"doc_id": out_ids, "simhash": sims.view("int64")}
+            )
 
     return df.select(id_col, text_col).mapInPandas(batch_iter, SIMHASH_SCHEMA)
 
 
 def hash64_py(token: str) -> int:
     """Deterministic 64-bit token hash (FNV-1a) — stable across processes,
-    unlike Python's builtin hash()."""
+    unlike Python's builtin hash().  Kept as the scalar reference
+    implementation; the batch path uses pandas' vectorized hash_array."""
     h = 0xCBF29CE484222325
     for ch in token.encode("utf-8"):
         h ^= ch

@@ -45,6 +45,14 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Fan-out (partitionBy) writes: concurrent per-task writers instead of
+        # the planned-write sort — measured 53s → 5s on a 2M-row routed write
+        # (the sort shuffles/sorts wide text rows per task for no benefit at
+        # our sink cardinality ~6).  If a write exceeds the concurrent-writer
+        # cap Spark falls back to sorting the remainder, so high-cardinality
+        # partition columns (per-PID splits) stay safe.
+        .config("spark.sql.optimizer.plannedWrite.enabled", "false")
+        .config("spark.sql.maxConcurrentOutputFileWriters", "10")
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -54,15 +54,16 @@ def test_timing_and_info_fields(spark, transcripts):
 
 
 def test_native_vs_arrow_equivalence(spark, transcripts):
-    """Both parse impls must agree cell-for-cell (same schema, same values)."""
+    """All three parse impls must agree cell-for-cell (schema + values)."""
     key = ["conv_id", "turn_idx"]
     a = parse_turns(transcripts, impl="native").select(*key, *PARSED_COLS)
-    b = parse_turns(transcripts, impl="arrow").select(*key, *PARSED_COLS)
-    assert [f.simpleString() for f in a.schema.fields] == [
-        f.simpleString() for f in b.schema.fields
-    ]
-    assert a.exceptAll(b).count() == 0
-    assert b.exceptAll(a).count() == 0
+    for impl in ("arrow", "pandas"):
+        b = parse_turns(transcripts, impl=impl).select(*key, *PARSED_COLS)
+        assert [f.simpleString() for f in a.schema.fields] == [
+            f.simpleString() for f in b.schema.fields
+        ], impl
+        assert a.exceptAll(b).count() == 0, impl
+        assert b.exceptAll(a).count() == 0, impl
 
 
 def test_parse_plan_is_codegen(spark, transcripts):
