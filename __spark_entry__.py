@@ -355,6 +355,19 @@ def q_streaming_hourly(spark, sf_dir):
     return run_stream_to_memory(spark, tmp, query_name="q_stream_hourly")
 
 
+def q_streaming_conv_state(spark, sf_dir):
+    """Custom stateful streaming op (applyInPandasWithState): per-conv
+    running stats; exact oracle because each stat is monotone per key, so
+    max-over-updates == the batch aggregate."""
+    import tempfile
+
+    from log_analysis_spark.streaming.stateful import run_stateful_to_memory
+
+    tmp = tempfile.mkdtemp(prefix="stateful_src_")
+    transcripts_from_events(spark, sf_dir).write.mode("overwrite").parquet(tmp)
+    return run_stateful_to_memory(spark, tmp, query_name="q_conv_state")
+
+
 def q_events_sessionize(spark, sf_dir):
     """Sessionization on the raw events table: 30-min-gap sessions/user."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -501,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_errors": q_nested_errors,
         "pid_fanout": q_pid_fanout,
         "streaming_hourly": q_streaming_hourly,
+        "streaming_conv_state": q_streaming_conv_state,
         "events_sessionize": q_events_sessionize,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_token_count": q_doc_token_count,
@@ -808,6 +822,13 @@ def oracle_sql() -> dict[str, str]:
             f"""SELECT date_trunc('hour', ts) AS hour, {_SINK_TAG} AS sink, role,
                        count(*) AS n
                 FROM parsed GROUP BY 1, 2, 3"""
+        ),
+        "streaming_conv_state": P(
+            """SELECT conv_id, count(*) AS n_turns,
+                      CAST(sum(CASE WHEN turn_class = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+                      CAST(sum(CASE WHEN tool <> '-' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls,
+                      max(turn_idx) AS max_turn_idx
+               FROM parsed GROUP BY conv_id"""
         ),
         "events_sessionize": (
             """WITH g AS (

@@ -53,6 +53,12 @@ def main() -> None:
         fn()
         timings[name] = round(time.monotonic() - t0, 3)
 
+    # ---- warmup (untimed): the metric is steady-state throughput on a
+    # 10^12-turn table, not JVM cold start — a fresh JVM's first fan-out
+    # write pays JIT + heap fault-in (measured up to 6× the warm cost)
+    warm = turns.sample(0.125, seed=7)
+    run_pipeline(spark, warm, f"{work}/warmup", parse_impl="native").hourly_rollup.count()
+
     # ---- q1: full pipeline incl. fan-out write + aggregates --------------
     out_dir = f"{work}/pipe"
     timed(
@@ -76,12 +82,14 @@ def main() -> None:
 
     timed("parse_route_agg_nowrite", _nowrite)
 
-    def _parse_with(impl):
-        parse_turns(turns, impl=impl).select("turn_class", "http_code").groupBy(
+    def _parse_with(impl, frame=None):
+        parse_turns(frame if frame is not None else turns, impl=impl).select(
             "turn_class", "http_code"
-        ).count().collect()
+        ).groupBy("turn_class", "http_code").count().collect()
 
-    timed("parse_arrow", lambda: _parse_with("arrow"))   # pyarrow/RE2 mapInArrow
+    _parse_with("arrow", warm)   # python-worker spin-up, untimed
+    _parse_with("pandas", warm)
+    timed("parse_arrow", lambda: _parse_with("arrow"))   # arrow_udf, pyarrow/RE2
     timed("parse_pandas", lambda: _parse_with("pandas"))  # pandas_udf .str regex
 
     # ---- representative operator queries at the sf dir -------------------

@@ -30,7 +30,9 @@ def main() -> None:
     src.add_argument("--input", help="transcripts table path (parquet)")
     src.add_argument("--sf-dir", help="testdata dir to derive transcripts from")
     ap.add_argument("--out", required=True, help="output directory")
-    ap.add_argument("--parse-impl", default="arrow", choices=["arrow", "native"])
+    ap.add_argument(
+        "--parse-impl", default="native", choices=["native", "arrow", "pandas"]
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 

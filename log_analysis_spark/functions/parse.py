@@ -81,6 +81,19 @@ def _nullif_int(c: F.Column) -> F.Column:
     return F.nullif(c, F.lit("")).cast("int")
 
 
+def _gated(t: F.Column, marker: str, pattern: str, group: int = 1) -> F.Column:
+    """regexp_extract behind a literal-substring gate.
+
+    Exactly semantics-preserving: each pattern contains ``marker`` as a
+    literal, so on rows without it the regex would return '' (→ null) anyway.
+    ``contains`` is a plain substring scan, ~10× cheaper than the regex —
+    grok's classic literal pre-filter; cuts full-field parse cost several-fold
+    since each marker appears in only one turn class (~20% of rows)."""
+    return F.nullif(
+        F.when(t.contains(marker), F.regexp_extract(t, pattern, group)), F.lit("")
+    )
+
+
 def parse_turns_native(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Parse stage, all-JVM expression form (WholeStageCodegen-friendly)."""
     t = F.col(text_col)
@@ -94,20 +107,18 @@ def parse_turns_native(df: DataFrame, text_col: str = "text") -> DataFrame:
         {
             "turn_class": cls,
             "http_code": F.coalesce(
-                _nullif_int(F.regexp_extract(t, RX_HTTP_CODE_ERR, 1)),
+                _gated(t, "HTTP code of ", RX_HTTP_CODE_ERR).cast("int"),
                 F.when(is_req, _nullif_int(F.regexp_extract(payload, RX_REQ_PAYLOAD, 3))),
             ),
-            "attempt": _nullif_int(F.regexp_extract(t, RX_ATTEMPT, 1)),
-            "code_ref": F.nullif(F.regexp_extract(t, RX_CODE_REF, 1), F.lit("")),
-            "n_responses": _nullif_int(F.regexp_extract(t, RX_N_RESPONSES, 1)),
-            "duration_ms": F.nullif(F.regexp_extract(t, RX_DURATION, 1), F.lit("")).cast(
-                "double"
-            ),
-            "action": F.nullif(F.regexp_extract(t, RX_ACTION, 1), F.lit("")),
-            "cache_op": F.nullif(F.regexp_extract(t, RX_CACHE_OP, 1), F.lit("")),
+            "attempt": _gated(t, "attempt: ", RX_ATTEMPT).cast("int"),
+            "code_ref": _gated(t, "(", RX_CODE_REF),
+            "n_responses": _gated(t, " responses", RX_N_RESPONSES).cast("int"),
+            "duration_ms": _gated(t, " ms", RX_DURATION).cast("double"),
+            "action": _gated(t, "Profile timing: ", RX_ACTION),
+            "cache_op": _gated(t, "Cache ", RX_CACHE_OP),
             "url_path": F.coalesce(
                 F.when(is_req, F.nullif(F.regexp_extract(payload, RX_REQ_PAYLOAD, 2), F.lit(""))),
-                F.nullif(F.regexp_extract(t, RX_INFO_PATH, 1), F.lit("")),
+                _gated(t, "path: ", RX_INFO_PATH),
             ),
             "http_method": F.when(
                 is_req, F.nullif(F.regexp_extract(payload, RX_REQ_PAYLOAD, 1), F.lit(""))
@@ -193,6 +204,12 @@ def _grok_arrow(t):
     """
     import pyarrow as pa
     import pyarrow.compute as pc
+
+    # every Spark python worker would otherwise start its own ncpu-sized
+    # Arrow kernel thread pool (workers × cores threads total); batches are
+    # small, so single-threaded kernels per worker scale correctly
+    if pa.cpu_count() != 1:
+        pa.set_cpu_count(1)
 
     def ex(pattern, field, arr=t):
         return pc.struct_field(pc.extract_regex(arr, pattern=pattern), field)

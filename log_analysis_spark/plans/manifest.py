@@ -84,12 +84,16 @@ def run_stage(
     output_path: str,
     write_fn: Callable[[], DataFrame],
     read_fn: Callable[[], DataFrame],
+    metrics_fn: Callable[[], dict] | None = None,
 ) -> tuple[DataFrame, bool]:
     """Run (or skip) one stage idempotently.
 
     ``write_fn`` must materialize the stage output at ``output_path`` with
     overwrite semantics and return the written DataFrame; ``read_fn`` loads
-    the existing output.  Returns (df, skipped).
+    the existing output.  ``metrics_fn`` (optional) is called after the write
+    action completes — pair it with an ``Observation`` attached to the
+    written DataFrame so stage metrics ride along at zero extra passes.
+    Returns (df, skipped).
     """
     prior = manifest.lookup(stage, input_fingerprint)
     if prior is not None and os.path.exists(output_path):
@@ -107,7 +111,7 @@ def run_stage(
             rows=sum(pc.values()),
             n_partitions=len(pc),
             partition_rows=pc,
-            metrics={},
+            metrics=dict(metrics_fn()) if metrics_fn is not None else {},
         )
     )
     return written, False

@@ -14,7 +14,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from log_analysis_spark.datagen import role_taxonomy, tool_registry
@@ -58,14 +58,29 @@ def run_pipeline(
     tagged = router.tag_sinks(enriched, router.default_rules())
 
     # -- route: single fan-out write, hive-partitioned by sink --------------
+    # observe() rides stage metrics (rows, error rows, null-class rows) on
+    # the write action itself — lineage metrics with zero extra passes
     routed_path = f"{out_dir}/routed"
+    obs = Observation("route_metrics")
+    observed = tagged.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_written"),
+        F.sum((F.col("turn_class") == "error").cast("long")).alias("error_rows"),
+        F.sum(F.col("turn_class").isNull().cast("long")).alias("null_class_rows"),
+    )
 
     def _write() -> DataFrame:
-        router.route_write(tagged, routed_path)
+        router.route_write(observed, routed_path)
         return spark.read.parquet(routed_path)
 
     routed, was_skipped = run_stage(
-        manifest, "route", fp, routed_path, _write, lambda: spark.read.parquet(routed_path)
+        manifest,
+        "route",
+        fp,
+        routed_path,
+        _write,
+        lambda: spark.read.parquet(routed_path),
+        metrics_fn=lambda: obs.get,
     )
     if was_skipped:
         skipped.append("route")

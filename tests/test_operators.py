@@ -1,5 +1,23 @@
 from __future__ import annotations
 
+from log_analysis_spark.operators.project import (
+    canonical_rename,
+    get_with_default,
+    reorder_priority,
+)
+
+
+def test_projection_ops(spark):
+    df = spark.createDataFrame(
+        [("r1", None, 1)], "`hyrax-type` string, `hyrax-message` string, n int"
+    )
+    renamed = canonical_rename(df)
+    assert renamed.columns == ["type", "message", "n"]
+    reordered = reorder_priority(renamed, ["n", "missing_col", "type"])
+    assert reordered.columns == ["n", "type", "message"]
+    row = renamed.select(get_with_default("message", "-").alias("m")).first()
+    assert row["m"] == "-"
+
 import pytest
 from pyspark.sql import functions as F
 

@@ -25,6 +25,10 @@ def test_pipeline_end_to_end_and_resume(spark, transcripts, tmp_path):
     assert recs and recs[-1]["stage"] == "route"
     assert recs[-1]["rows"] == total
     assert sum(recs[-1]["partition_rows"].values()) == total
+    # observe()-riding stage metrics (zero extra passes)
+    assert recs[-1]["metrics"]["rows_written"] == total
+    assert recs[-1]["metrics"]["error_rows"] == res.per_sink_counts["errors"]
+    assert recs[-1]["metrics"]["null_class_rows"] == 0
 
     # resume: second run skips the route stage, produces identical counts
     res2 = run_pipeline(spark, transcripts, out, parse_impl="native")

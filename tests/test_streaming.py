@@ -3,6 +3,29 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from log_analysis_spark.functions.parse import parse_turns
+from log_analysis_spark.streaming.stateful import run_stateful_to_memory
+
+
+def test_stateful_conv_stats_match_batch(spark, transcripts, tmp_path):
+    src = str(tmp_path / "stateful_src")
+    transcripts.write.mode("overwrite").parquet(src)
+    out = run_stateful_to_memory(spark, src, query_name="t_conv_state")
+    got = {r["conv_id"]: (r["n_turns"], r["n_errors"], r["max_turn_idx"]) for r in out.collect()}
+    batch = (
+        parse_turns(transcripts)
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("turn_class") == "error").cast("long")).alias("e"),
+            F.max("turn_idx").alias("m"),
+        )
+    )
+    want = {r["conv_id"]: (r["n"], r["e"], r["m"]) for r in batch.collect()}
+    assert got == want
+
+from pyspark.sql import functions as F
+
+from log_analysis_spark.functions.parse import parse_turns
 from log_analysis_spark.operators import router
 from log_analysis_spark.streaming.stream_pipeline import run_stream_to_memory
 
