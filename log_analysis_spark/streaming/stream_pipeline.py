@@ -62,3 +62,40 @@ def run_stream_to_memory(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def run_stream_routed(
+    spark: SparkSession, src_path: str, out_dir: str, checkpoint: str | None = None
+) -> dict[str, int]:
+    """Streaming fan-out: parse → tag → per-batch partitionBy(sink) append
+    via ``foreachBatch``.
+
+    Exactly-once story: the checkpoint records the last committed batch id;
+    ``foreachBatch`` writes each micro-batch into a ``batch=<id>`` suffix
+    dir so a replayed batch overwrites its own output instead of
+    double-appending (idempotent per batch id — the streaming analogue of
+    the manifest's replace-partition rule).  Restarting with the same
+    checkpoint resumes from the unprocessed files only.
+    """
+    stream = stream_transcripts(spark, src_path)
+    parsed = parse_turns_native(stream)
+    tagged = router.tag_sinks(parsed, router.default_rules())
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .option("parquet.block.size", 16 * 1024 * 1024)
+            .partitionBy("sink")
+            .parquet(f"{out_dir}/batch={batch_id}")
+        )
+
+    writer = tagged.writeStream.foreachBatch(write_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    routed = spark.read.option("basePath", out_dir).parquet(f"{out_dir}/batch=*")
+    return {r["sink"]: r["n"] for r in router.sink_counts(routed).collect()}

@@ -6,6 +6,23 @@ from log_analysis_spark.functions.parse import parse_turns
 from log_analysis_spark.streaming.stateful import run_stateful_to_memory
 
 
+def test_stream_routed_fanout_counts(spark, transcripts, tmp_path):
+    from log_analysis_spark.operators import router
+    from log_analysis_spark.streaming.stream_pipeline import run_stream_routed
+
+    src = str(tmp_path / "route_src")
+    transcripts.write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "routed_stream")
+    ckpt = str(tmp_path / "ckpt")
+    got = run_stream_routed(spark, src, out, checkpoint=ckpt)
+    batch = router.tag_sinks(parse_turns(transcripts), router.default_rules())
+    want = {r["sink"]: r["n"] for r in router.sink_counts(batch).collect()}
+    assert got == want
+    # resume with same checkpoint: no new input -> no double counts
+    got2 = run_stream_routed(spark, src, out, checkpoint=ckpt)
+    assert got2 == want
+
+
 def test_stateful_conv_stats_match_batch(spark, transcripts, tmp_path):
     src = str(tmp_path / "stateful_src")
     transcripts.write.mode("overwrite").parquet(src)
