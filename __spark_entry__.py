@@ -342,6 +342,44 @@ def q_pid_fanout(spark, sf_dir):
     )
 
 
+def q_error_follows_tool(spark, sf_dir):
+    """Adjacent-pairing analytics: tool-call turns whose NEXT turn errors
+    (the reference's timing→error pairing generalized, response_times2.py)."""
+    return windows_ops.error_follows_tool_call(_parsed(spark, sf_dir))
+
+
+def q_cache_op_counts(spark, sf_dir):
+    """A2 — conditional counts per cache operation (info-class turns)."""
+    p = _parsed(spark, sf_dir)
+    return (
+        p.filter(F.col("cache_op").isNotNull())
+        .groupBy("cache_op")
+        .agg(F.count("*").alias("n"), F.countDistinct("url_path").alias("n_paths"))
+    )
+
+
+def q_lifecycle_merge(spark, sf_dir):
+    """J6 — the flagship 3-way lifecycle merge: request ⊕ first-response
+    lookup (J3) ⊕ nested same-conv errors (J4), flattened strings for
+    engine-portable hashing."""
+    p = _parsed(spark, sf_dir)
+    req = joins.derive_request_log(p)
+    resp = joins.derive_response_log(p).select("request_id", "http_response_code", "resp_ts")
+    merged = joins.lookup_with_sentinel(req, resp, "request_id", "resp_ts")
+    errs = p.filter(F.col("turn_class") == "error").select(
+        "conv_id", "turn_idx", "http_code"
+    )
+    item = F.when(
+        F.col("http_code").isNotNull(), F.concat_ws(":", "turn_idx", "http_code")
+    )
+    nested = (
+        merged.join(errs, "conv_id", "left")
+        .groupBy("request_id", "url_path", "req_code", "http_response_code", "error")
+        .agg(F.array_join(F.array_sort(F.collect_list(item)), ",").alias("bes"))
+    )
+    return nested
+
+
 def q_streaming_hourly(spark, sf_dir):
     """§2.9 forward path — Structured Streaming twin of the hourly rollup.
     Strong oracle: watermarked tumbling-window counts over a static dir equal
@@ -513,6 +551,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conditional_agg": q_conditional_agg,
         "nested_errors": q_nested_errors,
         "pid_fanout": q_pid_fanout,
+        "error_follows_tool": q_error_follows_tool,
+        "cache_op_counts": q_cache_op_counts,
+        "lifecycle_merge": q_lifecycle_merge,
         "streaming_hourly": q_streaming_hourly,
         "streaming_conv_state": q_streaming_conv_state,
         "events_sessionize": q_events_sessionize,
@@ -817,6 +858,44 @@ def oracle_sql() -> dict[str, str]:
         "pid_fanout": P(
             """SELECT pid, count(*) AS n, count(DISTINCT instance_id) AS n_instances
                FROM parsed WHERE turn_class = 'request' GROUP BY pid"""
+        ),
+        "error_follows_tool": P(
+            """SELECT conv_id, turn_idx, tool FROM (
+                 SELECT conv_id, turn_idx, tool,
+                        lead(turn_class) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt
+                 FROM parsed
+               ) WHERE tool <> '-' AND nxt = 'error'"""
+        ),
+        "cache_op_counts": P(
+            """SELECT cache_op, count(*) AS n, count(DISTINCT url_path) AS n_paths
+               FROM parsed WHERE cache_op IS NOT NULL GROUP BY cache_op"""
+        ),
+        "lifecycle_merge": P(
+            f""", {_REQ_RESP_CTES.strip().lstrip()},
+            resp1 AS (
+              SELECT * FROM (
+                SELECT request_id, http_response_code,
+                       row_number() OVER (PARTITION BY request_id ORDER BY resp_ts) AS rn
+                FROM response_log
+              ) WHERE rn = 1
+            ),
+            merged AS (
+              SELECT r.request_id, r.conv_id, r.url_path, r.req_code,
+                     s.http_response_code,
+                     CASE WHEN s.request_id IS NULL
+                          THEN 'Failed to locate matching record for ' || r.request_id
+                          END AS error
+              FROM request_log r LEFT JOIN resp1 s USING (request_id)
+            )
+            SELECT m.request_id, m.url_path, m.req_code, m.http_response_code,
+                   m.error,
+                   array_to_string(list_sort(list(
+                     CASE WHEN e.http_code IS NOT NULL
+                          THEN cast(e.turn_idx AS STRING) || ':' || cast(e.http_code AS STRING)
+                     END)), ',') AS bes
+            FROM merged m LEFT JOIN parsed e
+              ON m.conv_id = e.conv_id AND e.turn_class = 'error'
+            GROUP BY m.request_id, m.url_path, m.req_code, m.http_response_code, m.error"""
         ),
         "streaming_hourly": P(
             f"""SELECT date_trunc('hour', ts) AS hour, {_SINK_TAG} AS sink, role,
