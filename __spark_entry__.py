@@ -511,12 +511,29 @@ def q_multimodal_features(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    """Pin the session timezone to UTC before analysis: timestamp-typed
+    results (date_trunc, windows, epoch↔ISO) must hash identically to the
+    UTC-naive DuckDB oracle regardless of the harness session's default."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return q_logs_overview(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: _utc(fn) for name, fn in _raw_queries().items()}
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts": q_transcripts,
         "parse_fields": q_parse_fields,
