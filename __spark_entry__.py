@@ -380,30 +380,48 @@ def q_lifecycle_merge(spark, sf_dir):
     return nested
 
 
+def _stream_src(spark, sf_dir: str) -> str:
+    """Deterministic per-sf parquet snapshot of the transcripts table for the
+    streaming queries — written once and reused (the earlier mkdtemp-per-call
+    scheme leaked a full table copy per contract run).  Concurrent-safe:
+    write to a pid-suffixed dir, then atomically rename into place."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    key = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    dst = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_src_{key}")
+    if not os.path.exists(os.path.join(dst, "_SUCCESS")):
+        tmp = f"{dst}.tmp-{os.getpid()}"
+        transcripts_from_events(spark, sf_dir).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, dst)
+        except OSError:  # lost the race: another process already renamed
+            shutil.rmtree(tmp, ignore_errors=True)
+    return dst
+
+
 def q_streaming_hourly(spark, sf_dir):
     """§2.9 forward path — Structured Streaming twin of the hourly rollup.
     Strong oracle: watermarked tumbling-window counts over a static dir equal
     the batch date_trunc('hour') counts."""
-    import tempfile
-
     from log_analysis_spark.streaming.stream_pipeline import run_stream_to_memory
 
-    tmp = tempfile.mkdtemp(prefix="stream_src_")
-    transcripts_from_events(spark, sf_dir).write.mode("overwrite").parquet(tmp)
-    return run_stream_to_memory(spark, tmp, query_name="q_stream_hourly")
+    return run_stream_to_memory(
+        spark, _stream_src(spark, sf_dir), query_name="q_stream_hourly"
+    )
 
 
 def q_streaming_conv_state(spark, sf_dir):
     """Custom stateful streaming op (applyInPandasWithState): per-conv
     running stats; exact oracle because each stat is monotone per key, so
     max-over-updates == the batch aggregate."""
-    import tempfile
-
     from log_analysis_spark.streaming.stateful import run_stateful_to_memory
 
-    tmp = tempfile.mkdtemp(prefix="stateful_src_")
-    transcripts_from_events(spark, sf_dir).write.mode("overwrite").parquet(tmp)
-    return run_stateful_to_memory(spark, tmp, query_name="q_conv_state")
+    return run_stateful_to_memory(
+        spark, _stream_src(spark, sf_dir), query_name="q_conv_state"
+    )
 
 
 def q_events_sessionize(spark, sf_dir):

@@ -143,12 +143,14 @@ def _grok_pandas(batch):
     out = pd.DataFrame({"turn_class": cls})
     is_req = cls == "request"
     # one vectorized split into positional columns (no per-row lambdas);
-    # column 4 == Spark's element_at(parts, 5)
-    parts = t.where(is_req).str.split(r"\|&\|", regex=True, expand=True)
-    parts = parts.reindex(columns=range(5))
+    # column 4 == Spark's element_at(parts, 5).  Split only the request rows:
+    # an all-NaN `.where` result breaks the .str accessor on batches that
+    # happen to contain no requests.
+    parts = t[is_req].str.split(r"\|&\|", regex=True, expand=True)
+    parts = parts.reindex(index=t.index, columns=range(5))
 
     err_code = t.str.extract(RX_HTTP_CODE_ERR, expand=False)
-    payload = parts[4]
+    payload = parts[4].fillna("")  # all-NaN column would break .str
     req = payload.str.extract(RX_REQ_PAYLOAD)
     out["http_code"] = (
         err_code.fillna(req[2]).astype("float").astype("Int32")
@@ -205,12 +207,6 @@ def _grok_arrow(t):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    # every Spark python worker would otherwise start its own ncpu-sized
-    # Arrow kernel thread pool (workers × cores threads total); batches are
-    # small, so single-threaded kernels per worker scale correctly
-    if pa.cpu_count() != 1:
-        pa.set_cpu_count(1)
-
     def ex(pattern, field, arr=t):
         return pc.struct_field(pc.extract_regex(arr, pattern=pattern), field)
 
@@ -256,7 +252,10 @@ def _grok_arrow(t):
         "action": ex(r"Profile timing: (?P<a>\S+) - ", "a"),
         "cache_op": ex(r"Cache (?P<o>hit|miss|put),", "o"),
         "url_path": pc.coalesce(
-            pc.struct_field(pm, "path"), ex(r"path: (?P<p>\S+)$", "p")
+            # RE2's '$' matches end-of-text only; Java/Python '$' also match
+            # before one final '\n' — the optional trailing newline keeps the
+            # three impls cell-identical on newline-terminated rows
+            pc.struct_field(pm, "path"), ex(r"path: (?P<p>\S+)\n?$", "p")
         ),
         "http_method": pc.struct_field(pm, "method"),
         "req_epoch": pc.cast(req_only(pc.struct_field(req, "epoch")), i64),
@@ -274,10 +273,21 @@ def parse_turns_arrow(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     @arrow_udf(PARSED_SCHEMA)
     def grok(t: pa.Array) -> pa.Array:
-        out = _grok_arrow(t)
-        return pa.StructArray.from_arrays(
-            [out[c] for c in PARSED_COLS], names=PARSED_COLS
-        )
+        # every Spark python worker would otherwise run each Arrow kernel on
+        # its own ncpu-sized thread pool (workers × cores threads total);
+        # batches are small, so single-threaded kernels per worker scale
+        # correctly.  Scoped save/restore: set_cpu_count is process-global in
+        # reused workers — leaving it at 1 would silently de-parallelize any
+        # other pyarrow-based stage later scheduled on the same worker.
+        prev = pa.cpu_count()
+        pa.set_cpu_count(1)
+        try:
+            out = _grok_arrow(t)
+            return pa.StructArray.from_arrays(
+                [out[c] for c in PARSED_COLS], names=PARSED_COLS
+            )
+        finally:
+            pa.set_cpu_count(prev)
 
     df = df.withColumn("_parsed", grok(F.col(text_col)))
     for name in PARSED_COLS:

@@ -231,13 +231,19 @@ def simhash_table(
                     tok_bits = ubits[inv]  # (chunk_tokens, bits)
                     offsets = np.zeros(hi - lo, dtype=np.int64)
                     np.cumsum(seg_len[:-1], out=offsets[1:])
-                    sums = np.add.reduceat(
-                        tok_bits, np.minimum(offsets, total - 1), axis=0
-                    )
-                    votes = 2 * sums.astype(np.int64) - seg_len[:, None]
-                    nonempty = (seg_len > 0)[:, None]
-                    bit_set = ((votes > 0) & nonempty).astype(np.uint64)
-                    sims[lo:hi] = (bit_set << bit_idx).sum(axis=1, dtype=np.uint64)
+                    # reduceat only over NON-EMPTY docs' offsets (strictly
+                    # increasing, all < total): an empty doc shares its offset
+                    # with the next doc, and a trailing empty doc's offset ==
+                    # total — clamping it would truncate the last non-empty
+                    # doc's segment by one token (wrong simhash)
+                    nonempty = seg_len > 0
+                    ne_off = offsets[nonempty]
+                    sums = np.add.reduceat(tok_bits, ne_off, axis=0)
+                    votes = 2 * sums.astype(np.int64) - seg_len[nonempty, None]
+                    bit_set = (votes > 0).astype(np.uint64)
+                    vals = np.zeros(hi - lo, dtype=np.uint64)
+                    vals[nonempty] = (bit_set << bit_idx).sum(axis=1, dtype=np.uint64)
+                    sims[lo:hi] = vals
                 lo = hi
             yield pd.DataFrame(
                 {"doc_id": out_ids, "simhash": sims.view("int64")}

@@ -76,7 +76,23 @@ def run_stream_routed(
     double-appending (idempotent per batch id — the streaming analogue of
     the manifest's replace-partition rule).  Restarting with the same
     checkpoint resumes from the unprocessed files only.
+
+    The guarantee only holds when batch ids and batch dirs stay in sync, so
+    the checkpoint is mandatory (derived from ``out_dir`` when not given) and
+    a start WITHOUT a prior checkpoint clears any stale ``batch=*`` dirs —
+    otherwise a shorter rerun would restart ids at 0 and the read-back would
+    double-count surviving ``batch=N`` dirs from the earlier, longer run.
     """
+    import glob
+    import os
+    import shutil
+
+    if checkpoint is None:
+        checkpoint = os.path.join(out_dir, "_checkpoint")
+    if not os.path.exists(checkpoint):
+        for stale in glob.glob(os.path.join(out_dir, "batch=*")):
+            shutil.rmtree(stale, ignore_errors=True)
+
     stream = stream_transcripts(spark, src_path)
     parsed = parse_turns_native(stream)
     tagged = router.tag_sinks(parsed, router.default_rules())
@@ -89,9 +105,9 @@ def run_stream_routed(
             .parquet(f"{out_dir}/batch={batch_id}")
         )
 
-    writer = tagged.writeStream.foreachBatch(write_batch)
-    if checkpoint:
-        writer = writer.option("checkpointLocation", checkpoint)
+    writer = tagged.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
     q = writer.start()
     try:
         q.processAllAvailable()

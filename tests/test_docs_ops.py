@@ -120,6 +120,21 @@ def test_simhash_python_reference(spark):
     assert dedup.hash64_py("spark") != dedup.hash64_py("sparl")
 
 
+def test_simhash_unaffected_by_empty_neighbor_docs(spark):
+    """Regression: a trailing empty doc used to clamp the reduceat offset and
+    truncate the previous doc's last token from its simhash."""
+    alone = spark.createDataFrame([(1, "alpha beta gamma")], "doc_id long, text string")
+    with_empty = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, ""), (3, None), (4, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    ).coalesce(1)  # same Arrow batch → exercises the shared-offset path
+    h_alone = dedup.simhash_table(alone).first()["simhash"]
+    rows = {r["doc_id"]: r["simhash"] for r in dedup.simhash_table(with_empty).collect()}
+    assert rows[1] == h_alone
+    assert rows[2] == 0 and rows[3] == 0
+    assert rows[4] != 0
+
+
 # ----------------------------------------------------------------- similarity
 
 

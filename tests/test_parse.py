@@ -66,6 +66,27 @@ def test_native_vs_arrow_equivalence(spark, transcripts):
         assert b.exceptAll(a).count() == 0, impl
 
 
+def test_impl_equivalence_on_newline_terminated_rows(spark):
+    """Regression: RE2's '$' is end-of-text only, Java/Python '$' also match
+    before a final '\\n' — info-path rows ending in a newline must parse the
+    same url_path in all three impls."""
+    rows = [
+        ("c1", 0, "sys", "BESLog::info() - Cache hit, path: /data/a.nc\n", "-", None),
+        ("c1", 1, "sys", "BESLog::info() - Cache miss, path: /data/b.nc", "-", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    out = {}
+    for impl in ("native", "arrow", "pandas"):
+        out[impl] = {
+            r["turn_idx"]: r["url_path"]
+            for r in parse_turns(df, impl=impl).select("turn_idx", "url_path").collect()
+        }
+    assert out["native"] == out["arrow"] == out["pandas"]
+    assert out["native"][0] == "/data/a.nc"
+
+
 def test_parse_plan_is_codegen(spark, transcripts):
     """Native parse must stay inside WholeStageCodegen (no Python in plan)."""
     plan = parse_turns(transcripts)._jdf.queryExecution().executedPlan().toString()
