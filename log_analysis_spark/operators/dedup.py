@@ -264,11 +264,33 @@ def hash64_py(token: str) -> int:
 
 
 def simhash_neardup_pairs(
-    sim_df: DataFrame, max_hamming: int = 8, n_bands: int = 4
+    sim_df: DataFrame, max_hamming: int = 8, n_bands: int | None = None
 ) -> DataFrame:
     """Candidate pairs whose simhash bands collide; verify by Hamming
-    distance via bit_count(xor) — JVM-side."""
-    width = 64 // n_bands
+    distance via bit_count(xor) — JVM-side.
+
+    Recall guarantee (pigeonhole): a pair at Hamming distance d has all its
+    differing bits spread over at most d bands, so with ``n_bands >= d + 1``
+    at least one band is identical and the pair surfaces as a candidate.
+    ``n_bands`` therefore defaults to ``max_hamming + 1`` (variable band
+    widths covering all 64 bits); an explicit ``n_bands`` below that bound is
+    rejected rather than silently missing pairs at distance ``n_bands..
+    max_hamming`` (the round-1 defaults guaranteed only d <= 3 while
+    accepting max_hamming=8)."""
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if not 1 <= n_bands <= 64:
+        raise ValueError(f"n_bands must be in [1, 64], got {n_bands}")
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} not guaranteed by n_bands={n_bands}; "
+            f"need n_bands >= max_hamming + 1"
+        )
+    base, rem = divmod(64, n_bands)
+    widths = [base + (1 if b < rem else 0) for b in range(n_bands)]
+    shifts = [sum(widths[:b]) for b in range(n_bands)]
+    # band mask as a SIGNED 64-bit literal (width 64 → all-ones == -1)
+    masks = [(1 << w) - 1 if w < 64 else -1 for w in widths]
     banded = sim_df.select(
         "doc_id",
         "simhash",
@@ -277,8 +299,8 @@ def simhash_neardup_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("simhash"), b * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
+                        F.shiftrightunsigned(F.col("simhash"), shifts[b])
+                        .bitwiseAND(F.lit(masks[b]))
                         .alias("bkey"),
                     )
                     for b in range(n_bands)

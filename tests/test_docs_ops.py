@@ -135,6 +135,32 @@ def test_simhash_unaffected_by_empty_neighbor_docs(spark):
     assert rows[4] != 0
 
 
+def test_simhash_band_guarantee_hamming6(spark):
+    """A planted pair at Hamming distance 6 whose differing bits hit every
+    16-bit quarter of the hash: the round-1 defaults (4 bands for radius 8)
+    missed it in every band; the pigeonhole default (max_hamming+1 bands)
+    must find it."""
+    base = 0x0123456789ABCDEF
+    other = base ^ ((1 << 0) | (1 << 16) | (1 << 17) | (1 << 32) | (1 << 33) | (1 << 48))
+    import numpy as np
+
+    sim_df = spark.createDataFrame(
+        [(1, np.int64(np.uint64(base)).item()), (2, np.int64(np.uint64(other)).item())],
+        "doc_id long, simhash long",
+    )
+    found = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_neardup_pairs(sim_df, max_hamming=8).collect()
+    }
+    assert (1, 2, 6) in found
+    # old defaults provably miss it: every 16-bit band differs
+    legacy = dedup.simhash_neardup_pairs(sim_df, max_hamming=3, n_bands=4)
+    assert legacy.count() == 0
+    # under-banded configs are rejected, not silently lossy
+    with pytest.raises(ValueError):
+        dedup.simhash_neardup_pairs(sim_df, max_hamming=8, n_bands=4)
+
+
 # ----------------------------------------------------------------- similarity
 
 
