@@ -475,11 +475,13 @@ def q_doc_langid(spark, sf_dir):
 
 
 def q_doc_ngram_jaccard(spark, sf_dir):
-    """Blocked n-gram Jaccard near-dup pairs (strong SQL oracle).
+    """GLOBAL exact n-gram Jaccard near-dup pairs via prefix filtering.
 
-    threshold=0.08 is calibrated to the synthetic corpus so the result is
-    non-trivial (~45 pairs at sf0.01) — a 0-row match proves nothing."""
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), k=2, threshold=0.08, n_blocks=25)
+    The oracle is a brute-force all-pairs join over the whole corpus — it
+    encodes NO candidate structure, so a hash match proves the prefix-filter
+    path is globally exact.  threshold=0.2 surfaces the corpus's planted
+    near-dup pairs (25 at sf0.01) — a 0-row match would prove nothing."""
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), k=2, threshold=0.2)
 
 
 def q_doc_minhash_lsh(spark, sf_dir):
@@ -679,8 +681,7 @@ SELECT lang, lang_pred, count(*) AS n FROM pred GROUP BY lang, lang_pred
 _DOC_SHINGLES_2 = """
 doc_sh AS (
   SELECT doc_id AS id,
-         list_distinct([array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]) AS sh,
-         doc_id % 25 AS blk
+         list_distinct([array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]) AS sh
   FROM (SELECT doc_id, {toks} AS toks FROM documents)
   WHERE len(toks) >= 2
 )
@@ -1009,14 +1010,21 @@ FROM feat
 
 
 def _ngram_jaccard_oracle() -> str:
+    # BRUTE-FORCE GLOBAL all-pairs — deliberately encodes no blocking or
+    # candidate structure, so it independently checks the prefix-filter
+    # path's global exactness.  |A∪B| = |A|+|B|-|A∩B| mirrors the Spark
+    # expression bit-for-bit (same numerator/denominator doubles → same
+    # round).
     return f"""
-WITH {_DOC_SHINGLES_2.strip()}
-SELECT a.id AS id_a, b.id AS id_b,
-       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-FROM doc_sh a JOIN doc_sh b ON a.blk = b.blk AND a.id < b.id
-WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.08
+WITH {_DOC_SHINGLES_2.strip()},
+scored AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+         CAST(len(a.sh) + len(b.sh) AS DOUBLE) AS sz
+  FROM doc_sh a JOIN doc_sh b ON a.id < b.id
+)
+SELECT id_a, id_b, round(inter / (sz - inter), 6) AS jaccard
+FROM scored WHERE inter / (sz - inter) >= 0.2
 """
 
 

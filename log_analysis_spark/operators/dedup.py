@@ -163,19 +163,44 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 2,
     threshold: float = 0.8,
-    n_blocks: int = 100,
 ) -> DataFrame:
-    """Blocked exact n-gram Jaccard: candidate pairs form only inside
-    ``id % n_blocks`` blocks (deterministic blocking), then exact set
-    Jaccard on word k-grams.  Fully SQL-expressible → strong oracle."""
-    base = shingled(df, text_col, id_col, k)
-    a = base.select(
-        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), (F.col("id") % n_blocks).alias("blk")
+    """EXACT global n-gram Jaccard self-join via prefix filtering (the
+    AllPairs/PPJoin candidate rule) — every pair with ``jaccard >=
+    threshold`` over the whole corpus is returned, with no all-pairs join.
+
+    Candidate rule: order each doc's shingle set (lexicographic global total
+    order) and keep its *prefix* of ``|s| - ceil(t*|s|) + 1`` shingles; two
+    sets can reach Jaccard >= t only if their prefixes share a shingle, so
+    candidates come from an equi-join on prefix shingles — 100% recall by
+    construction (unlike the round-1 ``id % n_blocks`` sampling, which found
+    ~1/n_blocks of true pairs).  Exact set-Jaccard verify on candidates.
+
+    Scale: the join key is a shingle — a narrow (shingle, id) shuffle; at
+    low thresholds prefixes lengthen and hot shingles fatten buckets (AQE
+    skew-join splits those); the classic refinement (order shingles by
+    ascending global frequency so prefixes carry rare shingles) drops in
+    here without changing the contract."""
+    base = shingled(df, text_col, id_col, k).select(
+        "id", F.array_sort("sh").alias("sh")
     )
-    b = base.select(
-        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), (F.col("id") % n_blocks).alias("blk")
+    n = F.size("sh")
+    # ceil guarded against float fuzz: never exceeds the mathematical ceil
+    # (an overshoot would shorten the prefix and silently lose recall; an
+    # undershoot only adds candidates)
+    pref_len = (n - F.ceil(n * F.lit(float(threshold)) - F.lit(1e-9)).cast("int") + 1)
+    pref = base.select("id", F.explode(F.slice("sh", 1, pref_len)).alias("tok"))
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            on=[F.col("a.tok") == F.col("b.tok"), F.col("a.id") < F.col("b.id")],
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
-    pairs = a.join(b, on=[a["blk"] == b["blk"], F.col("id_a") < F.col("id_b")])
+    pairs = cand.join(
+        base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     # |A∪B| = |A|+|B|-|A∩B| (shingle arrays are distinct sets) — one hash-set
     # build per pair instead of two
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")

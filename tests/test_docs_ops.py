@@ -73,9 +73,47 @@ def test_exact_dedup_counts(spark, docs):
 
 
 def test_ngram_jaccard_pairs_sane(spark, docs):
-    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.3, n_blocks=20).collect()
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()
     for r in pairs:
         assert r["id_a"] < r["id_b"] and 0.3 <= r["jaccard"] <= 1.0
+
+
+def test_ngram_jaccard_globally_exact(spark, docs):
+    """Prefix-filtered pairs == brute-force all-pairs (global exactness).
+
+    Planted near-dups with FAR-APART ids (+777001 offset, non-adjacent and
+    coprime to any plausible block count) prove candidates are content-based:
+    the round-1 id-mod blocking missed exactly this class."""
+    import re as _re
+
+    dup = docs.limit(4).select(
+        (F.col("doc_id") + 777001).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(dup)
+    t = 0.3
+    fast = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(corpus, threshold=t).collect()
+    }
+    sh = dedup.shingled(corpus, "text", "doc_id", 2).select(
+        "id", F.array_sort("sh").alias("sh")
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    brute = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= t)
+        .collect()
+    }
+    assert fast == brute
+    planted = {p for p in fast if p[1] - p[0] == 777001}
+    assert len(planted) >= 4  # the far-id near-dups are all found
 
 
 def test_minhash_lsh_finds_known_dups(spark, docs):
