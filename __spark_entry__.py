@@ -516,8 +516,13 @@ def q_embed_ivf_topk(spark, sf_dir):
 
 
 def q_embed_neardup(spark, sf_dir):
-    """Blocked embedding-cosine near-dup pairs."""
-    return similarity.embedding_neardup_pairs(_embeddings(spark, sf_dir), threshold=0.2, n_blocks=25)
+    """Embedding-cosine near-dup pairs via sign-band LSH candidates
+    (content-based; the oracle mirrors the same deterministic hyperplanes).
+    band_bits=4 / threshold=0.3 are calibrated to the synthetic corpus for a
+    non-trivial result (~85% of the 990 global pairs at sf0.01)."""
+    return similarity.embedding_neardup_pairs(
+        _embeddings(spark, sf_dir), threshold=0.3, dim=64, n_planes=64, band_bits=4
+    )
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -1045,12 +1050,49 @@ SELECT query_id, corpus_id, score, rank FROM ranked WHERE rank <= 3
 """
 
 
-def _embed_neardup_oracle() -> str:
+def _embed_neardup_oracle(
+    threshold: float = 0.3, dim: int = 64, n_planes: int = 64, band_bits: int = 4
+) -> str:
+    """Mirror of similarity.embedding_neardup_pairs: the SAME deterministic
+    hyperplanes (similarity.hyperplanes, components rounded to 6 decimals)
+    are embedded as SQL literals, each sign bit uses the same round-to-1e-6
+    dot, and the exact-cosine verify is identical — so the cross-engine
+    comparison is exact even though the candidate rule is approximate."""
+    from log_analysis_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes)
+    bit_exprs = ",\n    ".join(
+        "CASE WHEN round(list_inner_product(unit, [{lits}]), 6) >= 0 THEN 1 ELSE 0 END".format(
+            lits=", ".join(repr(c) for c in p)
+        )
+        for p in planes
+    )
+    n_bands = n_planes // band_bits
+    band_arms = "\n  UNION ALL ".join(
+        "SELECT vec_id, unit, {band} AS band, {bkey} AS bkey FROM bits".format(
+            band=b,
+            bkey=" + ".join(
+                f"b[{b * band_bits + j + 1}] * {1 << (band_bits - 1 - j)}"
+                for j in range(band_bits)
+            ),
+        )
+        for b in range(n_bands)
+    )
     return f"""
 WITH {_UNIT_VEC.strip()},
-blocked AS (SELECT vec_id, unit, vec_id % 25 AS blk FROM unitv)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_inner_product(a.unit, b.unit), 6) AS cosine
-FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.vec_id < b.vec_id
-WHERE round(list_inner_product(a.unit, b.unit), 6) >= 0.2
+bits AS (
+  SELECT vec_id, unit, [
+    {bit_exprs}
+  ] AS b FROM unitv
+),
+banded AS (
+  {band_arms}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b, a.unit AS ua, b2.unit AS ub
+  FROM banded a JOIN banded b2
+    ON a.band = b2.band AND a.bkey = b2.bkey AND a.vec_id < b2.vec_id
+)
+SELECT id_a, id_b, round(list_inner_product(ua, ub), 6) AS cosine
+FROM cand WHERE round(list_inner_product(ua, ub), 6) >= {threshold}
 """

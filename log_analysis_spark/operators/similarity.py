@@ -143,23 +143,98 @@ def ivf_topk(
     )
 
 
+def hyperplanes(dim: int, n_planes: int = 64, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes for sign-band LSH, components
+    rounded to 6 decimals so the exact same values can be embedded as
+    literals in both the Spark expressions and the DuckDB oracle SQL."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    h = rng.standard_normal((n_planes, dim))
+    return [[round(float(x), 6) for x in row] for row in h]
+
+
+def _sign_bit(unit: F.Column, plane: list[float]) -> F.Column:
+    """1 iff the unit vector lies on the non-negative side of the plane.
+    The dot is rounded to 1e-6 before the sign test so the bit is identical
+    across engines/float-fold orders (same trick as the top-k scores)."""
+    p = F.array(*[F.lit(c) for c in plane])
+    return F.when(F.round(_dot(unit, p), 6) >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.99,
-    n_blocks: int = 50,
+    dim: int = 64,
+    n_planes: int = 64,
+    band_bits: int = 8,
+    seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-dup: blocked pairs (id % n_blocks) with
-    cosine >= threshold — same blocking contract as dedup.ngram_jaccard."""
-    u = with_unit_vec(df, vec_col).select(
-        F.col(id_col).alias("id"), F.col("unit"), (F.col(id_col) % n_blocks).alias("blk")
+    """Embedding-cosine near-dup via random-hyperplane sign-band LSH —
+    CONTENT-BASED candidates (unlike the round-1 ``id % n_blocks`` sampling):
+    a pair's collision probability per bit is ``1 - θ/π``, so high-cosine
+    pairs collide in some band with probability → 1 while far pairs rarely
+    do.  Exact cosine verify on candidates.
+
+    Banding: ``n_planes`` sign bits split into bands of ``band_bits``; two
+    vectors are candidates iff some band matches exactly.  Scale: the band
+    join carries only (id, band, bkey); ``band_bits`` sets bucket
+    granularity — raise it as the corpus grows (buckets ~ N/2^band_bits per
+    band).  At near-dup thresholds (cos >= 0.99, θ <= 8°) recall with 8×8-bit
+    bands is > 0.999; the contract query's lower threshold trades recall for
+    a non-trivial result on the synthetic corpus and the oracle mirrors the
+    same candidate rule, so the cross-engine check stays exact."""
+    planes = hyperplanes(dim, n_planes, seed)
+    n_bands = n_planes // band_bits
+    u = (
+        with_unit_vec(df, vec_col)
+        .filter(F.col("unit").isNotNull())
+        .select(F.col(id_col).alias("id"), "unit")
+        .withColumn("bits", F.array(*[_sign_bit(F.col("unit"), p) for p in planes]))
     )
-    a = u.select(F.col("id").alias("id_a"), F.col("unit").alias("ua"), "blk")
-    b = u.select(F.col("id").alias("id_b"), F.col("unit").alias("ub"), "blk")
+    banded = u.select(
+        "id",
+        "unit",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        sum(
+                            (
+                                F.element_at("bits", b * band_bits + j + 1)
+                                * F.lit(1 << (band_bits - 1 - j))
+                            )
+                            for j in range(band_bits)
+                        ).alias("bkey"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "unit", "bb.band", "bb.bkey")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bkey") == F.col("b.bkey"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.unit").alias("ua"),
+            F.col("b.unit").alias("ub"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
     return (
-        a.join(b, on=[a["blk"] == b["blk"], F.col("id_a") < F.col("id_b")])
-        .withColumn("cosine", F.round(_dot(F.col("ua"), F.col("ub")), 6))
+        cand.withColumn("cosine", F.round(_dot(F.col("ua"), F.col("ub")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -223,10 +223,28 @@ def test_ivf_recall_vs_brute_force(spark, embeddings):
 
 
 def test_embedding_neardup_pairs(spark, embeddings):
-    out = similarity.embedding_neardup_pairs(embeddings, threshold=-1.0, n_blocks=100)
+    out = similarity.embedding_neardup_pairs(embeddings, threshold=0.3, band_bits=4)
     assert out.count() > 0
     row = out.first()
-    assert row["id_a"] < row["id_b"]
+    assert row["id_a"] < row["id_b"] and row["cosine"] >= 0.3
+
+
+def test_embedding_neardup_finds_planted_global_dups(spark, embeddings):
+    """Near-identical vectors planted at FAR-APART ids (+999001 offset) must
+    surface — sign-band candidates are content-based, so a near-dup pair
+    collides in (essentially) every band regardless of id distance.  The
+    round-1 id-mod blocking found such a pair only 1/n_blocks of the time."""
+    jitter = F.transform("embedding", lambda x: x * F.lit(1.0009) + F.lit(1e-4))
+    dup = embeddings.limit(5).select(
+        (F.col("vec_id") + 999001).alias("vec_id"),
+        jitter.cast("array<float>").alias("embedding"),
+        "label",
+    )
+    corpus = embeddings.unionByName(dup)
+    pairs = similarity.embedding_neardup_pairs(corpus, threshold=0.99, band_bits=8)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    planted = {(r["vec_id"], r["vec_id"] + 999001) for r in embeddings.limit(5).collect()}
+    assert planted <= found
 
 
 # ----------------------------------------------------------------- multimodal
