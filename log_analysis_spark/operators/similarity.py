@@ -65,36 +65,106 @@ def cosine_topk(
     )
 
 
+def _lit_vec(v: list[float]) -> F.Column:
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def _centroid_sims(unit: F.Column, cents: list[list[float]]) -> F.Column:
+    """Array of round-6 cosine sims vs each (unit-norm) centroid — a pure
+    projection over centroid literals: assignment and probing never shuffle
+    or window the corpus."""
+    return F.array(*[F.round(_dot(unit, _lit_vec(c)), 6) for c in cents])
+
+
+def build_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_rounds: int = 2,
+    sample_mod: int = 1,
+) -> list[list[float]]:
+    """IVF centroid build, scale-shaped end to end:
+
+    * seeds — the ``n_centroids`` lowest ``xxhash64(id)`` vectors via
+      ``orderBy(hash).limit(K)``, which Spark executes as per-partition
+      top-K + driver merge (TakeOrderedAndProject): deterministic
+      hash-sampling with NO single-task global sort (the round-1 build
+      windowed ``row_number() OVER (ORDER BY id)`` over the whole corpus).
+    * refinement — ``kmeans_rounds`` Lloyd iterations over a deterministic
+      hash-sample (``xxhash64(id) % sample_mod == 0``): assignment is a
+      shuffle-free projection (``_centroid_sims`` argmax), means come from
+      one posexplode + groupBy(cid, dim) pass.
+    * the K×dim centroid table is driver-side by design — it is broadcast
+      into every subsequent expression, exactly like any ANN index's
+      coarse quantizer.
+
+    Components are rounded to 6 decimals so downstream plans embed compact,
+    engine-portable literals.
+    """
+    import numpy as np
+
+    cu = with_unit_vec(corpus, vec_col).filter(F.col("unit").isNotNull())
+    seed_rows = (
+        cu.select("unit")
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")))
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = [[round(float(x), 6) for x in r["unit"]] for r in seed_rows]
+
+    sample = cu if sample_mod <= 1 else cu.filter(
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(sample_mod)) == 0
+    )
+    for _ in range(kmeans_rounds):
+        sims = _centroid_sims(F.col("unit"), cents)
+        assigned = sample.withColumn(
+            "centroid_id", F.array_position(sims, F.array_max(sims)).cast("int")
+        )
+        means = (
+            assigned.select("centroid_id", F.posexplode("unit").alias("dim", "val"))
+            .groupBy("centroid_id", "dim")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        dim = len(cents[0])
+        acc = {cid + 1: np.zeros(dim) for cid in range(len(cents))}
+        seen = set()
+        for r in means:
+            acc[r["centroid_id"]][r["dim"]] = r["m"]
+            seen.add(r["centroid_id"])
+        new_cents = []
+        for cid in range(1, len(cents) + 1):
+            if cid in seen and np.linalg.norm(acc[cid]) > 0:
+                v = acc[cid] / np.linalg.norm(acc[cid])
+                new_cents.append([round(float(x), 6) for x in v])
+            else:  # empty cluster: keep the previous centroid
+                new_cents.append(cents[cid - 1])
+        cents = new_cents
+    return cents
+
+
 def assign_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> tuple[DataFrame, DataFrame]:
-    """IVF build: centroids = the ``n_centroids`` lowest-id vectors
-    (deterministic seed choice, no iterative k-means needed for a bucketing
-    structure); every corpus vector is assigned to its nearest centroid.
+    kmeans_rounds: int = 2,
+    sample_mod: int = 1,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Assign every corpus vector to its nearest centroid (ties → lowest
+    centroid id via array_position-of-max).  The assignment is a pure
+    projection — no join, no window, no shuffle on the corpus.
 
-    Returns (assigned corpus with ``centroid_id``, centroids).
-    """
-    from pyspark.sql import Window
-
-    cu = with_unit_vec(corpus, vec_col)
-    w = Window.orderBy(id_col)
-    cents = (
-        cu.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= n_centroids)
-        .select(F.col("_rn").alias("centroid_id"), F.col("unit").alias("centvec"))
+    Returns (assigned corpus with ``centroid_id``, centroid list)."""
+    cents = build_centroids(
+        corpus, n_centroids, id_col, vec_col, kmeans_rounds, sample_mod
     )
-    scored = cu.select(F.col(id_col), F.col("unit")).join(F.broadcast(cents)).withColumn(
-        "sim", F.round(_dot(F.col("unit"), F.col("centvec")), 6)
-    )
-    wbest = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("centroid_id"))
-    assigned = (
-        scored.withColumn("_r", F.row_number().over(wbest))
-        .filter(F.col("_r") == 1)
-        .select(id_col, "centroid_id", "unit")
-    )
+    cu = with_unit_vec(corpus, vec_col).filter(F.col("unit").isNotNull())
+    sims = _centroid_sims(F.col("unit"), cents)
+    assigned = cu.withColumn(
+        "centroid_id", F.array_position(sims, F.array_max(sims)).cast("int")
+    ).select(id_col, "centroid_id", "unit")
     return assigned, cents
 
 
@@ -106,27 +176,39 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kmeans_rounds: int = 2,
 ) -> DataFrame:
     """IVF-bucketed ANN top-k: probe only the ``n_probe`` nearest centroid
-    buckets per query.  Approximate (recall < 1 possible) — benchmarked
-    against cosine_topk for recall in tests."""
+    buckets per query (scored pairs cut by ~n_probe/K vs brute force).
+    Approximate — recall vs cosine_topk is asserted in tests.
+
+    Probe selection is also a projection (sort the per-centroid sim array,
+    slice n_probe, explode); the only shuffle is the bucket equi-join on
+    centroid_id plus the final per-query top-k window."""
     from pyspark.sql import Window
 
-    assigned, cents = assign_centroids(corpus, n_centroids, id_col, vec_col)
-    q = with_unit_vec(queries, vec_col).select(
+    assigned, cents = assign_centroids(
+        corpus, n_centroids, id_col, vec_col, kmeans_rounds
+    )
+    q = with_unit_vec(queries, vec_col).filter(F.col("unit").isNotNull()).select(
         F.col(id_col).alias("query_id"), F.col("unit").alias("qvec")
     )
-    qprobe = (
-        q.join(F.broadcast(cents))
-        .withColumn("sim", F.round(_dot(F.col("qvec"), F.col("centvec")), 6))
-        .withColumn(
-            "_r",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
-            ),
+    sims = _centroid_sims(F.col("qvec"), cents)
+    # struct array (-sim, cid): ascending sort == (sim desc, cid asc)
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (-F.element_at(sims, i + 1)).alias("negsim"),
+                    F.lit(i + 1).alias("cid"),
+                )
+                for i in range(len(cents))
+            ]
         )
-        .filter(F.col("_r") <= n_probe)
-        .select("query_id", "qvec", "centroid_id")
+    )
+    qprobe = q.withColumn(
+        "centroid_id",
+        F.explode(F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cid"])),
     )
     scored = (
         qprobe.join(assigned, on="centroid_id")

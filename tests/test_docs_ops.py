@@ -219,7 +219,23 @@ def test_ivf_recall_vs_brute_force(spark, embeddings):
     b = {(r["query_id"], r["corpus_id"]) for r in brute.collect()}
     a = {(r["query_id"], r["corpus_id"]) for r in ivf.collect()}
     recall = len(a & b) / len(b)
-    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    assert recall >= 0.8, f"IVF recall too low: {recall}"
+
+
+def test_ivf_assignment_plan_has_no_window_or_join(spark, embeddings):
+    """The corpus-side IVF assignment must be a pure projection: no Window,
+    no join, no exchange introduced on the corpus scan (the round-1 build
+    global-sorted the corpus through one task)."""
+    assigned, cents = similarity.assign_centroids(
+        embeddings, n_centroids=8, kmeans_rounds=0
+    )
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert len(cents) == 8
+    n = assigned.groupBy("centroid_id").count()
+    assert n.count() <= 8  # ids in 1..8
 
 
 def test_embedding_neardup_pairs(spark, embeddings):
