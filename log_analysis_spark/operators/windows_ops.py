@@ -24,9 +24,32 @@ def turn_window() -> Window:
 
 
 def with_stable_order(df: DataFrame) -> DataFrame:
-    """W4 — global row number under (conv_id, turn_idx); deterministic."""
-    w = Window.orderBy("conv_id", "turn_idx")
-    return df.withColumn("rn", F.row_number().over(w))
+    """W4 — global row number under (conv_id, turn_idx), TWO-PHASE:
+
+      rn = (cumulative count of turns in all earlier convs) + per-conv rank
+
+    The per-conv rank is a window partitioned by conv_id (fully parallel);
+    the cumulative offsets are computed over the *aggregated* per-conv
+    counts — one row per conv — so the only single-partition step handles
+    |convs| rows, a ~avg-turns-per-conv reduction vs the round-1
+    unpartitioned window that sorted every fact row through one task.  The
+    offsets join is keyed on conv_id, the same key as the rank window, so
+    the fact side reuses its hash partitioning (no extra fact shuffle); AQE
+    broadcasts the conv-level side when it is small.  For corpora where even
+    |convs| overwhelms one task, the same two-phase shape nests (range-
+    bucket the conv list and offset the buckets)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    local = F.row_number().over(w)
+    counts = df.groupBy("conv_id").agg(F.count("*").alias("_cnt"))
+    woff = Window.orderBy("conv_id").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(woff), F.lit(0))
+    ).select("conv_id", "_off")
+    return (
+        df.join(offs, "conv_id")
+        .withColumn("rn", (F.col("_off") + local).cast("int"))
+        .drop("_off")
+    )
 
 
 def with_neighbor_class(parsed: DataFrame) -> DataFrame:

@@ -145,6 +145,42 @@ def main() -> int:
     shutil.rmtree(out, ignore_errors=True)
     sections.append(("Fan-out (router) write", "(see notes)", notes))
 
+    # 7 — two-phase global ordering: the fact table is never windowed
+    # through a single partition; only the conv-granularity cumsum is
+    to_df = entry.q_turn_ordering(spark, sf_dir)
+    plan = executed(to_df)
+    # single-partition sorts show up as "Exchange SinglePartition"; exactly
+    # one is allowed — the conv-level offset cumsum (input: one row per conv,
+    # i.e. post-aggregate) — and it must sit above a HashAggregate, never
+    # directly above the fact scan/parse
+    import re as _re
+
+    single_parts = plan.count("Exchange SinglePartition")
+    seg_after = plan.split("Exchange SinglePartition", 1)[-1]
+    notes = [
+        check("turn_ordering: at most one SinglePartition exchange",
+              single_parts <= 1, f"found {single_parts}"),
+        check("turn_ordering: the single-partition input is the conv-level "
+              "aggregate (HashAggregate below it), not the fact table",
+              single_parts == 0 or "HashAggregate" in seg_after[:2000]),
+        check("turn_ordering: per-conv rank window is hash-partitioned",
+              "hashpartitioning(conv_id" in plan),
+    ]
+    sections.append(("Two-phase global ordering (W4)", plan, notes))
+
+    # 8 — IVF assignment: pure projection on the corpus (no window/join)
+    from log_analysis_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned, _cents = similarity.assign_centroids(emb, n_centroids=8, kmeans_rounds=0)
+    plan = executed(assigned)
+    notes = [
+        check("ivf assign: no Window on the corpus", "Window" not in plan),
+        check("ivf assign: no Join on the corpus", "Join" not in plan),
+        check("ivf assign: no Exchange on the corpus", "Exchange" not in plan),
+    ]
+    sections.append(("IVF centroid assignment (projection-only)", plan, notes))
+
     # ---- write EXPLAIN.md -------------------------------------------------
     md = ["# EXPLAIN audit — physical plans vs 100 TB design intents",
           "",
