@@ -526,9 +526,14 @@ def q_embed_neardup(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Binary media columns + Arrow feature extraction (rows-only check)."""
+    """Binary media columns + whole-batch Arrow feature extraction, emitted
+    as the DuckDB-expressible slice (n_bytes = utf-8 byte length, md5 over
+    the payload bytes) so the driver's value-hash check is EXACT; byte
+    mean/std/histogram stay in the full extractor output (unit-tested)."""
     media = multimodal.synth_media(_docs(spark, sf_dir))
-    return multimodal.fake_feature_extract(media)
+    return multimodal.feature_extract(media).select(
+        "media_id", "kind", "n_bytes", "md5"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -978,8 +983,20 @@ def oracle_sql() -> dict[str, str]:
         "doc_ngram_jaccard": _ngram_jaccard_oracle(),
         "embed_cosine_topk": _cosine_topk_oracle(),
         "embed_neardup": _embed_neardup_oracle(),
+        # the mapInPandas extractor's md5 runs over the raw payload bytes ==
+        # utf-8 text bytes (synth_media's encode); duckdb md5() hashes the
+        # string's utf-8 bytes and octet_length(encode()) counts them
+        "multimodal_features": """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS md5
+FROM documents
+""",
         # rows-only (no oracle): doc_minhash_lsh, doc_simhash, doc_fingerprint,
-        # embed_ivf_topk, multimodal_features
+        # embed_ivf_topk
     }
 
 

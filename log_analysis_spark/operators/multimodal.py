@@ -2,11 +2,12 @@
 
 Images/audio/video ride through the pipeline as binary columns with a typed
 metadata struct.  The Spark-side plumbing — schema, partitioning, Arrow
-batch shape, UDF signatures — is real and tested; the actual codec work is
-STUBBED (the decode libraries are not in this container): ``decode_image``
-raises ``NotImplementedError``, and ``fake_feature_extract`` is the
-deterministic stand-in used by tests (byte-level stats standing in for
-pixel stats).
+batch shape, UDF signatures — is real and tested, and so is the image
+decode for the two container-friendly formats: ``decode_image`` handles
+binary PPM (P6) and uncompressed 24-bit BMP in pure numpy (no codec
+library needed).  Other formats (JPEG/PNG/audio/video) raise — decoding
+them needs a codec library not present in this container; the byte-stat
+extractor is the deterministic fallback used for those kinds.
 """
 
 from __future__ import annotations
@@ -44,10 +45,23 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType()),
         T.StructField("kind", T.StringType()),
         T.StructField("n_bytes", T.LongType()),
+        T.StructField("md5", T.StringType()),
         T.StructField("sha1", T.StringType()),
         T.StructField("byte_mean", T.DoubleType()),
         T.StructField("byte_std", T.DoubleType()),
         T.StructField("histogram", T.ArrayType(T.LongType())),  # 16 bins
+    ]
+)
+
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("px_mean", T.DoubleType()),
+        T.StructField("px_std", T.DoubleType()),
+        T.StructField("channel_means", T.ArrayType(T.DoubleType())),  # R,G,B
+        T.StructField("decode_error", T.StringType()),
     ]
 )
 
@@ -73,49 +87,181 @@ def synth_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def decode_image(payload: bytes) -> "np.ndarray":
-    """STUB — real image decoding needs a codec library not present in this
-    container.  The Spark plumbing calls fake_feature_extract instead."""
-    raise NotImplementedError(
-        "image decode requires a codec library (e.g. Pillow) not installed here; "
-        "use fake_feature_extract for the deterministic test path"
-    )
+# ---------------------------------------------------------------- codecs
 
 
-def fake_feature_extract(media: DataFrame) -> DataFrame:
-    """Feature extraction over binary payloads via mapInPandas: per Arrow
-    batch, numpy computes byte-level stats (the deterministic stand-in for
-    decode→resize→embed).  Batch shape and schema match what a real codec
-    UDF would use."""
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Binary PPM (P6, maxval 255) encoder for an (h, w, 3) uint8 array —
+    the fixture-side inverse of decode_image."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an image payload to an (h, w, 3) uint8 pixel array.
+
+    Pure numpy — supports binary PPM (P6) and uncompressed 24-bit BMP
+    (BI_RGB), the two formats writable without a codec library.  Raises
+    ``ValueError`` for anything else (JPEG/PNG need a real codec)."""
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    raise ValueError(f"unsupported image format (magic={payload[:2]!r})")
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    # header: "P6" <ws> width <ws> height <ws> maxval <single-ws> raster;
+    # '#' comments may appear inside the whitespace runs
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte before the raster
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 PPM supported, got {maxval}")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return raster.reshape(h, w, 3).copy()
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_off)
+    img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        img = img[::-1]
+    return img[..., ::-1].copy()  # BGR → RGB
+
+
+# ------------------------------------------------------------- extractors
+
+
+def feature_extract(media: DataFrame) -> DataFrame:
+    """Byte-level feature extraction over binary payloads via mapInPandas.
+
+    WHOLE-BATCH numpy (no per-row loops for the stats): all payloads in an
+    Arrow batch concatenate into one flat uint8 array; per-doc sums/sumsq
+    come from ``np.add.reduceat`` over non-empty offsets, per-doc 16-bin
+    histograms from one ``np.bincount`` over ``doc_idx*16 + (byte >> 4)``.
+    Only the md5/sha1 digests touch payloads row-wise — hashing is
+    inherently per-payload (C-speed via hashlib)."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
-                arr = np.frombuffer(payload, dtype=np.uint8)
-                hist = np.bincount(arr >> 4, minlength=16).astype("int64")
-                feats.append(
-                    {
-                        "media_id": int(mid),
-                        "kind": kind,
-                        "n_bytes": int(arr.size),
-                        "sha1": hashlib.sha1(payload).hexdigest(),
-                        "byte_mean": float(arr.mean()) if arr.size else 0.0,
-                        "byte_std": float(arr.std()) if arr.size else 0.0,
-                        "histogram": hist.tolist(),
-                    }
-                )
-            yield pd.DataFrame(feats)
+            payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
+            n = len(payloads)
+            lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=n)
+            flat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            offsets = np.zeros(n, dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            sums = np.zeros(n, dtype=np.int64)
+            sumsq = np.zeros(n, dtype=np.int64)
+            nonempty = lens > 0
+            if flat.size:
+                ne_off = offsets[nonempty]
+                x = flat.astype(np.int64)
+                sums[nonempty] = np.add.reduceat(x, ne_off)
+                sumsq[nonempty] = np.add.reduceat(x * x, ne_off)
+            safe_len = np.maximum(lens, 1)
+            mean = sums / safe_len
+            var = np.maximum(sumsq / safe_len - mean * mean, 0.0)
+            std = np.sqrt(var)
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+            hist = np.bincount(
+                doc_idx * 16 + (flat >> 4), minlength=n * 16
+            ).reshape(n, 16).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "kind": pdf["kind"],
+                    "n_bytes": lens,
+                    "md5": [hashlib.md5(p).hexdigest() for p in payloads],
+                    "sha1": [hashlib.sha1(p).hexdigest() for p in payloads],
+                    "byte_mean": np.where(nonempty, mean, 0.0),
+                    "byte_std": np.where(nonempty, std, 0.0),
+                    "histogram": list(hist),
+                }
+            )
 
     return media.select("media_id", "kind", "payload").mapInPandas(
         extract, FEATURE_SCHEMA
     )
 
 
+# kept as an alias: round-1 name, used by existing tests/docs — the
+# "fake" stood for byte-stats-instead-of-pixel-stats, which remains this
+# function's contract for non-decodable payloads
+fake_feature_extract = feature_extract
+
+
+def image_feature_extract(media: DataFrame) -> DataFrame:
+    """REAL decode path: PPM/BMP payloads → pixel stats via mapInPandas.
+
+    Decode is per-payload by nature (variable-size headers); the pixel
+    statistics are numpy over the decoded array.  Undecodable payloads
+    yield nulls + a ``decode_error`` instead of failing the batch."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "width": [], "height": [],
+                "px_mean": [], "px_std": [], "channel_means": [],
+                "decode_error": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(int(mid))
+                try:
+                    img = decode_image(bytes(payload))
+                    out["width"].append(img.shape[1])
+                    out["height"].append(img.shape[0])
+                    out["px_mean"].append(float(img.mean()))
+                    out["px_std"].append(float(img.std()))
+                    out["channel_means"].append(
+                        [float(m) for m in img.reshape(-1, 3).mean(axis=0)]
+                    )
+                    out["decode_error"].append(None)
+                except (ValueError, IndexError) as e:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["px_mean"].append(None)
+                    out["px_std"].append(None)
+                    out["channel_means"].append(None)
+                    out["decode_error"].append(str(e))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract, IMAGE_FEATURE_SCHEMA
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling *plan*: one row per sampled frame index, derived
-    from metadata only (the decode itself is the stubbed step).  Shows the
-    explode-based fan-out a real frame sampler would use."""
+    from metadata only (real frame extraction needs a video codec).  Shows
+    the explode-based fan-out a real frame sampler would use."""
     n_frames = (F.col("meta.n_bytes") / 100).cast("int")  # fake: 100 B/frame
     return (
         media.filter(F.col("kind") == "video")

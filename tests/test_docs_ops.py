@@ -269,20 +269,93 @@ def test_embedding_neardup_finds_planted_global_dups(spark, embeddings):
 def test_multimodal_plumbing(spark, docs):
     media = multimodal.synth_media(docs)
     assert [f.name for f in media.schema.fields] == ["media_id", "kind", "payload", "meta"]
-    feats = multimodal.fake_feature_extract(media)
+    feats = multimodal.feature_extract(media)
     rows = feats.collect()
     assert len(rows) == docs.count()
-    for r in rows[:10]:
-        assert sum(r["histogram"]) == r["n_bytes"] > 0
-        assert 0 < r["byte_mean"] < 255
+    import hashlib as _hl
+
+    texts = {r["doc_id"]: r["text"] for r in docs.limit(10).collect()}
+    by_id = {r["media_id"]: r for r in rows}
+    for doc_id, text in texts.items():
+        r = by_id[doc_id]
+        payload = text.encode("utf-8")
+        arr = __import__("numpy").frombuffer(payload, dtype="uint8")
+        assert sum(r["histogram"]) == r["n_bytes"] == len(payload) > 0
+        assert r["md5"] == _hl.md5(payload).hexdigest()
+        assert r["sha1"] == _hl.sha1(payload).hexdigest()
+        assert abs(r["byte_mean"] - arr.mean()) < 1e-9
+        assert abs(r["byte_std"] - arr.std()) < 1e-9
 
     frames = multimodal.frame_sample_plan(media, every_n=2)
     assert frames.count() > 0
     assert frames.filter(F.col("frame_idx") % 2 != 0).count() == 0
 
 
-def test_decode_stub_raises(spark):
-    import pytest as _pytest
+def _fixture_image(seed: int):
+    import numpy as np
 
-    with _pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG")
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(13, 7, 3), dtype=np.uint8)
+
+
+def _encode_bmp(img) -> bytes:
+    """Minimal uncompressed 24-bit bottom-up BMP writer (test fixture)."""
+    import numpy as np
+
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    raster = np.zeros((h, stride), dtype=np.uint8)
+    raster[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    body = raster.tobytes()
+    off = 14 + 40
+    header = (
+        b"BM"
+        + (off + len(body)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(body).to_bytes(4, "little")
+        + (0).to_bytes(4, "little") * 4
+    )
+    return header + body
+
+
+def test_decode_image_roundtrip():
+    import numpy as np
+
+    img = _fixture_image(7)
+    assert np.array_equal(multimodal.decode_image(multimodal.encode_ppm(img)), img)
+    assert np.array_equal(multimodal.decode_image(_encode_bmp(img)), img)
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"\x89PNG\r\n")
+
+
+def test_image_feature_extract_end_to_end(spark):
+    """Real decoded fixture through the Spark mapInPandas path: pixel stats
+    of a PPM and a BMP payload match numpy computed directly; an undecodable
+    payload degrades to nulls + decode_error instead of failing the batch."""
+    import numpy as np
+
+    img_a, img_b = _fixture_image(1), _fixture_image(2)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(multimodal.encode_ppm(img_a))),
+            (2, bytearray(_encode_bmp(img_b))),
+            (3, bytearray(b"\x89PNG not decodable")),
+        ],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in multimodal.image_feature_extract(media).collect()}
+    for mid, img in [(1, img_a), (2, img_b)]:
+        r = out[mid]
+        assert (r["width"], r["height"]) == (img.shape[1], img.shape[0])
+        assert abs(r["px_mean"] - img.mean()) < 1e-9
+        assert abs(r["px_std"] - img.std()) < 1e-9
+        assert np.allclose(r["channel_means"], img.reshape(-1, 3).mean(axis=0))
+        assert r["decode_error"] is None
+    assert out[3]["px_mean"] is None and "unsupported" in out[3]["decode_error"]
