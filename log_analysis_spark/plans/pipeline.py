@@ -22,6 +22,7 @@ from log_analysis_spark.functions.parse import parse_turns
 from log_analysis_spark.operators import aggregate as agg
 from log_analysis_spark.operators import enrich, router
 from log_analysis_spark.plans.manifest import Manifest, fingerprint_input, run_stage
+from log_analysis_spark.sources.iceberg import route_write_resumable
 
 
 @dataclass
@@ -70,7 +71,11 @@ def run_pipeline(
     )
 
     def _write() -> DataFrame:
-        router.route_write(observed, routed_path)
+        # replace-partition semantics (Iceberg overwritePartitions, or the
+        # dynamic-overwrite parquet fallback): a run killed mid-write leaves
+        # partial sink partitions, and the rerun replaces exactly those —
+        # the manifest skips COMPLETE stages, this makes PARTIAL stages safe
+        route_write_resumable(observed, routed_path)
         return spark.read.parquet(routed_path)
 
     routed, was_skipped = run_stage(

@@ -1,0 +1,88 @@
+"""Replace-partition (Iceberg-style) resumable sink tests.
+
+The north-star sink is an Iceberg table written with ``overwritePartitions``
+(SURVEY.md §7.1); this container ships no Iceberg runtime, so the contract
+is proven on the sanctioned parquet fallback (dynamic partition overwrite —
+the same replace-exactly-the-incoming-partitions semantics) and the real
+``writeTo`` path is exercised whenever the runtime IS present (skip-gated).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_analysis_spark.functions.parse import parse_turns
+from log_analysis_spark.operators import router
+from log_analysis_spark.sources import iceberg
+
+
+@pytest.fixture(scope="module")
+def tagged(transcripts):
+    df = router.tag_sinks(parse_turns(transcripts), router.default_rules()).select(
+        "conv_id", "turn_idx", "sink", "turn_class", "http_code"
+    ).cache()
+    df.count()
+    return df
+
+
+def _snapshot(spark, path, exclude_sink=None):
+    df = spark.read.parquet(path)
+    if exclude_sink:
+        df = df.filter(F.col("sink") != exclude_sink)
+    rows = df.select("conv_id", "turn_idx", "sink").collect()
+    return sorted((r["conv_id"], r["turn_idx"], r["sink"]) for r in rows)
+
+
+def test_replace_partition_write_resumes_after_partial_failure(spark, tagged, tmp_path):
+    """Kill-mid-write simulation: a partial, corrupted fan-out state (one
+    sink half-written with duplicate rows, others missing) must converge to
+    the clean result when the same job reruns — replace-partition, never
+    append."""
+    clean_dir, dirty_dir = str(tmp_path / "clean"), str(tmp_path / "dirty")
+    iceberg.replace_partition_write(tagged, clean_dir, ["sink"])
+    want = _snapshot(spark, clean_dir)
+
+    # partial state: only the errors sink, truncated AND duplicated — the
+    # shape a killed task-set retry can leave behind without atomic commits
+    partial = tagged.filter(F.col("sink") == "errors").limit(50)
+    iceberg.replace_partition_write(partial.unionAll(partial), dirty_dir, ["sink"])
+    assert _snapshot(spark, dirty_dir) != want
+
+    # a foreign partition from ANOTHER job must survive the resume untouched
+    foreign = tagged.limit(3).withColumn("sink", F.lit("quarantine"))
+    iceberg.replace_partition_write(foreign, dirty_dir, ["sink"])
+
+    # resume: rerun the full write — converges to clean sinks
+    iceberg.replace_partition_write(tagged, dirty_dir, ["sink"])
+    assert _snapshot(spark, dirty_dir, exclude_sink="quarantine") == want
+    q = spark.read.parquet(dirty_dir).filter(F.col("sink") == "quarantine")
+    assert q.count() == 3
+
+    # idempotence: a second identical rerun changes nothing
+    iceberg.replace_partition_write(tagged, dirty_dir, ["sink"])
+    assert _snapshot(spark, dirty_dir, exclude_sink="quarantine") == want
+
+
+def test_route_write_resumable_falls_back_without_runtime(spark, tagged, tmp_path):
+    out = str(tmp_path / "routed")
+    assert not iceberg.iceberg_available(spark)  # this container has no jar
+    iceberg.route_write_resumable(tagged, out)
+    got = {r["sink"]: r["n"] for r in router.sink_counts(spark.read.parquet(out)).collect()}
+    want = {r["sink"]: r["n"] for r in router.sink_counts(tagged).collect()}
+    assert got == want
+
+
+@pytest.mark.skipif(
+    "not __import__('log_analysis_spark.sources.iceberg', fromlist=['x']).iceberg_available("
+    "__import__('log_analysis_spark.session', fromlist=['x']).get_spark('icecheck'))",
+    reason="Iceberg Spark runtime not on classpath in this container",
+)
+def test_iceberg_writeto_partition_spec(spark, tagged, tmp_path):
+    """Real Iceberg path (runs only where the runtime exists): create with
+    days(ts)+bucket spec, then overwritePartitions resume."""
+    iceberg.configure_catalog(spark, "graft", str(tmp_path / "wh"))
+    t = tagged.withColumn("ts", F.current_timestamp())
+    iceberg.write_transcripts_iceberg(t, "graft.db.transcripts", bucket_n=4)
+    iceberg.overwrite_partitions(t, "graft.db.transcripts")
+    assert spark.table("graft.db.transcripts").count() == tagged.count()
