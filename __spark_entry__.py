@@ -206,7 +206,14 @@ def q_lookup_sentinel(spark, sf_dir):
 
 def q_request_errors_flat(spark, sf_dir):
     """J4/J6 flattened — request × same-conv error turns (the nested
-    `bes: [...]` array, emitted flat for engine-portable comparison)."""
+    `bes: [...]` array, emitted flat for engine-portable comparison).
+
+    Scale note: this is requests×errors WITHIN a conversation by definition
+    (the reference's semantics), i.e. quadratic in a conv's turn count.  Row
+    explosion is bounded by conv length; a hot conv is an AQE skew-join
+    split, and a production guard would cap errors-per-conv with a windowed
+    limit before the join — the cap is omitted here because it would change
+    the reference-mirroring oracle semantics."""
     p = _parsed(spark, sf_dir)
     req = joins.derive_request_log(p).select("request_id", "conv_id", "req_turn_idx")
     errs = p.filter(F.col("turn_class") == "error").select(
