@@ -289,48 +289,70 @@ def hash64_py(token: str) -> int:
 
 
 def simhash_neardup_pairs(
-    sim_df: DataFrame, max_hamming: int = 8, n_bands: int | None = None
+    sim_df: DataFrame,
+    max_hamming: int = 8,
+    n_bands: int | None = None,
+    flip_bits: int = 1,
 ) -> DataFrame:
-    """Candidate pairs whose simhash bands collide; verify by Hamming
+    """Candidate pairs whose simhash band keys collide; verify by Hamming
     distance via bit_count(xor) — JVM-side.
 
-    Recall guarantee (pigeonhole): a pair at Hamming distance d has all its
-    differing bits spread over at most d bands, so with ``n_bands >= d + 1``
-    at least one band is identical and the pair surfaces as a candidate.
-    ``n_bands`` therefore defaults to ``max_hamming + 1`` (variable band
-    widths covering all 64 bits); an explicit ``n_bands`` below that bound is
-    rejected rather than silently missing pairs at distance ``n_bands..
-    max_hamming`` (the round-1 defaults guaranteed only d <= 3 while
-    accepting max_hamming=8)."""
+    Recall guarantee (pigeonhole + flip enumeration, Manku-style
+    multi-index): with ``n_bands`` bands, a pair at distance d has some band
+    with at most ``floor(d / n_bands)`` differing bits; each doc emits its
+    band value AND every ≤``flip_bits``-bit variant as keys, and since BOTH
+    sides of the self-join enumerate variants, a band with up to
+    ``2*flip_bits`` diffs still collides.  So the guarantee is
+    ``d <= n_bands * (2*flip_bits + 1) - 1``, and ``n_bands`` defaults to
+    the smallest band count meeting ``max_hamming``.
+
+    Why not one band per allowed error (round-2 first cut): 9 bands over 64
+    bits leave 7-bit keys — 128 distinct buckets per band, so buckets fatten
+    as N/128 and the candidate join goes quadratic at corpus scale.  With
+    flip enumeration the default for radius 8 is 3 bands of ~21 bits (2M key
+    values, ~22 keys per doc per band): bucket entropy stays high enough for
+    the band join to remain a narrow shuffle at 100 TB, and the recall
+    guarantee is intact.  An explicit ``n_bands`` too small for the radius
+    is rejected rather than silently missing pairs (the round-1 defaults
+    guaranteed only d <= 3 while accepting max_hamming=8)."""
+    if flip_bits not in (0, 1):
+        raise ValueError(f"flip_bits must be 0 or 1, got {flip_bits}")
+    per_band = 2 * flip_bits + 1
     if n_bands is None:
-        n_bands = max_hamming + 1
+        n_bands = -(-(max_hamming + 1) // per_band)
     if not 1 <= n_bands <= 64:
         raise ValueError(f"n_bands must be in [1, 64], got {n_bands}")
-    if max_hamming > n_bands - 1:
+    if max_hamming > n_bands * per_band - 1:
         raise ValueError(
-            f"max_hamming={max_hamming} not guaranteed by n_bands={n_bands}; "
-            f"need n_bands >= max_hamming + 1"
+            f"max_hamming={max_hamming} not guaranteed by n_bands={n_bands} "
+            f"with flip_bits={flip_bits}; need n_bands*(2*flip_bits+1) > max_hamming"
         )
     base, rem = divmod(64, n_bands)
     widths = [base + (1 if b < rem else 0) for b in range(n_bands)]
     shifts = [sum(widths[:b]) for b in range(n_bands)]
     # band mask as a SIGNED 64-bit literal (width 64 → all-ones == -1)
     masks = [(1 << w) - 1 if w < 64 else -1 for w in widths]
+
+    def band_keys(b: int) -> list[F.Column]:
+        val = F.shiftrightunsigned(F.col("simhash"), shifts[b]).bitwiseAND(
+            F.lit(masks[b])
+        )
+        keys = [val]
+        if flip_bits:
+            # bit 63's mask as a SIGNED 64-bit literal
+            keys += [
+                val.bitwiseXOR(F.lit((1 << j) if j < 63 else -(1 << 63)))
+                for j in range(widths[b])
+            ]
+        return [
+            F.struct(F.lit(b).alias("band"), k.alias("bkey")) for k in keys
+        ]
+
     banded = sim_df.select(
         "doc_id",
         "simhash",
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("simhash"), shifts[b])
-                        .bitwiseAND(F.lit(masks[b]))
-                        .alias("bkey"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
+            F.array(*[key for b in range(n_bands) for key in band_keys(b)])
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.bkey")
     l, r = banded.alias("l"), banded.alias("r")

@@ -191,12 +191,15 @@ def test_simhash_band_guarantee_hamming6(spark):
         for r in dedup.simhash_neardup_pairs(sim_df, max_hamming=8).collect()
     }
     assert (1, 2, 6) in found
-    # old defaults provably miss it: every 16-bit band differs
-    legacy = dedup.simhash_neardup_pairs(sim_df, max_hamming=3, n_bands=4)
+    # the flip-free (round-1 style) 4x16 banding provably misses it: every
+    # 16-bit band differs
+    legacy = dedup.simhash_neardup_pairs(sim_df, max_hamming=3, n_bands=4, flip_bits=0)
     assert legacy.count() == 0
     # under-banded configs are rejected, not silently lossy
     with pytest.raises(ValueError):
-        dedup.simhash_neardup_pairs(sim_df, max_hamming=8, n_bands=4)
+        dedup.simhash_neardup_pairs(sim_df, max_hamming=8, n_bands=4, flip_bits=0)
+    with pytest.raises(ValueError):
+        dedup.simhash_neardup_pairs(sim_df, max_hamming=12, n_bands=2, flip_bits=1)
 
 
 # ----------------------------------------------------------------- similarity
