@@ -397,7 +397,11 @@ def _stream_src(spark, sf_dir: str) -> str:
     import shutil
     import tempfile
 
-    key = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    from log_analysis_spark.datagen import TRANSCRIPTS_SQL
+
+    # key includes the derivation SQL: a changed datagen must never serve a
+    # stale snapshot from an earlier round
+    key = hashlib.sha256((sf_dir + "\x00" + TRANSCRIPTS_SQL).encode()).hexdigest()[:12]
     dst = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_src_{key}")
     if not os.path.exists(os.path.join(dst, "_SUCCESS")):
         tmp = f"{dst}.tmp-{os.getpid()}"

@@ -239,7 +239,12 @@ def hyperplanes(dim: int, n_planes: int = 64, seed: int = 42) -> list[list[float
 def _sign_bit(unit: F.Column, plane: list[float]) -> F.Column:
     """1 iff the unit vector lies on the non-negative side of the plane.
     The dot is rounded to 1e-6 before the sign test so the bit is identical
-    across engines/float-fold orders (same trick as the top-k scores)."""
+    across engines/float-fold orders (same trick as the top-k scores).
+
+    Scale note: the JVM fold keeps the signature bit-for-bit reproducible in
+    the DuckDB oracle; a production run that doesn't need cross-engine
+    parity should compute the full n_planes×dim signature as one numpy
+    matmul in a Pandas UDF (~100× per-row throughput, same recall)."""
     p = F.array(*[F.lit(c) for c in plane])
     return F.when(F.round(_dot(unit, p), 6) >= 0, F.lit(1)).otherwise(F.lit(0))
 
