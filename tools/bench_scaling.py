@@ -147,9 +147,13 @@ spark = get_spark("docops", master=f"local[{cpus}]", shuffle_partitions=cpus)
 
 # Scaled corpora, deterministically derived from the driver testdata and
 # DECORRELATED per replica so pair density scales linearly (x mult), not
-# quadratically: docs get a replica token interleaved between words (every
-# 2-gram shingle carries it -> no cross-replica near-dups); embeddings get
-# a per-replica circular dim rotation (rotated copies are ~orthogonal).
+# quadratically: every word gets a replica SUFFIX — shingles map 1:1 onto
+# the original shingles within a replica (pair structure preserved exactly)
+# and replicas share no shingles.  (Suffixing, NOT inserting a separate
+# replica token: an inserted token becomes half of every 2-gram, collapsing
+# the shingle space onto single words — measured candidate blowup from hot
+# (word, token) shingles.)  Embeddings get a per-replica circular dim
+# rotation (rotated copies are ~orthogonal).
 reps = spark.range(mult).select(F.col("id").alias("rep"))
 docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
 docs = (
@@ -158,8 +162,8 @@ docs = (
         (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
         F.regexp_replace(
             F.col("text"),
-            F.lit(r"(\S) "),
-            F.concat(F.lit(r"$1 zq"), F.col("rep").cast("string"), F.lit(" ")),
+            F.lit(r"([\w']+)"),
+            F.concat(F.lit(r"$1zq"), F.col("rep").cast("string")),
         ).alias("text"),
     )
     .repartition(cpus * 2)
@@ -181,7 +185,7 @@ emb = (
     .cache()
 )
 emb.count()
-queries = emb.filter(F.col("vec_id") % 479 == 0).cache()
+queries = emb.filter(F.col("vec_id") % 101 == 0).cache()
 queries.count()
 
 def timed(name, fn, repeats=2):
