@@ -177,6 +177,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     kmeans_rounds: int = 2,
+    prebuilt: tuple[DataFrame, list[list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-bucketed ANN top-k: probe only the ``n_probe`` nearest centroid
     buckets per query (scored pairs cut by ~n_probe/K vs brute force).
@@ -184,10 +185,14 @@ def ivf_topk(
 
     Probe selection is also a projection (sort the per-centroid sim array,
     slice n_probe, explode); the only shuffle is the bucket equi-join on
-    centroid_id plus the final per-query top-k window."""
+    centroid_id plus the final per-query top-k window.
+
+    ``prebuilt`` takes (assigned, centroids) from ``assign_centroids`` so
+    the one-time index build amortizes across query batches — the
+    production calling pattern."""
     from pyspark.sql import Window
 
-    assigned, cents = assign_centroids(
+    assigned, cents = prebuilt if prebuilt is not None else assign_centroids(
         corpus, n_centroids, id_col, vec_col, kmeans_rounds
     )
     q = with_unit_vec(queries, vec_col).filter(F.col("unit").isNotNull()).select(

@@ -202,8 +202,13 @@ timed("simhash_pairs", lambda: dedup.simhash_neardup_pairs(
     dedup.simhash_table(docs), max_hamming=8).count())
 timed("jaccard_prefix", lambda: dedup.ngram_jaccard_pairs(docs, threshold=0.5).count())
 timed("cosine_topk", lambda: similarity.cosine_topk(emb, queries, k=3).count())
-timed("ivf_topk", lambda: similarity.ivf_topk(emb, queries, k=3,
+timed("ivf_build_probe", lambda: similarity.ivf_topk(emb, queries, k=3,
     n_centroids=16, n_probe=4).count())
+# the production pattern: one-time index build amortized over query batches
+assigned, cents = similarity.assign_centroids(emb, n_centroids=16)
+assigned = assigned.cache(); assigned.count()
+timed("ivf_probe", lambda: similarity.ivf_topk(emb, queries, k=3,
+    n_centroids=16, n_probe=4, prebuilt=(assigned, cents)).count())
 '''
 
 
@@ -337,11 +342,14 @@ disclosed above it.
 ## Doc/embedding operator scaling (corpora x{mult}, density-linear)
 
 Same ops as the contract queries but on corpora deterministically replicated
-x{mult} with per-replica decorrelation (interleaved replica token in text /
+x{mult} with per-replica decorrelation (replica suffix on every word so
+shingle structure is preserved within a replica and disjoint across them /
 circular dim rotation in embeddings), so run times clear fixed job overhead
 and pair density grows linearly — this is the measurement the round-1 sub-4s
 per-query numbers could not support.  Raw string-substrate ceiling on this
-box: {sub_eff:.3f}.
+box: {sub_eff:.3f}.  ivf_build_probe includes the one-time driver-side
+coarse-quantizer build (fixed cost by design); ivf_probe is the amortized
+per-batch scale path.
 
 | op | local[{lo}] s | local[{hi}] s | raw eff | normalized |
 |---|---|---|---|---|
