@@ -512,6 +512,26 @@ def q_doc_fingerprint(spark, sf_dir):
     )
 
 
+def q_doc_fingerprint_md5(spark, sf_dir):
+    """Winnowing-lite fingerprint with the md5 window hash — the
+    engine-portable twin of doc_fingerprint: identical min-over-windows
+    structure, EXACT DuckDB oracle (xxhash64 stays the production hash)."""
+    return textstats.with_fingerprint_md5(_docs(spark, sf_dir)).select(
+        "doc_id", "fingerprint_md5"
+    )
+
+
+def q_doc_minhash_lsh_md5(spark, sf_dir):
+    """MinHash+LSH with md5 hashing — the exact-oracle twin of
+    doc_minhash_lsh: same shingle → signature → band-bucket → verify
+    pipeline, every hash DuckDB-expressible, so the whole LSH candidate
+    structure is cross-engine proven (xxhash64 stays the production hash)."""
+    out = dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), threshold=0.2, hash_impl="md5"
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_embed_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-3 for every 50th vector as query."""
     emb = _embeddings(spark, sf_dir)
@@ -621,8 +641,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid": q_doc_langid,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_minhash_lsh": q_doc_minhash_lsh,
+        "doc_minhash_lsh_md5": q_doc_minhash_lsh_md5,
         "doc_simhash": q_doc_simhash,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_fingerprint_md5": q_doc_fingerprint_md5,
         "embed_cosine_topk": q_embed_cosine_topk,
         "embed_ivf_topk": q_embed_ivf_topk,
         "embed_neardup": q_embed_neardup,
@@ -992,6 +1014,12 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _doc_quality_oracle(),
         "doc_langid": _langid_oracle(),
         "doc_ngram_jaccard": _ngram_jaccard_oracle(),
+        "doc_fingerprint_md5": (
+            "SELECT doc_id, list_min([md5(substr(text, i, 16))"
+            " FOR i IN range(1, greatest(length(text) - 15, 1) + 1)])"
+            " AS fingerprint_md5 FROM documents"
+        ),
+        "doc_minhash_lsh_md5": _minhash_md5_oracle(),
         "embed_cosine_topk": _cosine_topk_oracle(),
         "embed_neardup": _embed_neardup_oracle(),
         # the mapInPandas extractor's md5 runs over the raw payload bytes ==
@@ -1058,6 +1086,54 @@ scored AS (
 )
 SELECT id_a, id_b, round(inter / (sz - inter), 6) AS jaccard
 FROM scored WHERE inter / (sz - inter) >= 0.2
+"""
+
+
+def _minhash_md5_oracle(
+    threshold: float = 0.2, n_hashes: int = 32, bands: int = 8
+) -> str:
+    """Mirror of dedup.minhash_lsh_pairs(hash_impl='md5'): 3-word shingles,
+    32 seeded min-md5 signature values, 8 band keys (md5 of the band's
+    comma-joined slice), candidates from band-bucket self-join, exact
+    Jaccard verify — every step verbatim-computable in DuckDB."""
+    rpb = n_hashes // bands
+    band_arms = "\n  UNION ALL ".join(
+        "SELECT id, sh, {b} AS band,"
+        " md5(array_to_string(sig[{lo}:{hi}], ',')) AS bkey FROM sigs".format(
+            b=b, lo=b * rpb + 1, hi=(b + 1) * rpb
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH doc_sh3 AS (
+  SELECT doc_id AS id,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        FOR i IN range(1, len(toks) - 1)]) AS sh
+  FROM (SELECT doc_id, {_DOC_TOKENS} AS toks FROM documents)
+  WHERE len(toks) >= 3
+),
+sigs AS (
+  SELECT id, sh,
+         [list_min([md5('mh' || CAST(j AS VARCHAR) || ':' || s) FOR s IN sh])
+          FOR j IN range(0, {n_hashes})] AS sig
+  FROM doc_sh3
+),
+banded AS (
+  {band_arms}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b2.id AS id_b, a.sh AS sh_a, b2.sh AS sh_b
+  FROM banded a JOIN banded b2
+    ON a.band = b2.band AND a.bkey = b2.bkey AND a.id < b2.id
+),
+scored AS (
+  SELECT id_a, id_b,
+         CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+           / len(list_distinct(list_concat(sh_a, sh_b))) AS jaccard
+  FROM cand
+)
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+FROM scored WHERE jaccard >= {threshold}
 """
 
 

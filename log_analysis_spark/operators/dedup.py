@@ -73,16 +73,25 @@ def shingled(
     )
 
 
-def minhash_signature(shingles: F.Column, n_hashes: int = 32) -> F.Column:
+def minhash_signature(
+    shingles: F.Column, n_hashes: int = 32, hash_impl: str = "xxhash64"
+) -> F.Column:
     """MinHash signature: for seed i, min over shingles of
-    xxhash64(seed_i ++ shingle).  Seeded by string prefix — deterministic,
-    shuffle-free, JVM-side."""
+    hash(seed_i ++ shingle).  Seeded by string prefix — deterministic,
+    shuffle-free, JVM-side.
+
+    ``hash_impl``: "xxhash64" (production: 64-bit longs, cheapest) or "md5"
+    (hex strings, ~lexicographic min) — md5 exists verbatim in DuckDB, so
+    the md5 variant gives the whole minhash+LSH pipeline an exact
+    cross-engine oracle."""
+    hash_fn = F.xxhash64 if hash_impl == "xxhash64" else F.md5
+
     def seeded_min(i: int) -> F.Column:
         # NB: the lambda must stay single-parameter — a 2-arg lambda would be
         # called by transform() as (element, index) and silently break seeding
         prefix = F.lit(f"mh{i}:")
         return F.array_min(
-            F.transform(shingles, lambda s: F.xxhash64(F.concat(prefix, s)))
+            F.transform(shingles, lambda s: hash_fn(F.concat(prefix, s)))
         )
 
     return F.array(*[seeded_min(i) for i in range(n_hashes)])
@@ -96,15 +105,21 @@ def minhash_lsh_pairs(
     n_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    hash_impl: str = "xxhash64",
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: shingle → signature → band buckets →
     candidate pairs inside buckets → exact Jaccard verify on shingle sets.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    ``hash_impl="md5"`` runs the identical pipeline on DuckDB-expressible
+    hashes (see minhash_signature) for the exact-oracle contract query.
     """
     rows_per_band = n_hashes // bands
+    bkey_fn = F.xxhash64 if hash_impl == "xxhash64" else F.md5
     sh_tbl = shingled(df, text_col, id_col, k)
-    sig = sh_tbl.withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+    sig = sh_tbl.withColumn(
+        "sig", minhash_signature(F.col("sh"), n_hashes, hash_impl)
+    )
     # band key = hash of the band's slice of the signature; the band join
     # carries ONLY (id, band, bkey) — shingle arrays are re-attached after
     # candidate dedup, so the shuffle stays narrow (SURVEY.md §4.2 skew row)
@@ -115,7 +130,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
+                        bkey_fn(
                             F.concat_ws(
                                 ",",
                                 *[

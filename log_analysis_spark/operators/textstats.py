@@ -101,3 +101,18 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", k: int = 16) -> Data
     return df.withColumn("fingerprint", F.array_min(win_hashes)).withColumn(
         "md5_full", F.md5(t)
     )
+
+
+def with_fingerprint_md5(df: DataFrame, text_col: str = "text", k: int = 16) -> DataFrame:
+    """Engine-portable twin of ``with_fingerprint``: same winnowing-lite
+    structure (min over every k-char window's hash, lexicographic min of the
+    hex digests) but with md5 as the window hash, which DuckDB can compute
+    verbatim — giving the rolling-hash semantics an EXACT cross-engine
+    oracle.  xxhash64 stays the production fingerprint (≈20× cheaper);
+    this variant exists so the fingerprint op itself is oracle-provable."""
+    t = F.col(text_col)
+    n_win = F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
+    win_hashes = F.transform(
+        F.sequence(F.lit(1), n_win), lambda i: F.md5(F.substring(t, i, k))
+    )
+    return df.withColumn("fingerprint_md5", F.array_min(win_hashes))

@@ -128,6 +128,22 @@ def test_minhash_lsh_finds_known_dups(spark, docs):
     assert planted <= found  # identical docs always collide in every band
 
 
+def test_minhash_md5_variant_agrees_with_production_hash(spark, docs):
+    """The md5 (oracle-expressible) and xxhash64 (production) LSH variants
+    share all structure; their VERIFIED pair sets must agree — candidates
+    differ per hash, but verify is exact Jaccard, so any disagreement means
+    a band-recall hole in one of them."""
+    a = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.2).collect()
+    }
+    b = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.2, hash_impl="md5").collect()
+    }
+    assert a == b and len(a) > 0
+
+
 def test_minhash_signature_matches_python(spark, docs):
     """Spark minhash == reference python implementation (xxhash via JVM —
     verify bandkey determinism instead of exact value): same doc → same sig."""
