@@ -181,6 +181,44 @@ def main() -> int:
     ]
     sections.append(("IVF centroid assignment (projection-only)", plan, notes))
 
+    # 9 — near-dup candidate joins: banded/prefix equi-joins, never a cross
+    # product (the 100-TB kill criterion for any all-pairs op)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from log_analysis_spark.operators import dedup
+
+    nd_plans = {
+        "jaccard_prefix": executed(dedup.ngram_jaccard_pairs(docs, k=2, threshold=0.2)),
+        "minhash_lsh": executed(dedup.minhash_lsh_pairs(docs, threshold=0.2)),
+        "simhash": executed(
+            dedup.simhash_neardup_pairs(dedup.simhash_table(docs), max_hamming=8)
+        ),
+        "embed_neardup": executed(
+            similarity.embedding_neardup_pairs(emb, threshold=0.3, band_bits=4)
+        ),
+    }
+    notes = []
+    for name, plan in nd_plans.items():
+        notes.append(
+            check(f"{name}: no CartesianProduct", "CartesianProduct" not in plan)
+        )
+        notes.append(
+            check(
+                f"{name}: no BroadcastNestedLoopJoin",
+                "BroadcastNestedLoopJoin" not in plan,
+            )
+        )
+    notes.append(
+        check(
+            "jaccard_prefix: PPJoin pruning predicates inside the join",
+            "least(" in nd_plans["jaccard_prefix"]
+            and "CEIL(" in nd_plans["jaccard_prefix"].upper(),
+        )
+    )
+    sections.append(
+        ("Near-dup candidate joins (equi-band, cross-product-free)",
+         nd_plans["jaccard_prefix"], notes)
+    )
+
     # ---- write EXPLAIN.md -------------------------------------------------
     md = ["# EXPLAIN audit — physical plans vs 100 TB design intents",
           "",
