@@ -532,6 +532,17 @@ def q_doc_minhash_lsh_md5(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_doc_neardup_groups(spark, sf_dir):
+    """Near-dup GROUP resolution: connected components (min-label
+    propagation) over the exact global Jaccard pair graph — every doc maps
+    to its cluster representative, singletons to themselves.  Exact oracle:
+    DuckDB recursive-CTE reachability with min-reachable-id."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, k=2, threshold=0.2)
+    ids = docs.select(F.col("doc_id").alias("id"))
+    return dedup.neardup_groups(ids, pairs)
+
+
 def q_embed_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-3 for every 50th vector as query."""
     emb = _embeddings(spark, sf_dir)
@@ -640,6 +651,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_langid": q_doc_langid,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "doc_neardup_groups": q_doc_neardup_groups,
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_minhash_lsh_md5": q_doc_minhash_lsh_md5,
         "doc_simhash": q_doc_simhash,
@@ -1014,6 +1026,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _doc_quality_oracle(),
         "doc_langid": _langid_oracle(),
         "doc_ngram_jaccard": _ngram_jaccard_oracle(),
+        "doc_neardup_groups": _neardup_groups_oracle(),
         "doc_fingerprint_md5": (
             "SELECT doc_id, list_min([md5(substr(text, i, 16))"
             " FOR i IN range(1, greatest(length(text) - 15, 1) + 1)])"
@@ -1086,6 +1099,35 @@ scored AS (
 )
 SELECT id_a, id_b, round(inter / (sz - inter), 6) AS jaccard
 FROM scored WHERE inter / (sz - inter) >= 0.2
+"""
+
+
+def _neardup_groups_oracle(threshold: float = 0.2) -> str:
+    """Connected components via recursive-CTE reachability: reach(id, r)
+    enumerates every node r reachable from id over the Jaccard pair graph
+    (components are small, so the closure is cheap at oracle scale);
+    rep_id = min reachable id.  Mirrors dedup.neardup_groups exactly."""
+    return f"""
+WITH RECURSIVE {_DOC_SHINGLES_2.strip()},
+scored AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+         CAST(len(a.sh) + len(b.sh) AS DOUBLE) AS sz
+  FROM doc_sh a JOIN doc_sh b ON a.id < b.id
+),
+pairs AS (
+  SELECT id_a, id_b FROM scored WHERE inter / (sz - inter) >= {threshold}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+)
+SELECT id, min(r) AS rep_id FROM reach GROUP BY id
 """
 
 

@@ -268,6 +268,66 @@ def ngram_jaccard_pairs(
     )
 
 
+def neardup_groups(
+    ids: DataFrame, pairs: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Resolve near-dup PAIRS into GROUPS: connected components over the
+    pair graph via min-label propagation (hash-to-min), the step dedup
+    actually needs — every doc maps to its component's canonical
+    representative (lowest doc id), singletons to themselves.
+
+    ``ids``: one column ``id`` (the full universe); ``pairs``: (id_a, id_b).
+    Returns (id, rep_id).
+
+    Scale shape: each iteration is one narrow (id, label) shuffle join on
+    the edge list plus a min-aggregate — no component is ever materialized
+    as a row.  Iterations = component diameter (near-dup clusters are
+    shallow; bounded by ``max_iters`` with a hard error rather than a wrong
+    answer).  Lineage is truncated per iteration (localCheckpoint), without
+    which the iterated join plan grows superlinearly.  For adversarial
+    long-chain graphs the known refinement is large-star/small-star
+    (alternating min-propagation that contracts chains in O(log n) rounds);
+    the propagation step here is its building block."""
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    labels = ids.select("id", F.col("id").alias("rep"))
+    for _ in range(max_iters):
+        neigh_min = (
+            edges.join(labels.select(F.col("id").alias("dst"), "rep"), "dst")
+            .groupBy("src")
+            .agg(F.min("rep").alias("nrep"))
+        )
+        new_labels = (
+            labels.join(neigh_min.withColumnRenamed("src", "id"), "id", "left")
+            .select("id", F.least("rep", F.coalesce("nrep", "rep")).alias("rep"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.rep") != F.col("o.rep"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("id", F.col("rep").alias("rep_id"))
+    raise RuntimeError(f"neardup_groups did not converge in {max_iters} iterations")
+
+
+def drop_near_duplicates(
+    df: DataFrame, groups: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one representative per near-dup group (the component's lowest
+    id): the terminal dedup step a training-data pipeline runs."""
+    reps = groups.filter(F.col("id") == F.col("rep_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(reps, id_col)
+
+
 SIMHASH_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

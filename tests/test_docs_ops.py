@@ -128,6 +128,24 @@ def test_minhash_lsh_finds_known_dups(spark, docs):
     assert planted <= found  # identical docs always collide in every band
 
 
+def test_neardup_groups_connected_components(spark):
+    """Min-label propagation resolves pair CHAINS (a-b, b-c => one group
+    with rep=min) and leaves singletons alone; drop_near_duplicates keeps
+    exactly one doc per group."""
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 7, 9, 10, 42]], "id long")
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 9), (7, 10)], "id_a long, id_b long"
+    )
+    groups = dedup.neardup_groups(ids, pairs)
+    got = {r["id"]: r["rep_id"] for r in groups.collect()}
+    assert got == {1: 1, 3: 1, 9: 1, 7: 7, 10: 7, 2: 2, 42: 42}
+    docs = spark.createDataFrame(
+        [(i, f"text{i}") for i in [1, 2, 3, 7, 9, 10, 42]], "doc_id long, text string"
+    )
+    kept = {r["doc_id"] for r in dedup.drop_near_duplicates(docs, groups).collect()}
+    assert kept == {1, 2, 7, 42}
+
+
 def test_minhash_md5_variant_agrees_with_production_hash(spark, docs):
     """The md5 (oracle-expressible) and xxhash64 (production) LSH variants
     share all structure; their VERIFIED pair sets must agree — candidates
