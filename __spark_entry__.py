@@ -399,9 +399,23 @@ def _stream_src(spark, sf_dir: str) -> str:
 
     from log_analysis_spark.datagen import TRANSCRIPTS_SQL
 
-    # key includes the derivation SQL: a changed datagen must never serve a
-    # stale snapshot from an earlier round
-    key = hashlib.sha256((sf_dir + "\x00" + TRANSCRIPTS_SQL).encode()).hexdigest()[:12]
+    # key includes the derivation SQL AND a content fingerprint of the
+    # source parquet (size+mtime of every part file): neither a changed
+    # datagen nor regenerated testdata at the same path may serve a stale
+    # snapshot from an earlier run
+    src = os.path.join(sf_dir, "events.parquet")
+    stats = []
+    if os.path.isfile(src):
+        st = os.stat(src)
+        stats.append(f"events.parquet:{st.st_size}:{st.st_mtime_ns}")
+    else:
+        for root, _dirs, files in os.walk(src):
+            for fn in sorted(files):
+                st = os.stat(os.path.join(root, fn))
+                stats.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+    key = hashlib.sha256(
+        "\x00".join([sf_dir, TRANSCRIPTS_SQL] + stats).encode()
+    ).hexdigest()[:12]
     dst = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_src_{key}")
     if not os.path.exists(os.path.join(dst, "_SUCCESS")):
         tmp = f"{dst}.tmp-{os.getpid()}"
@@ -1083,12 +1097,12 @@ FROM feat
 """
 
 
-def _ngram_jaccard_oracle() -> str:
+def _ngram_jaccard_oracle(threshold: float = 0.2) -> str:
     # BRUTE-FORCE GLOBAL all-pairs — deliberately encodes no blocking or
     # candidate structure, so it independently checks the prefix-filter
     # path's global exactness.  |A∪B| = |A|+|B|-|A∩B| mirrors the Spark
     # expression bit-for-bit (same numerator/denominator doubles → same
-    # round).
+    # round).  ``threshold`` must match q_doc_ngram_jaccard's parameter.
     return f"""
 WITH {_DOC_SHINGLES_2.strip()},
 scored AS (
@@ -1098,7 +1112,7 @@ scored AS (
   FROM doc_sh a JOIN doc_sh b ON a.id < b.id
 )
 SELECT id_a, id_b, round(inter / (sz - inter), 6) AS jaccard
-FROM scored WHERE inter / (sz - inter) >= 0.2
+FROM scored WHERE inter / (sz - inter) >= {threshold}
 """
 
 

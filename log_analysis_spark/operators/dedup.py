@@ -292,29 +292,37 @@ def neardup_groups(
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).cache()
-    labels = ids.select("id", F.col("id").alias("rep"))
-    for _ in range(max_iters):
-        neigh_min = (
-            edges.join(labels.select(F.col("id").alias("dst"), "rep"), "dst")
-            .groupBy("src")
-            .agg(F.min("rep").alias("nrep"))
+    try:
+        labels = ids.select("id", F.col("id").alias("rep"))
+        for _ in range(max_iters):
+            neigh_min = (
+                edges.join(labels.select(F.col("id").alias("dst"), "rep"), "dst")
+                .groupBy("src")
+                .agg(F.min("rep").alias("nrep"))
+            )
+            new_labels = (
+                labels.join(neigh_min.withColumnRenamed("src", "id"), "id", "left")
+                .select("id", F.least("rep", F.coalesce("nrep", "rep")).alias("rep"))
+            )
+            new_labels = new_labels.localCheckpoint(eager=True)
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.rep") != F.col("o.rep"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                return labels.select("id", F.col("rep").alias("rep_id"))
+        raise RuntimeError(
+            f"neardup_groups did not converge in {max_iters} iterations"
         )
-        new_labels = (
-            labels.join(neigh_min.withColumnRenamed("src", "id"), "id", "left")
-            .select("id", F.least("rep", F.coalesce("nrep", "rep")).alias("rep"))
-        )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.rep") != F.col("o.rep"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            return labels.select("id", F.col("rep").alias("rep_id"))
-    raise RuntimeError(f"neardup_groups did not converge in {max_iters} iterations")
+    finally:
+        # the returned labels are checkpointed, so the cached edge blocks
+        # are no longer needed — a long-lived driver calling this repeatedly
+        # would otherwise accumulate pinned executor storage
+        edges.unpersist()
 
 
 def drop_near_duplicates(

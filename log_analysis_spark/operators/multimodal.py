@@ -235,6 +235,8 @@ def image_feature_extract(media: DataFrame) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 out["media_id"].append(int(mid))
                 try:
+                    if payload is None:
+                        raise ValueError("null payload")
                     img = decode_image(bytes(payload))
                     out["width"].append(img.shape[1])
                     out["height"].append(img.shape[0])

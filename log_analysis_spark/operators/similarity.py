@@ -112,6 +112,10 @@ def build_centroids(
         .collect()
     )
     cents = [[round(float(x), 6) for x in r["unit"]] for r in seed_rows]
+    if not cents:
+        raise ValueError(
+            "no centroid seeds: corpus has no non-zero-norm vectors"
+        )
 
     sample = cu if sample_mod <= 1 else cu.filter(
         F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(sample_mod)) == 0

@@ -44,11 +44,13 @@ def with_stable_order(df: DataFrame) -> DataFrame:
     woff = Window.orderBy("conv_id").rowsBetween(Window.unboundedPreceding, -1)
     offs = counts.withColumn(
         "_off", F.coalesce(F.sum("_cnt").over(woff), F.lit(0))
-    ).select("conv_id", "_off")
+    ).select(F.col("conv_id").alias("_offs_conv"), "_off")
+    # null-safe join key: groupBy produced a NULL-conv group, and a plain
+    # equi-join would silently DROP null-conv rows (NULL never equals NULL)
     return (
-        df.join(offs, "conv_id")
+        df.join(offs, F.col("conv_id").eqNullSafe(F.col("_offs_conv")))
         .withColumn("rn", (F.col("_off") + local).cast("int"))
-        .drop("_off")
+        .drop("_off", "_offs_conv")
     )
 
 

@@ -84,8 +84,6 @@ def test_ngram_jaccard_globally_exact(spark, docs):
     Planted near-dups with FAR-APART ids (+777001 offset, non-adjacent and
     coprime to any plausible block count) prove candidates are content-based:
     the round-1 id-mod blocking missed exactly this class."""
-    import re as _re
-
     dup = docs.limit(4).select(
         (F.col("doc_id") + 777001).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" tail")).alias("text"),
@@ -117,14 +115,18 @@ def test_ngram_jaccard_globally_exact(spark, docs):
 
 
 def test_minhash_lsh_finds_known_dups(spark, docs):
-    # plant exact duplicates: copy of doc text under new ids
-    dup = docs.limit(5).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    # plant exact duplicates: copy of doc text under new ids.  Collect the
+    # sample ONCE — limit() without order has no guaranteed row set, so two
+    # independent executions could pick different rows (flake vector).
+    sample = docs.select("doc_id", "text", "lang", "source", "n_chars").limit(5).collect()
+    dup = spark.createDataFrame(
+        [(r["doc_id"] + 1000000, r["text"], r["lang"], r["source"], r["n_chars"]) for r in sample],
+        "doc_id long, text string, lang string, source string, n_chars long",
     )
     with_dups = docs.unionByName(dup)
     pairs = dedup.minhash_lsh_pairs(with_dups, threshold=0.9)
     found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
-    planted = {(r["doc_id"], r["doc_id"] + 1000000) for r in docs.limit(5).collect()}
+    planted = {(r["doc_id"], r["doc_id"] + 1000000) for r in sample}
     assert planted <= found  # identical docs always collide in every band
 
 
@@ -287,16 +289,18 @@ def test_embedding_neardup_finds_planted_global_dups(spark, embeddings):
     surface — sign-band candidates are content-based, so a near-dup pair
     collides in (essentially) every band regardless of id distance.  The
     round-1 id-mod blocking found such a pair only 1/n_blocks of the time."""
-    jitter = F.transform("embedding", lambda x: x * F.lit(1.0009) + F.lit(1e-4))
-    dup = embeddings.limit(5).select(
-        (F.col("vec_id") + 999001).alias("vec_id"),
-        jitter.cast("array<float>").alias("embedding"),
-        "label",
+    sample = embeddings.select("vec_id", "embedding", "label").limit(5).collect()
+    dup = spark.createDataFrame(
+        [
+            (r["vec_id"] + 999001, [x * 1.0009 + 1e-4 for x in r["embedding"]], r["label"])
+            for r in sample
+        ],
+        "vec_id long, embedding array<float>, label int",
     )
     corpus = embeddings.unionByName(dup)
     pairs = similarity.embedding_neardup_pairs(corpus, threshold=0.99, band_bits=8)
     found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
-    planted = {(r["vec_id"], r["vec_id"] + 999001) for r in embeddings.limit(5).collect()}
+    planted = {(r["vec_id"], r["vec_id"] + 999001) for r in sample}
     assert planted <= found
 
 

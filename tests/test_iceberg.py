@@ -73,14 +73,15 @@ def test_route_write_resumable_falls_back_without_runtime(spark, tagged, tmp_pat
     assert got == want
 
 
-@pytest.mark.skipif(
-    "not __import__('log_analysis_spark.sources.iceberg', fromlist=['x']).iceberg_available("
-    "__import__('log_analysis_spark.session', fromlist=['x']).get_spark('icecheck'))",
-    reason="Iceberg Spark runtime not on classpath in this container",
-)
 def test_iceberg_writeto_partition_spec(spark, tagged, tmp_path):
     """Real Iceberg path (runs only where the runtime exists): create with
-    days(ts)+bucket spec, then overwritePartitions resume."""
+    days(ts)+bucket spec, then overwritePartitions resume.
+
+    Gated with an in-body skip (NOT a skipif expression): a skipif string
+    would evaluate at collection time and build its own SparkSession with
+    default config, hijacking the session-scoped fixture's getOrCreate."""
+    if not iceberg.iceberg_available(spark):
+        pytest.skip("Iceberg Spark runtime not on classpath in this container")
     iceberg.configure_catalog(spark, "graft", str(tmp_path / "wh"))
     t = tagged.withColumn("ts", F.current_timestamp())
     iceberg.write_transcripts_iceberg(t, "graft.db.transcripts", bucket_n=4)

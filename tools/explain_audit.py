@@ -153,8 +153,6 @@ def main() -> int:
     # one is allowed — the conv-level offset cumsum (input: one row per conv,
     # i.e. post-aggregate) — and it must sit above a HashAggregate, never
     # directly above the fact scan/parse
-    import re as _re
-
     single_parts = plan.count("Exchange SinglePartition")
     seg_after = plan.split("Exchange SinglePartition", 1)[-1]
     notes = [
