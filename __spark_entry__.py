@@ -449,6 +449,18 @@ def q_streaming_conv_state(spark, sf_dir):
     )
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """§2.9 + dedup: streaming exact dedup (dropDuplicates on md5(text))
+    over the static snapshot — exact oracle vs batch DISTINCT-text counts
+    (same text always derives the same turn_class, so distinct text ≡
+    distinct (text, class))."""
+    from log_analysis_spark.streaming.stream_pipeline import run_stream_dedup_to_memory
+
+    return run_stream_dedup_to_memory(
+        spark, _stream_src(spark, sf_dir), query_name="q_stream_dedup"
+    )
+
+
 def q_events_sessionize(spark, sf_dir):
     """Sessionization on the raw events table: 30-min-gap sessions/user."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -659,6 +671,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lifecycle_merge": q_lifecycle_merge,
         "streaming_hourly": q_streaming_hourly,
         "streaming_conv_state": q_streaming_conv_state,
+        "streaming_dedup": q_streaming_dedup,
         "events_sessionize": q_events_sessionize,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_token_count": q_doc_token_count,
@@ -1006,6 +1019,11 @@ def oracle_sql() -> dict[str, str]:
             f"""SELECT date_trunc('hour', ts) AS hour, {_SINK_TAG} AS sink, role,
                        count(*) AS n
                 FROM parsed GROUP BY 1, 2, 3"""
+        ),
+        "streaming_dedup": P(
+            """SELECT turn_class, count(*) AS n_unique FROM (
+                 SELECT DISTINCT text, turn_class FROM parsed
+               ) GROUP BY turn_class"""
         ),
         "streaming_conv_state": P(
             """SELECT conv_id, count(*) AS n_turns,

@@ -64,6 +64,38 @@ def run_stream_to_memory(
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+def run_stream_dedup_to_memory(
+    spark: SparkSession, path: str, query_name: str = "stream_dedup"
+) -> DataFrame:
+    """Streaming EXACT dedup: dropDuplicates keyed on md5(text) (bounded
+    key size regardless of turn length), appended to a memory sink; the
+    returned frame is per-class counts of unique texts — an exact oracle vs
+    the batch ``DISTINCT text`` counts.
+
+    State note: unbounded dedup state here (exactness over the static test
+    dir); the production variant is ``dropDuplicatesWithinWatermark`` once
+    an event-time bound on duplicate arrival is acceptable — same plan
+    shape, state evicted by watermark."""
+    stream = stream_transcripts(spark, path)
+    parsed = parse_turns_native(stream)
+    dd = parsed.withColumn("_k", F.md5("text")).dropDuplicates(["_k"])
+    q = (
+        dd.select("conv_id", "turn_idx", "turn_class", "_k")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        f"SELECT turn_class, count(*) AS n_unique FROM {query_name}"
+        " GROUP BY turn_class"
+    )
+
+
 def run_stream_routed(
     spark: SparkSession, src_path: str, out_dir: str, checkpoint: str | None = None
 ) -> dict[str, int]:

@@ -6,6 +6,27 @@ from log_analysis_spark.functions.parse import parse_turns
 from log_analysis_spark.streaming.stateful import run_stateful_to_memory
 
 
+def test_stream_dedup_matches_batch_distinct(spark, transcripts, tmp_path):
+    from log_analysis_spark.streaming.stream_pipeline import run_stream_dedup_to_memory
+
+    src = str(tmp_path / "dedup_src")
+    transcripts.write.mode("overwrite").parquet(src)
+    got = {
+        r["turn_class"]: r["n_unique"]
+        for r in run_stream_dedup_to_memory(spark, src, "t_dedup").collect()
+    }
+    want = {
+        r["turn_class"]: r["n"]
+        for r in parse_turns(transcripts)
+        .select("text", "turn_class")
+        .distinct()
+        .groupBy("turn_class")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_stream_routed_fanout_counts(spark, transcripts, tmp_path):
     from log_analysis_spark.operators import router
     from log_analysis_spark.streaming.stream_pipeline import run_stream_routed
