@@ -39,6 +39,10 @@ from log_analysis_spark.operators import (
 
 ALL_ACTIONS = ["CurlHandlePool::get", "DmrppArray::read", "TheBESKeys::TheKeys"]
 
+# one source of truth for the global n-gram Jaccard threshold: the Spark
+# queries and their oracle SQL must agree or the contract fails confusingly
+NGRAM_JACCARD_T = 0.2
+
 
 def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_turns(transcripts_from_events(spark, sf_dir))
@@ -518,7 +522,7 @@ def q_doc_ngram_jaccard(spark, sf_dir):
     encodes NO candidate structure, so a hash match proves the prefix-filter
     path is globally exact.  threshold=0.2 surfaces the corpus's planted
     near-dup pairs (25 at sf0.01) — a 0-row match would prove nothing."""
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), k=2, threshold=0.2)
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), k=2, threshold=NGRAM_JACCARD_T)
 
 
 def q_doc_minhash_lsh(spark, sf_dir):
@@ -564,7 +568,7 @@ def q_doc_neardup_groups(spark, sf_dir):
     to its cluster representative, singletons to themselves.  Exact oracle:
     DuckDB recursive-CTE reachability with min-reachable-id."""
     docs = _docs(spark, sf_dir)
-    pairs = dedup.ngram_jaccard_pairs(docs, k=2, threshold=0.2)
+    pairs = dedup.ngram_jaccard_pairs(docs, k=2, threshold=NGRAM_JACCARD_T)
     ids = docs.select(F.col("doc_id").alias("id"))
     return dedup.neardup_groups(ids, pairs)
 
@@ -1115,7 +1119,7 @@ FROM feat
 """
 
 
-def _ngram_jaccard_oracle(threshold: float = 0.2) -> str:
+def _ngram_jaccard_oracle(threshold: float = NGRAM_JACCARD_T) -> str:
     # BRUTE-FORCE GLOBAL all-pairs — deliberately encodes no blocking or
     # candidate structure, so it independently checks the prefix-filter
     # path's global exactness.  |A∪B| = |A|+|B|-|A∩B| mirrors the Spark
@@ -1134,7 +1138,7 @@ FROM scored WHERE inter / (sz - inter) >= {threshold}
 """
 
 
-def _neardup_groups_oracle(threshold: float = 0.2) -> str:
+def _neardup_groups_oracle(threshold: float = NGRAM_JACCARD_T) -> str:
     """Connected components via recursive-CTE reachability: reach(id, r)
     enumerates every node r reachable from id over the Jaccard pair graph
     (components are small, so the closure is cheap at oracle scale);
@@ -1203,7 +1207,7 @@ cand AS (
 scored AS (
   SELECT id_a, id_b,
          CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-           / len(list_distinct(list_concat(sh_a, sh_b))) AS jaccard
+           / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS jaccard
   FROM cand
 )
 SELECT id_a, id_b, round(jaccard, 6) AS jaccard

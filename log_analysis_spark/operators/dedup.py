@@ -163,8 +163,10 @@ def minhash_lsh_pairs(
     pairs = cand.join(
         sh_tbl.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
     ).join(sh_tbl.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    # |A∪B| = |A|+|B|-|A∩B| (shingle arrays are distinct sets) — one hash-set
+    # build per pair instead of two (same form as ngram_jaccard_pairs)
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     return (
         pairs.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
