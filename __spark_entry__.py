@@ -573,6 +573,16 @@ def q_doc_neardup_groups(spark, sf_dir):
     return dedup.neardup_groups(ids, pairs)
 
 
+def q_doc_dedup_kept(spark, sf_dir):
+    """The terminal dedup artifact: the corpus with near-dup groups
+    collapsed to their representative (lowest-id) doc — what a training
+    pipeline actually feeds downstream."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, k=2, threshold=NGRAM_JACCARD_T)
+    groups = dedup.neardup_groups(docs.select(F.col("doc_id").alias("id")), pairs)
+    return dedup.drop_near_duplicates(docs, groups).select("doc_id", "lang", "n_chars")
+
+
 def q_embed_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-3 for every 50th vector as query."""
     emb = _embeddings(spark, sf_dir)
@@ -683,6 +693,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid": q_doc_langid,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_neardup_groups": q_doc_neardup_groups,
+        "doc_dedup_kept": q_doc_dedup_kept,
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_minhash_lsh_md5": q_doc_minhash_lsh_md5,
         "doc_simhash": q_doc_simhash,
@@ -1063,6 +1074,18 @@ def oracle_sql() -> dict[str, str]:
         "doc_langid": _langid_oracle(),
         "doc_ngram_jaccard": _ngram_jaccard_oracle(),
         "doc_neardup_groups": _neardup_groups_oracle(),
+        "doc_dedup_kept": (
+            _neardup_groups_oracle().rstrip()
+            .replace(
+                "SELECT id, min(r) AS rep_id FROM reach GROUP BY id",
+                """SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+JOIN (
+  SELECT id FROM (SELECT id, min(r) AS rep_id FROM reach GROUP BY id)
+  WHERE id = rep_id
+) reps ON d.doc_id = reps.id""",
+            )
+        ),
         "doc_fingerprint_md5": (
             "SELECT doc_id, list_min([md5(substr(text, i, 16))"
             " FOR i IN range(1, greatest(length(text) - 15, 1) + 1)])"
