@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from log_analysis_spark import oracles
@@ -468,19 +468,67 @@ def q_streaming_dedup(spark, sf_dir):
 def q_events_sessionize(spark, sf_dir):
     """Sessionization on the raw events table: 30-min-gap sessions/user."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    sess = F.sum(F.when(gap > 1800, 1).otherwise(0)).over(
-        w.rowsBetween(Window.unboundedPreceding, 0)
-    )
     return (
-        ev.withColumn("sess_id", sess)
+        windows_ops.sessionize(ev, "user_id", "ts", ["ts", "event_id"], gap_sec=1800)
         .groupBy("user_id")
         .agg(
             (F.max("sess_id") + 1).cast("long").alias("n_sessions"),
             F.count("*").alias("n_events"),
         )
     )
+
+
+def _sessions(spark, sf_dir, gap_sec: int = 86400) -> DataFrame:
+    """24h-gap sessions with per-session text assembled from the ordered
+    event-type sequence — the input of the sessionize→dedup composition.
+    ``sess_key = user_id * 1e6 + sess_id`` (collision-free: per-user session
+    counts are bounded by per-user event counts ≪ 1e6 at every sf)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sess = windows_ops.sessionize(
+        ev, "user_id", "ts", ["ts", "event_id"], gap_sec=gap_sec
+    )
+    return (
+        sess.withColumn(
+            "sess_key", F.col("user_id") * F.lit(1_000_000) + F.col("sess_id")
+        )
+        .groupBy("sess_key")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                " ",
+            ).alias("text"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+def q_session_dedup(spark, sf_dir):
+    """Composition query (the training-pipeline shape): sessionize →
+    per-session text assembly → near-dup dedup ACROSS sessions — the same
+    prefix-filter Jaccard + connected-components machinery as
+    ``doc_dedup_kept``, fed by ``events_sessionize``'s window.  Output: the
+    kept (representative) sessions.  Exact oracle: recursive-CTE
+    reachability over the brute-force global session-pair graph.
+
+    threshold=0.9 on event-type bigrams yields 347 global pairs at sf0.01 —
+    non-trivial, and not reducible to exact-set match (342 pairs at 1.0).
+    Scale note: the event-type vocabulary is tiny here; a production corpus
+    would token-enrich (e.g. ``event_type:prop``) so shingle entropy keeps
+    prefix buckets thin — the machinery is unchanged."""
+    sessions = _sessions(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(
+        sessions, text_col="text", id_col="sess_key", k=2, threshold=0.9
+    )
+    groups = dedup.neardup_groups(
+        sessions.select(F.col("sess_key").alias("id")), pairs
+    )
+    kept = dedup.drop_near_duplicates(sessions, groups, id_col="sess_key")
+    return kept.select("sess_key", "n_events")
 
 
 # ---------------------------------------------------------------------------
@@ -531,8 +579,24 @@ def q_doc_minhash_lsh(spark, sf_dir):
 
 
 def q_doc_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (Arrow UDF → rows-only check)."""
+    """SimHash near-dup pairs (Arrow UDF → rows-only check).  Kept as the
+    production path; the contract slot belongs to the md5 twin below, whose
+    oracle transitively vouches for this machinery (tests prove the two
+    differ only in the token-hash function)."""
     return dedup.simhash_neardup_pairs(dedup.simhash_table(_docs(spark, sf_dir)), max_hamming=8)
+
+
+def q_doc_simhash_md5(spark, sf_dir):
+    """SimHash with md5-derived signature bits — the exact-oracle twin of
+    doc_simhash: the SAME ``simhash_neardup_pairs`` candidate machinery
+    (Manku 1-bit-flip band enumeration + bit_count Hamming verify) runs over
+    ``simhash_md5_table``'s engine-portable signatures.  The oracle is
+    brute-force all-pairs Hamming over the same md5 bits (NO candidate
+    structure leaked), so a hash match proves both the signature math and
+    the flip-enumeration rule's losslessness at radius 8."""
+    return dedup.simhash_neardup_pairs(
+        dedup.simhash_md5_table(_docs(spark, sf_dir)), max_hamming=8
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 def q_doc_fingerprint(spark, sf_dir):
@@ -646,11 +710,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    """EXACTLY 50 entries — the driver's correctness window checks the first
+    50 insertion-order entries, so the contract is sized to get a driver row
+    for every query (rounds 1-2 carried 51/56 entries and the tail went
+    unchecked).  Dropped vs round 2 (all still implemented + unit-tested;
+    each §2 ID keeps an in-window green twin — see R3_NOTES.md):
+
+      * class_counts        — strict coarsening of logs_overview (A1)
+      * request_errors_flat — J4 flat twin of nested_errors
+      * cache_op_counts     — A2 twin of conditional_agg
+      * error_follows_tool  — W3 twin of adjacent_pairing
+      * doc_token_count     — n_tokens is a column of doc_quality's output
+      * doc_minhash_lsh     — no-oracle production twin of doc_minhash_lsh_md5
+      * doc_simhash         — no-oracle production twin of doc_simhash_md5
+      * doc_fingerprint     — no-oracle production twin of doc_fingerprint_md5
+
+    49/50 have exact oracles; embed_ivf_topk is rows-only by design
+    (approximate ANN; recall floor asserted in tests)."""
+    q = {
         "transcripts": q_transcripts,
         "parse_fields": q_parse_fields,
         "logs_overview": q_logs_overview,
-        "class_counts": q_class_counts,
         "route_counts": q_route_counts,
         "enrich_roles": q_enrich_roles,
         "enrich_tools": q_enrich_tools,
@@ -669,7 +749,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "req_resp_merge": q_req_resp_merge,
         "full_outer_merge": q_full_outer_merge,
         "lookup_sentinel": q_lookup_sentinel,
-        "request_errors_flat": q_request_errors_flat,
         "interval_join": q_interval_join,
         "adjacent_pairing": q_adjacent_pairing,
         "turn_ordering": q_turn_ordering,
@@ -680,30 +759,28 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conditional_agg": q_conditional_agg,
         "nested_errors": q_nested_errors,
         "pid_fanout": q_pid_fanout,
-        "error_follows_tool": q_error_follows_tool,
-        "cache_op_counts": q_cache_op_counts,
         "lifecycle_merge": q_lifecycle_merge,
         "streaming_hourly": q_streaming_hourly,
         "streaming_conv_state": q_streaming_conv_state,
         "streaming_dedup": q_streaming_dedup,
         "events_sessionize": q_events_sessionize,
+        "session_dedup": q_session_dedup,
         "doc_exact_dedup": q_doc_exact_dedup,
-        "doc_token_count": q_doc_token_count,
         "doc_quality": q_doc_quality,
         "doc_langid": q_doc_langid,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_neardup_groups": q_doc_neardup_groups,
         "doc_dedup_kept": q_doc_dedup_kept,
-        "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_minhash_lsh_md5": q_doc_minhash_lsh_md5,
-        "doc_simhash": q_doc_simhash,
-        "doc_fingerprint": q_doc_fingerprint,
+        "doc_simhash_md5": q_doc_simhash_md5,
         "doc_fingerprint_md5": q_doc_fingerprint_md5,
         "embed_cosine_topk": q_embed_cosine_topk,
-        "embed_ivf_topk": q_embed_ivf_topk,
         "embed_neardup": q_embed_neardup,
+        "embed_ivf_topk": q_embed_ivf_topk,
         "multimodal_features": q_multimodal_features,
     }
+    assert len(q) == 50, f"contract must stay exactly 50 queries, got {len(q)}"
+    return q
 
 
 # ---------------------------------------------------------------------------
@@ -812,7 +889,6 @@ def oracle_sql() -> dict[str, str]:
             "SELECT turn_class, http_code, count(*) AS n FROM parsed"
             " GROUP BY turn_class, http_code"
         ),
-        "class_counts": P("SELECT turn_class, count(*) AS n FROM parsed GROUP BY turn_class"),
         "route_counts": P(
             f"SELECT {_SINK_TAG} AS sink, count(*) AS n FROM parsed GROUP BY 1"
         ),
@@ -905,12 +981,6 @@ def oracle_sql() -> dict[str, str]:
                         END AS error
             FROM request_log r LEFT JOIN resp1 s USING (request_id)"""
         ),
-        "request_errors_flat": P(
-            f""", {_REQ_RESP_CTES.strip().lstrip()}
-            SELECT r.request_id, e.turn_idx AS err_turn_idx, e.http_code AS err_code
-            FROM request_log r JOIN parsed e
-              ON r.conv_id = e.conv_id AND e.turn_class = 'error'"""
-        ),
         "interval_join": P(
             """SELECT a.conv_id, a.turn_idx AS anchor_idx, o.turn_idx AS other_idx
                FROM parsed a JOIN parsed o
@@ -992,17 +1062,6 @@ def oracle_sql() -> dict[str, str]:
             """SELECT pid, count(*) AS n, count(DISTINCT instance_id) AS n_instances
                FROM parsed WHERE turn_class = 'request' GROUP BY pid"""
         ),
-        "error_follows_tool": P(
-            """SELECT conv_id, turn_idx, tool FROM (
-                 SELECT conv_id, turn_idx, tool,
-                        lead(turn_class) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt
-                 FROM parsed
-               ) WHERE tool <> '-' AND nxt = 'error'"""
-        ),
-        "cache_op_counts": P(
-            """SELECT cache_op, count(*) AS n, count(DISTINCT url_path) AS n_paths
-               FROM parsed WHERE cache_op IS NOT NULL GROUP BY cache_op"""
-        ),
         "lifecycle_merge": P(
             f""", {_REQ_RESP_CTES.strip().lstrip()},
             resp1 AS (
@@ -1064,11 +1123,9 @@ def oracle_sql() -> dict[str, str]:
                       count(*) AS n_events
                FROM s GROUP BY user_id"""
         ),
+        "session_dedup": _session_dedup_oracle(),
         "doc_exact_dedup": (
             "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text"
-        ),
-        "doc_token_count": (
-            f"SELECT doc_id, len({_DOC_TOKENS}) AS n_tokens FROM documents"
         ),
         "doc_quality": _doc_quality_oracle(),
         "doc_langid": _langid_oracle(),
@@ -1092,6 +1149,7 @@ JOIN (
             " AS fingerprint_md5 FROM documents"
         ),
         "doc_minhash_lsh_md5": _minhash_md5_oracle(),
+        "doc_simhash_md5": _simhash_md5_oracle(),
         "embed_cosine_topk": _cosine_topk_oracle(),
         "embed_neardup": _embed_neardup_oracle(),
         # the mapInPandas extractor's md5 runs over the raw payload bytes ==
@@ -1106,8 +1164,8 @@ SELECT doc_id AS media_id,
        md5(text) AS md5
 FROM documents
 """,
-        # rows-only (no oracle): doc_minhash_lsh, doc_simhash, doc_fingerprint,
-        # embed_ivf_topk
+        # rows-only (no oracle): embed_ivf_topk — approximate by design
+        # (recall floor vs exact top-k asserted in tests/test_docs_ops.py)
     }
 
 
@@ -1187,6 +1245,104 @@ reach(id, r) AS (
   SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
 )
 SELECT id, min(r) AS rep_id FROM reach GROUP BY id
+"""
+
+
+def _simhash_md5_oracle(max_hamming: int = 8) -> str:
+    """Mirror of dedup.simhash_md5_table + BRUTE-FORCE all-pairs Hamming —
+    deliberately encodes NO banding/candidate structure, so it independently
+    checks that simhash_neardup_pairs' Manku flip-enumeration is lossless at
+    the configured radius.  Bit j (= 4*i + k) comes from hex nibble i of
+    md5(token) (strpos-decoded), bit k from the LSB — the exact mapping the
+    Spark side uses via conv()/shiftright."""
+    sums = ",\n         ".join(
+        "SUM(2 * ((strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1) // {div} % 2) - 1) AS s{j}".format(
+            pos=j // 4 + 1, div=1 << (j % 4), j=j
+        )
+        for j in range(64)
+    )
+    bits = ",\n    ".join(
+        f"CASE WHEN COALESCE(v.s{j}, 0) > 0 THEN 1 ELSE 0 END" for j in range(64)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(
+    string_split_regex(trim(lower(text)), '[^\\w'']+'), x -> x <> '')) AS tok
+  FROM documents
+),
+votes AS (
+  SELECT doc_id,
+         {sums}
+  FROM (SELECT doc_id, md5(tok) AS h FROM tok) GROUP BY doc_id
+),
+bits AS (
+  SELECT d.doc_id AS id, [
+    {bits}
+  ] AS b
+  FROM documents d LEFT JOIN votes v ON d.doc_id = v.doc_id
+),
+scored AS (
+  SELECT a.id AS id_a, b2.id AS id_b,
+         list_sum([abs(a.b[j] - b2.b[j]) FOR j IN range(1, 65)]) AS hamming
+  FROM bits a JOIN bits b2 ON a.id < b2.id
+)
+SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+FROM scored WHERE hamming <= {max_hamming}
+"""
+
+
+def _session_dedup_oracle(threshold: float = 0.9, gap_sec: int = 86400) -> str:
+    """Mirror of q_session_dedup: sessionize (gap rule, identical ordering)
+    → per-session ordered event-type text → brute-force global Jaccard pair
+    graph → recursive-CTE reachability → representative (min-reachable-id)
+    sessions.  No candidate structure leaked — the Spark side's prefix
+    filter and min-label CC are independently checked end to end."""
+    return f"""
+WITH RECURSIVE g AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > {gap_sec}
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+),
+s AS (
+  SELECT user_id, event_type, ts, event_id,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM g
+),
+sess AS (
+  SELECT user_id * 1000000 + CAST(sess_id AS BIGINT) AS sess_key,
+         string_agg(event_type, ' ' ORDER BY ts, event_id) AS text,
+         count(*) AS n_events
+  FROM s GROUP BY user_id, sess_id
+),
+sh AS (
+  SELECT sess_key AS id,
+         list_distinct([array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]) AS sh
+  FROM (SELECT sess_key, string_split_regex(trim(text), '[^\\w'']+') AS toks FROM sess)
+  WHERE len(toks) >= 2
+),
+scored AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+         CAST(len(a.sh) + len(b.sh) AS DOUBLE) AS sz
+  FROM sh a JOIN sh b ON a.id < b.id
+),
+pairs AS (SELECT id_a, id_b FROM scored WHERE inter / (sz - inter) >= {threshold}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT sess_key, sess_key FROM sess
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+),
+reps AS (
+  SELECT id FROM (SELECT id, min(r) AS rep_id FROM reach GROUP BY id)
+  WHERE id = rep_id
+)
+SELECT sess.sess_key, sess.n_events FROM sess JOIN reps ON sess.sess_key = reps.id
 """
 
 

@@ -98,11 +98,25 @@ def main() -> None:
         "logs_overview",
         "interval_join",
         "hourly_rollup",
-        "doc_minhash_lsh",
         "embed_cosine_topk",
-        "doc_simhash",
     ]:
         timed(name, lambda n=name: q[n](spark, sf_dir).count())
+
+    # production doc-op paths (xxhash64 / pd-hash variants; their md5
+    # exact-oracle twins hold the contract slots, these hold the perf line)
+    from log_analysis_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    timed(
+        "doc_minhash_lsh",
+        lambda: dedup.minhash_lsh_pairs(docs, threshold=0.2).count(),
+    )
+    timed(
+        "doc_simhash",
+        lambda: dedup.simhash_neardup_pairs(
+            dedup.simhash_table(docs), max_hamming=8
+        ).count(),
+    )
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

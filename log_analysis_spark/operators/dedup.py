@@ -403,6 +403,66 @@ def simhash_table(
     return df.select(id_col, text_col).mapInPandas(batch_iter, SIMHASH_SCHEMA)
 
 
+def simhash_md5_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Engine-portable twin of ``simhash_table``: identical vote/sign
+    semantics (per-token 64-bit hash → per-bit ±1 votes weighted by token
+    multiplicity → bit set iff votes > 0), but the token hash is the first
+    16 hex nibbles of ``md5(token)`` — computable verbatim in DuckDB, so the
+    WHOLE simhash pipeline (signature → Manku flip-enumeration banding →
+    Hamming verify in ``simhash_neardup_pairs``) gets an EXACT cross-engine
+    oracle.  The oracle is brute-force all-pairs Hamming (no candidate
+    structure leaked), so a hash match also proves the flip-enumeration
+    candidate rule is lossless at the configured radius.
+    ``pd.util.hash_array`` stays the production hash (one vectorized pass,
+    no per-token md5); tests assert this twin and the production path share
+    all machinery except the hash.
+
+    Tokenization mirrors the production batch path (lower + ``[\\w']+``
+    runs, empties dropped, each occurrence votes).  Pure JVM expressions:
+    explode → md5 → nibble decode (``conv``) → 64 conditional sums →
+    bit-pack to a signed int64 ``simhash`` (same schema as production).
+    Docs with zero tokens get simhash 0, like the production path."""
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"[^\w']+"), lambda x: x != ""
+    )
+    ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+    ex = ex.select("id", F.md5("tok").alias("h"))
+    nibs = ex.select(
+        "id",
+        *[
+            F.conv(F.substring("h", i + 1, 1), 16, 10).cast("int").alias(f"nb{i}")
+            for i in range(16)
+        ],
+    )
+    # bit j (j = 4*i + k; i = hex nibble from the left, k = bit from LSB):
+    # vote = 2*((nb_i >> k) & 1) - 1, summed over all token occurrences
+    sums = nibs.groupBy("id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col(f"nb{j // 4}"), j % 4).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"s{j}")
+            for j in range(64)
+        ]
+    )
+    packed = None
+    for j in range(64):
+        # bit 63 is the int64 sign bit: add its weight as a NEGATIVE literal
+        weight = F.lit(1 << j) if j < 63 else F.lit(-(1 << 63))
+        term = F.when(F.col(f"s{j}") > 0, weight).otherwise(F.lit(0))
+        packed = term if packed is None else packed + term
+    sig = sums.select("id", packed.alias("simhash"))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(sig, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce("simhash", F.lit(0)).cast("long").alias("simhash"),
+        )
+    )
+
+
 def hash64_py(token: str) -> int:
     """Deterministic 64-bit token hash (FNV-1a) — stable across processes,
     unlike Python's builtin hash().  Kept as the scalar reference

@@ -89,6 +89,29 @@ def error_follows_tool_call(parsed: DataFrame) -> DataFrame:
     )
 
 
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_cols: list[str],
+    gap_sec: int,
+) -> DataFrame:
+    """Gap-based sessionization: within each ``key_col`` partition ordered by
+    ``order_cols``, a new session starts whenever the gap to the previous row
+    exceeds ``gap_sec``.  Adds a 0-based ``sess_id`` column.
+
+    Scale shape: one hash-partitioned window (lag + running sum) on the
+    session key — the same per-key window every downstream per-session
+    aggregate reuses, so Catalyst schedules a single Exchange for the whole
+    sessionize→assemble chain."""
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    gap = F.unix_timestamp(ts_col) - F.unix_timestamp(F.lag(ts_col).over(w))
+    sess = F.sum(F.when(gap > gap_sec, 1).otherwise(0)).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn("sess_id", sess)
+
+
 def pair_math(
     parsed: DataFrame,
     key_cols: list[str],

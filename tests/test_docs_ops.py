@@ -238,6 +238,92 @@ def test_simhash_band_guarantee_hamming6(spark):
         dedup.simhash_neardup_pairs(sim_df, max_hamming=12, n_bands=2, flip_bits=1)
 
 
+def test_simhash_md5_bits_match_reference_python(spark, docs):
+    """The md5 twin's packed signature equals an independent scalar Python
+    computation (hashlib.md5 hex nibbles, LSB-first bits, votes>0 rule) —
+    validates the conv()/shiftright nibble math end to end."""
+    import hashlib
+    import re as _re
+
+    sample = docs.limit(8).collect()
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_md5_table(docs.limit(8)).collect()
+    }
+    for row in sample:
+        # ASCII \w class: Java/RE2 \w (engine side) is ASCII-only
+        toks = _re.findall(r"[A-Za-z0-9_']+", (row["text"] or "").lower())
+        votes = [0] * 64
+        for t in toks:
+            h = hashlib.md5(t.encode()).hexdigest()
+            for j in range(64):
+                bit = (int(h[j // 4], 16) >> (j % 4)) & 1
+                votes[j] += 2 * bit - 1
+        val = sum(1 << j for j in range(64) if votes[j] > 0)
+        if val >= 1 << 63:
+            val -= 1 << 64
+        assert got[row["doc_id"]] == val
+
+
+def test_simhash_md5_flip_enumeration_globally_exact(spark, docs):
+    """Twin pipeline (Manku flip-enumeration banding) == Spark brute-force
+    all-pairs Hamming over the same signatures, with planted exact dups so
+    the assertion is non-vacuous — the candidate rule loses nothing at
+    radius 8.  (The DuckDB oracle repeats this check cross-engine.)"""
+    dup = docs.limit(3).select((F.col("doc_id") + 500000).alias("doc_id"), "text")
+    corpus = docs.select("doc_id", "text").unionByName(dup)
+    sim = dedup.simhash_md5_table(corpus).cache()
+    try:
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.simhash_neardup_pairs(sim, max_hamming=8).collect()
+        }
+        a, b = sim.alias("a"), sim.alias("b")
+        ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+        brute = (
+            a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .filter(ham <= 8)
+            .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        )
+        want = {(r["id_a"], r["id_b"]) for r in brute.collect()}
+        planted = {(r["doc_id"], r["doc_id"] + 500000) for r in docs.limit(3).collect()}
+        assert got == want
+        assert planted <= got
+    finally:
+        sim.unpersist()
+
+
+def test_session_dedup_composition(spark, tmp_path):
+    """sessionize → per-session text → near-dup dedup keeps exactly one
+    representative per duplicated session stream (q_session_dedup end to
+    end on a planted corpus)."""
+    import datetime as dt
+
+    import __spark_entry__ as entry
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for u in (1, 2):  # two users, two identical sessions each
+        for s in range(2):
+            base = t0 + dt.timedelta(days=3 * s)
+            for i, et in enumerate(["view", "click", "purchase", "view"]):
+                rows.append((eid, base + dt.timedelta(minutes=i), u, et))
+                eid += 1
+    for i, et in enumerate(["error", "error", "signup", "error"]):  # odd one out
+        rows.append((eid, t0 + dt.timedelta(minutes=i), 3, et))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    ev.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    kept = {
+        r["sess_key"]: r["n_events"]
+        for r in entry.q_session_dedup(spark, str(tmp_path)).collect()
+    }
+    # the 4 identical sessions collapse to the lowest sess_key (user 1 / s 0)
+    assert kept == {1_000_000: 4, 3_000_000: 4}
+
+
 # ----------------------------------------------------------------- similarity
 
 
