@@ -417,11 +417,23 @@ def _stream_src(spark, sf_dir: str) -> str:
             for fn in sorted(files):
                 st = os.stat(os.path.join(root, fn))
                 stats.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+    sf_tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:8]
     key = hashlib.sha256(
         "\x00".join([sf_dir, TRANSCRIPTS_SQL] + stats).encode()
     ).hexdigest()[:12]
-    dst = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_src_{key}")
+    tmpdir = tempfile.gettempdir()
+    dst = os.path.join(tmpdir, f"spark_graft_stream_src_{sf_tag}_{key}")
     if not os.path.exists(os.path.join(dst, "_SUCCESS")):
+        # evict superseded snapshots of the SAME sf_dir (older content keys
+        # and crashed runs' tmp dirs) before writing the new one — without
+        # this every testdata regeneration strands a full table copy in tmp
+        import glob
+
+        for old in glob.glob(
+            os.path.join(tmpdir, f"spark_graft_stream_src_{sf_tag}_*")
+        ):
+            if not old.startswith(dst):
+                shutil.rmtree(old, ignore_errors=True)
         tmp = f"{dst}.tmp-{os.getpid()}"
         transcripts_from_events(spark, sf_dir).write.mode("overwrite").parquet(tmp)
         try:

@@ -258,10 +258,40 @@ def _sign_bit(unit: F.Column, plane: list[float]) -> F.Column:
     return F.when(F.round(_dot(unit, p), 6) >= 0, F.lit(1)).otherwise(F.lit(0))
 
 
+def _validate_dim(
+    df: DataFrame, vec_col: str, dim: int | None
+) -> int:
+    """Resolve/validate the embedding dimensionality with one cheap narrow
+    aggregate.  A silently wrong ``dim`` is catastrophic, not degraded: too
+    large and ``zip_with`` null-pads so every dot is null and every sign bit
+    collapses to 0 — ALL vectors then share EVERY band key and the candidate
+    join degenerates to the full N²/2 cross product; too small and trailing
+    dimensions are silently ignored (recall loss).  Fail fast instead."""
+    row = (
+        df.filter(F.col(vec_col).isNotNull())
+        .agg(F.min(F.size(vec_col)).alias("mn"), F.max(F.size(vec_col)).alias("mx"))
+        .first()
+    )
+    if row is None or row["mn"] is None:
+        raise ValueError(f"no non-null vectors in column {vec_col!r}")
+    if row["mn"] != row["mx"]:
+        raise ValueError(
+            f"ragged embedding column {vec_col!r}: sizes range "
+            f"{row['mn']}..{row['mx']}"
+        )
+    if dim is None:
+        return int(row["mn"])
+    if dim != row["mn"]:
+        raise ValueError(
+            f"dim={dim} does not match actual embedding size {row['mn']}"
+        )
+    return dim
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.99,
-    dim: int = 64,
+    dim: int | None = None,
     n_planes: int = 64,
     band_bits: int = 8,
     seed: int = 42,
@@ -281,7 +311,12 @@ def embedding_neardup_pairs(
     band).  At near-dup thresholds (cos >= 0.99, θ <= 8°) recall with 8×8-bit
     bands is > 0.999; the contract query's lower threshold trades recall for
     a non-trivial result on the synthetic corpus and the oracle mirrors the
-    same candidate rule, so the cross-engine check stays exact."""
+    same candidate rule, so the cross-engine check stays exact.
+
+    ``dim`` defaults to the data's actual embedding size; an explicit value
+    is validated against it (see ``_validate_dim`` — a mismatch silently
+    destroys either the candidate structure or recall)."""
+    dim = _validate_dim(df, vec_col, dim)
     planes = hyperplanes(dim, n_planes, seed)
     n_bands = n_planes // band_bits
     u = (

@@ -11,6 +11,7 @@ resumes without recomputing or double-writing completed stages.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -21,7 +22,12 @@ from log_analysis_spark.datagen import role_taxonomy, tool_registry
 from log_analysis_spark.functions.parse import parse_turns
 from log_analysis_spark.operators import aggregate as agg
 from log_analysis_spark.operators import enrich, router
-from log_analysis_spark.plans.manifest import Manifest, fingerprint_input, run_stage
+from log_analysis_spark.plans.manifest import (
+    Manifest,
+    StageRecord,
+    fingerprint_input,
+    run_stage,
+)
 from log_analysis_spark.sources.iceberg import route_write_resumable
 
 
@@ -48,7 +54,12 @@ def run_pipeline(
     """Run the full parse→enrich→route→aggregate DAG over ``turns``."""
     t0 = time.monotonic()
     manifest = Manifest(manifest_path or f"{out_dir}/_manifest.jsonl")
-    fp = input_fingerprint or fingerprint_input(out_dir, parse_impl)
+    # default fingerprint includes the input's analyzed-plan hash: two runs
+    # into the same out_dir with DIFFERENT input must not share resume state
+    # (an unstable hash only costs a skipped resume, never a stale result)
+    fp = input_fingerprint or fingerprint_input(
+        out_dir, parse_impl, turns.semanticHash()
+    )
     skipped: list[str] = []
 
     # -- parse + enrich + tag: one fused projection pipeline (no shuffle) --
@@ -74,7 +85,32 @@ def run_pipeline(
         # replace-partition semantics (Iceberg overwritePartitions, or the
         # dynamic-overwrite parquet fallback): a run killed mid-write leaves
         # partial sink partitions, and the rerun replaces exactly those —
-        # the manifest skips COMPLETE stages, this makes PARTIAL stages safe
+        # the manifest skips COMPLETE stages, this makes PARTIAL stages safe.
+        #
+        # Dynamic overwrite is only sound for SAME-input resume: it replaces
+        # just the partitions present in the new data, so running CHANGED
+        # input into an existing routed dir would let a sink that had rows
+        # before but none now survive on disk and leak stale rows into every
+        # downstream aggregate.  An "intent" manifest record (written before
+        # the first write attempt for this fingerprint) distinguishes the two
+        # cases: same-fp retry → resume partition-by-partition; new/changed
+        # fp → clear the dir first.
+        import shutil
+
+        if manifest.lookup("route.intent", fp) is None:
+            if os.path.exists(routed_path):
+                shutil.rmtree(routed_path, ignore_errors=True)
+            manifest.record(
+                StageRecord(
+                    stage="route.intent",
+                    input_fingerprint=fp,
+                    output_path=routed_path,
+                    rows=0,
+                    n_partitions=0,
+                    partition_rows={},
+                    metrics={},
+                )
+            )
         route_write_resumable(observed, routed_path)
         return spark.read.parquet(routed_path)
 

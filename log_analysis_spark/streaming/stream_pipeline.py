@@ -114,16 +114,33 @@ def run_stream_routed(
     a start WITHOUT a prior checkpoint clears any stale ``batch=*`` dirs —
     otherwise a shorter rerun would restart ids at 0 and the read-back would
     double-count surviving ``batch=N`` dirs from the earlier, longer run.
+
+    The auto-clean is scoped to the DERIVED-checkpoint case only (out_dir
+    and checkpoint are then one unit, so batch dirs without the checkpoint
+    are provably stale).  With an EXPLICIT checkpoint that does not exist
+    while out_dir holds batch dirs, the function refuses to start instead of
+    silently destroying output that may belong to another job or to a
+    checkpoint the caller mislaid — delete the dirs (or pass the derived
+    default) to opt into the cleanup.
     """
     import glob
     import os
     import shutil
 
-    if checkpoint is None:
+    derived_checkpoint = checkpoint is None
+    if derived_checkpoint:
         checkpoint = os.path.join(out_dir, "_checkpoint")
     if not os.path.exists(checkpoint):
-        for stale in glob.glob(os.path.join(out_dir, "batch=*")):
-            shutil.rmtree(stale, ignore_errors=True)
+        stale = glob.glob(os.path.join(out_dir, "batch=*"))
+        if stale and not derived_checkpoint:
+            raise RuntimeError(
+                f"refusing to start: checkpoint {checkpoint!r} does not exist "
+                f"but {out_dir!r} already holds {len(stale)} batch=* dirs; "
+                "delete them explicitly (or use the derived default "
+                "checkpoint) to opt into clearing prior output"
+            )
+        for s in stale:
+            shutil.rmtree(s, ignore_errors=True)
 
     stream = stream_transcripts(spark, src_path)
     parsed = parse_turns_native(stream)

@@ -293,6 +293,40 @@ def test_simhash_md5_flip_enumeration_globally_exact(spark, docs):
         sim.unpersist()
 
 
+def test_neardup_groups_long_chain_converges(spark):
+    """A 300-deep duplicate chain: plain min-label propagation needs
+    diameter rounds (hard error at max_iters=20); the pointer-jumping step
+    must converge in O(log n) rounds with the correct min labels."""
+    n = 300
+    ids = spark.range(n).select(F.col("id"))
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    groups = dedup.neardup_groups(ids, pairs)
+    assert groups.filter(F.col("rep_id") != 0).count() == 0
+    assert groups.count() == n
+
+
+def test_embedding_neardup_dim_validation(spark, embeddings):
+    """A dim that disagrees with the data silently destroys either the
+    candidate structure (null-padded dots -> all band keys equal -> N²/2
+    cross pairs) or recall — it must fail fast instead."""
+    with pytest.raises(ValueError, match="does not match"):
+        similarity.embedding_neardup_pairs(embeddings, threshold=0.3, dim=128)
+    ragged = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, [0.1, 0.2, 0.3])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        similarity.embedding_neardup_pairs(ragged, threshold=0.3)
+    # dim=None derives from the data and runs
+    assert (
+        similarity.embedding_neardup_pairs(
+            embeddings.limit(40), threshold=0.99
+        ).count()
+        >= 0
+    )
+
+
 def test_session_dedup_composition(spark, tmp_path):
     """sessionize → per-session text → near-dup dedup keeps exactly one
     representative per duplicated session stream (q_session_dedup end to

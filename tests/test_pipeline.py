@@ -39,6 +39,27 @@ def test_pipeline_end_to_end_and_resume(spark, transcripts, tmp_path):
     assert spark.read.parquet(res.routed_path).count() == total
 
 
+def test_pipeline_changed_input_clears_stale_sinks(spark, transcripts, tmp_path):
+    """Dynamic partition overwrite is only sound for same-input resume: a
+    rerun with CHANGED input into the same routed dir must not keep sinks
+    the new input doesn't produce (they'd silently leak stale rows into
+    per_sink_counts and every downstream aggregate)."""
+    out = str(tmp_path / "pipe")
+    res = run_pipeline(spark, transcripts, out, parse_impl="native")
+    assert res.per_sink_counts.get("tool_calls", 0) > 0
+
+    changed = transcripts.filter(F.col("tool") == "-")
+    res2 = run_pipeline(spark, changed, out, parse_impl="native")
+    assert res2.stages_skipped == []  # different input -> no resume
+    assert "tool_calls" not in res2.per_sink_counts
+    assert sum(res2.per_sink_counts.values()) == changed.count()
+
+    # and same-input rerun after that still resumes cleanly
+    res3 = run_pipeline(spark, changed, out, parse_impl="native")
+    assert res3.stages_skipped == ["route"]
+    assert res3.per_sink_counts == res2.per_sink_counts
+
+
 def test_pipeline_arrow_parse_same_routing(spark, transcripts, tmp_path):
     out_a = str(tmp_path / "pa")
     out_b = str(tmp_path / "pb")

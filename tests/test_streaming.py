@@ -44,6 +44,30 @@ def test_stream_routed_fanout_counts(spark, transcripts, tmp_path):
     assert got2 == want
 
 
+def test_stream_routed_refuses_missing_explicit_checkpoint(
+    spark, transcripts, tmp_path
+):
+    """Auto-clearing stale batch dirs is scoped to the derived-checkpoint
+    case: an explicit-but-missing checkpoint over an out_dir that already
+    holds batch output must refuse, not silently destroy it."""
+    import shutil
+
+    import pytest
+
+    from log_analysis_spark.streaming.stream_pipeline import run_stream_routed
+
+    src = str(tmp_path / "refuse_src")
+    transcripts.limit(200).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "refuse_out")
+    run_stream_routed(spark, src, out)  # derived checkpoint
+    shutil.rmtree(f"{out}/_checkpoint")
+    with pytest.raises(RuntimeError, match="refusing to start"):
+        run_stream_routed(spark, src, out, checkpoint=str(tmp_path / "fresh_ckpt"))
+    # the derived default still opts into the cleanup and reruns cleanly
+    got = run_stream_routed(spark, src, out)
+    assert sum(got.values()) == 200
+
+
 def test_stateful_conv_stats_match_batch(spark, transcripts, tmp_path):
     src = str(tmp_path / "stateful_src")
     transcripts.write.mode("overwrite").parquet(src)
