@@ -118,6 +118,21 @@ def main() -> None:
         ).count(),
     )
 
+    # embedding near-dup: oracle-twin expression path vs numpy-matmul
+    # production path (identical pair sets — the delta is pure execution)
+    from log_analysis_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    nd_kw = dict(threshold=0.3, n_planes=64, band_bits=4)
+    timed(
+        "embed_neardup_expr",
+        lambda: similarity.embedding_neardup_pairs(emb, **nd_kw).count(),
+    )
+    timed(
+        "embed_neardup_matmul",
+        lambda: similarity.embedding_neardup_pairs_matmul(emb, **nd_kw).count(),
+    )
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

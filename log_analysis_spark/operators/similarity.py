@@ -12,6 +12,8 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -102,8 +104,6 @@ def build_centroids(
     Components are rounded to 6 decimals so downstream plans embed compact,
     engine-portable literals.
     """
-    import numpy as np
-
     cu = with_unit_vec(corpus, vec_col).filter(F.col("unit").isNotNull())
     seed_rows = (
         cu.select("unit")
@@ -238,8 +238,6 @@ def hyperplanes(dim: int, n_planes: int = 64, seed: int = 42) -> list[list[float
     """Deterministic pseudo-random hyperplanes for sign-band LSH, components
     rounded to 6 decimals so the exact same values can be embedded as
     literals in both the Spark expressions and the DuckDB oracle SQL."""
-    import numpy as np
-
     rng = np.random.RandomState(seed)
     h = rng.standard_normal((n_planes, dim))
     return [[round(float(x), 6) for x in row] for row in h]
@@ -256,6 +254,112 @@ def _sign_bit(unit: F.Column, plane: list[float]) -> F.Column:
     matmul in a Pandas UDF (~100× per-row throughput, same recall)."""
     p = F.array(*[F.lit(c) for c in plane])
     return F.when(F.round(_dot(unit, p), 6) >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def _signatures_matmul(
+    df: DataFrame,
+    planes: list[list[float]],
+    band_bits: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Whole-batch sign-band signatures: one numpy matmul per Arrow batch
+    (``U @ P.T`` for all rows × all planes at once) instead of the
+    expression path's per-element interpreted HOF fold — measured ~2
+    orders of magnitude less per-row work at 64 planes × 64 dims.  Same
+    semantics: unit-normalize (zero-norm rows dropped), dot rounded to 1e-6
+    before the sign test, bands of ``band_bits`` MSB-first bits.
+
+    Output: one row per vector — (id, unit, bkeys[n_bands]); the caller
+    posexplodes bkeys into the (id, band, bkey) band join."""
+    n_planes = len(planes)
+    n_bands = n_planes // band_bits
+    P = np.asarray(planes, dtype=np.float64)  # (n_planes, dim)
+    weights = (1 << np.arange(band_bits - 1, -1, -1)).astype(np.int64)
+
+    def batch_iter(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            E = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            nrm = np.linalg.norm(E, axis=1)
+            keep = nrm > 0
+            if not keep.any():
+                continue
+            U = E[keep] / nrm[keep, None]
+            S = np.round(U @ P.T, 6)
+            B = (S >= 0).astype(np.int64).reshape(len(U), n_bands, band_bits)
+            K = (B * weights).sum(axis=2).astype(np.int32)  # (n, n_bands)
+            yield pd.DataFrame(
+                {"id": ids[keep], "unit": list(U), "bkeys": list(K)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        batch_iter, "id long, unit array<double>, bkeys array<int>"
+    )
+
+
+def embedding_neardup_pairs_matmul(
+    df: DataFrame,
+    threshold: float = 0.99,
+    dim: int | None = None,
+    n_planes: int = 64,
+    band_bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PRODUCTION path of ``embedding_neardup_pairs``: identical pipeline
+    (same deterministic hyperplanes, same round-6 sign rule, same banding,
+    same exact-cosine verify threshold) with the per-row math vectorized —
+    signatures via one numpy matmul per Arrow batch (``_signatures_matmul``)
+    and the candidate verify via a batched einsum Pandas UDF, instead of the
+    expression path's interpreted ``aggregate``/``zip_with`` lambdas (64
+    planes × 64 dims of per-element interpretation per row — fine for
+    cross-engine oracle parity at test scale, a multiplier at 100 TB).
+
+    The expression path stays the DuckDB-oracle twin; tests assert both
+    paths produce identical pair sets and cosines on the test corpus.  (The
+    one theoretical divergence is rounding of a dot landing exactly on a
+    5e-7 boundary — JVM HALF_UP vs numpy HALF_EVEN — measure-zero for real
+    vectors and absent on the test corpus.)"""
+    dim = _validate_dim(df, vec_col, dim)
+    planes = hyperplanes(dim, n_planes, seed)
+    sig = _signatures_matmul(df, planes, band_bits, id_col, vec_col)
+    banded = sig.select("id", "unit", F.posexplode("bkeys").alias("band", "bkey"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bkey") == F.col("b.bkey"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.unit").alias("ua"),
+            F.col("b.unit").alias("ub"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    @F.pandas_udf("double")
+    def _cos_batch(ua: pd.Series, ub: pd.Series) -> pd.Series:
+        if len(ua) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(ua.to_numpy())
+        B = np.stack(ub.to_numpy())
+        return pd.Series(np.round(np.einsum("ij,ij->i", A, B), 6))
+
+    return (
+        cand.withColumn("cosine", _cos_batch(F.col("ua"), F.col("ub")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
 
 
 def _validate_dim(

@@ -293,6 +293,23 @@ def test_simhash_md5_flip_enumeration_globally_exact(spark, docs):
         sim.unpersist()
 
 
+def test_embedding_neardup_matmul_equals_expression_path(spark, embeddings):
+    """The numpy-matmul production path and the expression (oracle-twin)
+    path must produce IDENTICAL pair sets and cosines — same hyperplanes,
+    same round-6 sign rule, same banding, different execution only."""
+    kw = dict(threshold=0.3, dim=64, n_planes=64, band_bits=4)
+    expr_pairs = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in similarity.embedding_neardup_pairs(embeddings, **kw).collect()
+    }
+    mm_pairs = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in similarity.embedding_neardup_pairs_matmul(embeddings, **kw).collect()
+    }
+    assert mm_pairs == expr_pairs
+    assert len(mm_pairs) > 0
+
+
 def test_neardup_groups_long_chain_converges(spark):
     """A 300-deep duplicate chain: plain min-label propagation needs
     diameter rounds (hard error at max_iters=20); the pointer-jumping step
