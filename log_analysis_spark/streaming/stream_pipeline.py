@@ -96,6 +96,31 @@ def run_stream_dedup_to_memory(
     )
 
 
+def streaming_dedup_within_watermark(
+    stream: DataFrame, delay: str = "2 hours"
+) -> DataFrame:
+    """PRODUCTION streaming dedup: ``dropDuplicatesWithinWatermark`` keyed
+    on ``md5(text)`` — state for a key is evicted once the watermark passes
+    its event time + ``delay``, so state is BOUNDED by the event-time window
+    instead of growing with every distinct text forever (the exact unbounded
+    ``dropDuplicates`` in ``run_stream_dedup_to_memory`` stays the
+    small-corpus/oracle path).
+
+    The documented trade: a duplicate arriving after the watermark has
+    passed its twin's eviction point is admitted again — acceptable exactly
+    when the source bounds duplicate arrival skew (e.g. log shippers with a
+    bounded retry horizon), which is the production assumption this variant
+    encodes.  tests/test_streaming.py drives both sides of the trade (a
+    within-watermark duplicate is dropped, a past-watermark one is
+    re-admitted)."""
+    parsed = parse_turns_native(stream)
+    return (
+        parsed.withColumn("_k", F.md5("text"))
+        .withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["_k"])
+    )
+
+
 def run_stream_routed(
     spark: SparkSession, src_path: str, out_dir: str, checkpoint: str | None = None
 ) -> dict[str, int]:

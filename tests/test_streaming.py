@@ -44,6 +44,62 @@ def test_stream_routed_fanout_counts(spark, transcripts, tmp_path):
     assert got2 == want
 
 
+def test_stream_dedup_within_watermark_bounded_state(spark, tmp_path):
+    """Both sides of the dropDuplicatesWithinWatermark trade, driven over
+    two explicit micro-batches:
+
+      * a duplicate arriving while its twin's state is live (within the
+        watermark delay) is DROPPED — dedup works;
+      * a duplicate arriving after the watermark passed its twin's eviction
+        point is ADMITTED again — the bounded-state trade, proving state
+        really is evicted rather than kept forever."""
+    import datetime as dt
+
+    from log_analysis_spark.streaming.stream_pipeline import (
+        stream_transcripts,
+        streaming_dedup_within_watermark,
+    )
+
+    src = str(tmp_path / "wm_src")
+    ckpt = str(tmp_path / "wm_ckpt")
+
+    def write_file(name, items):
+        spark.createDataFrame(
+            [
+                (f"c{i}", 0, "user", text, "-", dt.datetime(2024, 1, 1) + ts)
+                for i, (text, ts) in enumerate(items)
+            ],
+            "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp_ntz",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    h = dt.timedelta(hours=1)
+    # batch 1: X and Y early; Z late enough to push the watermark (2h delay)
+    # past X's eviction point (10:00 + 2h = 12:00 < 23:00 - 2h = 21:00)
+    write_file("b1", [("X", 10 * h), ("Y", 10 * h), ("Z", 23 * h)])
+
+    dd = streaming_dedup_within_watermark(stream_transcripts(spark, src))
+    q = (
+        dd.select("conv_id", "text", "ts")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_dedup")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: X again (state evicted -> re-admitted), Z again within its
+        # live window (23:00 + 2h = 25:00 > watermark 21:00 -> dropped)
+        write_file("b2", [("X", 22 * h), ("Z", 22 * h + dt.timedelta(minutes=30))])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.sql("SELECT text FROM wm_dedup").groupBy("text").count()
+    counts = {r["text"]: r["count"] for r in got.collect()}
+    assert counts == {"X": 2, "Y": 1, "Z": 1}
+
+
 def test_stream_routed_refuses_missing_explicit_checkpoint(
     spark, transcripts, tmp_path
 ):
