@@ -82,6 +82,35 @@ def main() -> None:
 
     timed("parse_route_agg_nowrite", _nowrite)
 
+    # write-only facet: tagged frame materialized in memory first, so the
+    # timed section is ONLY the fan-out sink write.  Three facets (e2e /
+    # compute-only / write-only) at both parallelism levels let regressions
+    # in compute show through even when the single shared virtio disk under
+    # the fan-out write is the noisy term.
+    from pyspark import StorageLevel
+
+    from log_analysis_spark.operators import router as router_ops
+    from log_analysis_spark.sources.iceberg import route_write_resumable
+
+    tagged_cached = (
+        router_ops.tag_sinks(
+            enrich.enrich_tools(
+                enrich.enrich_roles(
+                    parse_turns(turns, impl="native"), role_taxonomy(spark)
+                ),
+                tool_registry(spark),
+            ),
+            router_ops.default_rules(),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tagged_cached.count()
+    timed(
+        "route_write_only",
+        lambda: route_write_resumable(tagged_cached, f"{work}/w_only"),
+    )
+    tagged_cached.unpersist()
+
     def _parse_with(impl, frame=None):
         parse_turns(frame if frame is not None else turns, impl=impl).select(
             "turn_class", "http_code"
@@ -132,6 +161,74 @@ def main() -> None:
         "embed_neardup_matmul",
         lambda: similarity.embedding_neardup_pairs_matmul(emb, **nd_kw).count(),
     )
+
+    # skewed interval join: HALF of a 2M-row others table in ONE (conv,
+    # hour) cell, broadcast disabled so the join shuffles (the 100 TB
+    # reality: the anchors side is ~25% of all turns, far past any
+    # broadcast threshold).  Unsalted, the hot cell rides one reducer;
+    # n_salts=32 splits it — the wall-time pair is the skew-handling
+    # evidence the contract's mild 5-hot-conv datagen can't produce.
+    from pyspark.sql import functions as F
+
+    from log_analysis_spark.operators import joins as joins_ops
+
+    t0lit = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    n_sk = 2_000_000
+    others_sk = (
+        spark.range(n_sk)
+        .select(
+            F.when(F.col("id") % 2 == 0, "hot")
+            .otherwise(F.concat(F.lit("c"), (F.col("id") % 997).cast("string")))
+            .alias("conv_id"),
+            F.col("id").alias("other_idx"),
+            F.when(
+                F.col("id") % 2 == 0,
+                t0lit + F.make_interval(secs=(F.col("id") % 3600)),
+            )
+            .otherwise(t0lit + F.make_interval(secs=(F.col("id") % 600_000)))
+            .alias("ts"),
+        )
+        .repartition(int(cpus) * 2)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    others_sk.count()
+    anchors_sk = (
+        others_sk.select("conv_id")
+        .distinct()
+        .select(
+            "conv_id",
+            F.lit(0).alias("anchor_idx"),
+            t0lit.alias("start_ts"),
+            (t0lit + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    anchors_sk.count()
+    sk_kw = dict(
+        equi_keys=["conv_id"],
+        anchor_start="start_ts",
+        anchor_end="end_ts",
+        other_ts="ts",
+    )
+    prior_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        timed(
+            "interval_join_hot_unsalted",
+            lambda: joins_ops.interval_join(
+                anchors_sk, others_sk, bucketed=True, **sk_kw
+            ).count(),
+        )
+        timed(
+            "interval_join_hot_salted",
+            lambda: joins_ops.interval_join(
+                anchors_sk, others_sk, bucketed=True, n_salts=32, **sk_kw
+            ).count(),
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior_bc)
+        others_sk.unpersist()
+        anchors_sk.unpersist()
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -141,6 +141,7 @@ def interval_join(
     other_ts: str,
     bucketed: bool = True,
     bucket: str = "1 hour",
+    n_salts: int = 1,
 ) -> DataFrame:
     """J5 — equi keys AND ``other_ts BETWEEN anchor_start AND anchor_end``
     (join_metrics_log_with_application_log.py:144-150; the golden test's
@@ -151,6 +152,17 @@ def interval_join(
     other side joins on its own hour bucket — turning a per-conv range scan
     into a hash join keyed on (equi_keys, hour). At 100 TB this bounds the
     join fan-out to per-hour cells instead of per-conv cross products.
+
+    ``n_salts > 1`` additionally salts a HOT (equi_keys, hour) cell across
+    ``n_salts`` reducers: the big (others) side gets a uniform salt, the
+    small (anchors) side replicates across all salts — per-task fan-in for
+    the hottest cell drops ~n_salts× at the cost of an n_salts× anchor
+    replication (anchors ≪ others by construction).  Results are identical
+    for any salt assignment (the salt only routes rows).  AQE's skew-join
+    split (on in session.py) handles moderate skew without help; explicit
+    salting is the knob for a pathological key — e.g. one conversation
+    carrying >5% of all rows — where the split still leaves one stage
+    straggling.  Equality + spread are asserted in tests/test_operators.py.
     """
     cond_range = (F.col(other_ts) >= F.col(anchor_start)) & (
         F.col(other_ts) <= F.col(anchor_end)
@@ -174,8 +186,26 @@ def interval_join(
         )
         o = o.withColumn("_obucket", F.date_trunc("hour", F.col(other_ts)))
         cond = eq + [F.col("_abucket") == F.col("_obucket")]
+        drop_cols = ["_abucket", "_obucket"]
+        if n_salts > 1:
+            # uniform per-row salt: hash of the partition-local row counter
+            # (hashing decorrelates the salt from row-position patterns — a
+            # bare pmod of the sequential counter aliases with strided data
+            # layouts, e.g. alternating hot/cold rows covering only half the
+            # salt space).  Any assignment yields the same join result.
+            o = o.withColumn(
+                "_osalt",
+                F.pmod(
+                    F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)
+                ).cast("int"),
+            )
+            a = a.withColumn(
+                "_asalt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
+            )
+            cond = cond + [F.col("_asalt") == F.col("_osalt")]
+            drop_cols += ["_asalt", "_osalt"]
         joined = a.join(o, on=cond, how="inner")
-        joined = joined.filter(cond_range).drop("_abucket", "_obucket")
+        joined = joined.filter(cond_range).drop(*drop_cols)
     else:
         joined = anchors.join(o, on=eq, how="inner").filter(cond_range)
     return joined.drop(*[f"__o_{k}" for k in equi_keys])

@@ -203,3 +203,63 @@ def test_interval_join_bucketed_equals_naive(spark, parsed):
     key = ["conv_id", "anchor_idx", "other_idx"]
     assert naive.count() == fast.count() > 0
     assert naive.select(key).exceptAll(fast.select(key)).count() == 0
+
+
+def test_interval_join_salted_hot_conv(spark):
+    """One conversation holding ~50% of all rows in a single hour — the hot
+    (conv, hour) cell a real skew incident produces.  The salted join must
+    (a) return exactly the unsalted/naive result and (b) split the hot
+    cell's fan-in ~n_salts× (the per-task bound that keeps one reducer from
+    straggling at scale)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    n, n_salts = 20_000, 8
+    others = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, "hot")
+        .otherwise(F.concat(F.lit("c"), (F.col("id") % 97).cast("string")))
+        .alias("conv_id"),
+        F.col("id").alias("other_idx"),
+        # hot rows all inside hour 0; cold rows spread over ~50 hours
+        F.when(
+            F.col("id") % 2 == 0,
+            F.lit(t0) + F.make_interval(secs=F.col("id") % 3600),
+        )
+        .otherwise(F.lit(t0) + F.make_interval(secs=F.col("id") % 180_000))
+        .alias("ts"),
+    )
+    convs = others.select("conv_id").distinct()
+    anchors = convs.select(
+        "conv_id",
+        F.lit(0).alias("anchor_idx"),
+        F.lit(t0).alias("start_ts"),
+        (F.lit(t0) + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+    )
+    kwargs = dict(
+        equi_keys=["conv_id"], anchor_start="start_ts", anchor_end="end_ts", other_ts="ts"
+    )
+    key = ["conv_id", "anchor_idx", "other_idx"]
+    plain = joins.interval_join(anchors, others, bucketed=True, **kwargs)
+    salted = joins.interval_join(
+        anchors, others, bucketed=True, n_salts=n_salts, **kwargs
+    )
+    naive = joins.interval_join(anchors, others, bucketed=False, **kwargs)
+    assert salted.count() == plain.count() == naive.count() > 0
+    assert naive.select(key).exceptAll(salted.select(key)).count() == 0
+
+    # spread evidence: the max (conv, hour[, salt]) cell size drops ~n_salts×
+    bucketed_o = others.withColumn("_b", F.date_trunc("hour", "ts"))
+    hot_max = (
+        bucketed_o.groupBy("conv_id", "_b").count().agg(F.max("count")).first()[0]
+    )
+    salted_max = (
+        bucketed_o.withColumn(
+            "_s", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+        )
+        .groupBy("conv_id", "_b", "_s")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert hot_max >= n // 2  # the cell really is pathological
+    assert salted_max <= hot_max / n_salts * 1.5  # and salting splits it
