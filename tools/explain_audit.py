@@ -217,6 +217,51 @@ def main() -> int:
          nd_plans["jaccard_prefix"], notes)
     )
 
+    # 10 — round-3 additions: matmul signature path, simhash-md5 twin,
+    # session dedup composition, salted interval join — same kill criteria
+    # (no cross products; Python only as whole-batch Arrow stages; the md5
+    # twin fully JVM)
+    mm = executed(
+        similarity.embedding_neardup_pairs_matmul(emb, threshold=0.3, band_bits=4)
+    )
+    sm = executed(
+        dedup.simhash_neardup_pairs(dedup.simhash_md5_table(docs), max_hamming=8)
+    )
+    sd = executed(entry.q_session_dedup(spark, sf_dir))
+    from log_analysis_spark.operators import joins as joins_ops
+
+    p = parse_turns(turns)
+    anchors = p.filter(F.col("turn_class") == "request").select(
+        "conv_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+    )
+    others = p.filter(F.col("turn_class") != "request").select("conv_id", "ts")
+    salted = joins_ops.interval_join(
+        anchors, others, ["conv_id"], "start_ts", "end_ts", "ts",
+        bucketed=True, n_salts=8,
+    )
+    sj = executed(salted)
+    notes = [
+        check("embed_neardup_matmul: no CartesianProduct", "CartesianProduct" not in mm),
+        check("embed_neardup_matmul: no BroadcastNestedLoopJoin",
+              "BroadcastNestedLoopJoin" not in mm),
+        check("embed_neardup_matmul: Python only as whole-batch Arrow stages",
+              "BatchEvalPython" not in mm),
+        check("simhash_md5 twin: zero Python in plan (pure JVM expressions)",
+              "EvalPython" not in sm and "ArrowEval" not in sm
+              and "InPandas" not in sm),
+        check("simhash_md5 twin: no CartesianProduct", "CartesianProduct" not in sm),
+        check("session_dedup: no CartesianProduct", "CartesianProduct" not in sd),
+        check("session_dedup: no BroadcastNestedLoopJoin",
+              "BroadcastNestedLoopJoin" not in sd),
+        check("salted interval join: no CartesianProduct",
+              "CartesianProduct" not in sj),
+        check("salted interval join: salt keys in the join condition",
+              "_asalt" in sj and "_osalt" in sj),
+    ]
+    sections.append(("Round-3 ops (matmul signatures, md5 twin, session dedup, salted J5)", sm, notes))
+
     # ---- write EXPLAIN.md -------------------------------------------------
     md = ["# EXPLAIN audit — physical plans vs 100 TB design intents",
           "",
