@@ -795,6 +795,55 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return q
 
 
+def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Queries dropped from the 50-entry driver contract but still part of
+    the engine's surface — tools/check_oracle.py --retired and
+    tests/test_retired_contract.py keep them verified (the doc/simhash/
+    minhash/fingerprint production twins are separately pair-set-equality
+    tested against their in-contract md5 twins)."""
+    return {name: _utc(fn) for name, fn in {
+        "class_counts": q_class_counts,
+        "request_errors_flat": q_request_errors_flat,
+        "cache_op_counts": q_cache_op_counts,
+        "error_follows_tool": q_error_follows_tool,
+        "doc_token_count": q_doc_token_count,
+        "doc_minhash_lsh": q_doc_minhash_lsh,
+        "doc_simhash": q_doc_simhash,
+        "doc_fingerprint": q_doc_fingerprint,
+    }.items()}
+
+
+def retired_oracle_sql() -> dict[str, str]:
+    """Exact DuckDB oracles for the retired queries that have one (the rest
+    are hash-seeded rows-only production twins of in-contract md5 queries)."""
+    P = oracles.on_parsed
+    return {
+        "class_counts": P(
+            "SELECT turn_class, count(*) AS n FROM parsed GROUP BY turn_class"
+        ),
+        "request_errors_flat": P(
+            f""", {_REQ_RESP_CTES.strip().lstrip()}
+            SELECT r.request_id, e.turn_idx AS err_turn_idx, e.http_code AS err_code
+            FROM request_log r JOIN parsed e
+              ON r.conv_id = e.conv_id AND e.turn_class = 'error'"""
+        ),
+        "cache_op_counts": P(
+            """SELECT cache_op, count(*) AS n, count(DISTINCT url_path) AS n_paths
+               FROM parsed WHERE cache_op IS NOT NULL GROUP BY cache_op"""
+        ),
+        "error_follows_tool": P(
+            """SELECT conv_id, turn_idx, tool FROM (
+                 SELECT conv_id, turn_idx, tool,
+                        lead(turn_class) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt
+                 FROM parsed
+               ) WHERE tool <> '-' AND nxt = 'error'"""
+        ),
+        "doc_token_count": (
+            f"SELECT doc_id, len({_DOC_TOKENS}) AS n_tokens FROM documents"
+        ),
+    }
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------

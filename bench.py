@@ -149,6 +149,8 @@ def main() -> None:
 
     # embedding near-dup: oracle-twin expression path vs numpy-matmul
     # production path (identical pair sets — the delta is pure execution)
+    from pyspark.sql import functions as F
+
     from log_analysis_spark.operators import similarity
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -161,6 +163,12 @@ def main() -> None:
         "embed_neardup_matmul",
         lambda: similarity.embedding_neardup_pairs_matmul(emb, **nd_kw).count(),
     )
+    timed(
+        "embed_cosine_topk_matmul",
+        lambda: similarity.cosine_topk_matmul(
+            emb, emb.filter(F.col("vec_id") % 50 == 0), k=3
+        ).count(),
+    )
 
     # skewed interval join: HALF of a 2M-row others table in ONE (conv,
     # hour) cell, broadcast disabled so the join shuffles (the 100 TB
@@ -168,8 +176,6 @@ def main() -> None:
     # broadcast threshold).  Unsalted, the hot cell rides one reducer;
     # n_salts=32 splits it — the wall-time pair is the skew-handling
     # evidence the contract's mild 5-hot-conv datagen can't produce.
-    from pyspark.sql import functions as F
-
     from log_analysis_spark.operators import joins as joins_ops
 
     t0lit = F.to_timestamp(F.lit("2024-01-01 00:00:00"))

@@ -67,6 +67,119 @@ def cosine_topk(
     )
 
 
+_PAIR_COSINE_UDF = None
+
+
+def _pair_cosine(ua: F.Column, ub: F.Column) -> F.Column:
+    """Batched exact dot of two unit-vector columns (einsum over the whole
+    Arrow batch), rounded to 1e-6 like every cross-engine score here.
+
+    The pandas_udf is built lazily on first use: decorating at module level
+    parses the return type via the active SparkContext, which breaks any
+    import that happens before the session exists (e.g. spark-submit
+    entrypoints and bench subprocesses import operators first)."""
+    global _PAIR_COSINE_UDF
+    if _PAIR_COSINE_UDF is None:
+
+        @F.pandas_udf("double")
+        def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+            if len(a) == 0:
+                return pd.Series([], dtype="float64")
+            A = np.stack(a.to_numpy())
+            B = np.stack(b.to_numpy())
+            return pd.Series(np.round(np.einsum("ij,ij->i", A, B), 6))
+
+        _PAIR_COSINE_UDF = _cos
+    return _PAIR_COSINE_UDF(ua, ub)
+
+
+def cosine_topk_matmul(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PRODUCTION form of the exact brute-force top-k: the query matrix
+    rides in the UDF closure and each Arrow batch of the corpus is scored
+    with ONE numpy matmul (``U_batch @ Q.T``), keeping only that batch's
+    top-(k+1) per query — so the shuffle carries ~batches × |Q| × (k+1)
+    candidate rows instead of the |corpus| × |Q| join product the
+    expression path materializes.  A final tiny window merges the partial
+    top-ks.  Exactness: each batch emits its best k+1 rows under the SAME
+    total order as the final ranking (score desc, corpus_id asc — lexsort),
+    and k+1 covers the case where the batch's own self-match occupies a
+    slot, so the global top-k (excluding self) is always among the
+    candidates.  Scores are round-6 like the expression path; tests assert
+    identical output.
+
+    Driver-side |Q| × dim query matrix is the same pattern as the IVF
+    coarse quantizer — queries are the broadcast-small side by contract."""
+    from pyspark.sql import Window
+
+    q_rows = (
+        with_unit_vec(queries, vec_col)
+        .filter(F.col("unit").isNotNull())
+        .select(F.col(id_col).alias("query_id"), "unit")
+        .collect()
+    )
+    if not q_rows:
+        raise ValueError("no non-null query vectors")
+    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([r["unit"] for r in q_rows], dtype=np.float64)  # (q, dim)
+    dim = Q.shape[1]
+    take = k + 1
+
+    def batch_iter(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            E = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if E.shape[1] != dim:
+                raise ValueError(
+                    f"corpus dim {E.shape[1]} != query dim {dim}"
+                )
+            nrm = np.linalg.norm(E, axis=1)
+            keep = nrm > 0
+            if not keep.any():
+                continue
+            ids = ids[keep]
+            U = E[keep] / nrm[keep, None]
+            S = np.round(U @ Q.T, 6)  # (n, q)
+            n = len(ids)
+            out_q, out_c, out_s = [], [], []
+            for j in range(Q.shape[0]):
+                col = S[:, j]
+                if n > take:
+                    # exact top-(k+1) under (score desc, corpus_id asc):
+                    # lexsort is stable with the LAST key primary
+                    top = np.lexsort((ids, -col))[:take]
+                else:
+                    top = np.lexsort((ids, -col))
+                out_q.append(np.full(len(top), q_ids[j]))
+                out_c.append(ids[top])
+                out_s.append(col[top])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "corpus_id": np.concatenate(out_c),
+                    "score": np.concatenate(out_s),
+                }
+            )
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        batch_iter, "query_id long, corpus_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("corpus_id"))
+    return (
+        cand.filter(F.col("query_id") != F.col("corpus_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "score", "rank")
+    )
+
+
 def _lit_vec(v: list[float]) -> F.Column:
     return F.array(*[F.lit(float(x)) for x in v])
 
@@ -182,6 +295,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     kmeans_rounds: int = 2,
     prebuilt: tuple[DataFrame, list[list[float]]] | None = None,
+    impl: str = "expr",
 ) -> DataFrame:
     """IVF-bucketed ANN top-k: probe only the ``n_probe`` nearest centroid
     buckets per query (scored pairs cut by ~n_probe/K vs brute force).
@@ -193,8 +307,17 @@ def ivf_topk(
 
     ``prebuilt`` takes (assigned, centroids) from ``assign_centroids`` so
     the one-time index build amortizes across query batches — the
-    production calling pattern."""
+    production calling pattern.
+
+    ``impl``: "expr" scores candidates with the JVM HOF dot (cross-engine
+    reproducible fold — the oracle-parity default); "matmul" scores with
+    the batched einsum Pandas UDF (``_pair_cosine``) — same round-6 values,
+    whole-batch Arrow execution for the probe hot path at scale (tests
+    assert identical output)."""
     from pyspark.sql import Window
+
+    if impl not in ("expr", "matmul"):
+        raise ValueError(f"impl must be 'expr' or 'matmul', got {impl!r}")
 
     assigned, cents = prebuilt if prebuilt is not None else assign_centroids(
         corpus, n_centroids, id_col, vec_col, kmeans_rounds
@@ -219,10 +342,15 @@ def ivf_topk(
         "centroid_id",
         F.explode(F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cid"])),
     )
+    score_col = (
+        F.round(_dot(F.col("qvec"), F.col("unit")), 6)
+        if impl == "expr"
+        else _pair_cosine(F.col("qvec"), F.col("unit"))
+    )
     scored = (
         qprobe.join(assigned, on="centroid_id")
         .filter(F.col("query_id") != F.col(id_col))
-        .withColumn("score", F.round(_dot(F.col("qvec"), F.col("unit")), 6))
+        .withColumn("score", score_col)
         .select("query_id", F.col(id_col).alias("corpus_id"), "score")
         .dropDuplicates(["query_id", "corpus_id"])
     )
@@ -347,16 +475,8 @@ def embedding_neardup_pairs_matmul(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    @F.pandas_udf("double")
-    def _cos_batch(ua: pd.Series, ub: pd.Series) -> pd.Series:
-        if len(ua) == 0:
-            return pd.Series([], dtype="float64")
-        A = np.stack(ua.to_numpy())
-        B = np.stack(ub.to_numpy())
-        return pd.Series(np.round(np.einsum("ij,ij->i", A, B), 6))
-
     return (
-        cand.withColumn("cosine", _cos_batch(F.col("ua"), F.col("ub")))
+        cand.withColumn("cosine", _pair_cosine(F.col("ua"), F.col("ub")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -388,6 +388,38 @@ def test_cosine_topk_brute_force(spark, embeddings):
     assert -1.000001 <= r[0] and r[1] <= 1.000001
 
 
+def test_cosine_topk_matmul_equals_expression_path(spark, embeddings):
+    """The per-batch-matmul + local-top-k production path must return the
+    exact expression-path result (same scores, ranks, tie-breaks) — the
+    local top-(k+1) emission under the final total order is lossless."""
+    queries = embeddings.filter(F.col("vec_id") % 50 == 0)
+    a = similarity.cosine_topk(embeddings, queries, k=3).collect()
+    b = similarity.cosine_topk_matmul(embeddings, queries, k=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) > 0
+
+
+def test_cosine_topk_matmul_batch_boundary_exact(spark, embeddings):
+    """Force many tiny Arrow batches (numPartitions ≫ rows/partition) so the
+    local-top-k merge actually crosses batch boundaries, and compare again."""
+    queries = embeddings.filter(F.col("vec_id") % 100 == 0)
+    shredded = embeddings.repartition(16)
+    a = similarity.cosine_topk(embeddings, queries, k=5).collect()
+    b = similarity.cosine_topk_matmul(shredded, queries, k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_ivf_matmul_scoring_equals_expr(spark, embeddings):
+    """IVF probe scoring via the batched einsum UDF returns the identical
+    result to the JVM HOF dot (same round-6 values, same ranking)."""
+    queries = embeddings.filter(F.col("vec_id") % 50 == 0)
+    kw = dict(k=3, n_centroids=8, n_probe=4)
+    a = similarity.ivf_topk(embeddings, queries, **kw).collect()
+    b = similarity.ivf_topk(embeddings, queries, impl="matmul", **kw).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) > 0
+
+
 def test_ivf_recall_vs_brute_force(spark, embeddings):
     queries = embeddings.filter(F.col("vec_id") % 50 == 0)
     brute = similarity.cosine_topk(embeddings, queries, k=3)

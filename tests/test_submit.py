@@ -1,0 +1,79 @@
+"""The north-rule launch shape, as a committed test: zip the package, run
+each job via ``spark-submit --py-files`` FROM A FOREIGN CWD (so the package
+resolves only from the zip, never from the repo checkout), parse the JSON
+result line.  This was smoke-tested manually in round 2; committing it keeps
+the spark-submit surface from silently rotting."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import zipfile
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+@pytest.fixture(scope="module")
+def pkg_zip(tmp_path_factory):
+    work = tmp_path_factory.mktemp("submit")
+    zpath = work / "log_analysis_spark.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for f in (REPO / "log_analysis_spark").rglob("*.py"):
+            if "__pycache__" in f.parts:
+                continue
+            z.write(f, f.relative_to(REPO))
+    return zpath
+
+
+def _submit(pkg_zip, job, extra, cwd):
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # the zip must be the only package source
+    out = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", str(pkg_zip),
+            str(REPO / "jobs" / job),
+            *extra,
+        ],
+        cwd=str(cwd), env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    assert lines, out.stdout[-2000:]
+    return json.loads(lines[-1])
+
+def test_submit_pipeline_job(pkg_zip, tmp_path):
+    res = _submit(
+        pkg_zip,
+        "run_pipeline.py",
+        ["--sf-dir", "/root/testdata/sf0.001", "--out", str(tmp_path / "pipe")],
+        cwd=tmp_path,
+    )
+    assert res["n_turns"] > 0
+    assert sum(res["per_sink_counts"].values()) == res["n_turns"]
+
+
+def test_submit_dedup_job(pkg_zip, tmp_path):
+    res = _submit(
+        pkg_zip,
+        "run_dedup.py",
+        [
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--out", str(tmp_path / "dd"),
+            "--method", "jaccard",
+            "--threshold", "0.5",
+        ],
+        cwd=tmp_path,
+    )
+    assert res["n_docs"] == res["n_kept"] + res["n_dropped"]
+    assert res["n_kept"] > 0

@@ -204,6 +204,8 @@ timed("jaccard_prefix", lambda: dedup.ngram_jaccard_pairs(docs, threshold=0.5).c
 timed("cosine_topk", lambda: similarity.cosine_topk(emb, queries, k=3).count())
 timed("embed_neardup_matmul", lambda: similarity.embedding_neardup_pairs_matmul(
     emb, threshold=0.3, n_planes=64, band_bits=8).count())
+timed("cosine_topk_matmul", lambda: similarity.cosine_topk_matmul(
+    emb, queries, k=3).count())
 timed("ivf_build_probe", lambda: similarity.ivf_topk(emb, queries, k=3,
     n_centroids=16, n_probe=4).count())
 # the production pattern: one-time index build amortized over query batches

@@ -6,6 +6,7 @@ row count + order-insensitive value hash (columns sorted by name),
 prints a per-query verdict.  Usage:
 
     python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py --retired [sf_dir]   # dropped-twin queries
 """
 
 from __future__ import annotations
@@ -49,8 +50,10 @@ def _normalize(df):  # pandas DataFrame → canonical string rows
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--retired"]
+    retired = "--retired" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
@@ -63,7 +66,10 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if retired:
+        qs, oracles = entrymod.retired_queries(), entrymod.retired_oracle_sql()
+    else:
+        qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
