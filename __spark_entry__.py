@@ -27,6 +27,7 @@ from log_analysis_spark.datagen import (
 from log_analysis_spark.functions.parse import parse_turns
 from log_analysis_spark.operators import aggregate as agg
 from log_analysis_spark.operators import (
+    corpus,
     dedup,
     enrich,
     joins,
@@ -120,7 +121,10 @@ def q_distinct_codes(spark, sf_dir):
 
 
 def q_count_distinct(spark, sf_dir):
-    """A4 — count distinct conv_ids + total turns."""
+    """A4 — count distinct conv_ids + total turns.  Retired from the
+    50-entry contract: ``conditional_agg`` now carries the same
+    countDistinct + total alongside its conditional sums (strict
+    refinement), keeping A4 driver-green in one slot."""
     return _parsed(spark, sf_dir).agg(
         F.countDistinct("conv_id").alias("n_convs"),
         F.count("*").alias("n_turns"),
@@ -171,6 +175,28 @@ def q_regex_filter(spark, sf_dir):
         .groupBy("http_code")
         .agg(F.count("*").alias("n"))
     )
+
+
+def q_text_filters(spark, sf_dir):
+    """F3 + F4 in one frame — both text-filter operators, each branch
+    tagged, unioned by name.  Strict superset of the retired
+    ``substring_filter`` (row-level substring containment) and
+    ``regex_filter`` (row-level regex match; the retired query's
+    per-code counts are a grouping of this branch)."""
+    p = _parsed(spark, sf_dir)
+    sub = p.filter(F.col("text").contains("BESUtil.cc:29")).select(
+        F.lit("substr").alias("src"),
+        "conv_id",
+        "turn_idx",
+        F.col("code_ref").alias("val"),
+    )
+    rex = p.filter(F.col("text").rlike("HTTP code of 4[0-9][0-9]")).select(
+        F.lit("regex").alias("src"),
+        "conv_id",
+        "turn_idx",
+        F.col("http_code").cast("string").alias("val"),
+    )
+    return sub.unionByName(rex)
 
 
 def q_unmatched_roles_anti(spark, sf_dir):
@@ -312,10 +338,13 @@ def q_error_subclasses(spark, sf_dir):
 
 
 def q_conditional_agg(spark, sf_dir):
-    """A2 — the jq re-scan cascade (combined_analysis.sh) collapsed to ONE
-    scan of conditional sums."""
+    """A2 + A4 — the jq re-scan cascade (combined_analysis.sh) collapsed to
+    ONE scan of conditional sums, plus the distinct-conversation and total
+    counts (absorbing the retired ``count_distinct`` slot)."""
     p = _parsed(spark, sf_dir)
     return p.agg(
+        F.countDistinct("conv_id").alias("n_convs"),
+        F.count("*").alias("n_turns"),
         F.sum(F.when(F.col("http_code") == 404, 1).otherwise(0)).alias("n_404"),
         F.sum(F.when(F.col("http_code") == 500, 1).otherwise(0)).alias("n_500"),
         F.sum(F.when(F.col("turn_class") == "error", 1).otherwise(0)).alias("n_errors"),
@@ -446,7 +475,11 @@ def _stream_src(spark, sf_dir: str) -> str:
 def q_streaming_hourly(spark, sf_dir):
     """§2.9 forward path — Structured Streaming twin of the hourly rollup.
     Strong oracle: watermarked tumbling-window counts over a static dir equal
-    the batch date_trunc('hour') counts."""
+    the batch date_trunc('hour') counts.  Retired from the 50-entry contract
+    (the round-2 review's own trim suggestion: its semantics overlap
+    ``hourly_rollup``; §2.9 keeps two in-window exact rows via
+    ``streaming_conv_state`` and ``streaming_dedup``) — still verified by
+    tests/test_streaming.py and check_oracle --retired."""
     from log_analysis_spark.streaming.stream_pipeline import run_stream_to_memory
 
     return run_stream_to_memory(
@@ -573,6 +606,40 @@ def q_doc_langid(spark, sf_dir):
     """Language-ID heuristic prediction counts per (lang, lang_pred)."""
     out = textstats.with_lang_pred(_docs(spark, sf_dir))
     return out.groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
+
+
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style repetition filter: per-doc duplicate-line fraction,
+    duplicate-line character fraction, top-2-gram character fraction, and
+    the keep/reject flag (operators/corpus.py — exact definitions in the
+    docstring there; the oracle mirrors them verbatim)."""
+    out = corpus.repetition_stats(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_lines",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        "top_2gram",
+        F.round("top_2gram_char_frac", 6).alias("top_2gram_char_frac"),
+        "keep_repetition",
+    )
+
+
+def q_corpus_pack(spark, sf_dir):
+    """Token-budget shard packing: md5-keyed deterministic order, two-phase
+    exclusive running token sum, shard = floor(cumsum / budget).  The
+    oracle is a single global window cumsum — a hash match proves the
+    two-phase (per-bucket + 256-row offset) decomposition exact."""
+    return corpus.pack_shards(_docs(spark, sf_dir), budget=2048)
+
+
+def q_corpus_sample(spark, sf_dir):
+    """Stratified deterministic sampling: downsample en to 50% and zh to
+    25% via the leading 16 bits of md5(doc_id) as a uniform draw — a pure
+    filter, reproducible cross-engine."""
+    return corpus.stratified_sample(
+        _docs(spark, sf_dir), "lang", {"en": 0.5, "zh": 0.25}
+    ).select("doc_id", "lang", "source")
 
 
 def q_doc_ngram_jaccard(spark, sf_dir):
@@ -749,14 +816,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_rollup": q_hourly_rollup,
         "conv_counts_salted": q_conv_counts_salted,
         "distinct_codes": q_distinct_codes,
-        "count_distinct": q_count_distinct,
         "timing_stats": q_timing_stats,
         "minmax_ts": q_minmax_ts,
         "action_set_convs": q_action_set_convs,
         "duration_histogram": q_duration_histogram,
         "outliers": q_outliers,
-        "substring_filter": q_substring_filter,
-        "regex_filter": q_regex_filter,
+        "text_filters": q_text_filters,
         "unmatched_roles_anti": q_unmatched_roles_anti,
         "req_resp_merge": q_req_resp_merge,
         "full_outer_merge": q_full_outer_merge,
@@ -772,7 +837,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_errors": q_nested_errors,
         "pid_fanout": q_pid_fanout,
         "lifecycle_merge": q_lifecycle_merge,
-        "streaming_hourly": q_streaming_hourly,
         "streaming_conv_state": q_streaming_conv_state,
         "streaming_dedup": q_streaming_dedup,
         "events_sessionize": q_events_sessionize,
@@ -780,6 +844,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_quality": q_doc_quality,
         "doc_langid": q_doc_langid,
+        "doc_repetition": q_doc_repetition,
+        "corpus_pack": q_corpus_pack,
+        "corpus_sample": q_corpus_sample,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_neardup_groups": q_doc_neardup_groups,
         "doc_dedup_kept": q_doc_dedup_kept,
@@ -806,6 +873,10 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "request_errors_flat": q_request_errors_flat,
         "cache_op_counts": q_cache_op_counts,
         "error_follows_tool": q_error_follows_tool,
+        "count_distinct": q_count_distinct,
+        "substring_filter": q_substring_filter,
+        "regex_filter": q_regex_filter,
+        "streaming_hourly": q_streaming_hourly,
         "doc_token_count": q_doc_token_count,
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_simhash": q_doc_simhash,
@@ -837,6 +908,23 @@ def retired_oracle_sql() -> dict[str, str]:
                         lead(turn_class) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt
                  FROM parsed
                ) WHERE tool <> '-' AND nxt = 'error'"""
+        ),
+        "count_distinct": P(
+            "SELECT count(DISTINCT conv_id) AS n_convs, count(*) AS n_turns FROM parsed"
+        ),
+        "substring_filter": P(
+            "SELECT conv_id, turn_idx, code_ref FROM parsed"
+            " WHERE text LIKE '%BESUtil.cc:29%'"
+        ),
+        "regex_filter": P(
+            "SELECT http_code, count(*) AS n FROM parsed"
+            " WHERE regexp_matches(text, 'HTTP code of 4[0-9][0-9]')"
+            " GROUP BY http_code"
+        ),
+        "streaming_hourly": P(
+            f"""SELECT date_trunc('hour', ts) AS hour, {_SINK_TAG} AS sink, role,
+                       count(*) AS n
+                FROM parsed GROUP BY 1, 2, 3"""
         ),
         "doc_token_count": (
             f"SELECT doc_id, len({_DOC_TOKENS}) AS n_tokens FROM documents"
@@ -978,9 +1066,6 @@ def oracle_sql() -> dict[str, str]:
         "distinct_codes": P(
             "SELECT DISTINCT http_code FROM parsed WHERE http_code IS NOT NULL"
         ),
-        "count_distinct": P(
-            "SELECT count(DISTINCT conv_id) AS n_convs, count(*) AS n_turns FROM parsed"
-        ),
         "timing_stats": P(
             "SELECT action, count(*) AS n, CAST(median(duration_ms) AS DOUBLE) AS med_val,"
             " max(duration_ms) AS max_val FROM parsed WHERE duration_ms IS NOT NULL"
@@ -1002,14 +1087,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT conv_id, turn_idx, text FROM parsed"
             " WHERE turn_class NOT IN ('request', 'info', 'error', 'timing')"
         ),
-        "substring_filter": P(
-            "SELECT conv_id, turn_idx, code_ref FROM parsed"
-            " WHERE text LIKE '%BESUtil.cc:29%'"
-        ),
-        "regex_filter": P(
-            "SELECT http_code, count(*) AS n FROM parsed"
-            " WHERE regexp_matches(text, 'HTTP code of 4[0-9][0-9]')"
-            " GROUP BY http_code"
+        "text_filters": P(
+            """SELECT 'substr' AS src, conv_id, turn_idx, code_ref AS val
+               FROM parsed WHERE text LIKE '%BESUtil.cc:29%'
+               UNION ALL
+               SELECT 'regex' AS src, conv_id, turn_idx,
+                      CAST(http_code AS STRING) AS val
+               FROM parsed WHERE regexp_matches(text, 'HTTP code of 4[0-9][0-9]')"""
         ),
         "unmatched_roles_anti": P(
             f"""SELECT conv_id, turn_idx, role FROM parsed
@@ -1100,7 +1184,8 @@ def oracle_sql() -> dict[str, str]:
                ) GROUP BY ROLLUP(subclass)"""
         ),
         "conditional_agg": P(
-            """SELECT CAST(sum(CASE WHEN http_code = 404 THEN 1 ELSE 0 END) AS BIGINT) AS n_404,
+            """SELECT count(DISTINCT conv_id) AS n_convs, count(*) AS n_turns,
+                      CAST(sum(CASE WHEN http_code = 404 THEN 1 ELSE 0 END) AS BIGINT) AS n_404,
                       CAST(sum(CASE WHEN http_code = 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_500,
                       CAST(sum(CASE WHEN turn_class = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
                       CAST(sum(CASE WHEN tool <> '-' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls,
@@ -1150,11 +1235,6 @@ def oracle_sql() -> dict[str, str]:
               ON m.conv_id = e.conv_id AND e.turn_class = 'error'
             GROUP BY m.request_id, m.url_path, m.req_code, m.http_response_code, m.error"""
         ),
-        "streaming_hourly": P(
-            f"""SELECT date_trunc('hour', ts) AS hour, {_SINK_TAG} AS sink, role,
-                       count(*) AS n
-                FROM parsed GROUP BY 1, 2, 3"""
-        ),
         "streaming_dedup": P(
             """SELECT turn_class, count(*) AS n_unique FROM (
                  SELECT DISTINCT text, turn_class FROM parsed
@@ -1190,6 +1270,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_quality": _doc_quality_oracle(),
         "doc_langid": _langid_oracle(),
+        "doc_repetition": _doc_repetition_oracle(),
+        "corpus_pack": _corpus_pack_oracle(budget=2048),
+        "corpus_sample": _corpus_sample_oracle({"en": 0.5, "zh": 0.25}),
         "doc_ngram_jaccard": _ngram_jaccard_oracle(),
         "doc_neardup_groups": _neardup_groups_oracle(),
         "doc_dedup_kept": (
@@ -1258,6 +1341,112 @@ SELECT doc_id, n_tokens,
              + (1 - least(punct_ratio * 4, 1.0)) * 0.3
              + least(stopword_ratio * 5, 1.0) * 0.3, 6) AS quality_score
 FROM feat
+"""
+
+
+def _doc_repetition_oracle() -> str:
+    """Mirror of corpus.repetition_stats: trimmed non-empty '\\n'-lines,
+    non-empty-token word 2-grams, top gram by (count DESC, gram ASC),
+    thresholds from corpus.DEFAULT_REPETITION_THRESHOLDS."""
+    from log_analysis_spark.operators.corpus import DEFAULT_REPETITION_THRESHOLDS as T
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, length(text) AS n_chars,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS lines,
+         list_filter({_DOC_TOKENS}, x -> x <> '') AS toks
+  FROM documents
+),
+line_tbl AS (SELECT doc_id, unnest(lines) AS line FROM base),
+per_line AS (
+  SELECT doc_id, line, count(*) AS cnt, length(line) AS chars
+  FROM line_tbl GROUP BY doc_id, line
+),
+line_stats AS (
+  SELECT doc_id, sum(cnt) AS n_lines, count(*) AS n_distinct,
+         sum(cnt * chars) AS line_chars,
+         sum(CASE WHEN cnt > 1 THEN cnt * chars ELSE 0 END) AS dup_chars
+  FROM per_line GROUP BY doc_id
+),
+gram_tbl AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS gram
+  FROM base
+),
+per_gram AS (SELECT doc_id, gram, count(*) AS cnt FROM gram_tbl GROUP BY doc_id, gram),
+top_gram AS (
+  SELECT doc_id, gram, cnt FROM (
+    SELECT doc_id, gram, cnt,
+           row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+    FROM per_gram
+  ) WHERE rn = 1
+),
+feat AS (
+  SELECT b.doc_id,
+         CAST(COALESCE(ls.n_lines, 0) AS BIGINT) AS n_lines,
+         CASE WHEN COALESCE(ls.n_lines, 0) > 0
+              THEN 1.0 - CAST(ls.n_distinct AS DOUBLE) / ls.n_lines
+              ELSE 0.0 END AS dup_line_frac,
+         CASE WHEN COALESCE(ls.line_chars, 0) > 0
+              THEN CAST(ls.dup_chars AS DOUBLE) / ls.line_chars
+              ELSE 0.0 END AS dup_line_char_frac,
+         tg.gram AS top_2gram,
+         CASE WHEN tg.gram IS NOT NULL AND b.n_chars > 0
+              THEN CAST(tg.cnt AS DOUBLE) * length(tg.gram) / b.n_chars
+              ELSE 0.0 END AS top_2gram_char_frac
+  FROM base b
+  LEFT JOIN line_stats ls ON b.doc_id = ls.doc_id
+  LEFT JOIN top_gram tg ON b.doc_id = tg.doc_id
+)
+SELECT doc_id, n_lines,
+       round(dup_line_frac, 6) AS dup_line_frac,
+       round(dup_line_char_frac, 6) AS dup_line_char_frac,
+       top_2gram,
+       round(top_2gram_char_frac, 6) AS top_2gram_char_frac,
+       (dup_line_frac <= {T['dup_line_frac']}
+        AND dup_line_char_frac <= {T['dup_line_char_frac']}
+        AND top_2gram_char_frac <= {T['top_2gram_char_frac']}) AS keep_repetition
+FROM feat
+"""
+
+
+def _corpus_pack_oracle(budget: int) -> str:
+    """Mirror of corpus.pack_shards as ONE global window cumsum — no
+    bucketing structure leaked, so a hash match proves the Spark side's
+    two-phase decomposition equals the straight sequential packing."""
+    return f"""
+SELECT doc_id, n_tokens, pack_key,
+       CAST(floor(c / {budget}.0) AS BIGINT) AS shard
+FROM (
+  SELECT doc_id, n_tokens, pack_key,
+         CAST(COALESCE(sum(n_tokens) OVER (
+           ORDER BY pack_key, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c
+  FROM (
+    SELECT doc_id,
+           len(list_filter({_DOC_TOKENS}, x -> x <> '')) AS n_tokens,
+           md5(CAST(doc_id AS STRING)) AS pack_key
+    FROM documents
+  )
+)
+"""
+
+
+def _corpus_sample_oracle(rates: dict[str, float], default_rate: float = 1.0) -> str:
+    """Mirror of corpus.stratified_sample: u16 = leading 4 md5 hex nibbles
+    of the id (strpos-decoded), keep iff u16 < round(rate * 65536)."""
+    u16 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    rate = "CASE " + " ".join(
+        f"WHEN lang = '{s}' THEN {r}" for s, r in sorted(rates.items())
+    ) + f" ELSE {default_rate} END"
+    return f"""
+SELECT doc_id, lang, source FROM documents
+WHERE ({u16}) < CAST(round(({rate}) * 65536.0) AS BIGINT)
 """
 
 

@@ -1,0 +1,147 @@
+"""Unit tests for operators/corpus.py — repetition stats, token-budget
+shard packing, stratified sampling (planted inputs with hand-computed
+expectations, plus equivalence to naive single-pass references)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_analysis_spark.operators import corpus
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_stats_planted_values(spark):
+    df = _docs_df(
+        spark,
+        [
+            # 3 lines, one dup pair; top 2-gram "a b" occurs twice
+            (1, "a b\na b\nc d"),
+            (2, ""),            # degenerate: no lines, no grams
+            (3, "hello"),       # 1 line, single token → no grams
+            (4, "x y\n\n  \nx y\nx y"),  # blank lines dropped, all dup
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in corpus.repetition_stats(df).collect()
+    }
+    r1 = out[1]
+    assert r1["n_lines"] == 3
+    assert r1["dup_line_frac"] == pytest.approx(1 / 3)
+    assert r1["dup_line_char_frac"] == pytest.approx(6 / 9)
+    assert r1["top_2gram"] == "a b"
+    # "a b\na b\nc d" has 11 chars; "a b" (3 chars) occurs twice
+    assert r1["top_2gram_char_frac"] == pytest.approx(6 / 11)
+
+    r2 = out[2]
+    assert r2["n_lines"] == 0
+    assert r2["dup_line_frac"] == 0.0
+    assert r2["top_2gram"] is None
+    assert r2["keep_repetition"] is True
+
+    r3 = out[3]
+    assert r3["n_lines"] == 1
+    assert r3["dup_line_frac"] == 0.0
+    assert r3["top_2gram_char_frac"] == 0.0
+
+    r4 = out[4]
+    assert r4["n_lines"] == 3
+    assert r4["dup_line_frac"] == pytest.approx(2 / 3)
+    assert r4["dup_line_char_frac"] == pytest.approx(1.0)
+    assert r4["keep_repetition"] is False
+
+
+def test_repetition_keep_flag_separates_spam(spark):
+    clean = "the quick brown fox\njumps over the lazy dog\nand runs away home"
+    spam = "\n".join(["buy now limited offer"] * 10)
+    df = _docs_df(spark, [(1, clean), (2, spam)])
+    kept = {
+        r["doc_id"]: r["keep_repetition"]
+        for r in corpus.repetition_stats(df).collect()
+    }
+    assert kept == {1: True, 2: False}
+
+
+def test_pack_shards_equals_naive_global_cumsum(spark):
+    # 300 docs with varied token counts; the two-phase bucketed cumsum must
+    # equal the naive single-ordering sequential packing bit-for-bit
+    rows = [(i, "tok " * (1 + (i * 37) % 23)) for i in range(300)]
+    df = _docs_df(spark, rows)
+    budget = 100
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["shard"])
+        for r in corpus.pack_shards(df, budget=budget).collect()
+    }
+
+    def md5(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    naive = sorted(
+        ((md5(str(i)), i, 1 + (i * 37) % 23) for i, _ in rows)
+    )
+    c = 0
+    for key, i, ntok in naive:
+        assert got[i] == (ntok, c // budget), f"doc {i}"
+        c += ntok
+
+    # shard ids are contiguous from 0 and every shard except possibly the
+    # last closes at or past the budget
+    shards = sorted({s for _, s in got.values()})
+    assert shards == list(range(len(shards)))
+
+
+def test_pack_shards_respects_budget_property(spark):
+    df = _docs_df(spark, [(i, "w " * (1 + i % 7)) for i in range(200)])
+    budget = 50
+    out = corpus.pack_shards(df, budget=budget)
+    per_shard = (
+        out.groupBy("shard").agg(F.sum("n_tokens").alias("tok")).collect()
+    )
+    max_doc = 7
+    for r in per_shard:
+        # a shard stops accepting once it crosses the budget: its total is
+        # < budget + the doc that crossed the line
+        assert r["tok"] < budget + max_doc
+
+
+def test_pack_shards_rejects_bad_budget(spark):
+    df = _docs_df(spark, [(1, "a b")])
+    with pytest.raises(ValueError):
+        corpus.pack_shards(df, budget=0)
+
+
+def test_stratified_sample_deterministic_and_rate_accurate(spark):
+    n = 4000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    out1 = corpus.stratified_sample(df, "lang", {"en": 0.5}, default_rate=1.0)
+    out2 = corpus.stratified_sample(df, "lang", {"en": 0.5}, default_rate=1.0)
+    rows1 = sorted(r["doc_id"] for r in out1.collect())
+    rows2 = sorted(r["doc_id"] for r in out2.collect())
+    assert rows1 == rows2  # pure function of md5(id) — no RNG state
+
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in out1.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_lang["de"] == n // 2  # default rate 1.0 keeps everything
+    # en at 50%: md5 uniformity over 2000 draws → within ±6 percentage pts
+    assert abs(by_lang["en"] / (n // 2) - 0.5) < 0.06
+
+
+def test_stratified_sample_edge_rates(spark):
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    )
+    assert corpus.stratified_sample(df, "lang", {"en": 0.0}).count() == 0
+    assert corpus.stratified_sample(df, "lang", {"en": 1.0}).count() == 100
+    with pytest.raises(ValueError):
+        corpus.stratified_sample(df, "lang", {"en": 1.5})

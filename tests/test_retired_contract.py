@@ -1,7 +1,7 @@
-"""The eight queries retired from the 50-entry driver contract stay part of
-the engine's verified surface: the five with engine-portable semantics are
+"""Queries retired from the 50-entry driver contract stay part of the
+engine's verified surface: those with engine-portable semantics are
 cross-checked against their DuckDB oracles here (same normalize/compare as
-tools/check_oracle.py), and the three hash-seeded production twins must keep
+tools/check_oracle.py), and the hash-seeded production twins must keep
 running (their pair-set equality vs the in-contract md5 twins is asserted in
 tests/test_docs_ops.py)."""
 

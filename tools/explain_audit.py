@@ -262,6 +262,38 @@ def main() -> int:
     ]
     sections.append(("Round-3 ops (matmul signatures, md5 twin, session dedup, salted J5)", sm, notes))
 
+    # 11 — corpus ops: stratified sample must be a pure scan+filter (no
+    # exchange anywhere — it composes with partition pruning at 100 TB);
+    # shard packing's only SinglePartition stage is the 256-row bucket-offset
+    # window (above a HashAggregate, never the raw corpus); repetition stats
+    # stay cross-product-free and zero-Python
+    from log_analysis_spark.operators import corpus
+
+    samp = executed(
+        corpus.stratified_sample(docs, "lang", {"en": 0.5, "zh": 0.25})
+    )
+    pack = executed(corpus.pack_shards(docs, budget=2048))
+    rep = executed(corpus.repetition_stats(docs))
+    pack_sp = pack.count("Exchange SinglePartition")
+    pack_after = pack.split("Exchange SinglePartition", 1)[-1]
+    notes = [
+        check("stratified sample: zero Exchange (pure scan+filter)",
+              "Exchange" not in samp),
+        check("stratified sample: zero Python", "EvalPython" not in samp
+              and "InPandas" not in samp),
+        check("pack: exactly one SinglePartition exchange (bucket offsets)",
+              pack_sp == 1, f"found {pack_sp}"),
+        check("pack: the single-partition input is the 256-row bucket "
+              "aggregate (HashAggregate below it), not the corpus",
+              "HashAggregate" in pack_after[:2000]),
+        check("pack: offsets re-attach by broadcast (no corpus-side "
+              "shuffle for the join)", "BroadcastHashJoin" in pack),
+        check("repetition: no CartesianProduct", "CartesianProduct" not in rep),
+        check("repetition: zero Python (explode/groupBy JVM tree)",
+              "EvalPython" not in rep and "InPandas" not in rep),
+    ]
+    sections.append(("Corpus ops (stratified sample, shard packing, repetition)", pack, notes))
+
     # ---- write EXPLAIN.md -------------------------------------------------
     md = ["# EXPLAIN audit — physical plans vs 100 TB design intents",
           "",
