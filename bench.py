@@ -141,6 +141,10 @@ def main() -> None:
         lambda: dedup.minhash_lsh_pairs(docs, threshold=0.2).count(),
     )
     timed(
+        "doc_minhash_numpy",
+        lambda: dedup.minhash_lsh_pairs(docs, threshold=0.2, hash_impl="numpy").count(),
+    )
+    timed(
         "doc_simhash",
         lambda: dedup.simhash_neardup_pairs(
             dedup.simhash_table(docs), max_hamming=8

@@ -97,6 +97,84 @@ def minhash_signature(
     return F.array(*[seeded_min(i) for i in range(n_hashes)])
 
 
+def _splitmix64(x: "np.ndarray") -> "np.ndarray":
+    """Vectorized splitmix64 finalizer (public-domain constant schedule) —
+    self-contained deterministic uint64 seed derivation, stable across
+    numpy versions/platforms (pure wraparound arithmetic, no RNG state)."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+_MINHASH_BANDED_SCHEMA = "id long, band int, bkey long"
+
+
+def minhash_banded_numpy(
+    sh_tbl: DataFrame, n_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """Whole-batch numpy MinHash banding → (id, band, bkey): the production
+    signature path for big corpora, same design as ``simhash_table``.
+
+    Per Arrow batch: every shingle is hashed ONCE (pandas' vectorized
+    64-bit siphash, fixed key — process-stable), then the classic universal
+    rehash ``h_i(x) = a_i·x + b_i (mod 2^64)`` (Broder's min-wise family;
+    a_i odd ⇒ bijective, so min is taken over a permuted order per seed)
+    derives all ``n_hashes`` signature slots as vectorized multiply-adds
+    with ``np.minimum.reduceat`` over contiguous doc segments; band keys
+    FNV-fold the band's slots.  One C pass per seed instead of the
+    expression path's per-seed interpreted string-concat+hash lambda over
+    every shingle — the same whole-batch-numpy upgrade the embedding
+    near-dup's matmul path got, kept OUT of the contract slot (the md5
+    expression twin holds the oracle; pair-set equality is unit-tested).
+
+    ``sh_tbl`` must be ``shingled(...)`` output: every row has ≥1 shingle
+    (reduceat segments must be non-empty).
+    """
+    if n_hashes % bands:
+        raise ValueError(f"bands={bands} must divide n_hashes={n_hashes}")
+    rows_per_band = n_hashes // bands
+
+    def batch_iter(it):
+        idx = np.arange(n_hashes, dtype=np.uint64)
+        mult = _splitmix64(idx * np.uint64(2) + np.uint64(1)) | np.uint64(1)
+        add = _splitmix64(idx + np.uint64(0x1000))
+        fnv_off = np.uint64(0xCBF29CE484222325)
+        fnv_p = np.uint64(0x100000001B3)
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            ids = pdf["id"].to_numpy()
+            lists = pdf["sh"]
+            lens = np.fromiter((len(s) for s in lists), dtype=np.int64, count=n)
+            offsets = np.zeros(n, dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            flat = np.concatenate([np.asarray(s, dtype=object) for s in lists])
+            h = pd.util.hash_array(flat)  # uint64, one pass over all shingles
+            sig = np.empty((n, n_hashes), dtype=np.uint64)
+            for i in range(n_hashes):  # seed loop: each pass is one C kernel
+                sig[:, i] = np.minimum.reduceat(mult[i] * h + add[i], offsets)
+            bkeys = np.empty((bands, n), dtype=np.uint64)
+            for b in range(bands):
+                bk = np.full(n, fnv_off, dtype=np.uint64)
+                for r in range(rows_per_band):
+                    bk = (bk ^ sig[:, b * rows_per_band + r]) * fnv_p
+                bkeys[b] = bk
+            yield pd.DataFrame(
+                {
+                    "id": np.tile(ids, bands),
+                    "band": np.repeat(np.arange(bands, dtype=np.int32), n),
+                    "bkey": bkeys.reshape(-1).view("int64"),
+                }
+            )
+
+    return sh_tbl.mapInPandas(batch_iter, _MINHASH_BANDED_SCHEMA)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -111,40 +189,47 @@ def minhash_lsh_pairs(
     candidate pairs inside buckets → exact Jaccard verify on shingle sets.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
-    ``hash_impl="md5"`` runs the identical pipeline on DuckDB-expressible
-    hashes (see minhash_signature) for the exact-oracle contract query.
+    ``hash_impl``: "xxhash64" (JVM expressions), "md5" (identical pipeline
+    on DuckDB-expressible hashes — the exact-oracle contract twin), or
+    "numpy" (whole-batch vectorized banding, see ``minhash_banded_numpy`` —
+    the big-corpus production path).  All three share the candidate-join +
+    exact-verify machinery, so they differ only in LSH recall luck; the
+    verified pair sets are equality-tested on the test corpus.
     """
     rows_per_band = n_hashes // bands
-    bkey_fn = F.xxhash64 if hash_impl == "xxhash64" else F.md5
     sh_tbl = shingled(df, text_col, id_col, k)
-    sig = sh_tbl.withColumn(
-        "sig", minhash_signature(F.col("sh"), n_hashes, hash_impl)
-    )
-    # band key = hash of the band's slice of the signature; the band join
-    # carries ONLY (id, band, bkey) — shingle arrays are re-attached after
-    # candidate dedup, so the shuffle stays narrow (SURVEY.md §4.2 skew row)
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        bkey_fn(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bkey"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bkey")
+    if hash_impl == "numpy":
+        banded = minhash_banded_numpy(sh_tbl, n_hashes, bands)
+    else:
+        bkey_fn = F.xxhash64 if hash_impl == "xxhash64" else F.md5
+        sig = sh_tbl.withColumn(
+            "sig", minhash_signature(F.col("sh"), n_hashes, hash_impl)
+        )
+        # band key = hash of the band's slice of the signature; the band join
+        # carries ONLY (id, band, bkey) — shingle arrays are re-attached after
+        # candidate dedup, so the shuffle stays narrow (SURVEY.md §4.2 skew row)
+        banded = sig.select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            bkey_fn(
+                                F.concat_ws(
+                                    ",",
+                                    *[
+                                        F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                        for r in range(rows_per_band)
+                                    ],
+                                )
+                            ).alias("bkey"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("id", "bb.band", "bb.bkey")
 
     left = banded.alias("l")
     right = banded.alias("r")

@@ -164,6 +164,33 @@ def test_minhash_md5_variant_agrees_with_production_hash(spark, docs):
     assert a == b and len(a) > 0
 
 
+def test_minhash_numpy_variant_agrees_with_production_hash(spark, docs):
+    """The whole-batch numpy banding path (big-corpus production) and the
+    xxhash64 expression path share the candidate-join + exact-verify
+    machinery; their VERIFIED pair sets must agree (and be non-trivial) —
+    any disagreement is a band-recall hole in one of them."""
+    a = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.2).collect()
+    }
+    c = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, threshold=0.2, hash_impl="numpy"
+        ).collect()
+    }
+    assert a == c and len(c) > 0
+
+
+def test_minhash_numpy_banded_deterministic(spark, docs):
+    """Banding runs on pandas' fixed-key siphash + splitmix64-derived seeds:
+    two runs (separate jobs, arbitrary partitioning) give identical keys."""
+    sh = dedup.shingled(docs)
+    r1 = sorted(map(tuple, dedup.minhash_banded_numpy(sh).collect()))
+    r2 = sorted(map(tuple, dedup.minhash_banded_numpy(sh.repartition(7)).collect()))
+    assert r1 == r2
+
+
 def test_minhash_signature_matches_python(spark, docs):
     """Spark minhash == reference python implementation (xxhash via JVM —
     verify bandkey determinism instead of exact value): same doc → same sig."""

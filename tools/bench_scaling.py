@@ -198,6 +198,8 @@ def timed(name, fn, repeats=2):
     print("DOCOP", name, round(best, 2))
 
 timed("minhash_lsh", lambda: dedup.minhash_lsh_pairs(docs, threshold=0.2).count())
+timed("minhash_numpy", lambda: dedup.minhash_lsh_pairs(
+    docs, threshold=0.2, hash_impl="numpy").count())
 timed("simhash_pairs", lambda: dedup.simhash_neardup_pairs(
     dedup.simhash_table(docs), max_hamming=8).count())
 timed("jaccard_prefix", lambda: dedup.ngram_jaccard_pairs(docs, threshold=0.5).count())

@@ -187,6 +187,9 @@ def main() -> int:
     nd_plans = {
         "jaccard_prefix": executed(dedup.ngram_jaccard_pairs(docs, k=2, threshold=0.2)),
         "minhash_lsh": executed(dedup.minhash_lsh_pairs(docs, threshold=0.2)),
+        "minhash_numpy": executed(
+            dedup.minhash_lsh_pairs(docs, threshold=0.2, hash_impl="numpy")
+        ),
         "simhash": executed(
             dedup.simhash_neardup_pairs(dedup.simhash_table(docs), max_hamming=8)
         ),
@@ -205,6 +208,12 @@ def main() -> int:
                 "BroadcastNestedLoopJoin" not in plan,
             )
         )
+    notes.append(
+        check(
+            "minhash_numpy: Python only as whole-batch Arrow stages",
+            "BatchEvalPython" not in nd_plans["minhash_numpy"],
+        )
+    )
     notes.append(
         check(
             "jaccard_prefix: PPJoin pruning predicates inside the join",
