@@ -1,0 +1,105 @@
+"""spark-submit entrypoint for corpus preparation — the stage between dedup
+and training: repetition filtering → stratified sampling → token-budget
+shard packing → per-shard corpus write.
+
+Cluster usage (same --py-files launch shape as jobs/run_pipeline.py):
+
+    spark-submit --py-files log_analysis_spark.zip jobs/run_corpus.py \
+        --docs /path/documents.parquet --out /path/corpus_out \
+        --budget 1048576 --rates '{"en": 0.5}'
+
+Sandbox usage:
+
+    python jobs/run_corpus.py --sf-dir /root/testdata/sf0.001 --out /tmp/cp
+
+Stages (each optional-off via flags, all deterministic — reruns produce
+byte-identical shard assignments):
+
+1. **repetition filter** (`corpus.repetition_stats`): drop docs whose
+   duplicate-line / duplicate-character / top-2-gram fractions exceed the
+   thresholds (Gopher-style spam gate).
+2. **stratified sample** (`corpus.stratified_sample`): per-stratum
+   md5-threshold downsampling (e.g. re-weight dominant languages) — a pure
+   filter, composes with partition pruning.
+3. **shard packing** (`corpus.pack_shards`): md5-ordered exclusive token
+   cumsum, shard = floor(cumsum / budget); written partitioned by shard so
+   a training loader reads one directory per shard.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--docs", help="documents table path (parquet)")
+    src.add_argument("--sf-dir", help="testdata dir holding documents.parquet")
+    ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument("--budget", type=int, default=65536, help="tokens per shard")
+    ap.add_argument(
+        "--rates",
+        default="{}",
+        help='JSON per-stratum sampling rates, e.g. \'{"en": 0.5}\' (empty = keep all)',
+    )
+    ap.add_argument("--strata-col", default="lang")
+    ap.add_argument("--no-repetition-filter", action="store_true")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from log_analysis_spark.operators import corpus
+    from log_analysis_spark.session import get_spark
+
+    spark = get_spark("run_corpus", master=args.master)
+    path = args.docs or f"{args.sf_dir}/documents.parquet"
+    docs = spark.read.parquet(path)
+    n_input = docs.count()
+
+    if not args.no_repetition_filter:
+        rep = corpus.repetition_stats(docs).select("doc_id", "keep_repetition")
+        docs = (
+            docs.join(rep, "doc_id")
+            .filter(F.col("keep_repetition"))
+            .drop("keep_repetition")
+        )
+    n_clean = docs.count()
+
+    rates = json.loads(args.rates)
+    if rates:
+        docs = corpus.stratified_sample(docs, args.strata_col, rates)
+    n_sampled = docs.count()
+
+    packed = corpus.pack_shards(docs, budget=args.budget)
+    out = (
+        docs.join(packed.select("doc_id", "n_tokens", "shard"), "doc_id")
+    )
+    out.write.mode("overwrite").partitionBy("shard").parquet(f"{args.out}/shards")
+
+    shards = spark.read.parquet(f"{args.out}/shards")
+    n_shards = shards.select("shard").distinct().count()
+    tok_total = shards.agg(F.sum("n_tokens")).collect()[0][0] or 0
+    print(
+        json.dumps(
+            {
+                "n_input": n_input,
+                "n_after_repetition_filter": n_clean,
+                "n_after_sampling": n_sampled,
+                "budget": args.budget,
+                "n_shards": n_shards,
+                "total_tokens": int(tok_total),
+                "shards_path": f"{args.out}/shards",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -77,3 +77,22 @@ def test_submit_dedup_job(pkg_zip, tmp_path):
     )
     assert res["n_docs"] == res["n_kept"] + res["n_dropped"]
     assert res["n_kept"] > 0
+
+
+def test_submit_corpus_job(pkg_zip, tmp_path):
+    res = _submit(
+        pkg_zip,
+        "run_corpus.py",
+        [
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--out", str(tmp_path / "cp"),
+            "--budget", "1024",
+            "--rates", '{"en": 0.5}',
+        ],
+        cwd=tmp_path,
+    )
+    assert res["n_input"] >= res["n_after_repetition_filter"] >= res["n_after_sampling"]
+    assert res["n_after_sampling"] > 0 and res["n_shards"] > 0
+    # shard count accounting: shard = floor(exclusive_cumsum / budget), so
+    # the last shard index is within one doc's tokens of total/budget
+    assert res["n_shards"] <= res["total_tokens"] // 1024 + 1
