@@ -93,16 +93,36 @@ def q_route_counts(spark, sf_dir):
 
 
 def q_enrich_roles(spark, sf_dir):
-    """J1 — broadcast left join vs role_taxonomy with miss sentinel."""
+    """J1 — broadcast left join vs role_taxonomy with miss sentinel.
+    Retired from the 50-entry contract: ``enrich_dims`` chains this exact
+    enrich (strict refinement), keeping J1 driver-green in one slot."""
     out = enrich.enrich_roles(_parsed(spark, sf_dir), role_taxonomy(spark))
     return out.select("conv_id", "turn_idx", "role", "role_class", "is_human", "role_status")
 
 
 def q_enrich_tools(spark, sf_dir):
     """J2 — broadcast join vs tool_registry; colliding `role` column proves
-    right-overrides merge (join_json_arrays.py:45)."""
+    right-overrides merge (join_json_arrays.py:45).  Retired from the
+    50-entry contract: ``enrich_dims`` chains this exact enrich."""
     out = enrich.enrich_tools(_parsed(spark, sf_dir), tool_registry(spark))
     return out.select("conv_id", "turn_idx", "tool", "tool_kind", "tool_owner", "role", "tool_status")
+
+
+def q_enrich_dims(spark, sf_dir):
+    """J1 + J2 + F8 in the shape the e2e pipeline actually runs them: the
+    role enrich (miss sentinel on p.role) chained into the tool enrich
+    (right-overrides the colliding ``role`` column, sentinel on p.tool) —
+    two BroadcastHashJoins, the fact side never shuffles (EXPLAIN.md §3
+    audits this exact composition).  Absorbs the retired ``enrich_roles``
+    and ``enrich_tools`` slots: every output column of both survives."""
+    out = enrich.enrich_tools(
+        enrich.enrich_roles(_parsed(spark, sf_dir), role_taxonomy(spark)),
+        tool_registry(spark),
+    )
+    return out.select(
+        "conv_id", "turn_idx", "role", "role_class", "is_human", "role_status",
+        "tool", "tool_kind", "tool_owner", "tool_status",
+    )
 
 
 def q_hourly_rollup(spark, sf_dir):
@@ -137,7 +157,9 @@ def q_timing_stats(spark, sf_dir):
 
 
 def q_minmax_ts(spark, sf_dir):
-    """A6 — extrema: the log time range."""
+    """A6 — extrema: the log time range.  Retired from the 50-entry
+    contract: ``conditional_agg`` now carries min_ts/max_ts alongside its
+    conditional sums (strict refinement), keeping A6 driver-green."""
     return agg.extrema(_parsed(spark, sf_dir), "ts")
 
 
@@ -338,13 +360,16 @@ def q_error_subclasses(spark, sf_dir):
 
 
 def q_conditional_agg(spark, sf_dir):
-    """A2 + A4 — the jq re-scan cascade (combined_analysis.sh) collapsed to
-    ONE scan of conditional sums, plus the distinct-conversation and total
-    counts (absorbing the retired ``count_distinct`` slot)."""
+    """A2 + A4 + A6 — the jq re-scan cascade (combined_analysis.sh)
+    collapsed to ONE scan of conditional sums, plus the distinct-conversation
+    / total counts and the log time range (absorbing the retired
+    ``count_distinct`` and ``minmax_ts`` slots)."""
     p = _parsed(spark, sf_dir)
     return p.agg(
         F.countDistinct("conv_id").alias("n_convs"),
         F.count("*").alias("n_turns"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
         F.sum(F.when(F.col("http_code") == 404, 1).otherwise(0)).alias("n_404"),
         F.sum(F.when(F.col("http_code") == 500, 1).otherwise(0)).alias("n_500"),
         F.sum(F.when(F.col("turn_class") == "error", 1).otherwise(0)).alias("n_errors"),
@@ -510,8 +535,23 @@ def q_streaming_dedup(spark, sf_dir):
     )
 
 
+def q_conv_docs(spark, sf_dir):
+    """Transcripts→training-corpus bridge (the A+B graft in one op): one
+    document per conversation, boilerplate turns stripped — any exact turn
+    text recurring across >=10% of conversations (templated status lines,
+    health checks) carries no training signal — surviving turns rendered
+    ``role: text`` in stable turn order.  Non-trivial at sf0.01: 44
+    boilerplate texts (max spread 21 of 150 convs).  The oracle recomputes
+    the threshold, strip, and ordered assembly with global SQL windows,
+    blind to the broadcast anti-join structure."""
+    return corpus.transcripts_to_docs(transcripts_from_events(spark, sf_dir))
+
+
 def q_events_sessionize(spark, sf_dir):
-    """Sessionization on the raw events table: 30-min-gap sessions/user."""
+    """Sessionization on the raw events table: 30-min-gap sessions/user.
+    Retired from the 50-entry contract: ``session_dedup`` runs the same
+    ``windows_ops.sessionize`` machinery as its first stage (strict
+    composition), keeping sessionization driver-green in one slot."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
         windows_ops.sessionize(ev, "user_id", "ts", ["ts", "event_id"], gap_sec=1800)
@@ -640,6 +680,44 @@ def q_corpus_sample(spark, sf_dir):
     return corpus.stratified_sample(
         _docs(spark, sf_dir), "lang", {"en": 0.5, "zh": 0.25}
     ).select("doc_id", "lang", "source")
+
+
+def q_doc_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix C-style n-gram collision):
+    docs whose md5(doc_id) leads with hex '0'/'1' act as the held-out eval
+    benchmark (1/8 of the corpus — deterministic, engine-portable); every
+    other doc is flagged iff it shares >=1 distinct word 5-gram with the
+    benchmark.  Non-trivial at sf0.01 (planted near-dups straddle the
+    split: 11 contaminated docs, 383 gram hits).  The oracle recomputes the
+    full gram-collision semantics with no knowledge of the broadcast
+    structure."""
+    docs = _docs(spark, sf_dir)
+    is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1")
+    return corpus.decontaminate(docs.filter(~is_bench), docs.filter(is_bench), n=5)
+
+
+def q_doc_pii_scrub(spark, sf_dir):
+    """PII redaction: emails / IPv4s / long digit runs replaced by tokens,
+    per-class match counts kept.  The corpus text is word salad with no PII,
+    so half the docs (md5 nibble < 8) get a deterministic PII-bearing
+    suffix synthesized from doc_id — giving the scrubber real work whose
+    expected output the oracle derives independently; the other half prove
+    the no-op path leaves text untouched."""
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    has_pii = F.substring(F.md5(did), 1, 1).isin(*"01234567")
+    aug = F.when(
+        has_pii,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), did,
+            F.lit("@mail.example from 10.2.0."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(" ref 9000000"), did,
+        ),
+    ).otherwise(F.col("text"))
+    out = textstats.scrub_pii(docs.withColumn("text", aug))
+    return out.select("doc_id", "n_emails", "n_ips", "n_nums", "text_clean")
 
 
 def q_doc_ngram_jaccard(spark, sf_dir):
@@ -803,6 +881,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       * doc_minhash_lsh     — no-oracle production twin of doc_minhash_lsh_md5
       * doc_simhash         — no-oracle production twin of doc_simhash_md5
       * doc_fingerprint     — no-oracle production twin of doc_fingerprint_md5
+      * enrich_roles/_tools — chained verbatim inside enrich_dims (J1+J2+F8)
+      * minmax_ts           — A6 extrema folded into conditional_agg's scan
+      * events_sessionize   — session_dedup composes the same sessionize
+                              machinery as its first stage
 
     49/50 have exact oracles; embed_ivf_topk is rows-only by design
     (approximate ANN; recall floor asserted in tests)."""
@@ -811,13 +893,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_fields": q_parse_fields,
         "logs_overview": q_logs_overview,
         "route_counts": q_route_counts,
-        "enrich_roles": q_enrich_roles,
-        "enrich_tools": q_enrich_tools,
+        "enrich_dims": q_enrich_dims,
         "hourly_rollup": q_hourly_rollup,
         "conv_counts_salted": q_conv_counts_salted,
         "distinct_codes": q_distinct_codes,
         "timing_stats": q_timing_stats,
-        "minmax_ts": q_minmax_ts,
         "action_set_convs": q_action_set_convs,
         "duration_histogram": q_duration_histogram,
         "outliers": q_outliers,
@@ -839,14 +919,16 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lifecycle_merge": q_lifecycle_merge,
         "streaming_conv_state": q_streaming_conv_state,
         "streaming_dedup": q_streaming_dedup,
-        "events_sessionize": q_events_sessionize,
         "session_dedup": q_session_dedup,
+        "conv_docs": q_conv_docs,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_quality": q_doc_quality,
         "doc_langid": q_doc_langid,
         "doc_repetition": q_doc_repetition,
         "corpus_pack": q_corpus_pack,
         "corpus_sample": q_corpus_sample,
+        "doc_decontaminate": q_doc_decontaminate,
+        "doc_pii_scrub": q_doc_pii_scrub,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_neardup_groups": q_doc_neardup_groups,
         "doc_dedup_kept": q_doc_dedup_kept,
@@ -870,6 +952,10 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tested against their in-contract md5 twins)."""
     return {name: _utc(fn) for name, fn in {
         "class_counts": q_class_counts,
+        "enrich_roles": q_enrich_roles,
+        "enrich_tools": q_enrich_tools,
+        "minmax_ts": q_minmax_ts,
+        "events_sessionize": q_events_sessionize,
         "request_errors_flat": q_request_errors_flat,
         "cache_op_counts": q_cache_op_counts,
         "error_follows_tool": q_error_follows_tool,
@@ -891,6 +977,39 @@ def retired_oracle_sql() -> dict[str, str]:
     return {
         "class_counts": P(
             "SELECT turn_class, count(*) AS n FROM parsed GROUP BY turn_class"
+        ),
+        "enrich_roles": P(
+            f"""SELECT p.conv_id, p.turn_idx, p.role, rt.role_class, rt.is_human,
+                CASE WHEN rt.role IS NULL
+                     THEN 'Failed to locate matching record for ' || p.role
+                     ELSE 'ok' END AS role_status
+                FROM parsed p LEFT JOIN ({ROLE_TAXONOMY_SQL}) rt ON p.role = rt.role"""
+        ),
+        "enrich_tools": P(
+            f"""SELECT p.conv_id, p.turn_idx, p.tool, tr.tool_kind, tr.tool_owner,
+                COALESCE(tr.role, p.role) AS role,
+                CASE WHEN tr.tool IS NULL
+                     THEN 'Failed to locate matching record for ' || p.tool
+                     ELSE 'ok' END AS tool_status
+                FROM parsed p LEFT JOIN ({TOOL_REGISTRY_SQL}) tr ON p.tool = tr.tool"""
+        ),
+        "minmax_ts": P("SELECT min(ts) AS min_val, max(ts) AS max_val FROM parsed"),
+        "events_sessionize": (
+            """WITH g AS (
+                 SELECT user_id, ts, event_id,
+                        CASE WHEN epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                             THEN 1 ELSE 0 END AS new_sess
+                 FROM events
+               ),
+               s AS (
+                 SELECT user_id,
+                        sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+                 FROM g
+               )
+               SELECT user_id, CAST(max(sess_id) + 1 AS BIGINT) AS n_sessions,
+                      count(*) AS n_events
+               FROM s GROUP BY user_id"""
         ),
         "request_errors_flat": P(
             f""", {_REQ_RESP_CTES.strip().lstrip()}
@@ -1041,20 +1160,20 @@ def oracle_sql() -> dict[str, str]:
         "route_counts": P(
             f"SELECT {_SINK_TAG} AS sink, count(*) AS n FROM parsed GROUP BY 1"
         ),
-        "enrich_roles": P(
-            f"""SELECT p.conv_id, p.turn_idx, p.role, rt.role_class, rt.is_human,
+        "enrich_dims": P(
+            f"""SELECT p.conv_id, p.turn_idx,
+                COALESCE(tr.role, p.role) AS role,
+                rt.role_class, rt.is_human,
                 CASE WHEN rt.role IS NULL
                      THEN 'Failed to locate matching record for ' || p.role
-                     ELSE 'ok' END AS role_status
-                FROM parsed p LEFT JOIN ({ROLE_TAXONOMY_SQL}) rt ON p.role = rt.role"""
-        ),
-        "enrich_tools": P(
-            f"""SELECT p.conv_id, p.turn_idx, p.tool, tr.tool_kind, tr.tool_owner,
-                COALESCE(tr.role, p.role) AS role,
+                     ELSE 'ok' END AS role_status,
+                p.tool, tr.tool_kind, tr.tool_owner,
                 CASE WHEN tr.tool IS NULL
                      THEN 'Failed to locate matching record for ' || p.tool
                      ELSE 'ok' END AS tool_status
-                FROM parsed p LEFT JOIN ({TOOL_REGISTRY_SQL}) tr ON p.tool = tr.tool"""
+                FROM parsed p
+                LEFT JOIN ({ROLE_TAXONOMY_SQL}) rt ON p.role = rt.role
+                LEFT JOIN ({TOOL_REGISTRY_SQL}) tr ON p.tool = tr.tool"""
         ),
         "hourly_rollup": P(
             "SELECT role, tool, date_trunc('hour', ts) AS hour, count(*) AS n"
@@ -1071,7 +1190,6 @@ def oracle_sql() -> dict[str, str]:
             " max(duration_ms) AS max_val FROM parsed WHERE duration_ms IS NOT NULL"
             " GROUP BY action"
         ),
-        "minmax_ts": P("SELECT min(ts) AS min_val, max(ts) AS max_val FROM parsed"),
         "action_set_convs": P(
             "SELECT conv_id, count(*) AS n FROM parsed WHERE action IS NOT NULL"
             " GROUP BY conv_id"
@@ -1185,6 +1303,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "conditional_agg": P(
             """SELECT count(DISTINCT conv_id) AS n_convs, count(*) AS n_turns,
+                      min(ts) AS min_ts, max(ts) AS max_ts,
                       CAST(sum(CASE WHEN http_code = 404 THEN 1 ELSE 0 END) AS BIGINT) AS n_404,
                       CAST(sum(CASE WHEN http_code = 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_500,
                       CAST(sum(CASE WHEN turn_class = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
@@ -1247,24 +1366,8 @@ def oracle_sql() -> dict[str, str]:
                       max(turn_idx) AS max_turn_idx
                FROM parsed GROUP BY conv_id"""
         ),
-        "events_sessionize": (
-            """WITH g AS (
-                 SELECT user_id, ts, event_id,
-                        CASE WHEN epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
-                             THEN 1 ELSE 0 END AS new_sess
-                 FROM events
-               ),
-               s AS (
-                 SELECT user_id,
-                        sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
-                 FROM g
-               )
-               SELECT user_id, CAST(max(sess_id) + 1 AS BIGINT) AS n_sessions,
-                      count(*) AS n_events
-               FROM s GROUP BY user_id"""
-        ),
         "session_dedup": _session_dedup_oracle(),
+        "conv_docs": _conv_docs_oracle(),
         "doc_exact_dedup": (
             "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text"
         ),
@@ -1273,6 +1376,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": _doc_repetition_oracle(),
         "corpus_pack": _corpus_pack_oracle(budget=2048),
         "corpus_sample": _corpus_sample_oracle({"en": 0.5, "zh": 0.25}),
+        "doc_decontaminate": _decontaminate_oracle(n=5),
+        "doc_pii_scrub": _pii_scrub_oracle(),
         "doc_ngram_jaccard": _ngram_jaccard_oracle(),
         "doc_neardup_groups": _neardup_groups_oracle(),
         "doc_dedup_kept": (
@@ -1447,6 +1552,96 @@ def _corpus_sample_oracle(rates: dict[str, float], default_rate: float = 1.0) ->
     return f"""
 SELECT doc_id, lang, source FROM documents
 WHERE ({u16}) < CAST(round(({rate}) * 65536.0) AS BIGINT)
+"""
+
+
+def _conv_docs_oracle(frac: float = 0.1, min_convs: int = 2) -> str:
+    """Independent recompute of q_conv_docs: threshold from a scalar
+    aggregate, boilerplate strip via NOT IN, ordered assembly via
+    struct-sort (blind to the Spark side's broadcast anti-join shape)."""
+    return oracles.on_transcripts(f""",
+tot AS (SELECT count(DISTINCT conv_id) AS nc FROM transcripts),
+bp AS (
+  SELECT text FROM transcripts, tot
+  GROUP BY text, tot.nc
+  HAVING count(DISTINCT conv_id) >= greatest({min_convs}, CAST(ceil({frac} * tot.nc) AS BIGINT))
+),
+kept AS (SELECT * FROM transcripts WHERE text NOT IN (SELECT text FROM bp)),
+asm AS (
+  SELECT conv_id,
+         array_to_string(
+           list_transform(
+             list_sort(list({{'i': turn_idx, 'r': role, 't': text}})),
+             s -> s.r || ': ' || s.t),
+           chr(10)) AS text,
+         count(*) AS kept
+  FROM kept GROUP BY conv_id
+)
+SELECT c.conv_id, COALESCE(asm.text, '') AS text, c.n_turns,
+       CAST(COALESCE(asm.kept, 0) AS BIGINT) AS n_turns_kept
+FROM (SELECT conv_id, count(*) AS n_turns FROM transcripts GROUP BY conv_id) c
+LEFT JOIN asm USING (conv_id)
+""")
+
+
+def _decontaminate_oracle(n: int = 5) -> str:
+    """Brute gram-collision recompute of q_doc_decontaminate — knows nothing
+    of the broadcast/semi-join structure, only the semantics: distinct word
+    n-grams, benchmark = md5(doc_id) leading hex in ('0','1'), a non-bench
+    doc is contaminated iff >=1 distinct gram collides."""
+    s = n - 1  # DuckDB list slices are inclusive: t[i:i+s] is n tokens
+    return f"""
+WITH toks AS (
+  SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h,
+         list_filter({_DOC_TOKENS}, x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, h,
+         list_distinct([array_to_string(t[i:i+{s}], ' ')
+                        FOR i IN range(1, len(t) - {s - 1})]) AS g
+  FROM toks WHERE len(t) >= {n}
+),
+bench_g AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE h IN ('0','1')),
+doc_g AS (SELECT doc_id, unnest(g) AS gram FROM grams WHERE h NOT IN ('0','1')),
+hits AS (SELECT doc_id, count(*) AS nh FROM doc_g JOIN bench_g USING (gram) GROUP BY doc_id)
+SELECT d.doc_id, CAST(COALESCE(hits.nh, 0) AS BIGINT) AS n_hit_grams,
+       COALESCE(hits.nh, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) NOT IN ('0','1')
+"""
+
+
+# the deterministic PII-bearing suffix q_doc_pii_scrub appends to half the
+# corpus (md5 leading nibble < 8) — mirrored verbatim from the Spark side
+_PII_AUG = (
+    "CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)"
+    " IN ('0','1','2','3','4','5','6','7')"
+    " THEN text || ' contact u' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example from 10.2.0.' || CAST(doc_id % 250 AS VARCHAR)"
+    " || ' ref 9000000' || CAST(doc_id AS VARCHAR)"
+    " ELSE text END"
+)
+
+
+def _pii_scrub_oracle() -> str:
+    """Independent recompute of q_doc_pii_scrub: same augmentation CASE,
+    same patterns (textstats.PII_PATTERNS is written in the Java/RE2 common
+    subset precisely so both engines interpret it identically), counts over
+    the original text, replacements chained in declaration order."""
+    rep = "t"
+    for _name, pat, tok in textstats.PII_PATTERNS:
+        rep = f"regexp_replace({rep}, '{pat}', '{tok}', 'g')"
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(t, '{pat}')) AS INTEGER) AS n_{name}s"
+        for name, pat, _tok in textstats.PII_PATTERNS
+    )
+    return f"""
+WITH aug AS (SELECT doc_id, {_PII_AUG} AS t FROM documents)
+SELECT doc_id,
+       {counts},
+       {rep} AS text_clean
+FROM aug
 """
 
 

@@ -131,6 +131,21 @@ def main() -> None:
     ]:
         timed(name, lambda n=name: q[n](spark, sf_dir).count())
 
+    # transcripts→training-doc assembly over the full synthetic turns table
+    # (boilerplate anti-join + conv-keyed ordered assembly); sum(length(text))
+    # forces the array_join text column so column pruning can't skip the
+    # expensive part of the plan
+    from pyspark.sql import functions as _F
+
+    from log_analysis_spark.operators import corpus as corpus_ops
+
+    timed(
+        "conv_docs_assembly",
+        lambda: corpus_ops.transcripts_to_docs(turns)
+        .select(_F.sum(_F.length("text")), _F.sum("n_turns_kept"))
+        .collect(),
+    )
+
     # production doc-op paths (xxhash64 / pd-hash variants; their md5
     # exact-oracle twins hold the contract slots, these hold the perf line)
     from log_analysis_spark.operators import dedup

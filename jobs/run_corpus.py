@@ -18,10 +18,15 @@ byte-identical shard assignments):
 1. **repetition filter** (`corpus.repetition_stats`): drop docs whose
    duplicate-line / duplicate-character / top-2-gram fractions exceed the
    thresholds (Gopher-style spam gate).
-2. **stratified sample** (`corpus.stratified_sample`): per-stratum
+2. **decontamination** (`corpus.decontaminate`, when ``--bench`` is given):
+   drop docs sharing >= ``--decontam-min-hits`` word ``--decontam-n``-grams
+   with the benchmark table.
+3. **PII scrub** (`textstats.scrub_pii`, when ``--scrub-pii``): redact
+   emails / IPv4s / long digit runs in place (text column replaced).
+4. **stratified sample** (`corpus.stratified_sample`): per-stratum
    md5-threshold downsampling (e.g. re-weight dominant languages) — a pure
    filter, composes with partition pruning.
-3. **shard packing** (`corpus.pack_shards`): md5-ordered exclusive token
+5. **shard packing** (`corpus.pack_shards`): md5-ordered exclusive token
    cumsum, shard = floor(cumsum / budget); written partitioned by shard so
    a training loader reads one directory per shard.
 """
@@ -50,12 +55,16 @@ def main() -> None:
     )
     ap.add_argument("--strata-col", default="lang")
     ap.add_argument("--no-repetition-filter", action="store_true")
+    ap.add_argument("--bench", help="benchmark table (parquet) to decontaminate against")
+    ap.add_argument("--decontam-n", type=int, default=5)
+    ap.add_argument("--decontam-min-hits", type=int, default=1)
+    ap.add_argument("--scrub-pii", action="store_true")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
 
-    from log_analysis_spark.operators import corpus
+    from log_analysis_spark.operators import corpus, textstats
     from log_analysis_spark.session import get_spark
 
     spark = get_spark("run_corpus", master=args.master)
@@ -71,6 +80,25 @@ def main() -> None:
             .drop("keep_repetition")
         )
     n_clean = docs.count()
+
+    if args.bench:
+        bench = spark.read.parquet(args.bench)
+        flags = corpus.decontaminate(
+            docs, bench, n=args.decontam_n, min_hits=args.decontam_min_hits
+        ).select("doc_id", "contaminated")
+        docs = (
+            docs.join(flags, "doc_id")
+            .filter(~F.col("contaminated"))
+            .drop("contaminated")
+        )
+    n_decontam = docs.count()
+
+    if args.scrub_pii:
+        docs = (
+            textstats.scrub_pii(docs)
+            .drop("text")
+            .withColumnRenamed("text_clean", "text")
+        )
 
     rates = json.loads(args.rates)
     if rates:
@@ -91,6 +119,7 @@ def main() -> None:
             {
                 "n_input": n_input,
                 "n_after_repetition_filter": n_clean,
+                "n_after_decontamination": n_decontam,
                 "n_after_sampling": n_sampled,
                 "budget": args.budget,
                 "n_shards": n_shards,

@@ -22,6 +22,14 @@ training-shard materialization:
   fall under the stratum's rate.  Reproducible across engines and runs
   (no RNG state), the standard way to re-weight a 100 TB mixture without
   a shuffle: it is a pure filter.
+* ``decontaminate`` — benchmark decontamination by word n-gram collision
+  (the GPT-3 appendix C / Gopher §A1.2 hygiene step): distinct benchmark
+  grams broadcast against the exploded corpus grams, per-doc hit counts +
+  contaminated flag.
+* ``transcripts_to_docs`` — the transcripts→corpus bridge: one training
+  document per conversation (ordered ``role: text`` rendering) with
+  boilerplate turns (exact text recurring across ≥ frac of conversations)
+  stripped via a broadcast anti-join.
 
 All math is JVM expressions (split/explode/groupBy/window/md5/conv) —
 no Python per row anywhere; shuffles are keyed by doc id (narrow,
@@ -41,6 +49,8 @@ __all__ = [
     "repetition_stats",
     "pack_shards",
     "stratified_sample",
+    "decontaminate",
+    "transcripts_to_docs",
     "DEFAULT_REPETITION_THRESHOLDS",
 ]
 
@@ -61,19 +71,23 @@ def _nonempty_lines(text_col: str) -> F.Column:
     )
 
 
-def _word_2grams(text_col: str) -> F.Column:
-    """All (non-distinct) space-joined word 2-grams over non-empty tokens."""
+def _word_ngrams(text_col: str, n: int) -> F.Column:
+    """All (non-distinct) space-joined word n-grams over non-empty tokens."""
     toks = F.filter(tokens_col(text_col), lambda x: x != "")
-    n = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
+    m = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
     grams = F.transform(
-        F.sequence(F.lit(1), n),
+        F.sequence(F.lit(1), m),
         lambda i: F.concat_ws(
-            " ", F.element_at(toks, i.cast("int")), F.element_at(toks, (i + 1).cast("int"))
+            " ", *[F.element_at(toks, (i + F.lit(j)).cast("int")) for j in range(n)]
         ),
     )
     # sequence(1, 0) DESCENDS and ANSI element_at throws out-of-bounds, so
-    # degenerate docs (< 2 tokens) must short-circuit to an empty array
-    return F.when(n > 0, grams).otherwise(F.array().cast("array<string>"))
+    # degenerate docs (< n tokens) must short-circuit to an empty array
+    return F.when(m > 0, grams).otherwise(F.array().cast("array<string>"))
+
+
+def _word_2grams(text_col: str) -> F.Column:
+    return _word_ngrams(text_col, 2)
 
 
 def repetition_stats(
@@ -242,6 +256,135 @@ def pack_shards(
             F.floor((F.col("_local_excl") + F.col("_offset")) / F.lit(int(budget))),
         )
         .select(id_col, "n_tokens", "pack_key", "shard")
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 5,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination via word n-gram collision →
+    ``(id, n_hit_grams, contaminated)``.
+
+    The standard pretraining hygiene step (GPT-3 appendix C / Gopher §A1.2
+    use 13-gram overlap on web text; ``n`` scales with document length):
+    a training document is *contaminated* iff it shares at least
+    ``min_hits`` distinct word n-grams with any document of the evaluation
+    benchmark set.  ``n_hit_grams`` counts the distinct offending grams so
+    callers can apply stricter thresholds post hoc.
+
+    Scale shape: the benchmark side (small by construction — eval sets are
+    KBs against a 100 TB corpus) reduces to DISTINCT grams and broadcasts;
+    the corpus side is explode → broadcast-hash join → groupBy(id) — every
+    shuffle keyed by the uniformly-distributed doc id, no all-pairs stage,
+    and the corpus is scanned once.  Set ``broadcast_bench=False`` for a
+    benchmark too large to broadcast (falls back to a gram-keyed shuffle
+    join)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    bench_grams = (
+        bench.select(
+            F.explode(F.array_distinct(_word_ngrams(bench_text_col or text_col, n))).alias(
+                "gram"
+            )
+        )
+        .distinct()
+    )
+    if broadcast_bench:
+        bench_grams = F.broadcast(bench_grams)
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(_word_ngrams(text_col, n))).alias("gram")
+    )
+    hits = (
+        doc_grams.join(bench_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit_grams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .withColumn("n_hit_grams", F.coalesce(F.col("n_hit_grams"), F.lit(0)).cast("long"))
+        .withColumn("contaminated", F.col("n_hit_grams") >= F.lit(int(min_hits)))
+    )
+
+
+def transcripts_to_docs(
+    turns: DataFrame,
+    boilerplate_conv_frac: float = 0.1,
+    min_convs: int = 2,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Assemble one training document per conversation from ordered turns,
+    stripping boilerplate turns → ``(conv_id, text, n_turns, n_turns_kept)``.
+
+    The transcripts→corpus bridge of an LLM-data pipeline: templated turns
+    (headers, health checks, canned status lines — anything whose exact text
+    recurs across ``max(min_convs, ceil(boilerplate_conv_frac × n_convs))``
+    DISTINCT conversations) carry no training signal and are dropped; the
+    surviving turns render as ``role: text`` lines joined by ``sep`` in
+    ``order_col`` order.  A conversation whose every turn is boilerplate
+    still emits a row (empty text, ``n_turns_kept = 0``) so downstream
+    accounting sees the full corpus.
+
+    Scale shape: the boilerplate set is bounded by construction (a text in
+    ≥ frac·n_convs conversations ⇒ at most avg_turns/frac distinct such
+    texts), so it broadcasts and the corpus-side anti-join never shuffles
+    the fact table; the threshold itself rides a broadcast 1-row aggregate
+    (no driver-side count()).  Assembly is one conv-keyed groupBy — narrow,
+    uniformly distributed — with per-conv in-memory sort of that conv's
+    turns only (no global window)."""
+    if not (0.0 < boilerplate_conv_frac <= 1.0):
+        raise ValueError(
+            f"boilerplate_conv_frac must be in (0, 1], got {boilerplate_conv_frac}"
+        )
+    totals = turns.agg(F.countDistinct(conv_col).alias("_nc"))
+    bp = (
+        turns.groupBy(text_col)
+        .agg(F.countDistinct(conv_col).alias("_nd"))
+        .crossJoin(F.broadcast(totals))
+        .filter(
+            F.col("_nd")
+            >= F.greatest(
+                F.lit(int(min_convs)),
+                F.ceil(F.lit(float(boilerplate_conv_frac)) * F.col("_nc")),
+            )
+        )
+        .select(F.col(text_col).alias("_bp_text"))
+    )
+    kept = turns.join(
+        F.broadcast(bp), turns[text_col] == bp["_bp_text"], "left_anti"
+    )
+    asm = kept.groupBy(conv_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(order_col), F.col(role_col), F.col(text_col)))
+                ),
+                lambda s: F.concat_ws(": ", s[role_col], s[text_col]),
+            ),
+            sep,
+        ).alias("_text"),
+        F.count("*").alias("_kept"),
+    )
+    per_conv = turns.groupBy(conv_col).agg(F.count("*").alias("n_turns"))
+    return (
+        per_conv.join(asm, conv_col, "left")
+        .select(
+            conv_col,
+            F.coalesce(F.col("_text"), F.lit("")).alias("text"),
+            "n_turns",
+            F.coalesce(F.col("_kept"), F.lit(0)).cast("long").alias("n_turns_kept"),
+        )
     )
 
 

@@ -89,6 +89,45 @@ def with_lang_pred(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII scrub patterns — deliberately restricted to syntax that Java regex
+# (Spark) and RE2 (DuckDB) interpret identically (no lookaround, no
+# backrefs), so the op has an exact cross-engine oracle.  Order matters and
+# is part of the op's contract: emails first (their local parts may contain
+# digit runs), then IPv4s, then long digit runs.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("num", r"\b\d{9,}\b", "<NUM>"),
+]
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_clean"
+) -> DataFrame:
+    """Redact PII-shaped spans (emails, IPv4s, long digit runs) and count them.
+
+    Adds ``n_emails`` / ``n_ips`` / ``n_nums`` (match counts over the
+    ORIGINAL text — overlapping classes may both count, e.g. an all-digit
+    email local part) and ``out_col`` = the text with each pattern replaced
+    by its token, applied in ``PII_PATTERNS`` order on the progressively
+    cleaned string.
+
+    Scale shape: a pure projection — ``regexp_count``/``regexp_replace``
+    JVM expressions inside WholeStageCodegen, zero Python, zero shuffle; at
+    100 TB this fuses into the scan like any other filter/projection."""
+    counts = {
+        f"n_{name}s": F.regexp_count(F.col(text_col), F.lit(pat)).cast("int")
+        for name, pat, _tok in PII_PATTERNS
+    }
+    cleaned = F.col(text_col)
+    for _name, pat, tok in PII_PATTERNS:
+        cleaned = F.regexp_replace(cleaned, pat, tok)
+    out = df
+    for c, e in counts.items():
+        out = out.withColumn(c, e)
+    return out.withColumn(out_col, cleaned)
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text", k: int = 16) -> DataFrame:
     """Rolling-hash document fingerprint (winnowing-lite): xxhash64 over
     every k-char window, fingerprint = min window hash; plus a full-text

@@ -145,3 +145,103 @@ def test_stratified_sample_edge_rates(spark):
     assert corpus.stratified_sample(df, "lang", {"en": 1.0}).count() == 100
     with pytest.raises(ValueError):
         corpus.stratified_sample(df, "lang", {"en": 1.5})
+
+
+def test_decontaminate_planted(spark):
+    # bench doc shares the 5-gram "q w e r t" with doc 10 (1 gram twice —
+    # distinct count must still be 1) and "a b c d e"+"b c d e f" with doc 11
+    bench = _docs_df(spark, [(100, "q w e r t zz"), (101, "a b c d e f")])
+    docs = _docs_df(
+        spark,
+        [
+            (10, "x q w e r t y q w e r t"),   # same gram at 2 offsets → 1 distinct hit
+            (11, "a b c d e f g"),              # 2 distinct colliding grams
+            (12, "t r e w q a"),                # reversed words — no gram collision
+            (13, "a b c"),                      # < n tokens → no grams at all
+        ],
+    )
+    out = {r["doc_id"]: r for r in corpus.decontaminate(docs, bench, n=5).collect()}
+    assert len(out) == 4
+    assert out[10]["n_hit_grams"] == 1 and out[10]["contaminated"] is True
+    assert out[11]["n_hit_grams"] == 2 and out[11]["contaminated"] is True
+    assert out[12]["n_hit_grams"] == 0 and out[12]["contaminated"] is False
+    assert out[13]["n_hit_grams"] == 0 and out[13]["contaminated"] is False
+
+    # min_hits raises the bar: only doc 11 clears 2
+    out2 = {
+        r["doc_id"]: r["contaminated"]
+        for r in corpus.decontaminate(docs, bench, n=5, min_hits=2).collect()
+    }
+    assert out2 == {10: False, 11: True, 12: False, 13: False}
+
+    with pytest.raises(ValueError):
+        corpus.decontaminate(docs, bench, n=0)
+
+
+def test_decontaminate_shuffle_fallback_matches_broadcast(spark):
+    bench = _docs_df(spark, [(100, "q w e r t zz")])
+    docs = _docs_df(spark, [(10, "x q w e r t y"), (12, "t r e w q a")])
+    a = sorted(map(tuple, corpus.decontaminate(docs, bench, n=5).collect()))
+    b = sorted(
+        map(tuple, corpus.decontaminate(docs, bench, n=5, broadcast_bench=False).collect())
+    )
+    assert a == b
+
+
+def test_scrub_pii_planted(spark):
+    from log_analysis_spark.operators import textstats
+
+    df = _docs_df(
+        spark,
+        [
+            (1, "mail alice.smith+x@corp.example.org and bob@ex.io end"),
+            (2, "host 192.168.0.1 then 10.0.0.255 ok"),
+            (3, "acct 1234567890 short 12345678 padded 999999999"),
+            (4, "clean text stays exactly as written"),
+            (5, "mixed a@b.co 8.8.8.8 123456789012"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in textstats.scrub_pii(df).collect()}
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_nums"]) == (2, 0, 0)
+    assert out[1]["text_clean"] == "mail <EMAIL> and <EMAIL> end"
+    assert (out[2]["n_emails"], out[2]["n_ips"], out[2]["n_nums"]) == (0, 2, 0)
+    assert out[2]["text_clean"] == "host <IP> then <IP> ok"
+    # 9+ digit runs only: 12345678 (8 digits) survives
+    assert (out[3]["n_emails"], out[3]["n_ips"], out[3]["n_nums"]) == (0, 0, 2)
+    assert out[3]["text_clean"] == "acct <NUM> short 12345678 padded <NUM>"
+    assert out[4]["text_clean"] == out[4]["text"]
+    assert (out[5]["n_emails"], out[5]["n_ips"], out[5]["n_nums"]) == (1, 1, 1)
+    assert out[5]["text_clean"] == "mixed <EMAIL> <IP> <NUM>"
+
+
+def test_transcripts_to_docs_planted(spark):
+    rows = []
+    # "STATUS OK" recurs in 3 of 4 convs (75% >= threshold) → boilerplate;
+    # every other text is conv-unique
+    for c in ("c1", "c2", "c3"):
+        rows += [(c, 0, "user", f"hello {c}"), (c, 1, "system", "STATUS OK"),
+                 (c, 2, "agent", f"bye {c}")]
+    rows += [("c4", 0, "system", "STATUS OK"), ("c4", 1, "system", "STATUS OK")]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = {
+        r["conv_id"]: r
+        for r in corpus.transcripts_to_docs(df, boilerplate_conv_frac=0.5).collect()
+    }
+    assert out["c1"]["text"] == "user: hello c1\nagent: bye c1"
+    assert out["c1"]["n_turns"] == 3 and out["c1"]["n_turns_kept"] == 2
+    # all-boilerplate conv survives with empty text
+    assert out["c4"]["text"] == "" and out["c4"]["n_turns_kept"] == 0
+    assert out["c4"]["n_turns"] == 2
+
+    # frac=1.0 ⇒ only texts in EVERY conv qualify — "STATUS OK" is in 4/4? no, 4 convs
+    # have it in c1..c4 = 4 of 4 → still stripped; unique texts never are
+    out_all = {
+        r["conv_id"]: r
+        for r in corpus.transcripts_to_docs(df, boilerplate_conv_frac=1.0).collect()
+    }
+    assert out_all["c1"]["n_turns_kept"] == 2  # STATUS OK is in all 4 convs
+
+    with pytest.raises(ValueError):
+        corpus.transcripts_to_docs(df, boilerplate_conv_frac=0.0)

@@ -80,6 +80,16 @@ def test_submit_dedup_job(pkg_zip, tmp_path):
 
 
 def test_submit_corpus_job(pkg_zip, tmp_path):
+    # a 3-doc "benchmark" carved from the corpus itself: those docs (and any
+    # doc sharing a 5-gram with them) must be decontaminated away
+    import duckdb
+
+    bench = tmp_path / "bench.parquet"
+    duckdb.connect().execute(
+        "COPY (SELECT * FROM read_parquet("
+        "'/root/testdata/sf0.001/documents.parquet') ORDER BY doc_id LIMIT 3)"
+        f" TO '{bench}' (FORMAT PARQUET)"
+    )
     res = _submit(
         pkg_zip,
         "run_corpus.py",
@@ -88,10 +98,19 @@ def test_submit_corpus_job(pkg_zip, tmp_path):
             "--out", str(tmp_path / "cp"),
             "--budget", "1024",
             "--rates", '{"en": 0.5}',
+            "--bench", str(bench),
+            "--scrub-pii",
         ],
         cwd=tmp_path,
     )
-    assert res["n_input"] >= res["n_after_repetition_filter"] >= res["n_after_sampling"]
+    assert (
+        res["n_input"]
+        >= res["n_after_repetition_filter"]
+        >= res["n_after_decontamination"]
+        >= res["n_after_sampling"]
+    )
+    # the benchmark docs themselves are in the corpus → at least 3 removed
+    assert res["n_after_decontamination"] <= res["n_after_repetition_filter"] - 3
     assert res["n_after_sampling"] > 0 and res["n_shards"] > 0
     # shard count accounting: shard = floor(exclusive_cumsum / budget), so
     # the last shard index is within one doc's tokens of total/budget

@@ -303,6 +303,43 @@ def main() -> int:
     ]
     sections.append(("Corpus ops (stratified sample, shard packing, repetition)", pack, notes))
 
+    # 12 — decontamination joins the exploded corpus grams against the
+    # BROADCAST benchmark gram set (the corpus never shuffles for the
+    # probe); PII scrub is a pure scan-fused projection — zero Python,
+    # zero Exchange
+    bench_split = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1")
+    dec = executed(
+        corpus.decontaminate(docs.filter(~bench_split), docs.filter(bench_split), n=5)
+    )
+    from log_analysis_spark.operators import textstats
+
+    pii = executed(textstats.scrub_pii(docs))
+    notes = [
+        check("decontaminate: gram probe is a BroadcastHashJoin",
+              "BroadcastHashJoin" in dec),
+        check("decontaminate: no CartesianProduct", "CartesianProduct" not in dec),
+        check("decontaminate: no BroadcastNestedLoopJoin",
+              "BroadcastNestedLoopJoin" not in dec),
+        check("decontaminate: zero Python (explode/join/groupBy JVM tree)",
+              "EvalPython" not in dec and "InPandas" not in dec),
+        check("pii scrub: zero Exchange (pure projection)", "Exchange" not in pii),
+        check("pii scrub: zero Python", "EvalPython" not in pii and "InPandas" not in pii),
+        check("pii scrub: WholeStageCodegen present",
+              "WholeStageCodegen" in pii or "*(1)" in pii),
+    ]
+    cd = executed(corpus.transcripts_to_docs(turns))
+    notes += [
+        check("conv_docs: boilerplate strip is a broadcast anti-join "
+              "(fact side never shuffles for it)",
+              "BroadcastHashJoin" in cd and "LeftAnti" in cd),
+        check("conv_docs: no SortMergeJoin", "SortMergeJoin" not in cd),
+        check("conv_docs: no global window (assembly is a conv-keyed "
+              "aggregate, no SinglePartition over the fact table)",
+              "Window" not in cd),
+        check("conv_docs: zero Python", "EvalPython" not in cd and "InPandas" not in cd),
+    ]
+    sections.append(("Decontamination + PII scrub + conv_docs assembly", dec, notes))
+
     # ---- write EXPLAIN.md -------------------------------------------------
     md = ["# EXPLAIN audit — physical plans vs 100 TB design intents",
           "",
