@@ -478,22 +478,24 @@ def _stream_src(spark, sf_dir: str) -> str:
     tmpdir = tempfile.gettempdir()
     dst = os.path.join(tmpdir, f"spark_graft_stream_src_{sf_tag}_{key}")
     if not os.path.exists(os.path.join(dst, "_SUCCESS")):
-        # evict superseded snapshots of the SAME sf_dir (older content keys
-        # and crashed runs' tmp dirs) before writing the new one — without
-        # this every testdata regeneration strands a full table copy in tmp
         import glob
 
-        for old in glob.glob(
-            os.path.join(tmpdir, f"spark_graft_stream_src_{sf_tag}_*")
-        ):
-            if not old.startswith(dst):
-                shutil.rmtree(old, ignore_errors=True)
         tmp = f"{dst}.tmp-{os.getpid()}"
         transcripts_from_events(spark, sf_dir).write.mode("overwrite").parquet(tmp)
         try:
             os.rename(tmp, dst)
         except OSError:  # lost the race: another process already renamed
             shutil.rmtree(tmp, ignore_errors=True)
+        # evict superseded snapshots of the SAME sf_dir (older content keys,
+        # plus crashed runs' tmp dirs — including this key's, other pids)
+        # AFTER the new dir is in place: deleting first would race a live
+        # process still streaming from the old key, and without eviction
+        # every testdata regeneration strands a full table copy in tmp
+        for old in glob.glob(
+            os.path.join(tmpdir, f"spark_graft_stream_src_{sf_tag}_*")
+        ):
+            if old != dst and old != tmp:
+                shutil.rmtree(old, ignore_errors=True)
     return dst
 
 

@@ -72,26 +72,44 @@ def main() -> None:
     docs = spark.read.parquet(path)
     n_input = docs.count()
 
+    # each expensive stage persists its output before the count so the
+    # progressively-longer chain (explode→groupBy repetition trees, the
+    # decontamination gram join) executes ONCE, not once per downstream
+    # count + once for the final write; predecessors unpersist as soon as
+    # the next stage is materialized
+    prev_cached = None
+
+    def _materialize(df):
+        nonlocal prev_cached
+        df = df.persist()
+        n = df.count()
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = df
+        return df, n
+
     if not args.no_repetition_filter:
         rep = corpus.repetition_stats(docs).select("doc_id", "keep_repetition")
-        docs = (
+        docs, n_clean = _materialize(
             docs.join(rep, "doc_id")
             .filter(F.col("keep_repetition"))
             .drop("keep_repetition")
         )
-    n_clean = docs.count()
+    else:
+        n_clean = n_input
 
     if args.bench:
         bench = spark.read.parquet(args.bench)
         flags = corpus.decontaminate(
             docs, bench, n=args.decontam_n, min_hits=args.decontam_min_hits
         ).select("doc_id", "contaminated")
-        docs = (
+        docs, n_decontam = _materialize(
             docs.join(flags, "doc_id")
             .filter(~F.col("contaminated"))
             .drop("contaminated")
         )
-    n_decontam = docs.count()
+    else:
+        n_decontam = n_clean
 
     if args.scrub_pii:
         docs = (
@@ -103,13 +121,17 @@ def main() -> None:
     rates = json.loads(args.rates)
     if rates:
         docs = corpus.stratified_sample(docs, args.strata_col, rates)
-    n_sampled = docs.count()
+    # docs feeds pack_shards AND the final join — persist so the sampled
+    # scrubbed frame isn't recomputed on both sides
+    docs, n_sampled = _materialize(docs)
 
     packed = corpus.pack_shards(docs, budget=args.budget)
     out = (
         docs.join(packed.select("doc_id", "n_tokens", "shard"), "doc_id")
     )
     out.write.mode("overwrite").partitionBy("shard").parquet(f"{args.out}/shards")
+    if prev_cached is not None:
+        prev_cached.unpersist()
 
     shards = spark.read.parquet(f"{args.out}/shards")
     n_shards = shards.select("shard").distinct().count()

@@ -56,6 +56,11 @@ def main() -> None:
         pairs = dedup.minhash_lsh_pairs(
             docs, k=max(args.shingle_k, 3), threshold=args.threshold
         )
+    # pair discovery (shingle → band join → exact verify) is the job's most
+    # expensive stage and is consumed twice — by the group resolution below
+    # and by the n_pairs summary count — so cache the pair list (tiny
+    # relative to the corpus: one row per near-dup pair)
+    pairs = pairs.persist()
     groups = dedup.neardup_groups(docs.select(F.col("doc_id").alias("id")), pairs)
     kept = dedup.drop_near_duplicates(docs, groups)
     kept.write.mode("overwrite").parquet(f"{args.out}/kept")

@@ -43,6 +43,7 @@ from typing import Mapping
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import shingles_from_tokens
 from .textstats import tokens_col
 
 __all__ = [
@@ -72,18 +73,11 @@ def _nonempty_lines(text_col: str) -> F.Column:
 
 
 def _word_ngrams(text_col: str, n: int) -> F.Column:
-    """All (non-distinct) space-joined word n-grams over non-empty tokens."""
+    """All (non-distinct) space-joined word n-grams over non-empty tokens —
+    delegates to the shared shingle builder (one copy of the degenerate-doc
+    guard lives in dedup.shingles_from_tokens)."""
     toks = F.filter(tokens_col(text_col), lambda x: x != "")
-    m = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(1), m),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + F.lit(j)).cast("int")) for j in range(n)]
-        ),
-    )
-    # sequence(1, 0) DESCENDS and ANSI element_at throws out-of-bounds, so
-    # degenerate docs (< n tokens) must short-circuit to an empty array
-    return F.when(m > 0, grams).otherwise(F.array().cast("array<string>"))
+    return shingles_from_tokens(toks, n, distinct=False)
 
 
 def _word_2grams(text_col: str) -> F.Column:

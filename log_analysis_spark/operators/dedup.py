@@ -12,6 +12,8 @@ bucket-join is a plain shuffle hash join on the band key.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -42,15 +44,20 @@ def word_shingles(text_col: str = "text", k: int = 3) -> F.Column:
     return shingles_from_tokens(tokens_col(text_col), k)
 
 
-def shingles_from_tokens(toks: F.Column, k: int) -> F.Column:
+def shingles_from_tokens(toks: F.Column, k: int, distinct: bool = True) -> F.Column:
+    """Space-joined word k-grams of a token array.  ``distinct=False`` keeps
+    every occurrence (corpus.repetition_stats needs multiplicities); the
+    default de-dups for shingle-set similarity.  Shared guard: sequence(1,0)
+    DESCENDS and ANSI element_at throws out-of-bounds, so docs with < k
+    tokens short-circuit to an empty array."""
     n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
     grams = F.transform(
         F.sequence(F.lit(1), n),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]),
     )
-    return F.when(n > 0, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    if distinct:
+        grams = F.array_distinct(grams)
+    return F.when(n > 0, grams).otherwise(F.array().cast("array<string>"))
 
 
 def shingled(
@@ -466,7 +473,16 @@ def simhash_table(
             out_ids = pdf[id_col].astype("int64")
             n = len(pdf)
             sims = np.zeros(n, dtype=np.uint64)
-            token_lists = pdf[text_col].fillna("").str.lower().str.findall(r"[\w']+")
+            # re.ASCII so Python \w matches Java's ASCII-only \w — the md5
+            # twin (simhash_md5_table) tokenizes with a JVM split, and the
+            # "twins differ only in the hash" guarantee requires the token
+            # sets to agree on non-ASCII text too
+            token_lists = (
+                pdf[text_col]
+                .fillna("")
+                .str.lower()
+                .str.findall(r"[\w']+", flags=re.ASCII)
+            )
             lengths = token_lists.str.len().to_numpy()
             cum = np.concatenate(([0], np.cumsum(lengths)))
             flat_all = token_lists.explode().dropna().to_numpy()

@@ -188,15 +188,20 @@ def interval_join(
         cond = eq + [F.col("_abucket") == F.col("_obucket")]
         drop_cols = ["_abucket", "_obucket"]
         if n_salts > 1:
-            # uniform per-row salt: hash of the partition-local row counter
-            # (hashing decorrelates the salt from row-position patterns — a
-            # bare pmod of the sequential counter aliases with strided data
-            # layouts, e.g. alternating hot/cold rows covering only half the
-            # salt space).  Any assignment yields the same join result.
+            # uniform per-row salt: content hash over the row's columns.
+            # Must be DETERMINISTIC per row — a positional salt (e.g.
+            # monotonically_increasing_id) changes under task retry or
+            # speculative execution, and a shuffle key that moves between
+            # attempts drops or duplicates join rows.  Content hashing is
+            # stable across attempts; rows that are exact duplicates share
+            # a salt, which only concentrates spread if the hot cell is
+            # made of identical rows (then no partitioner can split them
+            # anyway without a distinct).  Any assignment yields the same
+            # join result.
             o = o.withColumn(
                 "_osalt",
                 F.pmod(
-                    F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)
+                    F.xxhash64(*[F.col(c) for c in o.columns]), F.lit(n_salts)
                 ).cast("int"),
             )
             a = a.withColumn(

@@ -411,6 +411,11 @@ def _signatures_matmul(
                 continue
             ids = pdf[id_col].to_numpy()
             E = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if E.shape[1] != P.shape[1]:
+                raise ValueError(
+                    f"embedding size mismatch: expected {P.shape[1]}, "
+                    f"got {E.shape[1]}"
+                )
             nrm = np.linalg.norm(E, axis=1)
             keep = nrm > 0
             if not keep.any():
@@ -485,31 +490,44 @@ def embedding_neardup_pairs_matmul(
 def _validate_dim(
     df: DataFrame, vec_col: str, dim: int | None
 ) -> int:
-    """Resolve/validate the embedding dimensionality with one cheap narrow
-    aggregate.  A silently wrong ``dim`` is catastrophic, not degraded: too
+    """Resolve the embedding dimensionality from ONE row (``limit(1)`` —
+    the scan stops at the first non-null vector, never a full pass over the
+    corpus).  A silently wrong ``dim`` is catastrophic, not degraded: too
     large and ``zip_with`` null-pads so every dot is null and every sign bit
     collapses to 0 — ALL vectors then share EVERY band key and the candidate
     join degenerates to the full N²/2 cross product; too small and trailing
-    dimensions are silently ignored (recall loss).  Fail fast instead."""
+    dimensions are silently ignored (recall loss).  Per-row consistency is
+    therefore enforced INSIDE the main pipeline pass — ``_guard_dim`` on the
+    expression path, the numpy shape check in ``_signatures_matmul`` on the
+    batch path — so a ragged row or a wrong explicit ``dim`` still fails the
+    job loudly, at zero extra table scans."""
+    if dim is not None:
+        return dim
     row = (
         df.filter(F.col(vec_col).isNotNull())
-        .agg(F.min(F.size(vec_col)).alias("mn"), F.max(F.size(vec_col)).alias("mx"))
+        .select(F.size(vec_col).alias("d"))
+        .limit(1)
         .first()
     )
-    if row is None or row["mn"] is None:
+    if row is None:
         raise ValueError(f"no non-null vectors in column {vec_col!r}")
-    if row["mn"] != row["mx"]:
-        raise ValueError(
-            f"ragged embedding column {vec_col!r}: sizes range "
-            f"{row['mn']}..{row['mx']}"
+    return int(row["d"])
+
+
+def _guard_dim(vec_col: str, dim: int):
+    """Column guard: pass vectors of exactly ``dim`` through (nulls too —
+    they are filtered downstream); any other size raises mid-scan."""
+    c = F.col(vec_col)
+    return F.when(
+        c.isNull() | (F.size(c) == dim), c
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"embedding size mismatch in {vec_col!r}: expected {dim}, got "),
+                F.size(c).cast("string"),
+            )
         )
-    if dim is None:
-        return int(row["mn"])
-    if dim != row["mn"]:
-        raise ValueError(
-            f"dim={dim} does not match actual embedding size {row['mn']}"
-        )
-    return dim
+    )
 
 
 def embedding_neardup_pairs(
@@ -544,7 +562,7 @@ def embedding_neardup_pairs(
     planes = hyperplanes(dim, n_planes, seed)
     n_bands = n_planes // band_bits
     u = (
-        with_unit_vec(df, vec_col)
+        with_unit_vec(df.withColumn(vec_col, _guard_dim(vec_col, dim)), vec_col)
         .filter(F.col("unit").isNotNull())
         .select(F.col(id_col).alias("id"), "unit")
         .withColumn("bits", F.array(*[_sign_bit(F.col("unit"), p) for p in planes]))

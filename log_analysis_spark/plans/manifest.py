@@ -50,9 +50,16 @@ class Manifest:
             return [json.loads(line) for line in f if line.strip()]
 
     def lookup(self, stage: str, input_fingerprint: str) -> dict | None:
+        """Latest-wins: a record is only valid while it is the MOST RECENT
+        run of its stage.  Stages share one output path per manifest, so a
+        newer run with a different fingerprint rewrote that path and every
+        older completion record is stale — returning it would resume an
+        A→B→A input flip from B's output.  The append-only log stays
+        append-only; invalidation is positional.
+        """
         for rec in reversed(self._load()):
-            if rec["stage"] == stage and rec["input_fingerprint"] == input_fingerprint:
-                return rec
+            if rec["stage"] == stage:
+                return rec if rec["input_fingerprint"] == input_fingerprint else None
         return None
 
     def record(self, rec: StageRecord) -> None:

@@ -292,6 +292,22 @@ def test_simhash_md5_bits_match_reference_python(spark, docs):
         assert got[row["doc_id"]] == val
 
 
+def test_simhash_tokenization_ascii_parity_non_ascii_text(spark):
+    """Production (pandas findall) and md5-twin (JVM split) paths must
+    tokenize identically on non-ASCII text: both treat \\w as ASCII-only,
+    so 'caféx' and 'caf·x' both yield tokens [caf, x].  Each path must
+    therefore give the two docs IDENTICAL signatures — this held for the
+    JVM twin but not the production path before re.ASCII was pinned."""
+    docs2 = spark.createDataFrame(
+        [(1, "caféx data rows"), (2, "caf·x data rows")],
+        "doc_id long, text string",
+    )
+    prod = {r["doc_id"]: r["simhash"] for r in dedup.simhash_table(docs2).collect()}
+    twin = {r["doc_id"]: r["simhash"] for r in dedup.simhash_md5_table(docs2).collect()}
+    assert prod[1] == prod[2]
+    assert twin[1] == twin[2]
+
+
 def test_simhash_md5_flip_enumeration_globally_exact(spark, docs):
     """Twin pipeline (Manku flip-enumeration banding) == Spark brute-force
     all-pairs Hamming over the same signatures, with planted exact dups so
@@ -355,13 +371,19 @@ def test_embedding_neardup_dim_validation(spark, embeddings):
     """A dim that disagrees with the data silently destroys either the
     candidate structure (null-padded dots -> all band keys equal -> N²/2
     cross pairs) or recall — it must fail fast instead."""
-    with pytest.raises(ValueError, match="does not match"):
-        similarity.embedding_neardup_pairs(embeddings, threshold=0.3, dim=128)
+    # the guard rides the pipeline's own scan (no eager validation pass),
+    # so the failure surfaces when the plan executes
+    with pytest.raises(Exception, match="size mismatch"):
+        similarity.embedding_neardup_pairs(
+            embeddings, threshold=0.3, dim=128
+        ).count()
     ragged = spark.createDataFrame(
         [(1, [0.1, 0.2]), (2, [0.1, 0.2, 0.3])], "vec_id long, embedding array<double>"
     )
-    with pytest.raises(ValueError, match="ragged"):
-        similarity.embedding_neardup_pairs(ragged, threshold=0.3)
+    with pytest.raises(Exception, match="size mismatch"):
+        similarity.embedding_neardup_pairs(ragged, threshold=0.3).count()
+    with pytest.raises(Exception, match="size mismatch"):
+        similarity.embedding_neardup_pairs_matmul(ragged, threshold=0.3).count()
     # dim=None derives from the data and runs
     assert (
         similarity.embedding_neardup_pairs(

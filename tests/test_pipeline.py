@@ -60,6 +60,22 @@ def test_pipeline_changed_input_clears_stale_sinks(spark, transcripts, tmp_path)
     assert res3.per_sink_counts == res2.per_sink_counts
 
 
+def test_pipeline_input_flip_does_not_resume_from_other_input(
+    spark, transcripts, tmp_path
+):
+    """A -> B -> A into the same out_dir: the third run must recompute from
+    input A, not skip the route stage on A's historic (now-stale) manifest
+    record and silently serve B's routed rows."""
+    out = str(tmp_path / "flip")
+    res_a1 = run_pipeline(spark, transcripts, out, parse_impl="native")
+    changed = transcripts.filter(F.col("tool") == "-")
+    run_pipeline(spark, changed, out, parse_impl="native")
+
+    res_a2 = run_pipeline(spark, transcripts, out, parse_impl="native")
+    assert res_a2.stages_skipped == []  # stale record must NOT resume
+    assert res_a2.per_sink_counts == res_a1.per_sink_counts
+
+
 def test_pipeline_arrow_parse_same_routing(spark, transcripts, tmp_path):
     out_a = str(tmp_path / "pa")
     out_b = str(tmp_path / "pb")
