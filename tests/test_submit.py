@@ -115,3 +115,45 @@ def test_submit_corpus_job(pkg_zip, tmp_path):
     # shard count accounting: shard = floor(exclusive_cumsum / budget), so
     # the last shard index is within one doc's tokens of total/budget
     assert res["n_shards"] <= res["total_tokens"] // 1024 + 1
+
+
+def test_submit_transcript_corpus_job(pkg_zip, tmp_path):
+    # planted near-dup: conv c3 is a verbatim copy of c1, so the dedup
+    # stage must drop exactly one of the pair; --boilerplate-frac 1.0 keeps
+    # the copied turns out of the boilerplate strip (they recur in 2 of 3
+    # convs, below the all-convs threshold)
+    import duckdb
+
+    src = tmp_path / "transcripts.parquet"
+    con = duckdb.connect()
+    con.execute(
+        """
+        CREATE TABLE t (conv_id VARCHAR, turn_idx INTEGER, role VARCHAR,
+                        text VARCHAR, tool VARCHAR, ts TIMESTAMP);
+        INSERT INTO t
+        SELECT 'c' || c, i, 'user',
+               CASE WHEN c = 2
+                    THEN 'unrelated payload line ' || i || ' about topic ' || i*7
+                    ELSE 'shared conversation body line ' || i || ' with details'
+               END,
+               '-', TIMESTAMP '2024-01-01' + INTERVAL (i) MINUTE
+        FROM range(1, 4) r(c), range(0, 4) s(i)
+        """
+    )
+    con.execute(f"COPY t TO '{src}' (FORMAT PARQUET)")
+    res = _submit(
+        pkg_zip,
+        "run_transcript_corpus.py",
+        [
+            "--input", str(src),
+            "--out", str(tmp_path / "tc"),
+            "--budget", "64",
+            "--boilerplate-frac", "1.0",
+            "--dedup-threshold", "0.9",
+        ],
+        cwd=tmp_path,
+    )
+    assert res["n_docs"] == 3
+    assert res["n_neardup_pairs"] == 1  # (c1, c3)
+    assert res["n_kept"] == 2 and res["n_dropped"] == 1
+    assert res["n_shards"] >= 1 and res["total_tokens"] > 0
