@@ -2,6 +2,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from pyspark.sql import types as T
 
 from log_analysis_spark.sources import readers, sinks
@@ -63,3 +65,78 @@ def test_csv_and_partitioned_sinks(spark, transcripts, tmp_path):
     back2 = spark.read.parquet(str(tmp_path / "part"))
     assert back2.count() == 50
     assert set(back2.columns) == {"conv_id", "turn_idx", "role"}
+
+
+# ---------------------------------------------------------------------------
+# bucketed (co-located) tables
+# ---------------------------------------------------------------------------
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def bucketed_turns(spark, transcripts, tmp_path_factory):
+    from log_analysis_spark.sources import bucketed
+
+    loc = tmp_path_factory.mktemp("buckdb")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS buckdb LOCATION '{loc}'")
+    bucketed.write_bucketed(
+        transcripts, "buckdb.turns_b", "conv_id", 8,
+        sort_cols=["conv_id", "turn_idx"],
+    )
+    yield "buckdb.turns_b"
+    spark.sql("DROP TABLE IF EXISTS buckdb.turns_b")
+    spark.sql("DROP DATABASE IF EXISTS buckdb")
+
+
+def test_bucketed_groupby_no_shuffle(spark, transcripts, bucketed_turns):
+    """A groupBy on the bucket key over a bucketed table carries ZERO
+    Exchange: the scan's recorded hash layout satisfies the aggregate's
+    distribution — the shuffle was paid once at write time."""
+    from pyspark.sql import functions as F
+
+    from log_analysis_spark.sources import bucketed
+
+    df = bucketed.read_bucketed(spark, bucketed_turns)
+    agg = df.groupBy("conv_id").agg(F.count("*").alias("n"))
+    assert _executed_plan(agg).count("Exchange") == 0
+    # and the result is identical to the plain (shuffling) aggregate
+    expect = {
+        r["conv_id"]: r["n"]
+        for r in transcripts.groupBy("conv_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert {r["conv_id"]: r["n"] for r in agg.collect()} == expect
+
+
+def test_bucketed_join_no_shuffle_vs_flat(spark, bucketed_turns):
+    """Co-located conv-keyed self-join: both sides bucketed on conv_id with
+    the same bucket count -> SortMergeJoin with ZERO Exchange.  Control: the
+    SAME parquet files read path-based (catalog metadata dropped) shuffle
+    BOTH sides.  Broadcast is disabled so the shuffle path is actually
+    exercised (at 100 TB neither side broadcasts)."""
+    from log_analysis_spark.sources import bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = bucketed.read_bucketed(spark, bucketed_turns)
+        j = df.alias("a").join(
+            bucketed.read_bucketed(spark, bucketed_turns).alias("b"), "conv_id"
+        )
+        plan = _executed_plan(j)
+        assert plan.count("Exchange") == 0
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+
+        loc = spark.sql(f"DESCRIBE TABLE EXTENDED {bucketed_turns}").filter(
+            "col_name = 'Location'"
+        ).first()["data_type"]
+        flat = spark.read.parquet(loc)
+        jf = flat.alias("a").join(spark.read.parquet(loc).alias("b"), "conv_id")
+        assert _executed_plan(jf).count("Exchange") == 2
+        assert j.count() == jf.count()
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )

@@ -340,6 +340,34 @@ def main() -> int:
     ]
     sections.append(("Decontamination + PII scrub + conv_docs assembly", dec, notes))
 
+    # 12 — bucketed (co-located) tables: the write-once shuffle
+    from log_analysis_spark.sources import bucketed as buck
+
+    bdir = tempfile.mkdtemp(prefix="explain_buckdb_")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS explain_buck LOCATION '{bdir}'")
+    buck.write_bucketed(
+        turns, "explain_buck.turns_b", "conv_id", 8,
+        sort_cols=["conv_id", "turn_idx"],
+    )
+    bt = buck.read_bucketed(spark, "explain_buck.turns_b")
+    bagg = executed(bt.groupBy("conv_id").agg(F.count("*").alias("n")))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    bjoin = executed(
+        bt.alias("a").join(buck.read_bucketed(spark, "explain_buck.turns_b").alias("b"), "conv_id")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    notes = [
+        check("bucketed: conv-keyed aggregate carries ZERO Exchange",
+              "Exchange" not in bagg),
+        check("bucketed: co-located self-join is SMJ with ZERO Exchange",
+              "Exchange" not in bjoin and "SortMergeJoin" in bjoin),
+        check("bucketed: scan reports the bucket layout",
+              "Bucketed: true" in bjoin),
+    ]
+    sections.append(("Bucketed co-located tables (write-once shuffle)", bjoin, notes))
+    spark.sql("DROP TABLE IF EXISTS explain_buck.turns_b")
+    spark.sql("DROP DATABASE IF EXISTS explain_buck")
+
     # ---- write EXPLAIN.md -------------------------------------------------
     md = ["# EXPLAIN audit — physical plans vs 100 TB design intents",
           "",
