@@ -60,10 +60,19 @@ def main() -> None:
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
+    import os
+
     from pyspark.sql import functions as F
 
     from log_analysis_spark.datagen import transcripts_from_events
     from log_analysis_spark.operators import corpus, dedup, textstats
+    from log_analysis_spark.plans.manifest import (
+        Manifest,
+        StageRecord,
+        fingerprint_input,
+        fingerprint_source,
+        partition_row_counts,
+    )
     from log_analysis_spark.session import get_spark
 
     spark = get_spark("run_transcript_corpus", master=args.master)
@@ -71,6 +80,25 @@ def main() -> None:
         turns = spark.read.parquet(args.input)
     else:
         turns = transcripts_from_events(spark, args.sf_dir)
+
+    # manifest resume (same contract as jobs/run_pipeline.py): the shards
+    # write is checkpointed under a content fingerprint of the input files
+    # + every knob that shapes the output; a rerun with the same fingerprint
+    # skips all recomputation and reprints the recorded summary, any change
+    # (input files, sizes, mtimes, or any knob) recomputes (latest-wins
+    # lookup — see plans/manifest.py)
+    shards_path = f"{args.out}/shards"
+    manifest = Manifest(f"{args.out}/_manifest.jsonl")
+    fp = fingerprint_input(
+        args.out, args.budget, args.boilerplate_frac, args.min_tokens,
+        args.dedup_threshold, args.shingle_k, args.no_dedup,
+        fingerprint_source(turns),
+    )
+    prior = manifest.lookup("shards", fp)
+    if prior is not None and os.path.exists(shards_path):
+        print(json.dumps({**prior["metrics"], "resumed": True,
+                          "shards_path": shards_path}))
+        return
 
     docs = corpus.transcripts_to_docs(
         turns, boilerplate_conv_frac=args.boilerplate_frac
@@ -103,26 +131,34 @@ def main() -> None:
         kept, budget=args.budget, id_col="conv_id", token_count_col="n_tokens"
     )
     out = kept.join(packed.select("conv_id", "pack_key", "shard"), "conv_id")
-    out.write.mode("overwrite").partitionBy("shard").parquet(f"{args.out}/shards")
+    out.write.mode("overwrite").partitionBy("shard").parquet(shards_path)
     kept.unpersist()
 
-    shards = spark.read.parquet(f"{args.out}/shards")
+    shards = spark.read.parquet(shards_path)
     n_shards = shards.select("shard").distinct().count()
     tok_total = shards.agg(F.sum("n_tokens")).collect()[0][0] or 0
-    print(
-        json.dumps(
-            {
-                "n_docs": n_docs,
-                "n_neardup_pairs": n_pairs,
-                "n_kept": n_kept,
-                "n_dropped": n_docs - n_kept,
-                "n_shards": n_shards,
-                "total_tokens": int(tok_total),
-                "budget": args.budget,
-                "shards_path": f"{args.out}/shards",
-            }
+    metrics = {
+        "n_docs": n_docs,
+        "n_neardup_pairs": n_pairs,
+        "n_kept": n_kept,
+        "n_dropped": n_docs - n_kept,
+        "n_shards": n_shards,
+        "total_tokens": int(tok_total),
+        "budget": args.budget,
+    }
+    pc = partition_row_counts(shards)
+    manifest.record(
+        StageRecord(
+            stage="shards",
+            input_fingerprint=fp,
+            output_path=shards_path,
+            rows=sum(pc.values()),
+            n_partitions=len(pc),
+            partition_rows=pc,
+            metrics=metrics,
         )
     )
+    print(json.dumps({**metrics, "shards_path": shards_path}))
 
 
 if __name__ == "__main__":

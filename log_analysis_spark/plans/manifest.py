@@ -73,6 +73,33 @@ def fingerprint_input(*parts: object) -> str:
     return hashlib.sha256("::".join(map(str, parts)).encode()).hexdigest()[:16]
 
 
+def fingerprint_source(df: DataFrame) -> str:
+    """Cross-process-stable fingerprint of a DataFrame's file inputs.
+
+    ``semanticHash()`` canonicalizes within one JVM but is NOT stable across
+    sessions (the same ``spark.read.parquet(path)`` hashes differently in two
+    processes), so a manifest keyed on it silently never resumes across job
+    restarts — the exact case a checkpoint manifest exists for.  Instead:
+    the sorted input file URIs, plus (size, mtime) for locally stat-able
+    paths so an in-place rewrite of the same filename still changes the key.
+    A source with no file inputs (in-memory frames in tests, streams) falls
+    back to ``semanticHash`` — a correct-direction failure mode: an unstable
+    key costs a skipped resume, never a stale result.
+    """
+    files = sorted(df.inputFiles())
+    if not files:
+        return fingerprint_input("mem", df.semanticHash())
+    parts: list[str] = []
+    for uri in files:
+        local = uri[len("file:"):] if uri.startswith("file:") else uri
+        try:
+            st = os.stat(local)
+            parts.append(f"{uri}@{st.st_size}@{int(st.st_mtime)}")
+        except OSError:
+            parts.append(uri)
+    return fingerprint_input("files", *parts)
+
+
 def partition_row_counts(df: DataFrame) -> dict[str, int]:
     """Per-partition lineage metric (spark_partition_id groupBy — one pass)."""
     rows = (

@@ -26,6 +26,7 @@ from log_analysis_spark.plans.manifest import (
     Manifest,
     StageRecord,
     fingerprint_input,
+    fingerprint_source,
     run_stage,
 )
 from log_analysis_spark.sources.iceberg import route_write_resumable
@@ -54,11 +55,12 @@ def run_pipeline(
     """Run the full parse→enrich→route→aggregate DAG over ``turns``."""
     t0 = time.monotonic()
     manifest = Manifest(manifest_path or f"{out_dir}/_manifest.jsonl")
-    # default fingerprint includes the input's analyzed-plan hash: two runs
-    # into the same out_dir with DIFFERENT input must not share resume state
-    # (an unstable hash only costs a skipped resume, never a stale result)
+    # default fingerprint includes a content hash of the input: two runs
+    # into the same out_dir with DIFFERENT input must not share resume state,
+    # and the SAME input resubmitted from a new process must still resume
+    # (file list + size + mtime; semanticHash fallback for in-memory frames)
     fp = input_fingerprint or fingerprint_input(
-        out_dir, parse_impl, turns.semanticHash()
+        out_dir, parse_impl, fingerprint_source(turns)
     )
     skipped: list[str] = []
 

@@ -157,3 +157,20 @@ def test_submit_transcript_corpus_job(pkg_zip, tmp_path):
     assert res["n_neardup_pairs"] == 1  # (c1, c3)
     assert res["n_kept"] == 2 and res["n_dropped"] == 1
     assert res["n_shards"] >= 1 and res["total_tokens"] > 0
+    assert "resumed" not in res
+
+    # identical rerun resumes from the manifest: same metrics, no recompute
+    res2 = _submit(
+        pkg_zip,
+        "run_transcript_corpus.py",
+        [
+            "--input", str(src),
+            "--out", str(tmp_path / "tc"),
+            "--budget", "64",
+            "--boilerplate-frac", "1.0",
+            "--dedup-threshold", "0.9",
+        ],
+        cwd=tmp_path,
+    )
+    assert res2["resumed"] is True
+    assert {k: res2[k] for k in res} == res
