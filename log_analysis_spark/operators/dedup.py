@@ -182,6 +182,44 @@ def minhash_banded_numpy(
     return sh_tbl.mapInPandas(batch_iter, _MINHASH_BANDED_SCHEMA)
 
 
+def bands_from_sig(
+    sigs: DataFrame, n_hashes: int, bands: int, hash_impl: str = "xxhash64"
+) -> DataFrame:
+    """(id, band, bkey) from a (id, sig) signature table.
+
+    Band key = hash of the band's slice of the signature; the band join
+    carries ONLY (id, band, bkey) — shingle arrays are re-attached after
+    candidate dedup, so the shuffle stays narrow (SURVEY.md §4.2 skew row).
+    Deriving bands FROM the stored signature (rather than re-shingling) is
+    what lets an incremental ingest reuse a persisted signature store and
+    guarantees batch and index band keys can never drift.
+    """
+    rows_per_band = n_hashes // bands
+    bkey_fn = F.xxhash64 if hash_impl == "xxhash64" else F.md5
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        bkey_fn(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bkey")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -203,40 +241,14 @@ def minhash_lsh_pairs(
     exact-verify machinery, so they differ only in LSH recall luck; the
     verified pair sets are equality-tested on the test corpus.
     """
-    rows_per_band = n_hashes // bands
     sh_tbl = shingled(df, text_col, id_col, k)
     if hash_impl == "numpy":
         banded = minhash_banded_numpy(sh_tbl, n_hashes, bands)
     else:
-        bkey_fn = F.xxhash64 if hash_impl == "xxhash64" else F.md5
         sig = sh_tbl.withColumn(
             "sig", minhash_signature(F.col("sh"), n_hashes, hash_impl)
         )
-        # band key = hash of the band's slice of the signature; the band join
-        # carries ONLY (id, band, bkey) — shingle arrays are re-attached after
-        # candidate dedup, so the shuffle stays narrow (SURVEY.md §4.2 skew row)
-        banded = sig.select(
-            "id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            bkey_fn(
-                                F.concat_ws(
-                                    ",",
-                                    *[
-                                        F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                                        for r in range(rows_per_band)
-                                    ],
-                                )
-                            ).alias("bkey"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bb"),
-        ).select("id", "bb.band", "bb.bkey")
+        banded = bands_from_sig(sig, n_hashes, bands, hash_impl)
 
     left = banded.alias("l")
     right = banded.alias("r")

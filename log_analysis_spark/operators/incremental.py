@@ -1,0 +1,182 @@
+"""Incremental near-dup ingestion against a persisted MinHash-LSH index.
+
+The batch operators in ``dedup.py`` answer "dedup THIS corpus"; at 100 TB
+the question a training-data pipeline actually asks daily is "dedup this
+NEW increment against everything already accepted" — and re-running the
+batch job over corpus+increment re-shuffles the whole corpus for a 0.1%
+delta.  Rebuild of the reference's accumulate-then-process loop
+(download_and_merge.sh:7-12 re-merges the full log set every run) as
+incremental state, the way Spark-side dedup should work at scale:
+
+State = two small tables, both O(corpus) in ROWS but ~256 bytes/doc
+(vs KBs of text), so the 100 TB corpus carries a ~25 GB index:
+
+- ``sig_store(id, sig: array<long>)`` — the MinHash signature per
+  accepted doc (``n_hashes`` 64-bit minima).
+- ``band_index(id, band, bkey)`` — the LSH band keys derived from the
+  signature (``dedup.bands_from_sig`` — the SAME derivation the batch
+  path uses, so batch and incremental bucket identically).
+
+Ingest of a new batch then touches corpus TEXT zero times:
+
+1. within-batch near-dup dedup (``dedup.minhash_lsh_pairs`` + connected
+   components — exact shingle-Jaccard verify, the batch text is at hand);
+2. band keys of the surviving reps equi-join ``band_index`` → candidate
+   (new, old) pairs — a plain shuffle hash join on (band, bkey), never a
+   cross product, and at scale the index table is bucketed by (band,
+   bkey) so only the (tiny) batch side shuffles (sources/bucketed.py);
+3. candidates verify by SIGNATURE AGREEMENT: the fraction of equal
+   minhash components is an unbiased estimator of Jaccard (Broder 1997),
+   so ``est_jaccard >= threshold`` needs only the two 32-long arrays —
+   no corpus re-scan, no shingle storage.  (The batch side's exact
+   verify in step 1 keeps the within-batch pairs exact; the cross-corpus
+   check accepts the standard estimator noise of ~1/sqrt(n_hashes).)
+4. accepted = batch reps with no corpus match; their (sig, band) rows
+   are appended to the state tables for the next increment.
+
+Determinism: everything is hash-derived from text — ingesting the same
+batch twice produces identical signatures, so a crashed-and-rerun ingest
+rejects its own first attempt's rows as exact matches (est_jaccard = 1.0)
+rather than duplicating them: the state append is idempotent-by-content.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from log_analysis_spark.operators import dedup
+
+
+@dataclass
+class IngestResult:
+    accepted: DataFrame       # (id) batch docs to admit into the corpus
+    rejected: DataFrame       # (id, matched_id, est_jaccard | jaccard, why)
+    new_sig_rows: DataFrame   # (id, sig) to append to sig_store
+    new_band_rows: DataFrame  # (id, band, bkey) to append to band_index
+
+
+def sig_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 32,
+    hash_impl: str = "xxhash64",
+) -> DataFrame:
+    """(id, sig) MinHash signature table — the persisted per-doc state."""
+    return dedup.shingled(df, text_col, id_col, k).select(
+        "id", dedup.minhash_signature(F.col("sh"), n_hashes, hash_impl).alias("sig")
+    )
+
+
+def sig_agreement(sig_a: F.Column, sig_b: F.Column, n_hashes: int) -> F.Column:
+    """Fraction of equal minhash components — the Broder Jaccard estimator.
+    Pure JVM higher-order fns over two fixed 32-long arrays per CANDIDATE
+    pair only (candidates are band-collision survivors, a vanishing
+    fraction of the corpus), so interpreted-HOF cost is bounded."""
+    eq = F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int"))
+    return F.aggregate(eq, F.lit(0), lambda acc, v: acc + v).cast("double") / F.lit(
+        float(n_hashes)
+    )
+
+
+def ingest_batch(
+    batch: DataFrame,
+    sig_store: DataFrame,
+    band_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    hash_impl: str = "xxhash64",
+) -> IngestResult:
+    """Dedup ``batch`` within itself and against the persisted index.
+
+    ``sig_store``/``band_index`` may be empty DataFrames with the right
+    schema (first increment).  Returned frames are lazy; the caller
+    persists/writes them (see jobs/run_incremental_dedup.py).
+    """
+    if hash_impl not in ("xxhash64", "md5"):
+        # the numpy banding path derives band keys by FNV-folding raw minima,
+        # not from a storable signature — its keys can't be reproduced from
+        # sig_store, so incremental state would silently never collide
+        raise ValueError(
+            f"incremental ingest needs sig-derived bands (xxhash64|md5), got {hash_impl!r}"
+        )
+    # -- 1. within-batch: exact-verify near-dup dedup (text is at hand) ----
+    intra_pairs = dedup.minhash_lsh_pairs(
+        batch, text_col, id_col, k, n_hashes, bands, threshold, hash_impl
+    )
+    groups = dedup.neardup_groups(
+        batch.select(F.col(id_col).alias("id")), intra_pairs
+    )
+    intra_rejected = (
+        groups.filter(F.col("id") != F.col("rep_id"))
+        .join(
+            intra_pairs.select(
+                F.col("id_a").alias("rep_id"), F.col("id_b").alias("id"), "jaccard"
+            ),
+            ["id", "rep_id"],
+            "left",
+        )
+        .select(
+            "id",
+            F.col("rep_id").alias("matched_id"),
+            F.col("jaccard").alias("est_jaccard"),
+            F.lit("within_batch").alias("why"),
+        )
+    )
+    reps = dedup.drop_near_duplicates(batch, groups, id_col)
+
+    # -- 2. cross-corpus candidates: batch bands equi-join the index -------
+    batch_sigs = sig_table(reps, text_col, id_col, k, n_hashes, hash_impl)
+    batch_bands = dedup.bands_from_sig(batch_sigs, n_hashes, bands, hash_impl)
+    cand = (
+        batch_bands.alias("n")
+        .join(
+            band_index.alias("o"),
+            on=[F.col("n.band") == F.col("o.band"), F.col("n.bkey") == F.col("o.bkey")],
+        )
+        .select(F.col("n.id").alias("new_id"), F.col("o.id").alias("old_id"))
+        .dropDuplicates(["new_id", "old_id"])
+    )
+
+    # -- 3. signature-agreement verify (no corpus text touched) ------------
+    verified = (
+        cand.join(batch_sigs.select(F.col("id").alias("new_id"), F.col("sig").alias("sig_n")), "new_id")
+        .join(sig_store.select(F.col("id").alias("old_id"), F.col("sig").alias("sig_o")), "old_id")
+        .withColumn("est_jaccard", sig_agreement(F.col("sig_n"), F.col("sig_o"), n_hashes))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    # one row per rejected new doc: its best corpus match
+    cross_rejected = (
+        verified.groupBy("new_id")
+        .agg(
+            F.max_by("old_id", "est_jaccard").alias("matched_id"),
+            F.max("est_jaccard").alias("est_jaccard"),
+        )
+        .select(
+            F.col("new_id").alias("id"),
+            "matched_id",
+            "est_jaccard",
+            F.lit("cross_corpus").alias("why"),
+        )
+    )
+
+    # -- 4. accepted = reps minus corpus matches; state rows to append -----
+    dup_ids = cross_rejected.select("id")
+    accepted = reps.select(F.col(id_col).alias("id")).join(dup_ids, "id", "left_anti")
+    new_sig_rows = batch_sigs.join(dup_ids, "id", "left_anti")
+    new_band_rows = dedup.bands_from_sig(new_sig_rows, n_hashes, bands, hash_impl)
+
+    return IngestResult(
+        accepted=accepted,
+        rejected=intra_rejected.unionByName(cross_rejected),
+        new_sig_rows=new_sig_rows,
+        new_band_rows=new_band_rows,
+    )

@@ -62,6 +62,11 @@ class Manifest:
                 return rec if rec["input_fingerprint"] == input_fingerprint else None
         return None
 
+    def completed(self, stage: str) -> list[dict]:
+        """All completion records for ``stage``, oldest first — e.g. the
+        ingest history an incremental job replays to number the next run."""
+        return [r for r in self._load() if r["stage"] == stage]
+
     def record(self, rec: StageRecord) -> None:
         with open(self.path, "a") as f:
             f.write(json.dumps(asdict(rec)) + "\n")

@@ -1,0 +1,174 @@
+"""Incremental near-dup ingestion vs the persisted LSH index.
+
+The invariant under test: splitting a corpus into increments and ingesting
+them through ``incremental.ingest_batch`` admits the same document set as
+the BATCH dedup over the whole corpus would — up to the documented
+estimator substitution (cross-corpus verify uses signature agreement, not
+exact shingle Jaccard).  Exact copies make both verifies agree exactly
+(identical signatures ⇒ agreement 1.0), so the planted tests are
+noise-free; the estimator's calibration is tested separately against true
+Jaccard on real docs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_analysis_spark.operators import dedup, incremental
+
+SIG_SCHEMA = "id string, sig array<bigint>"
+BAND_SCHEMA = "id string, band int, bkey bigint"
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    df = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn("doc_id", F.col("doc_id").cast("string"))
+        .cache()
+    )
+    df.count()
+    return df
+
+
+def _empty_state(spark):
+    return (
+        spark.createDataFrame([], SIG_SCHEMA),
+        spark.createDataFrame([], BAND_SCHEMA),
+    )
+
+
+def _mk_batch(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+LOREM = (
+    "the quick brown fox jumps over the lazy dog while seventeen "
+    "astronauts debate the merits of reusable launch vehicles in low "
+    "earth orbit and a committee files a report about it"
+)
+OTHER = (
+    "completely different subject matter entirely about cooking pasta "
+    "with garlic butter sauce and the correct amount of salted water "
+    "for a rolling boil on a tuesday evening dinner service"
+)
+
+
+def test_first_ingest_empty_state_accepts_reps_only(spark):
+    batch = _mk_batch(
+        spark,
+        [("a", LOREM), ("b", LOREM), ("c", OTHER)],  # a≡b within batch
+    )
+    sig, band = _empty_state(spark)
+    res = incremental.ingest_batch(batch, sig, band, id_col="doc_id")
+    accepted = {r["id"] for r in res.accepted.collect()}
+    assert accepted == {"a", "c"}  # lowest-id rep kept
+    rej = {r["id"]: r for r in res.rejected.collect()}
+    assert set(rej) == {"b"}
+    assert rej["b"]["why"] == "within_batch"
+    assert rej["b"]["matched_id"] == "a"
+    # state rows cover exactly the accepted docs
+    assert {r["id"] for r in res.new_sig_rows.collect()} == {"a", "c"}
+    bands = res.new_band_rows.collect()
+    assert {r["id"] for r in bands} == {"a", "c"}
+    assert len(bands) == 2 * 8  # bands=8 per doc
+
+
+def test_second_ingest_rejects_cross_corpus_duplicate(spark):
+    b1 = _mk_batch(spark, [("a", LOREM)])
+    sig, band = _empty_state(spark)
+    r1 = incremental.ingest_batch(b1, sig, band, id_col="doc_id")
+    sig1, band1 = r1.new_sig_rows.cache(), r1.new_band_rows.cache()
+
+    b2 = _mk_batch(spark, [("x", LOREM), ("y", OTHER)])  # x duplicates corpus 'a'
+    r2 = incremental.ingest_batch(b2, sig1, band1, id_col="doc_id")
+    assert {r["id"] for r in r2.accepted.collect()} == {"y"}
+    rej = {r["id"]: r for r in r2.rejected.collect()}
+    assert rej["x"]["why"] == "cross_corpus"
+    assert rej["x"]["matched_id"] == "a"
+    assert rej["x"]["est_jaccard"] == 1.0  # identical text ⇒ identical sig
+    # the rejected doc must NOT enter the state
+    assert {r["id"] for r in r2.new_sig_rows.collect()} == {"y"}
+
+
+def test_incremental_equals_batch_on_exact_copies(spark, docs):
+    """Split 200 real docs into two increments with planted exact copies
+    straddling the split: the union of accepted ids over both ingests must
+    equal the batch minhash dedup's kept set over the whole corpus."""
+    base = docs.limit(200).select("doc_id", "text")
+    # second increment = 30 docs copied verbatim from the first, new ids
+    inc1 = base
+    inc2 = (
+        base.limit(30)
+        .select(F.concat(F.lit("copy_"), "doc_id").alias("doc_id"), "text")
+    )
+    sig, band = _empty_state(spark)
+    r1 = incremental.ingest_batch(inc1, sig, band, id_col="doc_id")
+    sig1 = r1.new_sig_rows.cache()
+    band1 = r1.new_band_rows.cache()
+    r2 = incremental.ingest_batch(inc2, sig1, band1, id_col="doc_id")
+
+    got = {r["id"] for r in r1.accepted.collect()} | {
+        r["id"] for r in r2.accepted.collect()
+    }
+
+    full = inc1.unionByName(inc2)
+    pairs = dedup.minhash_lsh_pairs(full, id_col="doc_id")
+    groups = dedup.neardup_groups(full.select(F.col("doc_id").alias("id")), pairs)
+    want_batch = {
+        r["doc_id"]
+        for r in dedup.drop_near_duplicates(full, groups, "doc_id").collect()
+    }
+    # batch CC picks the component-min id; incremental picks the FIRST-SEEN
+    # id (earlier increment wins).  "copy_X" > "X" lexicographically, so on
+    # this corpus both resolve to the original — the sets match exactly.
+    assert got == want_batch
+    # every planted copy was rejected — against its cross-corpus source, or
+    # within-batch against a sibling copy when the SOURCE docs were already
+    # near-dups of each other (the testdata corpus plants such pairs)
+    rej = {r["id"]: r["matched_id"] for r in r2.rejected.collect()}
+    for r in inc2.collect():
+        assert r["doc_id"] in rej
+
+
+def test_reingesting_same_batch_rejects_everything(spark):
+    """Crash-recovery property: identical content re-offered to the index is
+    fully rejected (est_jaccard 1.0) — the state append is idempotent by
+    content, not by run id."""
+    b = _mk_batch(spark, [("a", LOREM), ("c", OTHER)])
+    sig, band = _empty_state(spark)
+    r1 = incremental.ingest_batch(b, sig, band, id_col="doc_id")
+    sig1, band1 = r1.new_sig_rows.cache(), r1.new_band_rows.cache()
+    b_again = _mk_batch(spark, [("a2", LOREM), ("c2", OTHER)])
+    r2 = incremental.ingest_batch(b_again, sig1, band1, id_col="doc_id")
+    assert r2.accepted.count() == 0
+    assert {r["why"] for r in r2.rejected.collect()} == {"cross_corpus"}
+
+
+def test_sig_agreement_tracks_true_jaccard(spark, docs):
+    """Estimator calibration on real near-dup pairs: for every verified
+    batch pair (exact Jaccard known), the signature-agreement estimate is
+    within the binomial noise band for n_hashes=32."""
+    sample = docs.limit(300).select("doc_id", "text")
+    pairs = dedup.minhash_lsh_pairs(sample, id_col="doc_id", threshold=0.3)
+    sigs = incremental.sig_table(sample, id_col="doc_id")
+    est = (
+        pairs.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sa")), "id_a")
+        .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sb")), "id_b")
+        .withColumn("est", incremental.sig_agreement(F.col("sa"), F.col("sb"), 32))
+        .select("jaccard", "est")
+        .collect()
+    )
+    assert len(est) > 0
+    for r in est:
+        # 4 sigma of Binomial(32, J)/32 ≈ 0.36 worst case; planted dups sit
+        # near J=1 where the band is tight
+        assert abs(r["est"] - r["jaccard"]) <= 0.4
+
+
+def test_ingest_rejects_numpy_hash_impl(spark):
+    b = _mk_batch(spark, [("a", LOREM)])
+    sig, band = _empty_state(spark)
+    with pytest.raises(ValueError, match="sig-derived"):
+        incremental.ingest_batch(b, sig, band, id_col="doc_id", hash_impl="numpy")

@@ -174,3 +174,67 @@ def test_submit_transcript_corpus_job(pkg_zip, tmp_path):
     )
     assert res2["resumed"] is True
     assert {k: res2[k] for k in res} == res
+
+
+def test_submit_incremental_dedup_job(pkg_zip, tmp_path):
+    # increment 1: two distinct docs (one with an in-batch twin);
+    # increment 2: one verbatim copy of a doc from increment 1 + one new doc
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        """
+        CREATE TABLE b1 (doc_id VARCHAR, text VARCHAR);
+        INSERT INTO b1 VALUES
+          ('d1', 'alpha beta gamma delta epsilon zeta eta theta iota kappa'),
+          ('d2', 'alpha beta gamma delta epsilon zeta eta theta iota kappa'),
+          ('d3', 'one two three four five six seven eight nine ten eleven');
+        CREATE TABLE b2 (doc_id VARCHAR, text VARCHAR);
+        INSERT INTO b2 VALUES
+          ('e1', 'alpha beta gamma delta epsilon zeta eta theta iota kappa'),
+          ('e2', 'red orange yellow green blue indigo violet crimson amber teal');
+        """
+    )
+    con.execute(f"COPY b1 TO '{tmp_path}/b1.parquet' (FORMAT PARQUET)")
+    con.execute(f"COPY b2 TO '{tmp_path}/b2.parquet' (FORMAT PARQUET)")
+    state = tmp_path / "state"
+
+    r1 = _submit(
+        pkg_zip,
+        "run_incremental_dedup.py",
+        ["--batch", f"{tmp_path}/b1.parquet", "--state", str(state)],
+        cwd=tmp_path,
+    )
+    assert r1["ingest_id"] == 0
+    assert r1["n_batch"] == 3 and r1["n_accepted"] == 2
+    assert r1["n_rejected_within_batch"] == 1
+    assert r1["n_rejected_cross_corpus"] == 0
+
+    r2 = _submit(
+        pkg_zip,
+        "run_incremental_dedup.py",
+        ["--batch", f"{tmp_path}/b2.parquet", "--state", str(state)],
+        cwd=tmp_path,
+    )
+    assert r2["ingest_id"] == 1
+    assert r2["n_accepted"] == 1  # e2 only; e1 matched corpus d1
+    assert r2["n_rejected_cross_corpus"] == 1
+
+    # re-submitting increment 2 resumes from the manifest, touches nothing
+    r3 = _submit(
+        pkg_zip,
+        "run_incremental_dedup.py",
+        ["--batch", f"{tmp_path}/b2.parquet", "--state", str(state)],
+        cwd=tmp_path,
+    )
+    assert r3["resumed"] is True and r3["ingest_id"] == 1
+
+    # accepted corpus across increments = {d1, d3, e2}
+    import duckdb as dd
+    got = {
+        r[0]
+        for r in dd.sql(
+            f"SELECT doc_id FROM read_parquet('{state}/accepted/*/*.parquet')"
+        ).fetchall()
+    }
+    assert got == {"d1", "d3", "e2"}
