@@ -255,6 +255,46 @@ def main() -> None:
         others_sk.unpersist()
         anchors_sk.unpersist()
 
+    # incremental ingest vs full re-dedup: the daily-increment scenario —
+    # corpus = 90% of docs with its LSH state PREBUILT (amortized across
+    # increments, like the IVF index), increment = the other 10%.  The
+    # batch row re-dedups corpus+increment from scratch: the work a
+    # pipeline without incremental state repeats every day, growing with
+    # CORPUS size, while the ingest row grows only with the increment.
+    from log_analysis_spark.operators import incremental
+
+    docs_s = docs.withColumn("doc_id", F.col("doc_id").cast("string"))
+    is_inc = F.xxhash64("doc_id") % 10 == 0
+    corpus_90 = docs_s.filter(~is_inc)
+    inc_10 = docs_s.filter(is_inc).persist(StorageLevel.MEMORY_AND_DISK)
+    inc_10.count()
+    st = incremental.ingest_batch(
+        corpus_90,
+        spark.createDataFrame([], "id string, sig array<bigint>"),
+        spark.createDataFrame([], "id string, band int, bkey bigint"),
+        threshold=0.5,
+    )
+    sig_90 = st.new_sig_rows.persist(StorageLevel.MEMORY_AND_DISK)
+    band_90 = st.new_band_rows.persist(StorageLevel.MEMORY_AND_DISK)
+    sig_90.count(), band_90.count()
+    timed(
+        "dedup_increment_ingest",
+        lambda: incremental.ingest_batch(
+            inc_10, sig_90, band_90, threshold=0.5
+        ).accepted.count(),
+    )
+
+    def _batch_rededup():
+        full = corpus_90.unionByName(inc_10)
+        pairs = dedup.minhash_lsh_pairs(full, id_col="doc_id", threshold=0.5)
+        groups = dedup.neardup_groups(full.select(F.col("doc_id").alias("id")), pairs)
+        dedup.drop_near_duplicates(full, groups, "doc_id").count()
+
+    timed("dedup_batch_rededup", _batch_rededup)
+    inc_10.unpersist()
+    sig_90.unpersist()
+    band_90.unpersist()
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

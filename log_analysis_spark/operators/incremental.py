@@ -46,6 +46,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from log_analysis_spark.operators import dedup
 
@@ -83,6 +84,33 @@ def sig_agreement(sig_a: F.Column, sig_b: F.Column, n_hashes: int) -> F.Column:
     )
 
 
+def _resolve_local(pairs_rows: list) -> dict:
+    """Union-find with min-id representatives over a collected pair list.
+    Returns {loser_id: (rep_id, jaccard-or-None)} — only non-reps appear."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in pairs_rows:
+        ra, rb = find(r["id_a"]), find(r["id_b"])
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    direct = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs_rows}
+    out = {}
+    for x in set(parent):
+        rep = find(x)
+        if x != rep:
+            out[x] = (rep, direct.get((rep, x)))
+    return out
+
+
 def ingest_batch(
     batch: DataFrame,
     sig_store: DataFrame,
@@ -94,6 +122,7 @@ def ingest_batch(
     bands: int = 8,
     threshold: float = 0.5,
     hash_impl: str = "xxhash64",
+    local_pairs_cap: int = 1_000_000,
 ) -> IngestResult:
     """Dedup ``batch`` within itself and against the persisted index.
 
@@ -109,29 +138,57 @@ def ingest_batch(
             f"incremental ingest needs sig-derived bands (xxhash64|md5), got {hash_impl!r}"
         )
     # -- 1. within-batch: exact-verify near-dup dedup (text is at hand) ----
+    # The pair graph of ONE increment is tiny next to the increment itself
+    # (near-dup pairs, not docs), so up to ``local_pairs_cap`` edges the
+    # components resolve driver-side with union-find — one collect of the
+    # pair list instead of the distributed CC loop's per-iteration join +
+    # convergence action (measured ~5 s of fixed latency on a 500-doc
+    # increment).  The iterative CC stays as the over-cap fallback: it's
+    # the right plan when the batch IS a corpus.
+    spark = batch.sparkSession
+    id_type = batch.schema[id_col].dataType
     intra_pairs = dedup.minhash_lsh_pairs(
         batch, text_col, id_col, k, n_hashes, bands, threshold, hash_impl
-    )
-    groups = dedup.neardup_groups(
-        batch.select(F.col(id_col).alias("id")), intra_pairs
-    )
-    intra_rejected = (
-        groups.filter(F.col("id") != F.col("rep_id"))
-        .join(
-            intra_pairs.select(
-                F.col("id_a").alias("rep_id"), F.col("id_b").alias("id"), "jaccard"
-            ),
-            ["id", "rep_id"],
-            "left",
+    ).persist()
+    if intra_pairs.count() <= local_pairs_cap:
+        losers = _resolve_local(intra_pairs.collect())
+        intra_pairs.unpersist()  # resolved driver-side; nothing references it
+        loser_schema = T.StructType(
+            [
+                T.StructField("id", id_type),
+                T.StructField("matched_id", id_type),
+                T.StructField("est_jaccard", T.DoubleType()),
+            ]
         )
-        .select(
-            "id",
-            F.col("rep_id").alias("matched_id"),
-            F.col("jaccard").alias("est_jaccard"),
-            F.lit("within_batch").alias("why"),
+        intra_rejected = spark.createDataFrame(
+            [(i, r, j) for i, (r, j) in losers.items()], loser_schema
+        ).withColumn("why", F.lit("within_batch"))
+        reps = batch.join(
+            F.broadcast(intra_rejected.select(F.col("id").alias(id_col))),
+            id_col,
+            "left_anti",
         )
-    )
-    reps = dedup.drop_near_duplicates(batch, groups, id_col)
+    else:
+        groups = dedup.neardup_groups(
+            batch.select(F.col(id_col).alias("id")), intra_pairs
+        )
+        intra_rejected = (
+            groups.filter(F.col("id") != F.col("rep_id"))
+            .join(
+                intra_pairs.select(
+                    F.col("id_a").alias("rep_id"), F.col("id_b").alias("id"), "jaccard"
+                ),
+                ["id", "rep_id"],
+                "left",
+            )
+            .select(
+                "id",
+                F.col("rep_id").alias("matched_id"),
+                F.col("jaccard").alias("est_jaccard"),
+                F.lit("within_batch").alias("why"),
+            )
+        )
+        reps = dedup.drop_near_duplicates(batch, groups, id_col)
 
     # -- 2. cross-corpus candidates: batch bands equi-join the index -------
     batch_sigs = sig_table(reps, text_col, id_col, k, n_hashes, hash_impl)

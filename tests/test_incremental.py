@@ -167,6 +167,23 @@ def test_sig_agreement_tracks_true_jaccard(spark, docs):
         assert abs(r["est"] - r["jaccard"]) <= 0.4
 
 
+def test_distributed_cc_fallback_matches_local_unionfind(spark, docs):
+    """local_pairs_cap=0 forces the iterative-CC path; accepted/rejected
+    sets must be identical to the default driver-side union-find."""
+    batch = docs.limit(120).select("doc_id", "text")
+    sig, band = _empty_state(spark)
+    r_local = incremental.ingest_batch(batch, sig, band, id_col="doc_id")
+    r_dist = incremental.ingest_batch(
+        batch, sig, band, id_col="doc_id", local_pairs_cap=0
+    )
+    assert {r["id"] for r in r_local.accepted.collect()} == {
+        r["id"] for r in r_dist.accepted.collect()
+    }
+    loc = {(r["id"], r["matched_id"]) for r in r_local.rejected.collect()}
+    dist = {(r["id"], r["matched_id"]) for r in r_dist.rejected.collect()}
+    assert loc == dist
+
+
 def test_ingest_rejects_numpy_hash_impl(spark):
     b = _mk_batch(spark, [("a", LOREM)])
     sig, band = _empty_state(spark)

@@ -368,6 +368,33 @@ def main() -> int:
     spark.sql("DROP TABLE IF EXISTS explain_buck.turns_b")
     spark.sql("DROP DATABASE IF EXISTS explain_buck")
 
+    # 13 — incremental ingest: candidate probe is an equi join on the band
+    # index, verify reads only the two signature arrays — no corpus text,
+    # no cross product, anywhere in the plan
+    from log_analysis_spark.operators import incremental
+
+    docs200 = docs.limit(200).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    half = docs200.filter(F.xxhash64("doc_id") % 2 == 0)
+    r0 = incremental.ingest_batch(
+        half, spark.createDataFrame([], "id string, sig array<bigint>"),
+        spark.createDataFrame([], "id string, band int, bkey bigint"),
+    )
+    inc = executed(
+        incremental.ingest_batch(
+            docs200.subtract(half), r0.new_sig_rows, r0.new_band_rows
+        ).accepted
+    )
+    notes = [
+        check("incremental: no CartesianProduct", "CartesianProduct" not in inc),
+        check("incremental: no BroadcastNestedLoopJoin",
+              "BroadcastNestedLoopJoin" not in inc),
+        check("incremental: all-JVM (sig-agreement verify has no Python eval)",
+              "EvalPython" not in inc and "ArrowEval" not in inc),
+    ]
+    sections.append(("Incremental LSH ingest (state probe)", inc, notes))
+
     # ---- write EXPLAIN.md -------------------------------------------------
     md = ["# EXPLAIN audit — physical plans vs 100 TB design intents",
           "",
