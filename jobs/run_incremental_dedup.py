@@ -43,10 +43,6 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-SIG_SCHEMA = "id string, sig array<bigint>"
-BAND_SCHEMA = "id string, band int, bkey bigint"
-
-
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", required=True, help="new documents batch (parquet)")
@@ -95,22 +91,9 @@ def main() -> None:
     # string so heterogenous batch schemas (long ids, uuid ids) still union
     batch = batch.withColumn(args.id_col, F.col(args.id_col).cast("string"))
 
-    if done:
-        # filter to COMPLETED ingests (ids 0..len(done)-1): a crashed attempt
-        # may have left partial ingest_id=<current> rows on disk, and reading
-        # them back as state would make the retry reject its own first
-        # attempt's docs as cross-corpus dups — losing them from accepted/
-        # entirely.  ingest_id is the hive partition column, so this filter
-        # is partition pruning, not a scan.
-        sig_store = spark.read.parquet(f"{args.state}/sig_store").filter(
-            F.col("ingest_id") < ingest_id
-        )
-        band_index = spark.read.parquet(f"{args.state}/band_index").filter(
-            F.col("ingest_id") < ingest_id
-        )
-    else:
-        sig_store = spark.createDataFrame([], SIG_SCHEMA)
-        band_index = spark.createDataFrame([], BAND_SCHEMA)
+    # only manifest-recorded increments count as state (crash-recovery rule:
+    # see incremental.load_state)
+    sig_store, band_index = incremental.load_state(spark, args.state, ingest_id)
 
     res = incremental.ingest_batch(
         batch, sig_store, band_index,

@@ -59,6 +59,44 @@ class IngestResult:
     new_band_rows: DataFrame  # (id, band, bkey) to append to band_index
 
 
+SIG_SCHEMA = "id string, sig array<bigint>"
+BAND_SCHEMA = "id string, band int, bkey bigint"
+
+
+def load_state(spark, state_dir: str, before_ingest_id: int | None = None):
+    """(sig_store, band_index) from a state directory laid out as
+    ``{state_dir}/{sig_store,band_index}/ingest_id=<n>/``.
+
+    ``before_ingest_id`` filters to COMPLETED increments only (partition
+    pruning on the hive column): a crashed attempt's partial
+    ``ingest_id=<current>`` rows must not be read back as state, or the
+    retry would reject its own first attempt's docs as corpus dups and lose
+    them entirely.  Missing directories (first increment) yield empty
+    frames with the canonical schemas.
+    """
+    import os
+
+    sig_path = f"{state_dir}/sig_store"
+    band_path = f"{state_dir}/band_index"
+    empty = (
+        spark.createDataFrame([], SIG_SCHEMA),
+        spark.createDataFrame([], BAND_SCHEMA),
+    )
+    if not os.path.exists(sig_path):
+        return empty
+    try:
+        sig = spark.read.parquet(sig_path)
+        band = spark.read.parquet(band_path)
+    except Exception:
+        # dirs exist but hold no data files (every increment so far accepted
+        # zero docs) — schema inference fails; that IS the empty state
+        return empty
+    if before_ingest_id is not None:
+        sig = sig.filter(F.col("ingest_id") < before_ingest_id)
+        band = band.filter(F.col("ingest_id") < before_ingest_id)
+    return sig, band
+
+
 def sig_table(
     df: DataFrame,
     text_col: str = "text",

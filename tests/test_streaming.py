@@ -164,3 +164,53 @@ def test_streaming_counts_match_batch(spark, transcripts, tmp_path):
         for r in out.groupBy("sink").agg(F.sum("n").alias("n")).collect()
     }
     assert b == s
+
+
+def test_stream_neardup_ingest_cross_batch_rejection(spark, tmp_path):
+    """Two files arriving as two micro-batches: batch 1 contains a verbatim
+    copy of a batch-0 doc, which must be rejected cross-corpus; restarting
+    the drained stream is a no-op (checkpoint resume, idempotent state)."""
+    from log_analysis_spark.streaming.incremental_stream import (
+        run_stream_neardup_ingest,
+    )
+
+    src = str(tmp_path / "docs_src")
+    state = str(tmp_path / "ingest_state")
+    lorem = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "astronauts debate reusable launch vehicles in low earth orbit"
+    )
+    other = (
+        "completely different subject matter about cooking pasta with "
+        "garlic butter sauce and salted water at a rolling boil tonight"
+    )
+    spark.createDataFrame(
+        [("a", lorem), ("b", other)], "doc_id string, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    t1 = run_stream_neardup_ingest(spark, src, state)
+    assert t1 == {"n_accepted": 2, "n_rejected": 0}
+
+    # second file lands: one dup of 'a', one genuinely new doc
+    third = (
+        "a third document about gardening tomatoes in raised beds with "
+        "compost and regular watering through the summer months outside"
+    )
+    spark.createDataFrame(
+        [("x", lorem), ("y", third)], "doc_id string, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    t2 = run_stream_neardup_ingest(spark, src, state)
+    assert t2 == {"n_accepted": 3, "n_rejected": 1}
+    rej = spark.read.parquet(f"{state}/rejects").collect()
+    assert len(rej) == 1
+    assert rej[0]["id"] == "x" and rej[0]["matched_id"] == "a"
+    assert rej[0]["why"] == "cross_corpus" and rej[0]["est_jaccard"] == 1.0
+    accepted = {
+        r["doc_id"] for r in spark.read.parquet(f"{state}/accepted").collect()
+    }
+    assert accepted == {"a", "b", "y"}
+
+    # drained stream: a third call processes nothing and changes nothing
+    t3 = run_stream_neardup_ingest(spark, src, state)
+    assert t3 == t2
