@@ -167,6 +167,12 @@ def ingest_batch(
     ``sig_store``/``band_index`` may be empty DataFrames with the right
     schema (first increment).  Returned frames are lazy; the caller
     persists/writes them (see jobs/run_incremental_dedup.py).
+
+    Docs with fewer than ``k`` tokens cannot shingle: they are ACCEPTED
+    (never near-dup-rejected) and contribute no state rows — identical to
+    the batch path's behavior (``dedup.shingled`` filters them), so batch
+    and incremental agree on them; gate such docs upstream with a
+    min-token quality filter if they shouldn't enter the corpus at all.
     """
     if hash_impl not in ("xxhash64", "md5"):
         # the numpy banding path derives band keys by FNV-folding raw minima,
