@@ -76,7 +76,10 @@ def main() -> None:
         args.state, args.threshold, args.shingle_k, args.n_hashes, args.bands,
         args.id_col, args.text_col, fingerprint_source(batch),
     )
-    prior = manifest.lookup("ingest", fp)
+    # lookup_any, not latest-wins: each ingest owns its own output dir, so a
+    # historic record stays valid — re-submitting increment 1 after
+    # increment 5 completed must resume, not re-ingest it as increment 6
+    prior = manifest.lookup_any("ingest", fp)
     if prior is not None and os.path.exists(prior["output_path"]):
         print(json.dumps({**prior["metrics"], "resumed": True,
                           "accepted_path": prior["output_path"]}))

@@ -62,6 +62,17 @@ class Manifest:
                 return rec if rec["input_fingerprint"] == input_fingerprint else None
         return None
 
+    def lookup_any(self, stage: str, input_fingerprint: str) -> dict | None:
+        """Match ANY completion record for (stage, fingerprint), not just the
+        latest.  Correct for stages where every run owns its OWN output path
+        (e.g. per-increment ``ingest_id=<n>`` dirs): older records stay valid
+        because no newer run rewrote their output.  For stages sharing one
+        output path, use ``lookup`` (latest-wins) instead."""
+        for rec in reversed(self._load()):
+            if rec["stage"] == stage and rec["input_fingerprint"] == input_fingerprint:
+                return rec
+        return None
+
     def completed(self, stage: str) -> list[dict]:
         """All completion records for ``stage``, oldest first — e.g. the
         ingest history an incremental job replays to number the next run."""

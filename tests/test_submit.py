@@ -229,6 +229,17 @@ def test_submit_incremental_dedup_job(pkg_zip, tmp_path):
     )
     assert r3["resumed"] is True and r3["ingest_id"] == 1
 
+    # OUT-OF-ORDER resume: re-submitting increment 1 after increment 2
+    # completed must hit ITS historic record (lookup_any, each ingest owns
+    # its own output dir) — not re-ingest the batch as a new increment
+    r4 = _submit(
+        pkg_zip,
+        "run_incremental_dedup.py",
+        ["--batch", f"{tmp_path}/b1.parquet", "--state", str(state)],
+        cwd=tmp_path,
+    )
+    assert r4["resumed"] is True and r4["ingest_id"] == 0
+
     # accepted corpus across increments = {d1, d3, e2}
     import duckdb as dd
     got = {
