@@ -814,7 +814,28 @@ def q_embed_cosine_topk(spark, sf_dir):
 
 
 def q_embed_ivf_topk(spark, sf_dir):
-    """IVF-bucketed ANN top-3 (approximate → rows-only check)."""
+    """IVF-bucketed ANN top-3 over a deterministic engine-portable index:
+    8 md5-seeded centroids (``md5_seed_centroids`` — lowest md5(vec_id)
+    unit vectors, round-6 components, zero k-means rounds), projection-only
+    assignment, probe the 4 nearest buckets per query.  Given this index
+    the whole probe is deterministic and DuckDB-expressible, so the oracle
+    recomputes index build + assignment + probe + top-k EXACTLY — the
+    approximation (vs exact top-k) is a property of the algorithm, not an
+    excuse to skip the cross-engine check.  The kmeans-built production
+    index (``assign_centroids``) keeps a rows-only retired twin; the probe
+    machinery is identical."""
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    cents = similarity.md5_seed_centroids(emb, n_centroids=8)
+    assigned = similarity.assign_to_centroids(emb, cents)
+    return similarity.ivf_topk(
+        emb, queries, k=3, n_probe=4, prebuilt=(assigned, cents)
+    )
+
+
+def q_embed_ivf_topk_kmeans(spark, sf_dir):
+    """Production IVF index (xxhash64 seeds + Lloyd rounds) — rows-only
+    retired twin of embed_ivf_topk; recall floor asserted in tests."""
     emb = _embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return similarity.ivf_topk(emb, queries, k=3, n_centroids=8, n_probe=4)
@@ -888,8 +909,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       * events_sessionize   — session_dedup composes the same sessionize
                               machinery as its first stage
 
-    49/50 have exact oracles; embed_ivf_topk is rows-only by design
-    (approximate ANN; recall floor asserted in tests)."""
+    ALL 50 have exact oracles.  embed_ivf_topk (rows-only in rounds 1-3)
+    now probes a deterministic md5-seeded index whose build + assignment +
+    probe the oracle recomputes end to end (its ANN approximation is vs
+    exact top-k, not vs the oracle); the kmeans-built production index is
+    the rows-only retired twin embed_ivf_topk_kmeans."""
     q = {
         "transcripts": q_transcripts,
         "parse_fields": q_parse_fields,
@@ -969,6 +993,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_simhash": q_doc_simhash,
         "doc_fingerprint": q_doc_fingerprint,
+        "embed_ivf_topk_kmeans": q_embed_ivf_topk_kmeans,
     }.items()}
 
 
@@ -1370,8 +1395,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "session_dedup": _session_dedup_oracle(),
         "conv_docs": _conv_docs_oracle(),
+        # mirrors exact_dedup's hash-keyed groupBy (md5 + length, never the
+        # raw text) — result-identical to GROUP BY text absent md5+length
+        # collisions
         "doc_exact_dedup": (
-            "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text"
+            "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents"
+            " GROUP BY md5(text), length(text)"
         ),
         "doc_quality": _doc_quality_oracle(),
         "doc_langid": _langid_oracle(),
@@ -1415,8 +1444,7 @@ SELECT doc_id AS media_id,
        md5(text) AS md5
 FROM documents
 """,
-        # rows-only (no oracle): embed_ivf_topk — approximate by design
-        # (recall floor vs exact top-k asserted in tests/test_docs_ops.py)
+        "embed_ivf_topk": _ivf_topk_oracle(),
     }
 
 
@@ -1855,6 +1883,58 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, corpus_id, score, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def _ivf_topk_oracle(n_centroids: int = 8, n_probe: int = 4, k: int = 3) -> str:
+    """Mirror of q_embed_ivf_topk's GIVEN-INDEX probe, recomputed end to end
+    in DuckDB: md5-ordered seed selection, round-6 unit-component centroids,
+    nearest-centroid assignment (ties → lowest cid, like Spark's
+    array_position-of-max), top-``n_probe`` bucket probe per query
+    (sim desc, cid asc — Spark's struct array_sort), round-6 scores, and
+    the (score desc, corpus_id asc) top-k window.  No candidate structure
+    is taken on faith — the oracle rebuilds the index itself."""
+    return f"""
+WITH {_UNIT_VEC.strip()},
+cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS cid,
+         list_transform(unit, x -> round(x, 6)) AS cvec
+  FROM unitv
+  ORDER BY md5(CAST(vec_id AS VARCHAR))
+  LIMIT {n_centroids}
+),
+assigned AS (
+  SELECT vec_id, unit, cid AS centroid_id FROM (
+    SELECT u.vec_id, u.unit, c.cid,
+           row_number() OVER (
+             PARTITION BY u.vec_id
+             ORDER BY round(list_inner_product(u.unit, c.cvec), 6) DESC, c.cid
+           ) AS rn
+    FROM unitv u CROSS JOIN cents c)
+  WHERE rn = 1
+),
+qprobe AS (
+  SELECT query_id, qvec, cid AS centroid_id FROM (
+    SELECT q.vec_id AS query_id, q.unit AS qvec, c.cid,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_inner_product(q.unit, c.cvec), 6) DESC, c.cid
+           ) AS rn
+    FROM unitv q CROSS JOIN cents c
+    WHERE q.vec_id % 50 = 0)
+  WHERE rn <= {n_probe}
+),
+scored AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS corpus_id,
+         round(list_inner_product(p.qvec, a.unit), 6) AS score
+  FROM qprobe p JOIN assigned a ON p.centroid_id = a.centroid_id
+  WHERE p.query_id <> a.vec_id
+)
+SELECT query_id, corpus_id, score, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, corpus_id) AS rank
+  FROM scored)
+WHERE rank <= {k}
 """
 
 

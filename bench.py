@@ -9,6 +9,21 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
     as turns/sec.
   * representative operator queries from __spark_entry__ at the sf dir.
 
+Noise robustness: this host is a shared VM whose co-tenant load has shown
+2× swings between single passes; the HEADLINE rows therefore run
+INTERLEAVED ×``$SPARK_GRAFT_BENCH_REPEATS`` (default 3 — round-robin, so a
+noise burst can't hit all repeats of one query) and report the MIN, with
+every raw observation disclosed under ``"repeats"`` so noise is
+self-evident in the artifact itself.  The expensive doc/embed rows stay
+single-pass to hold total runtime, their raw value visible as a
+1-element repeats list.
+
+Skew evidence: the hot-cell interval join pair additionally reports the
+MAX TASK duration and max per-task shuffle-read from the Spark UI REST
+API (``"skew_task_metrics"``): wall time on a 32-core box hides a
+straggler that max-task-duration exposes — salting must cut the max task,
+not just the wall clock.
+
 Scaling evidence (local[8] vs local[32]) is produced by
 ``tools/bench_scaling.py`` which shells out to this file.
 """
@@ -25,10 +40,68 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _max_task_metrics(spark, group: str, fn) -> dict:
+    """Run ``fn`` under a job group, then pull that group's per-task maxima
+    (duration ms, shuffle-read bytes) from the UI REST API.  Wall time on a
+    many-core box can't show a straggler; the max task can.  Returns zeros
+    if the UI is unreachable (the wall timing still stands)."""
+    import json as _json
+    import urllib.request
+
+    sc = spark.sparkContext
+    sc.setJobGroup(group, group)
+    try:
+        fn()
+    finally:
+        sc.setJobGroup(None, None)
+    out = {"max_task_ms": 0, "max_task_shuffle_read_mb": 0.0}
+    base = sc.uiWebUrl
+    if not base:
+        return out
+    try:
+        app = sc.applicationId
+        jobs = _json.load(
+            urllib.request.urlopen(f"{base}/api/v1/applications/{app}/jobs")
+        )
+        stage_ids = sorted(
+            {
+                s
+                for j in jobs
+                if j.get("jobGroup") == group
+                for s in j.get("stageIds", [])
+            }
+        )
+        for sid in stage_ids:
+            url = f"{base}/api/v1/applications/{app}/stages/{sid}?details=true"
+            try:
+                attempts = _json.load(urllib.request.urlopen(url))
+            except Exception:
+                continue
+            for att in attempts:
+                for t in (att.get("tasks") or {}).values():
+                    out["max_task_ms"] = max(
+                        out["max_task_ms"], int(t.get("duration") or 0)
+                    )
+                    sm = (t.get("taskMetrics") or {}).get(
+                        "shuffleReadMetrics"
+                    ) or {}
+                    rd = (sm.get("remoteBytesRead") or 0) + (
+                        sm.get("localBytesRead") or 0
+                    )
+                    out["max_task_shuffle_read_mb"] = max(
+                        out["max_task_shuffle_read_mb"],
+                        round(rd / 1e6, 2),
+                    )
+    except Exception:
+        pass
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     n_turns = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "2000000"))
+    n_repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
     from log_analysis_spark.datagen import synth_transcripts
     from log_analysis_spark.plans.pipeline import run_pipeline
@@ -36,7 +109,14 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
-    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spark = get_spark(
+        "bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        # the UI serves the REST task-metrics endpoint the skew evidence
+        # reads; negligible overhead at bench scale
+        extra_conf={"spark.ui.enabled": "true"},
+    )
 
     # ---- setup (not timed): synthesize + materialize the transcripts table
     work = tempfile.mkdtemp(prefix="bench_")
@@ -46,12 +126,12 @@ def main() -> None:
     ).parquet(tpath)
     turns = spark.read.parquet(tpath)
 
-    timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
 
     def timed(name, fn):
         t0 = time.monotonic()
         fn()
-        timings[name] = round(time.monotonic() - t0, 3)
+        runs.setdefault(name, []).append(round(time.monotonic() - t0, 3))
 
     # ---- warmup (untimed): the metric is steady-state throughput on a
     # 10^12-turn table, not JVM cold start — a fresh JVM's first fan-out
@@ -59,18 +139,18 @@ def main() -> None:
     warm = turns.sample(0.125, seed=7)
     run_pipeline(spark, warm, f"{work}/warmup", parse_impl="native").hourly_rollup.count()
 
-    # ---- q1: full pipeline incl. fan-out write + aggregates --------------
-    out_dir = f"{work}/pipe"
-    timed(
-        "e2e_pipeline",
-        lambda: run_pipeline(spark, turns, out_dir, parse_impl="native").hourly_rollup.count(),
-    )
-    e2e_throughput = round(n_turns / timings["e2e_pipeline"], 1)
-
-    # same DAG minus the sink write (pure compute throughput)
+    # ---- headline rows: interleaved ×n_repeats, min reported -------------
+    # One round-robin pass per repeat (never N back-to-back runs of one
+    # query) so a co-tenant noise burst lands on at most one repeat of each
+    # row; writes go to per-repeat dirs (the fan-out writer is resumable —
+    # a reused dir would no-op the later repeats).
     from log_analysis_spark.datagen import role_taxonomy, tool_registry
     from log_analysis_spark.functions.parse import parse_turns
     from log_analysis_spark.operators import enrich, router
+    from pyspark import StorageLevel
+
+    from log_analysis_spark.operators import router as router_ops
+    from log_analysis_spark.sources.iceberg import route_write_resumable
 
     def _nowrite():
         parsed = parse_turns(turns, impl="native")
@@ -80,18 +160,16 @@ def main() -> None:
         tagged = router.tag_sinks(enriched, router.default_rules())
         router.sink_counts(tagged).collect()
 
-    timed("parse_route_agg_nowrite", _nowrite)
+    def _parse_with(impl, frame=None):
+        parse_turns(frame if frame is not None else turns, impl=impl).select(
+            "turn_class", "http_code"
+        ).groupBy("turn_class", "http_code").count().collect()
 
-    # write-only facet: tagged frame materialized in memory first, so the
-    # timed section is ONLY the fan-out sink write.  Three facets (e2e /
+    # write-only facet input: tagged frame materialized in memory first, so
+    # the timed section is ONLY the fan-out sink write.  Three facets (e2e /
     # compute-only / write-only) at both parallelism levels let regressions
     # in compute show through even when the single shared virtio disk under
     # the fan-out write is the noisy term.
-    from pyspark import StorageLevel
-
-    from log_analysis_spark.operators import router as router_ops
-    from log_analysis_spark.sources.iceberg import route_write_resumable
-
     tagged_cached = (
         router_ops.tag_sinks(
             enrich.enrich_tools(
@@ -105,31 +183,39 @@ def main() -> None:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     tagged_cached.count()
-    timed(
-        "route_write_only",
-        lambda: route_write_resumable(tagged_cached, f"{work}/w_only"),
-    )
-    tagged_cached.unpersist()
-
-    def _parse_with(impl, frame=None):
-        parse_turns(frame if frame is not None else turns, impl=impl).select(
-            "turn_class", "http_code"
-        ).groupBy("turn_class", "http_code").count().collect()
 
     _parse_with("arrow", warm)   # python-worker spin-up, untimed
     _parse_with("pandas", warm)
-    timed("parse_arrow", lambda: _parse_with("arrow"))   # arrow_udf, pyarrow/RE2
-    timed("parse_pandas", lambda: _parse_with("pandas"))  # pandas_udf .str regex
 
-    # ---- representative operator queries at the sf dir -------------------
     q = entrymod.queries()
-    for name in [
-        "logs_overview",
-        "interval_join",
-        "hourly_rollup",
-        "embed_cosine_topk",
-    ]:
-        timed(name, lambda n=name: q[n](spark, sf_dir).count())
+    for r in range(n_repeats):
+        out_dir = f"{work}/pipe_{r}"
+        timed(
+            "e2e_pipeline",
+            lambda: run_pipeline(
+                spark, turns, out_dir, parse_impl="native"
+            ).hourly_rollup.count(),
+        )
+        timed("parse_route_agg_nowrite", _nowrite)
+        timed(
+            "route_write_only",
+            lambda: route_write_resumable(tagged_cached, f"{work}/w_only_{r}"),
+        )
+        timed("parse_arrow", lambda: _parse_with("arrow"))   # arrow_udf, pyarrow/RE2
+        timed("parse_pandas", lambda: _parse_with("pandas"))  # pandas_udf .str regex
+        for name in [
+            "logs_overview",
+            "interval_join",
+            "hourly_rollup",
+            "embed_cosine_topk",
+        ]:
+            timed(name, lambda n=name: q[n](spark, sf_dir).count())
+        # reclaim the per-repeat write output before the next pass
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(f"{work}/w_only_{r}", ignore_errors=True)
+    tagged_cached.unpersist()
+
+    e2e_throughput = round(n_turns / min(runs["e2e_pipeline"]), 1)
 
     # transcripts→training-doc assembly over the full synthetic turns table
     # (boilerplate anti-join + conv-keyed ordered assembly); sum(length(text))
@@ -237,18 +323,33 @@ def main() -> None:
     )
     prior_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    skew_metrics: dict[str, dict] = {}
     try:
-        timed(
-            "interval_join_hot_unsalted",
-            lambda: joins_ops.interval_join(
-                anchors_sk, others_sk, bucketed=True, **sk_kw
-            ).count(),
+        skew_metrics["unsalted"] = _max_task_metrics(
+            spark,
+            "skew_unsalted",
+            lambda: timed(
+                "interval_join_hot_unsalted",
+                lambda: joins_ops.interval_join(
+                    anchors_sk, others_sk, bucketed=True, **sk_kw
+                ).count(),
+            ),
         )
-        timed(
-            "interval_join_hot_salted",
-            lambda: joins_ops.interval_join(
-                anchors_sk, others_sk, bucketed=True, n_salts=32, **sk_kw
-            ).count(),
+        skew_metrics["salted"] = _max_task_metrics(
+            spark,
+            "skew_salted",
+            lambda: timed(
+                "interval_join_hot_salted",
+                lambda: joins_ops.interval_join(
+                    anchors_sk, others_sk, bucketed=True, n_salts=32, **sk_kw
+                ).count(),
+            ),
+        )
+        u, s = skew_metrics["unsalted"], skew_metrics["salted"]
+        skew_metrics["max_task_reduction"] = (
+            round(u["max_task_ms"] / s["max_task_ms"], 2)
+            if s.get("max_task_ms")
+            else None
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior_bc)
@@ -295,7 +396,8 @@ def main() -> None:
     sig_90.unpersist()
     band_90.unpersist()
 
-    total = round(sum(timings.values()), 3)
+    timings = {name: min(obs) for name, obs in runs.items()}
+    total = round(sum(sum(obs) for obs in runs.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -304,6 +406,9 @@ def main() -> None:
                 "value": timings["e2e_pipeline"],
                 "unit": "sec",
                 "queries": timings,
+                "repeats": runs,
+                "n_repeats": n_repeats,
+                "skew_task_metrics": skew_metrics,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "bench_turns": n_turns,
                 "cpus": int(cpus),

@@ -81,6 +81,11 @@ def main() -> None:
 
     def _materialize(df):
         nonlocal prev_cached
+        if df is prev_cached:
+            # stage was a no-op (e.g. empty --rates, no --scrub-pii): the
+            # frame is already persisted; unpersisting "prev" here would
+            # evict the very cache the downstream two scans rely on
+            return df, df.count()
         df = df.persist()
         n = df.count()
         if prev_cached is not None:

@@ -13,11 +13,21 @@ Sandbox usage:
 
 State layout under ``--state`` (all owned by this job):
 
-    sig_store/     (id, sig array<long>)   one row per accepted doc
-    band_index/    (id, band, bkey)        LSH band keys of sig_store
+    sig_store/     (id, sig array<long>)   one row per accepted doc (tail)
+    band_index/    (id, band, bkey)        LSH band keys of sig_store (tail)
+    warehouse/     *_c<v>/                 COMPACTED bucketed state tables
     accepted/      ingest_id=<n>/          the admitted docs, per increment
     rejects/       ingest_id=<n>/          (id, matched_id, est_jaccard, why)
     _manifest.jsonl                        per-ingest lineage + resume
+    _params.json                           pinned LSH knobs (raise on drift)
+    _compaction.json                       compaction watermark (atomic)
+
+Every ``--compact-every`` increments (default 8), the per-ingest state
+partitions fold into ONE bucketed table pair — band_index clustered by
+(band, bkey), sig_store by id — so the candidate probe reads the catalog
+layout and exchanges only the (small) batch side; ``load_state`` reads
+compacted + tail transparently and results are identical either way
+(equality-tested).  ``--compact-now`` compacts and exits.
 
 Each run is one manifest stage keyed on a content fingerprint of the batch
 files: re-submitting the same batch resumes (prints the recorded summary,
@@ -45,7 +55,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", required=True, help="new documents batch (parquet)")
+    ap.add_argument("--batch", help="new documents batch (parquet); "
+                                    "required unless --compact-now")
     ap.add_argument("--state", required=True, help="dedup state directory")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
@@ -54,7 +65,24 @@ def main() -> None:
     ap.add_argument("--n-hashes", type=int, default=32)
     ap.add_argument("--bands", type=int, default=8)
     ap.add_argument("--master", default=None)
+    ap.add_argument(
+        "--compact-every", type=int, default=8,
+        help="fold the per-ingest state partitions into ONE bucketed layout "
+             "whenever this many uncompacted increments accumulate "
+             "(0 disables auto-compaction)",
+    )
+    ap.add_argument(
+        "--n-buckets", type=int, default=16,
+        help="bucket count of the compacted state tables (band_index by "
+             "(band,bkey), sig_store by id)",
+    )
+    ap.add_argument(
+        "--compact-now", action="store_true",
+        help="compact all completed increments and exit (no batch ingested)",
+    )
     args = ap.parse_args()
+    if not args.compact_now and not args.batch:
+        ap.error("--batch is required unless --compact-now")
 
     from pyspark.sql import functions as F
 
@@ -69,9 +97,25 @@ def main() -> None:
     from log_analysis_spark.session import get_spark
 
     spark = get_spark("run_incremental_dedup", master=args.master)
-    batch = spark.read.parquet(args.batch)
 
+    # pin the LSH knobs the state is a pure function of — ingesting with
+    # different knobs than the state was built with makes band keys never
+    # collide, silently accepting every cross-corpus duplicate
+    incremental.ensure_state_params(
+        args.state, hash_impl="xxhash64", shingle_k=args.shingle_k,
+        n_hashes=args.n_hashes, bands=args.bands,
+    )
     manifest = Manifest(f"{args.state}/_manifest.jsonl")
+
+    if args.compact_now:
+        upto = len(manifest.completed("ingest"))
+        marker = incremental.compact_state(
+            spark, args.state, upto, n_buckets=args.n_buckets
+        )
+        print(json.dumps({"compacted": True, **marker}))
+        return
+
+    batch = spark.read.parquet(args.batch)
     fp = fingerprint_input(
         args.state, args.threshold, args.shingle_k, args.n_hashes, args.bands,
         args.id_col, args.text_col, fingerprint_source(batch),
@@ -143,6 +187,21 @@ def main() -> None:
         )
     )
     accepted_docs.unpersist()
+
+    # auto-compaction: once enough per-ingest partitions accumulate, fold
+    # them (plus any previous compacted layout) into one bucketed state
+    # table pair — the layout that makes the next probe shuffle-free on the
+    # state side.  Runs AFTER the manifest commit: a crash inside
+    # compact_state never loses the ingest (versioned tables + atomic
+    # marker; see incremental.compact_state).
+    comp = incremental._read_compaction_marker(args.state)
+    tail = ingest_id + 1 - (comp["upto"] if comp else 0)
+    if args.compact_every and tail >= args.compact_every:
+        marker = incremental.compact_state(
+            spark, args.state, ingest_id + 1, n_buckets=args.n_buckets
+        )
+        metrics["compacted_upto"] = marker["upto"]
+
     print(json.dumps({**metrics, "accepted_path": accepted_path}))
 
 

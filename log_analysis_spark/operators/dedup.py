@@ -24,9 +24,20 @@ from log_analysis_spark.operators.textstats import tokens_col
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Exact dedup: keep the lowest id per distinct text, count the group."""
+    """Exact dedup: keep the lowest id per distinct text, count the group.
+
+    Groups by (md5(text), length(text)) rather than the text column itself:
+    the information content of an exact-dup key is 16 bytes, and grouping by
+    the raw text makes the shuffle key — and payload — the entire document
+    (at 100 TB that is a full-corpus text shuffle).  The length column is
+    cheap collision insurance: an md5 collision would additionally need
+    equal lengths to merge two distinct texts.  Output is identical to a
+    ``groupBy(text)`` (the oracle mirrors the same keys)."""
     return (
-        df.groupBy(text_col)
+        df.groupBy(
+            F.md5(F.col(text_col)).alias("_th"),
+            F.length(F.col(text_col)).alias("_tlen"),
+        )
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
         .select("keep_id", "n_copies")
     )
@@ -117,7 +128,18 @@ def _splitmix64(x: "np.ndarray") -> "np.ndarray":
     return x
 
 
-_MINHASH_BANDED_SCHEMA = "id long, band int, bkey long"
+def _minhash_banded_schema(sh_tbl: DataFrame) -> T.StructType:
+    """Banded-output schema with the id type inherited from the input —
+    string doc ids work exactly like longs (np.tile over an object array);
+    hard-coding ``id long`` made the numpy path Arrow-error on string ids
+    that the xxhash64/md5 paths accept."""
+    return T.StructType(
+        [
+            T.StructField("id", sh_tbl.schema["id"].dataType),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("bkey", T.LongType()),
+        ]
+    )
 
 
 def minhash_banded_numpy(
@@ -179,7 +201,7 @@ def minhash_banded_numpy(
                 }
             )
 
-    return sh_tbl.mapInPandas(batch_iter, _MINHASH_BANDED_SCHEMA)
+    return sh_tbl.mapInPandas(batch_iter, _minhash_banded_schema(sh_tbl))
 
 
 def bands_from_sig(

@@ -59,13 +59,96 @@ class IngestResult:
     new_band_rows: DataFrame  # (id, band, bkey) to append to band_index
 
 
-SIG_SCHEMA = "id string, sig array<bigint>"
-BAND_SCHEMA = "id string, band int, bkey bigint"
+def sig_schema(hash_impl: str = "xxhash64") -> str:
+    """Schema of the persisted signature store, derived from the hash
+    implementation: xxhash64 signatures are 64-bit minima; md5 signatures
+    are hex strings (their min is lexicographic).  An empty-state frame
+    built with the wrong element type would silently poison any later
+    union/comparison."""
+    _check_hash_impl(hash_impl)
+    return f"id string, sig array<{'string' if hash_impl == 'md5' else 'bigint'}>"
 
 
-def load_state(spark, state_dir: str, before_ingest_id: int | None = None):
+def band_schema(hash_impl: str = "xxhash64") -> str:
+    """Schema of the persisted band index (bkey = md5 hex string or
+    xxhash64 long, matching ``dedup.bands_from_sig``)."""
+    _check_hash_impl(hash_impl)
+    return f"id string, band int, bkey {'string' if hash_impl == 'md5' else 'bigint'}"
+
+
+def _check_hash_impl(hash_impl: str) -> None:
+    if hash_impl not in ("xxhash64", "md5"):
+        # the numpy banding path derives band keys by FNV-folding raw minima,
+        # not from a storable signature — its keys can't be reproduced from
+        # sig_store, so incremental state would silently never collide
+        raise ValueError(
+            f"incremental ingest needs sig-derived bands (xxhash64|md5), got {hash_impl!r}"
+        )
+
+
+# xxhash64 (production default) shapes, kept as constants for callers/tests
+SIG_SCHEMA = sig_schema()
+BAND_SCHEMA = band_schema()
+
+# LSH knobs that the persisted state is a pure function of: ingesting with a
+# different value for ANY of these against existing state makes band keys
+# never collide / sig agreement garbage — cross-corpus duplicates would all
+# be silently accepted.  The params sidecar pins them at first ingest.
+STATE_PARAM_KEYS = ("hash_impl", "shingle_k", "n_hashes", "bands")
+
+
+def ensure_state_params(state_dir: str, **params) -> dict:
+    """Pin the LSH parameters the state was built with (``_params.json`` in
+    the state dir): first call writes the sidecar, later calls RAISE on any
+    mismatch of ``STATE_PARAM_KEYS`` instead of silently accepting every
+    duplicate.  Extra keys (e.g. bucketing layout) ride along un-validated.
+    Returns the effective (stored) params."""
+    import json
+    import os
+
+    path = f"{state_dir}/_params.json"
+    if not os.path.exists(path):
+        os.makedirs(state_dir, exist_ok=True)
+        tmp = f"{path}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(params, f, sort_keys=True)
+        os.replace(tmp, path)
+        return params
+    with open(path) as f:
+        stored = json.load(f)
+    mismatch = {
+        k: (stored.get(k), params[k])
+        for k in STATE_PARAM_KEYS
+        if k in params and stored.get(k) != params[k]
+    }
+    if mismatch:
+        raise ValueError(
+            f"LSH params differ from the state at {state_dir!r} "
+            f"(stored vs requested): {mismatch}; state built with one "
+            "parameter set can only be probed with the same set"
+        )
+    return stored
+
+
+def _has_data_files(path: str) -> bool:
+    import os
+
+    for root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def load_state(
+    spark,
+    state_dir: str,
+    before_ingest_id: int | None = None,
+    hash_impl: str = "xxhash64",
+):
     """(sig_store, band_index) from a state directory laid out as
-    ``{state_dir}/{sig_store,band_index}/ingest_id=<n>/``.
+    ``{state_dir}/{sig_store,band_index}/ingest_id=<n>/`` plus an optional
+    compacted bucketed layout (see ``compact_state``): compacted tables
+    cover ingests ``< compacted_upto``; plain partitions cover the tail.
 
     ``before_ingest_id`` filters to COMPLETED increments only (partition
     pruning on the hive column): a crashed attempt's partial
@@ -73,28 +156,187 @@ def load_state(spark, state_dir: str, before_ingest_id: int | None = None):
     retry would reject its own first attempt's docs as corpus dups and lose
     them entirely.  Missing directories (first increment) yield empty
     frames with the canonical schemas.
-    """
-    import os
 
+    Emptiness is decided by an explicit data-file walk, NOT by swallowing
+    read errors: a corrupt file / permission error / transient FS failure
+    must fail the ingest loudly — treating it as "first increment" would
+    silently admit every duplicate and permanently pollute the state.
+    """
     sig_path = f"{state_dir}/sig_store"
     band_path = f"{state_dir}/band_index"
-    empty = (
-        spark.createDataFrame([], SIG_SCHEMA),
-        spark.createDataFrame([], BAND_SCHEMA),
-    )
-    if not os.path.exists(sig_path):
-        return empty
-    try:
+    empty_sig = spark.createDataFrame([], sig_schema(hash_impl))
+    empty_band = spark.createDataFrame([], band_schema(hash_impl))
+
+    comp = _read_compaction_marker(state_dir)
+    comp_sig = comp_band = None
+    comp_upto = 0
+    if comp is not None:
+        comp_sig, comp_band = _read_compacted_tables(spark, state_dir, comp)
+        comp_upto = comp["upto"]
+
+    sig = band = None
+    if _has_data_files(sig_path):
         sig = spark.read.parquet(sig_path)
         band = spark.read.parquet(band_path)
-    except Exception:
-        # dirs exist but hold no data files (every increment so far accepted
-        # zero docs) — schema inference fails; that IS the empty state
-        return empty
-    if before_ingest_id is not None:
-        sig = sig.filter(F.col("ingest_id") < before_ingest_id)
-        band = band.filter(F.col("ingest_id") < before_ingest_id)
-    return sig, band
+        lo = F.col("ingest_id") >= comp_upto
+        sig, band = sig.filter(lo), band.filter(lo)
+        if before_ingest_id is not None:
+            sig = sig.filter(F.col("ingest_id") < before_ingest_id)
+            band = band.filter(F.col("ingest_id") < before_ingest_id)
+        sig = sig.select("id", "sig")
+        band = band.select("id", "band", "bkey")
+
+    out_sig = comp_sig if comp_sig is not None else empty_sig
+    out_band = comp_band if comp_band is not None else empty_band
+    if sig is not None:
+        out_sig = out_sig.unionByName(sig) if comp_sig is not None else sig
+        out_band = out_band.unionByName(band) if comp_band is not None else band
+    return out_sig, out_band
+
+
+def _state_db(state_dir: str) -> str:
+    """Deterministic catalog database name for a state directory — the
+    bucketed (compacted) tables live in the catalog because ``bucketBy``
+    layout is catalog metadata; the name is content-addressed so two jobs
+    pointed at different state dirs never collide."""
+    import hashlib
+
+    return "dedup_state_" + hashlib.md5(state_dir.encode()).hexdigest()[:10]
+
+
+def _read_compaction_marker(state_dir: str) -> dict | None:
+    import json
+    import os
+
+    path = f"{state_dir}/_compaction.json"
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def _compacted_ddl(
+    spark, state_dir: str, version: int, n_buckets: int, hash_impl: str
+) -> tuple[str, str]:
+    """Idempotently (re)register the compacted bucketed tables in the
+    session catalog and return their names.  A fresh session (each
+    spark-submit boots its own metastore) knows nothing about tables a
+    previous session wrote; the bucket files + this DDL are the durable
+    contract — re-issuing CREATE TABLE over the existing location restores
+    the bucket metadata that makes the state-side probe shuffle-free."""
+    db = _state_db(state_dir)
+    wh = f"{state_dir}/warehouse"
+    sig_t, band_t = f"sig_store_c{version}", f"band_index_c{version}"
+    sig_type = "array<string>" if hash_impl == "md5" else "array<bigint>"
+    bkey_type = "string" if hash_impl == "md5" else "bigint"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{wh}'")
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {db}.{sig_t} (id string, sig {sig_type}) "
+        f"USING PARQUET CLUSTERED BY (id) INTO {n_buckets} BUCKETS "
+        f"LOCATION '{wh}/{sig_t}'"
+    )
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {db}.{band_t} "
+        f"(id string, band int, bkey {bkey_type}) "
+        f"USING PARQUET CLUSTERED BY (band, bkey) INTO {n_buckets} BUCKETS "
+        f"LOCATION '{wh}/{band_t}'"
+    )
+    return f"{db}.{sig_t}", f"{db}.{band_t}"
+
+
+def _read_compacted_tables(spark, state_dir: str, comp: dict):
+    sig_t, band_t = _compacted_ddl(
+        spark, state_dir, comp["version"], comp["n_buckets"],
+        comp.get("hash_impl", "xxhash64"),
+    )
+    return spark.table(sig_t), spark.table(band_t)
+
+
+def compact_state(
+    spark,
+    state_dir: str,
+    upto_ingest_id: int,
+    n_buckets: int = 16,
+    hash_impl: str = "xxhash64",
+    prune: bool = True,
+) -> dict:
+    """Fold the per-ingest state partitions into ONE bucketed layout:
+    ``band_index`` clustered by (band, bkey) — the probe join's keys — and
+    ``sig_store`` by id (the verify join's key), so the candidate probe
+    reads the catalog layout and exchanges ONLY the small batch side
+    (machine-asserted in tests/test_incremental.py).
+
+    Without this, a year of daily ingests leaves hundreds of small
+    ``ingest_id=<n>`` files that every probe re-reads and re-shuffles —
+    the bucketed layout is written once per compaction and amortizes
+    across all subsequent increments.
+
+    Crash safety: the new tables are written under VERSIONED names
+    (``*_c{upto}``) while the previous version stays live; the marker file
+    (``_compaction.json``) flips atomically (tmp + rename) only after both
+    writes committed.  A crash mid-compaction leaves the old marker
+    pointing at intact old state.  ``prune`` (after the marker commit)
+    removes the folded ``ingest_id`` partitions and the superseded
+    compacted version — pure hygiene; ``load_state`` already ignores both.
+
+    Returns the marker dict ({"upto", "version", "n_buckets", "hash_impl"}).
+    """
+    import json
+    import os
+    import shutil
+
+    from log_analysis_spark.sources import bucketed as buck
+
+    prev = _read_compaction_marker(state_dir)
+    if prev is not None and prev["upto"] >= upto_ingest_id:
+        return prev
+    if prev is not None and prev.get("hash_impl", "xxhash64") != hash_impl:
+        raise ValueError(
+            f"compacted state at {state_dir!r} was built with "
+            f"hash_impl={prev.get('hash_impl')!r}, not {hash_impl!r}"
+        )
+    # full state below the new watermark = previous compacted + tail
+    sig, band = load_state(spark, state_dir, upto_ingest_id, hash_impl)
+
+    sig_t, band_t = f"sig_store_c{upto_ingest_id}", f"band_index_c{upto_ingest_id}"
+    db = _state_db(state_dir)
+    wh = f"{state_dir}/warehouse"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{wh}'")
+    buck.write_bucketed(sig, f"{db}.{sig_t}", "id", n_buckets, sort_cols="id")
+    buck.write_bucketed(
+        band, f"{db}.{band_t}", ["band", "bkey"], n_buckets,
+        sort_cols=["band", "bkey"],
+    )
+    marker = {
+        "upto": upto_ingest_id,
+        "version": upto_ingest_id,
+        "n_buckets": n_buckets,
+        "hash_impl": hash_impl,
+    }
+    tmp = f"{state_dir}/_compaction.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(marker, f)
+    os.replace(tmp, f"{state_dir}/_compaction.json")
+
+    if prune:
+        for sub in ("sig_store", "band_index"):
+            root = f"{state_dir}/{sub}"
+            if os.path.isdir(root):
+                for d in os.listdir(root):
+                    if d.startswith("ingest_id="):
+                        try:
+                            n = int(d.split("=", 1)[1])
+                        except ValueError:
+                            continue
+                        if n < upto_ingest_id:
+                            shutil.rmtree(f"{root}/{d}", ignore_errors=True)
+        if prev is not None:
+            v = prev["version"]
+            spark.sql(f"DROP TABLE IF EXISTS {db}.sig_store_c{v}")
+            spark.sql(f"DROP TABLE IF EXISTS {db}.band_index_c{v}")
+            shutil.rmtree(f"{wh}/sig_store_c{v}", ignore_errors=True)
+            shutil.rmtree(f"{wh}/band_index_c{v}", ignore_errors=True)
+    return marker
 
 
 def sig_table(
@@ -174,12 +416,17 @@ def ingest_batch(
     and incremental agree on them; gate such docs upstream with a
     min-token quality filter if they shouldn't enter the corpus at all.
     """
-    if hash_impl not in ("xxhash64", "md5"):
-        # the numpy banding path derives band keys by FNV-folding raw minima,
-        # not from a storable signature — its keys can't be reproduced from
-        # sig_store, so incremental state would silently never collide
+    _check_hash_impl(hash_impl)
+    # a state built with the OTHER hash family would never collide with this
+    # batch's band keys — every cross-corpus duplicate silently accepted;
+    # the element type is the cheap structural tell
+    want_elem = T.StringType() if hash_impl == "md5" else T.LongType()
+    got_elem = sig_store.schema["sig"].dataType.elementType
+    if got_elem != want_elem:
         raise ValueError(
-            f"incremental ingest needs sig-derived bands (xxhash64|md5), got {hash_impl!r}"
+            f"sig_store element type {got_elem.simpleString()} does not match "
+            f"hash_impl={hash_impl!r} (expected {want_elem.simpleString()}); "
+            "state and ingest must use the same hash family"
         )
     # -- 1. within-batch: exact-verify near-dup dedup (text is at hand) ----
     # The pair graph of ONE increment is tiny next to the increment itself

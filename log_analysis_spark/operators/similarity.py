@@ -261,6 +261,22 @@ def build_centroids(
     return cents
 
 
+def assign_to_centroids(
+    corpus: DataFrame,
+    cents: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every corpus vector to its nearest of the GIVEN centroids
+    (ties → lowest centroid id via array_position-of-max).  The assignment
+    is a pure projection — no join, no window, no shuffle on the corpus."""
+    cu = with_unit_vec(corpus, vec_col).filter(F.col("unit").isNotNull())
+    sims = _centroid_sims(F.col("unit"), cents)
+    return cu.withColumn(
+        "centroid_id", F.array_position(sims, F.array_max(sims)).cast("int")
+    ).select(id_col, "centroid_id", "unit")
+
+
 def assign_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -269,20 +285,48 @@ def assign_centroids(
     kmeans_rounds: int = 2,
     sample_mod: int = 1,
 ) -> tuple[DataFrame, list[list[float]]]:
-    """Assign every corpus vector to its nearest centroid (ties → lowest
-    centroid id via array_position-of-max).  The assignment is a pure
-    projection — no join, no window, no shuffle on the corpus.
+    """Build centroids (``build_centroids``) and assign the corpus to them.
 
     Returns (assigned corpus with ``centroid_id``, centroid list)."""
     cents = build_centroids(
         corpus, n_centroids, id_col, vec_col, kmeans_rounds, sample_mod
     )
+    return assign_to_centroids(corpus, cents, id_col, vec_col), cents
+
+
+def md5_seed_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """ENGINE-PORTABLE centroid seeds: the unit vectors of the
+    ``n_centroids`` corpus rows with the lowest ``md5(cast(id as string))``,
+    components rounded to 6 decimals — every ingredient (md5 ordering, unit
+    normalization, round-6) is verbatim-computable in DuckDB, so an IVF
+    probe over these seeds gets an EXACT given-this-index oracle (the same
+    md5-twin discipline as minhash/simhash/fingerprint).  ``build_centroids``
+    (xxhash64 seeds + Lloyd rounds) stays the production index: better
+    bucket balance, same probe machinery — tests assert the probe is
+    centroid-agnostic.
+
+    Rounding caveat: each engine rounds its own unit components (Python
+    HALF_EVEN vs DuckDB HALF_UP) — divergence needs a component exactly on
+    a 5e-7 boundary, measure-zero for real vectors and absent on the test
+    corpus (same accepted risk as the hyperplane sign bits)."""
     cu = with_unit_vec(corpus, vec_col).filter(F.col("unit").isNotNull())
-    sims = _centroid_sims(F.col("unit"), cents)
-    assigned = cu.withColumn(
-        "centroid_id", F.array_position(sims, F.array_max(sims)).cast("int")
-    ).select(id_col, "centroid_id", "unit")
-    return assigned, cents
+    rows = (
+        cu.select("unit", F.col(id_col).alias("_id"))
+        .orderBy(F.md5(F.col("_id").cast("string")))
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = [[round(float(x), 6) for x in r["unit"]] for r in rows]
+    if not cents:
+        raise ValueError(
+            "no centroid seeds: corpus has no non-zero-norm vectors"
+        )
+    return cents
 
 
 def ivf_topk(
@@ -398,8 +442,13 @@ def _signatures_matmul(
     semantics: unit-normalize (zero-norm rows dropped), dot rounded to 1e-6
     before the sign test, bands of ``band_bits`` MSB-first bits.
 
-    Output: one row per vector — (id, unit, bkeys[n_bands]); the caller
-    posexplodes bkeys into the (id, band, bkey) band join."""
+    Output: one NARROW row per vector — (id, bkeys[n_bands]); the caller
+    posexplodes bkeys into the (id, band, bkey) band join.  The unit vector
+    deliberately does NOT ride along: the band self-join explodes every row
+    ×n_bands and duplicates both sides per candidate, so a vector column
+    there multiplies shuffle volume by ~n_bands×dim×8 B — units re-attach
+    post-candidate-dedup via ``_units_matmul`` (two id equi-joins, same
+    shape as ``dedup.minhash_lsh_pairs``' shingle re-attach)."""
     n_planes = len(planes)
     n_bands = n_planes // band_bits
     P = np.asarray(planes, dtype=np.float64)  # (n_planes, dim)
@@ -424,12 +473,54 @@ def _signatures_matmul(
             S = np.round(U @ P.T, 6)
             B = (S >= 0).astype(np.int64).reshape(len(U), n_bands, band_bits)
             K = (B * weights).sum(axis=2).astype(np.int32)  # (n, n_bands)
+            yield pd.DataFrame({"id": ids[keep], "bkeys": list(K)})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        batch_iter, "id long, bkeys array<int>"
+    )
+
+
+def _units_matmul(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, unit) with numpy normalization — bit-identical to the unit
+    vectors ``_signatures_matmul`` derived internally (same np.linalg.norm /
+    divide), so the post-candidate cosine verify scores exactly the vectors
+    the banding saw.  Zero-norm rows drop, mirroring the signature pass."""
+
+    def batch_iter(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            E = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            nrm = np.linalg.norm(E, axis=1)
+            keep = nrm > 0
+            if not keep.any():
+                continue
             yield pd.DataFrame(
-                {"id": ids[keep], "unit": list(U), "bkeys": list(K)}
+                {"id": ids[keep], "unit": list(E[keep] / nrm[keep, None])}
             )
 
     return df.select(id_col, vec_col).mapInPandas(
-        batch_iter, "id long, unit array<double>, bkeys array<int>"
+        batch_iter, "id long, unit array<double>"
+    )
+
+
+def _attach_units_and_verify(
+    cand: DataFrame, units: DataFrame, threshold: float, score_fn
+) -> DataFrame:
+    """Shared tail of both near-dup paths: re-attach unit vectors to the
+    deduped (id_a, id_b) candidates via two id equi-joins, score, filter.
+    The vectors touch a shuffle only HERE — once per side, keyed by id —
+    never inside the exploded band join."""
+    pairs = cand.join(
+        units.select(F.col("id").alias("id_a"), F.col("unit").alias("ua")), "id_a"
+    ).join(
+        units.select(F.col("id").alias("id_b"), F.col("unit").alias("ub")), "id_b"
+    )
+    return (
+        pairs.withColumn("cosine", score_fn(F.col("ua"), F.col("ub")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )
 
 
@@ -452,6 +543,10 @@ def embedding_neardup_pairs_matmul(
     planes × 64 dims of per-element interpretation per row — fine for
     cross-engine oracle parity at test scale, a multiplier at 100 TB).
 
+    Band join carries only (id, band, bkey), like the expression twin —
+    units re-attach post-candidate-dedup via ``_units_matmul`` (numpy
+    normalization bit-identical to the one inside the signature pass).
+
     The expression path stays the DuckDB-oracle twin; tests assert both
     paths produce identical pair sets and cosines on the test corpus.  (The
     one theoretical divergence is rounding of a dot landing exactly on a
@@ -460,7 +555,7 @@ def embedding_neardup_pairs_matmul(
     dim = _validate_dim(df, vec_col, dim)
     planes = hyperplanes(dim, n_planes, seed)
     sig = _signatures_matmul(df, planes, band_bits, id_col, vec_col)
-    banded = sig.select("id", "unit", F.posexplode("bkeys").alias("band", "bkey"))
+    banded = sig.select("id", F.posexplode("bkeys").alias("band", "bkey"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -471,20 +566,11 @@ def embedding_neardup_pairs_matmul(
                 F.col("a.id") < F.col("b.id"),
             ],
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.unit").alias("ua"),
-            F.col("b.unit").alias("ub"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-
-    return (
-        cand.withColumn("cosine", _pair_cosine(F.col("ua"), F.col("ub")))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
-    )
+    units = _units_matmul(df, id_col, vec_col)
+    return _attach_units_and_verify(cand, units, threshold, _pair_cosine)
 
 
 def _validate_dim(
@@ -548,9 +634,12 @@ def embedding_neardup_pairs(
 
     Banding: ``n_planes`` sign bits split into bands of ``band_bits``; two
     vectors are candidates iff some band matches exactly.  Scale: the band
-    join carries only (id, band, bkey); ``band_bits`` sets bucket
-    granularity — raise it as the corpus grows (buckets ~ N/2^band_bits per
-    band).  At near-dup thresholds (cos >= 0.99, θ <= 8°) recall with 8×8-bit
+    join carries ONLY (id, band, bkey) — unit vectors re-attach to the
+    deduped candidates via two id equi-joins (``_attach_units_and_verify``,
+    the same narrow-join + re-attach shape as ``dedup.minhash_lsh_pairs``),
+    so the exploded shuffle stays ~20 B/row instead of ~n_bands × dim × 8 B
+    per vector; ``band_bits`` sets bucket granularity — raise it as the
+    corpus grows (buckets ~ N/2^band_bits per band).  At near-dup thresholds (cos >= 0.99, θ <= 8°) recall with 8×8-bit
     bands is > 0.999; the contract query's lower threshold trades recall for
     a non-trivial result on the synthetic corpus and the oracle mirrors the
     same candidate rule, so the cross-engine check stays exact.
@@ -561,15 +650,16 @@ def embedding_neardup_pairs(
     dim = _validate_dim(df, vec_col, dim)
     planes = hyperplanes(dim, n_planes, seed)
     n_bands = n_planes // band_bits
-    u = (
+    units = (
         with_unit_vec(df.withColumn(vec_col, _guard_dim(vec_col, dim)), vec_col)
         .filter(F.col("unit").isNotNull())
         .select(F.col(id_col).alias("id"), "unit")
-        .withColumn("bits", F.array(*[_sign_bit(F.col("unit"), p) for p in planes]))
+    )
+    u = units.withColumn(
+        "bits", F.array(*[_sign_bit(F.col("unit"), p) for p in planes])
     )
     banded = u.select(
         "id",
-        "unit",
         F.explode(
             F.array(
                 *[
@@ -587,7 +677,7 @@ def embedding_neardup_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "unit", "bb.band", "bb.bkey")
+    ).select("id", "bb.band", "bb.bkey")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -598,16 +688,9 @@ def embedding_neardup_pairs(
                 F.col("a.id") < F.col("b.id"),
             ],
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.unit").alias("ua"),
-            F.col("b.unit").alias("ub"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return (
-        cand.withColumn("cosine", F.round(_dot(F.col("ua"), F.col("ub")), 6))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+    return _attach_units_and_verify(
+        cand, units, threshold, lambda ua, ub: F.round(_dot(ua, ub), 6)
     )

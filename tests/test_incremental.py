@@ -245,3 +245,155 @@ def test_bucketed_state_probe_skips_state_side_shuffle(spark, docs, tmp_path):
         spark.sql("DROP TABLE IF EXISTS incr_buck.band_idx")
         spark.sql("DROP TABLE IF EXISTS incr_buck.sig_store")
         spark.sql("DROP DATABASE IF EXISTS incr_buck")
+
+
+# ---------------------------------------------------------------------------
+# round 4: state compaction, params sidecar, loud state-read failures
+# ---------------------------------------------------------------------------
+
+
+def _write_state_partition(res, state_dir, ingest_id):
+    res.new_sig_rows.write.mode("overwrite").parquet(
+        f"{state_dir}/sig_store/ingest_id={ingest_id}"
+    )
+    res.new_band_rows.write.mode("overwrite").parquet(
+        f"{state_dir}/band_index/ingest_id={ingest_id}"
+    )
+
+
+def test_compaction_preserves_ingest_results(spark, docs, tmp_path):
+    """Ingest results over the compacted bucketed state are IDENTICAL to
+    results over the plain per-ingest partitions (compaction is layout, not
+    semantics), and the probe plan over compacted state reads the catalog
+    bucket layout with no state-side Exchange."""
+    import os
+
+    state = str(tmp_path / "state")
+    base = docs.limit(240).select("doc_id", "text")
+    inc1 = base.filter(F.xxhash64("doc_id") % 3 == 0)
+    inc2 = base.filter(F.xxhash64("doc_id") % 3 == 1)
+    inc3 = base.filter(F.xxhash64("doc_id") % 3 == 2)
+
+    sig, band = _empty_state(spark)
+    r1 = incremental.ingest_batch(inc1, sig, band, id_col="doc_id")
+    _write_state_partition(r1, state, 0)
+    s1, b1 = incremental.load_state(spark, state, 1)
+    r2 = incremental.ingest_batch(inc2, s1, b1, id_col="doc_id")
+    _write_state_partition(r2, state, 1)
+    # materialize BEFORE compaction: these lazy frames read the per-ingest
+    # partitions that compaction prunes (standard Spark semantics — a reader
+    # created before a layout change must be re-created after it)
+    n_r1, n_r2 = r1.new_sig_rows.count(), r2.new_sig_rows.count()
+
+    # plain-layout ingest of increment 3
+    s2, b2 = incremental.load_state(spark, state, 2)
+    r3_plain = incremental.ingest_batch(inc3, s2, b2, id_col="doc_id")
+    plain_accepted = {r["id"] for r in r3_plain.accepted.collect()}
+    plain_rejected = {
+        (r["id"], r["matched_id"]) for r in r3_plain.rejected.collect()
+    }
+
+    marker = incremental.compact_state(spark, state, 2, n_buckets=8)
+    assert marker["upto"] == 2
+    # folded partitions pruned; marker durable
+    assert not os.path.exists(f"{state}/sig_store/ingest_id=0")
+    assert not os.path.exists(f"{state}/sig_store/ingest_id=1")
+    assert incremental._read_compaction_marker(state) == marker
+
+    s2c, b2c = incremental.load_state(spark, state, 2)
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        r3_comp = incremental.ingest_batch(inc3, s2c, b2c, id_col="doc_id")
+        plan = r3_comp.accepted._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+
+    assert {r["id"] for r in r3_comp.accepted.collect()} == plain_accepted
+    assert {
+        (r["id"], r["matched_id"]) for r in r3_comp.rejected.collect()
+    } == plain_rejected
+    assert "Bucketed: true" in plan
+
+    # compacting again below the watermark is a no-op returning the marker
+    assert incremental.compact_state(spark, state, 2, n_buckets=8) == marker
+
+    # a LATER increment appends a tail partition; load_state must union
+    # compacted + tail
+    _write_state_partition(r3_comp, state, 2)
+    s3, b3 = incremental.load_state(spark, state, 3)
+    assert s3.count() == n_r1 + n_r2 + r3_comp.new_sig_rows.count()
+    assert b3.count() == s3.count() * 8
+
+    db = incremental._state_db(state)
+    spark.sql(f"DROP TABLE IF EXISTS {db}.sig_store_c2")
+    spark.sql(f"DROP TABLE IF EXISTS {db}.band_index_c2")
+    spark.sql(f"DROP DATABASE IF EXISTS {db}")
+
+
+def test_load_state_raises_on_corrupt_file(spark, tmp_path):
+    """A corrupt data file must fail the ingest loudly — swallowing it as
+    'first increment' would admit every duplicate and pollute the state."""
+    state = str(tmp_path / "state")
+    import os
+
+    os.makedirs(f"{state}/sig_store/ingest_id=0")
+    os.makedirs(f"{state}/band_index/ingest_id=0")
+    with open(f"{state}/sig_store/ingest_id=0/part-0.parquet", "w") as f:
+        f.write("this is not parquet")
+    with open(f"{state}/band_index/ingest_id=0/part-0.parquet", "w") as f:
+        f.write("this is not parquet")
+    with pytest.raises(Exception):
+        s, b = incremental.load_state(spark, state, 1)
+        s.count()
+
+
+def test_load_state_empty_dirs_are_empty_state(spark, tmp_path):
+    """Directories with no data files (every increment so far accepted zero
+    docs) are still the legitimate empty state."""
+    state = str(tmp_path / "state")
+    import os
+
+    os.makedirs(f"{state}/sig_store/ingest_id=0")
+    os.makedirs(f"{state}/band_index/ingest_id=0")
+    sig, band = incremental.load_state(spark, state, 1)
+    assert sig.count() == 0 and band.count() == 0
+    assert sig.schema == spark.createDataFrame([], SIG_SCHEMA).schema
+
+
+def test_state_params_sidecar(tmp_path):
+    state = str(tmp_path / "state")
+    p = dict(hash_impl="xxhash64", shingle_k=3, n_hashes=32, bands=8)
+    assert incremental.ensure_state_params(state, **p) == p
+    # identical params: fine
+    assert incremental.ensure_state_params(state, **p) == p
+    # drifted LSH knob: refuse — the state would silently never collide
+    with pytest.raises(ValueError, match="n_hashes"):
+        incremental.ensure_state_params(state, **{**p, "n_hashes": 64})
+    with pytest.raises(ValueError, match="hash_impl"):
+        incremental.ensure_state_params(state, **{**p, "hash_impl": "md5"})
+
+
+def test_ingest_rejects_state_hash_family_mismatch(spark):
+    """md5 ingest against an xxhash64-typed sig store is structurally
+    detectable (array<string> vs array<bigint>) and must raise."""
+    b = _mk_batch(spark, [("a", LOREM)])
+    sig, band = _empty_state(spark)  # xxhash64-shaped
+    with pytest.raises(ValueError, match="hash family"):
+        incremental.ingest_batch(b, sig, band, id_col="doc_id", hash_impl="md5")
+
+
+def test_md5_state_schemas(spark):
+    """sig_schema/band_schema derive element types from the hash impl, so an
+    md5 pipeline's canonical empty state unions cleanly with real rows."""
+    sig = spark.createDataFrame([], incremental.sig_schema("md5"))
+    band = spark.createDataFrame([], incremental.band_schema("md5"))
+    b = _mk_batch(spark, [("a", LOREM), ("c", OTHER)])
+    res = incremental.ingest_batch(b, sig, band, id_col="doc_id", hash_impl="md5")
+    rows = res.new_sig_rows.collect()
+    assert {r["id"] for r in rows} == {"a", "c"}
+    assert all(isinstance(x, str) for x in rows[0]["sig"])
+    bands_ = res.new_band_rows.collect()
+    assert all(isinstance(r["bkey"], str) for r in bands_)
+    # and the union with the canonical empty frame type-checks
+    assert sig.unionByName(res.new_sig_rows).count() == 2

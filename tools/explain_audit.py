@@ -27,6 +27,26 @@ def executed(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def shuffle_schemas(df) -> list[tuple[str, list[str]]]:
+    """(partitioning, output column names) for every shuffle Exchange in the
+    executed plan — the machine-readable answer to "what does this shuffle
+    actually carry?", which the plan's toString does not print."""
+    out: list[tuple[str, list[str]]] = []
+
+    def walk(node):
+        if "ShuffleExchange" in node.getClass().getSimpleName():
+            cols = [
+                node.output().apply(i).name()
+                for i in range(node.output().size())
+            ]
+            out.append((node.outputPartitioning().toString(), cols))
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
 def formatted(df) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
@@ -394,6 +414,57 @@ def main() -> int:
               "EvalPython" not in inc and "ArrowEval" not in inc),
     ]
     sections.append(("Incremental LSH ingest (state probe)", inc, notes))
+
+    # 14 — round-4 shuffle-shape fixes: the band joins carry ONLY
+    # (id, band, bkey) — never the unit vectors (512 B each, exploded
+    # ×n_bands) — and exact dedup's shuffle key is the 16-byte md5, never
+    # the document text.  Asserted on the exchanges' actual output schemas
+    # (shuffle_schemas), not plan prose.
+    # broadcast off: at audit scale the banded side broadcasts and no
+    # shuffle exists to inspect — at 100 TB both sides shuffle, which is
+    # exactly the plan whose payload width is under audit
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    nd_expr = similarity.embedding_neardup_pairs(emb, threshold=0.3, band_bits=4)
+    nd_mm = similarity.embedding_neardup_pairs_matmul(emb, threshold=0.3, band_bits=4)
+    notes = []
+    for label, frame in (("expr", nd_expr), ("matmul", nd_mm)):
+        band_shufs = [
+            (p, cols)
+            for p, cols in shuffle_schemas(frame)
+            if "band" in p and "bkey" in p
+        ]
+        wide = [
+            (p, cols)
+            for p, cols in band_shufs
+            if any("unit" in c or "embedding" in c for c in cols)
+        ]
+        notes.append(
+            check(
+                f"embed_neardup[{label}]: band-join shuffles exist and carry "
+                "no vector column",
+                len(band_shufs) >= 1 and not wide,
+                f"{len(band_shufs)} band shuffles; wide={wide[:1]}",
+            )
+        )
+    xd_shufs = shuffle_schemas(dedup.exact_dedup(docs))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    notes.append(
+        check(
+            # the md5 key survives planning as a _groupingexpression; the
+            # load-bearing assertion is the absence of the text column from
+            # every exchange payload
+            "exact_dedup: shuffles exist and never carry the text column",
+            len(xd_shufs) >= 1
+            and all(
+                not any("text" in c for c in cols) for _p, cols in xd_shufs
+            ),
+            f"shuffles={[(p[:60], cols) for p, cols in xd_shufs]}",
+        )
+    )
+    sections.append(
+        ("Round-4 shuffle shapes (narrow band joins, hash-keyed exact dedup)",
+         executed(nd_mm), notes)
+    )
 
     # ---- write EXPLAIN.md -------------------------------------------------
     md = ["# EXPLAIN audit — physical plans vs 100 TB design intents",
