@@ -275,6 +275,44 @@ def main() -> None:
         ).count(),
     )
 
+    # embedding-space incremental ingest vs full re-pair — the vector twin
+    # of the text rows below: corpus = 90% of vectors with its sign-band
+    # state PREBUILT, increment = the other 10%; the repair row re-pairs
+    # corpus+increment from scratch (work that grows with CORPUS size,
+    # vs the ingest's increment-sized probe)
+    from log_analysis_spark.operators import dedup as dedup_ops
+    from log_analysis_spark.operators import incremental_embed
+
+    emb_is_inc = F.xxhash64(F.col("vec_id").cast("string")) % 10 == 0
+    emb_90 = emb.filter(~emb_is_inc)
+    emb_10 = emb.filter(emb_is_inc).persist(StorageLevel.MEMORY_AND_DISK)
+    emb_10.count()
+    est0 = incremental_embed.ingest_embedding_batch(
+        emb_90, *incremental_embed.empty_embed_state(spark), **nd_kw
+    )
+    eu_90 = est0.new_unit_rows.persist(StorageLevel.MEMORY_AND_DISK)
+    eb_90 = est0.new_band_rows.persist(StorageLevel.MEMORY_AND_DISK)
+    eu_90.count(), eb_90.count()
+    timed(
+        "embed_increment_ingest",
+        lambda: incremental_embed.ingest_embedding_batch(
+            emb_10, eu_90, eb_90, **nd_kw
+        ).accepted.count(),
+    )
+
+    def _embed_repair():
+        full = emb_90.unionByName(emb_10)
+        pairs = similarity.embedding_neardup_pairs_matmul(full, **nd_kw)
+        groups = dedup_ops.neardup_groups(
+            full.select(F.col("vec_id").alias("id")), pairs.select("id_a", "id_b")
+        )
+        dedup_ops.drop_near_duplicates(full, groups, "vec_id").count()
+
+    timed("embed_batch_repair", _embed_repair)
+    emb_10.unpersist()
+    eu_90.unpersist()
+    eb_90.unpersist()
+
     # skewed interval join: HALF of a 2M-row others table in ONE (conv,
     # hour) cell, broadcast disabled so the join shuffles (the 100 TB
     # reality: the anchors side is ~25% of all turns, far past any

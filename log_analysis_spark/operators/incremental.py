@@ -364,9 +364,11 @@ def sig_agreement(sig_a: F.Column, sig_b: F.Column, n_hashes: int) -> F.Column:
     )
 
 
-def _resolve_local(pairs_rows: list) -> dict:
+def _resolve_local(pairs_rows: list, score_key: str = "jaccard") -> dict:
     """Union-find with min-id representatives over a collected pair list.
-    Returns {loser_id: (rep_id, jaccard-or-None)} — only non-reps appear."""
+    Returns {loser_id: (rep_id, score-or-None)} — only non-reps appear.
+    ``score_key`` names the pair score column ("jaccard" for text minhash,
+    "cosine" for the embedding twin)."""
     parent: dict = {}
 
     def find(x):
@@ -382,7 +384,7 @@ def _resolve_local(pairs_rows: list) -> dict:
         if ra != rb:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
-    direct = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs_rows}
+    direct = {(r["id_a"], r["id_b"]): r[score_key] for r in pairs_rows}
     out = {}
     for x in set(parent):
         rep = find(x)

@@ -249,3 +249,78 @@ def test_submit_incremental_dedup_job(pkg_zip, tmp_path):
         ).fetchall()
     }
     assert got == {"d1", "d3", "e2"}
+
+
+def test_submit_incremental_compaction_across_sessions(pkg_zip, tmp_path):
+    """Auto-compaction fires at --compact-every, prunes the folded
+    partitions, and a FRESH spark-submit session (fresh metastore — the
+    bucket DDL must re-register from the files + marker alone) still
+    rejects cross-corpus duplicates against the compacted state.  A drifted
+    LSH knob against the same state dir must refuse to run."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        """
+        CREATE TABLE b1 (doc_id VARCHAR, text VARCHAR);
+        INSERT INTO b1 VALUES
+          ('d1', 'alpha beta gamma delta epsilon zeta eta theta iota kappa'),
+          ('d2', 'one two three four five six seven eight nine ten eleven');
+        CREATE TABLE b2 (doc_id VARCHAR, text VARCHAR);
+        INSERT INTO b2 VALUES
+          ('e1', 'red orange yellow green blue indigo violet crimson amber teal');
+        CREATE TABLE b3 (doc_id VARCHAR, text VARCHAR);
+        INSERT INTO b3 VALUES
+          ('f1', 'alpha beta gamma delta epsilon zeta eta theta iota kappa'),
+          ('f2', 'red orange yellow green blue indigo violet crimson amber teal'),
+          ('f3', 'brand new content nothing like anything ingested before today');
+        """
+    )
+    for t in ("b1", "b2", "b3"):
+        con.execute(f"COPY {t} TO '{tmp_path}/{t}.parquet' (FORMAT PARQUET)")
+    state = tmp_path / "state"
+    common = ["--state", str(state), "--compact-every", "2", "--n-buckets", "4"]
+
+    r1 = _submit(
+        pkg_zip, "run_incremental_dedup.py",
+        ["--batch", f"{tmp_path}/b1.parquet", *common], cwd=tmp_path,
+    )
+    assert r1["n_accepted"] == 2 and "compacted_upto" not in r1
+
+    r2 = _submit(
+        pkg_zip, "run_incremental_dedup.py",
+        ["--batch", f"{tmp_path}/b2.parquet", *common], cwd=tmp_path,
+    )
+    assert r2["n_accepted"] == 1
+    assert r2["compacted_upto"] == 2          # auto-compaction fired
+    assert not (state / "sig_store" / "ingest_id=0").exists()  # pruned
+    assert (state / "warehouse").exists()
+    assert (state / "_compaction.json").exists()
+
+    # fresh session: state is ONLY the compacted bucketed layout; both
+    # earlier corpora must still reject their duplicates
+    r3 = _submit(
+        pkg_zip, "run_incremental_dedup.py",
+        ["--batch", f"{tmp_path}/b3.parquet", *common], cwd=tmp_path,
+    )
+    assert r3["n_accepted"] == 1              # f3 only
+    assert r3["n_rejected_cross_corpus"] == 2  # f1→d1, f2→e1
+
+    # params drift: refused loudly, state untouched
+    import subprocess as sp
+
+    spark_submit = shutil.which("spark-submit")
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    out = sp.run(
+        [
+            spark_submit, "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", str(pkg_zip),
+            str(REPO / "jobs" / "run_incremental_dedup.py"),
+            "--batch", f"{tmp_path}/b3.parquet", *common, "--n-hashes", "64",
+        ],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode != 0
+    assert "n_hashes" in (out.stderr + out.stdout)
