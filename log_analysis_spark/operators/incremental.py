@@ -97,10 +97,13 @@ BAND_SCHEMA = band_schema()
 STATE_PARAM_KEYS = ("hash_impl", "shingle_k", "n_hashes", "bands")
 
 
-def ensure_state_params(state_dir: str, **params) -> dict:
+def ensure_state_params(
+    state_dir: str, *, keys: tuple = STATE_PARAM_KEYS, **params
+) -> dict:
     """Pin the LSH parameters the state was built with (``_params.json`` in
     the state dir): first call writes the sidecar, later calls RAISE on any
-    mismatch of ``STATE_PARAM_KEYS`` instead of silently accepting every
+    mismatch of ``keys`` (default: the text-minhash ``STATE_PARAM_KEYS``;
+    the embedding twin passes its own) instead of silently accepting every
     duplicate.  Extra keys (e.g. bucketing layout) ride along un-validated.
     Returns the effective (stored) params."""
     import json
@@ -118,7 +121,7 @@ def ensure_state_params(state_dir: str, **params) -> dict:
         stored = json.load(f)
     mismatch = {
         k: (stored.get(k), params[k])
-        for k in STATE_PARAM_KEYS
+        for k in keys
         if k in params and stored.get(k) != params[k]
     }
     if mismatch:
@@ -139,16 +142,39 @@ def _has_data_files(path: str) -> bool:
     return False
 
 
-def load_state(
-    spark,
-    state_dir: str,
-    before_ingest_id: int | None = None,
-    hash_impl: str = "xxhash64",
-):
-    """(sig_store, band_index) from a state directory laid out as
-    ``{state_dir}/{sig_store,band_index}/ingest_id=<n>/`` plus an optional
-    compacted bucketed layout (see ``compact_state``): compacted tables
-    cover ingests ``< compacted_upto``; plain partitions cover the tail.
+@dataclass(frozen=True)
+class StateTableSpec:
+    """One persisted state table: its subdir/catalog name, DDL schema, the
+    natural column projection of tail reads, and the bucket/sort layout its
+    compacted form is clustered by (the probe join's keys)."""
+
+    name: str                      # subdir under state_dir + catalog prefix
+    schema: str                    # e.g. "id string, sig array<bigint>"
+    cols: tuple                    # natural columns, e.g. ("id", "sig")
+    bucket_cols: tuple             # compacted CLUSTERED BY keys
+    sort_cols: tuple               # within-bucket sort
+
+
+def text_state_specs(hash_impl: str = "xxhash64") -> tuple:
+    """The MinHash state's two tables (see module docstring)."""
+    return (
+        StateTableSpec(
+            "sig_store", sig_schema(hash_impl), ("id", "sig"), ("id",), ("id",)
+        ),
+        StateTableSpec(
+            "band_index", band_schema(hash_impl), ("id", "band", "bkey"),
+            ("band", "bkey"), ("band", "bkey"),
+        ),
+    )
+
+
+def load_state_tables(
+    spark, state_dir: str, specs: tuple, before_ingest_id: int | None = None
+) -> list:
+    """Load each spec'd table from ``{state_dir}/{spec.name}/ingest_id=<n>/``
+    plus the optional compacted bucketed layout (see ``compact_state_tables``):
+    compacted tables cover ingests ``< compacted_upto``; plain partitions
+    cover the tail.
 
     ``before_ingest_id`` filters to COMPLETED increments only (partition
     pruning on the hive column): a crashed attempt's partial
@@ -162,36 +188,56 @@ def load_state(
     must fail the ingest loudly — treating it as "first increment" would
     silently admit every duplicate and permanently pollute the state.
     """
-    sig_path = f"{state_dir}/sig_store"
-    band_path = f"{state_dir}/band_index"
-    empty_sig = spark.createDataFrame([], sig_schema(hash_impl))
-    empty_band = spark.createDataFrame([], band_schema(hash_impl))
-
     comp = _read_compaction_marker(state_dir)
-    comp_sig = comp_band = None
+    comp_tables = None
     comp_upto = 0
     if comp is not None:
-        comp_sig, comp_band = _read_compacted_tables(spark, state_dir, comp)
+        names = _compacted_ddl(spark, state_dir, comp["version"],
+                               comp["n_buckets"], specs)
+        comp_tables = [spark.table(n) for n in names]
         comp_upto = comp["upto"]
 
-    sig = band = None
-    if _has_data_files(sig_path):
-        sig = spark.read.parquet(sig_path)
-        band = spark.read.parquet(band_path)
-        lo = F.col("ingest_id") >= comp_upto
-        sig, band = sig.filter(lo), band.filter(lo)
-        if before_ingest_id is not None:
-            sig = sig.filter(F.col("ingest_id") < before_ingest_id)
-            band = band.filter(F.col("ingest_id") < before_ingest_id)
-        sig = sig.select("id", "sig")
-        band = band.select("id", "band", "bkey")
+    out = []
+    for i, spec in enumerate(specs):
+        path = f"{state_dir}/{spec.name}"
+        tail = None
+        if _has_data_files(path):
+            df = spark.read.parquet(path).filter(F.col("ingest_id") >= comp_upto)
+            if before_ingest_id is not None:
+                df = df.filter(F.col("ingest_id") < before_ingest_id)
+            tail = df.select(*spec.cols)
+        base = (
+            comp_tables[i] if comp_tables is not None
+            else spark.createDataFrame([], spec.schema)
+        )
+        if tail is not None:
+            out.append(base.unionByName(tail) if comp_tables is not None else tail)
+        else:
+            out.append(base)
+    return out
 
-    out_sig = comp_sig if comp_sig is not None else empty_sig
-    out_band = comp_band if comp_band is not None else empty_band
-    if sig is not None:
-        out_sig = out_sig.unionByName(sig) if comp_sig is not None else sig
-        out_band = out_band.unionByName(band) if comp_band is not None else band
-    return out_sig, out_band
+
+def load_state(
+    spark,
+    state_dir: str,
+    before_ingest_id: int | None = None,
+    hash_impl: str = "xxhash64",
+):
+    """(sig_store, band_index) for the text-minhash state — see
+    ``load_state_tables`` for the layout and failure semantics."""
+    comp = _read_compaction_marker(state_dir)
+    if comp is not None and comp.get("hash_impl", hash_impl) != hash_impl:
+        # the compacted DDL's column types are a function of the hash
+        # family — re-registering them under the wrong one in a fresh
+        # session would silently misread the state
+        raise ValueError(
+            f"state at {state_dir!r} was compacted with "
+            f"hash_impl={comp['hash_impl']!r}, not {hash_impl!r}"
+        )
+    sig, band = load_state_tables(
+        spark, state_dir, text_state_specs(hash_impl), before_ingest_id
+    )
+    return sig, band
 
 
 def _state_db(state_dir: str) -> str:
@@ -216,8 +262,8 @@ def _read_compaction_marker(state_dir: str) -> dict | None:
 
 
 def _compacted_ddl(
-    spark, state_dir: str, version: int, n_buckets: int, hash_impl: str
-) -> tuple[str, str]:
+    spark, state_dir: str, version: int, n_buckets: int, specs: tuple
+) -> list:
     """Idempotently (re)register the compacted bucketed tables in the
     session catalog and return their names.  A fresh session (each
     spark-submit boots its own metastore) knows nothing about tables a
@@ -226,45 +272,32 @@ def _compacted_ddl(
     the bucket metadata that makes the state-side probe shuffle-free."""
     db = _state_db(state_dir)
     wh = f"{state_dir}/warehouse"
-    sig_t, band_t = f"sig_store_c{version}", f"band_index_c{version}"
-    sig_type = "array<string>" if hash_impl == "md5" else "array<bigint>"
-    bkey_type = "string" if hash_impl == "md5" else "bigint"
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{wh}'")
-    spark.sql(
-        f"CREATE TABLE IF NOT EXISTS {db}.{sig_t} (id string, sig {sig_type}) "
-        f"USING PARQUET CLUSTERED BY (id) INTO {n_buckets} BUCKETS "
-        f"LOCATION '{wh}/{sig_t}'"
-    )
-    spark.sql(
-        f"CREATE TABLE IF NOT EXISTS {db}.{band_t} "
-        f"(id string, band int, bkey {bkey_type}) "
-        f"USING PARQUET CLUSTERED BY (band, bkey) INTO {n_buckets} BUCKETS "
-        f"LOCATION '{wh}/{band_t}'"
-    )
-    return f"{db}.{sig_t}", f"{db}.{band_t}"
+    names = []
+    for spec in specs:
+        t = f"{spec.name}_c{version}"
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {db}.{t} ({spec.schema}) "
+            f"USING PARQUET CLUSTERED BY ({', '.join(spec.bucket_cols)}) "
+            f"INTO {n_buckets} BUCKETS LOCATION '{wh}/{t}'"
+        )
+        names.append(f"{db}.{t}")
+    return names
 
 
-def _read_compacted_tables(spark, state_dir: str, comp: dict):
-    sig_t, band_t = _compacted_ddl(
-        spark, state_dir, comp["version"], comp["n_buckets"],
-        comp.get("hash_impl", "xxhash64"),
-    )
-    return spark.table(sig_t), spark.table(band_t)
-
-
-def compact_state(
+def compact_state_tables(
     spark,
     state_dir: str,
     upto_ingest_id: int,
+    specs: tuple,
     n_buckets: int = 16,
-    hash_impl: str = "xxhash64",
+    marker_extra: dict | None = None,
     prune: bool = True,
 ) -> dict:
-    """Fold the per-ingest state partitions into ONE bucketed layout:
-    ``band_index`` clustered by (band, bkey) — the probe join's keys — and
-    ``sig_store`` by id (the verify join's key), so the candidate probe
-    reads the catalog layout and exchanges ONLY the small batch side
-    (machine-asserted in tests/test_incremental.py).
+    """Fold the per-ingest state partitions into ONE bucketed layout per
+    spec'd table, clustered by that table's probe-join keys, so the
+    candidate probe reads the catalog layout and exchanges ONLY the small
+    batch side (machine-asserted in tests/test_incremental.py).
 
     Without this, a year of daily ingests leaves hundreds of small
     ``ingest_id=<n>`` files that every probe re-reads and re-shuffles —
@@ -273,13 +306,18 @@ def compact_state(
 
     Crash safety: the new tables are written under VERSIONED names
     (``*_c{upto}``) while the previous version stays live; the marker file
-    (``_compaction.json``) flips atomically (tmp + rename) only after both
+    (``_compaction.json``) flips atomically (tmp + rename) only after all
     writes committed.  A crash mid-compaction leaves the old marker
     pointing at intact old state.  ``prune`` (after the marker commit)
     removes the folded ``ingest_id`` partitions and the superseded
-    compacted version — pure hygiene; ``load_state`` already ignores both.
+    compacted version — pure hygiene; loads already ignore both.
 
-    Returns the marker dict ({"upto", "version", "n_buckets", "hash_impl"}).
+    ``marker_extra`` rides along in the marker and is VALIDATED against any
+    previous marker (e.g. hash_impl for text, kind for embeddings) — a
+    compaction under different state-defining knobs must refuse, not
+    silently mix incompatible layouts.
+
+    Returns the marker dict ({"upto", "version", "n_buckets", **extra}).
     """
     import json
     import os
@@ -287,31 +325,33 @@ def compact_state(
 
     from log_analysis_spark.sources import bucketed as buck
 
+    marker_extra = dict(marker_extra or {})
     prev = _read_compaction_marker(state_dir)
     if prev is not None and prev["upto"] >= upto_ingest_id:
         return prev
-    if prev is not None and prev.get("hash_impl", "xxhash64") != hash_impl:
-        raise ValueError(
-            f"compacted state at {state_dir!r} was built with "
-            f"hash_impl={prev.get('hash_impl')!r}, not {hash_impl!r}"
-        )
+    if prev is not None:
+        for k, v in marker_extra.items():
+            if k in prev and prev[k] != v:
+                raise ValueError(
+                    f"compacted state at {state_dir!r} was built with "
+                    f"{k}={prev[k]!r}, not {v!r}"
+                )
     # full state below the new watermark = previous compacted + tail
-    sig, band = load_state(spark, state_dir, upto_ingest_id, hash_impl)
+    dfs = load_state_tables(spark, state_dir, specs, upto_ingest_id)
 
-    sig_t, band_t = f"sig_store_c{upto_ingest_id}", f"band_index_c{upto_ingest_id}"
     db = _state_db(state_dir)
     wh = f"{state_dir}/warehouse"
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{wh}'")
-    buck.write_bucketed(sig, f"{db}.{sig_t}", "id", n_buckets, sort_cols="id")
-    buck.write_bucketed(
-        band, f"{db}.{band_t}", ["band", "bkey"], n_buckets,
-        sort_cols=["band", "bkey"],
-    )
+    for spec, df in zip(specs, dfs):
+        buck.write_bucketed(
+            df, f"{db}.{spec.name}_c{upto_ingest_id}",
+            list(spec.bucket_cols), n_buckets, sort_cols=list(spec.sort_cols),
+        )
     marker = {
         "upto": upto_ingest_id,
         "version": upto_ingest_id,
         "n_buckets": n_buckets,
-        "hash_impl": hash_impl,
+        **marker_extra,
     }
     tmp = f"{state_dir}/_compaction.json.tmp"
     with open(tmp, "w") as f:
@@ -319,8 +359,8 @@ def compact_state(
     os.replace(tmp, f"{state_dir}/_compaction.json")
 
     if prune:
-        for sub in ("sig_store", "band_index"):
-            root = f"{state_dir}/{sub}"
+        for spec in specs:
+            root = f"{state_dir}/{spec.name}"
             if os.path.isdir(root):
                 for d in os.listdir(root):
                     if d.startswith("ingest_id="):
@@ -332,11 +372,27 @@ def compact_state(
                             shutil.rmtree(f"{root}/{d}", ignore_errors=True)
         if prev is not None:
             v = prev["version"]
-            spark.sql(f"DROP TABLE IF EXISTS {db}.sig_store_c{v}")
-            spark.sql(f"DROP TABLE IF EXISTS {db}.band_index_c{v}")
-            shutil.rmtree(f"{wh}/sig_store_c{v}", ignore_errors=True)
-            shutil.rmtree(f"{wh}/band_index_c{v}", ignore_errors=True)
+            for spec in specs:
+                spark.sql(f"DROP TABLE IF EXISTS {db}.{spec.name}_c{v}")
+                shutil.rmtree(f"{wh}/{spec.name}_c{v}", ignore_errors=True)
     return marker
+
+
+def compact_state(
+    spark,
+    state_dir: str,
+    upto_ingest_id: int,
+    n_buckets: int = 16,
+    hash_impl: str = "xxhash64",
+    prune: bool = True,
+) -> dict:
+    """Text-minhash compaction: band_index clustered by (band, bkey) — the
+    probe join's keys — and sig_store by id (the verify join's key).  See
+    ``compact_state_tables`` for layout, crash safety, and pruning."""
+    return compact_state_tables(
+        spark, state_dir, upto_ingest_id, text_state_specs(hash_impl),
+        n_buckets, {"hash_impl": hash_impl}, prune,
+    )
 
 
 def sig_table(

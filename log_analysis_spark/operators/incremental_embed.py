@@ -65,6 +65,63 @@ from log_analysis_spark.operators import dedup, incremental, similarity
 UNIT_SCHEMA = "id long, unit array<double>"
 EBAND_SCHEMA = "id long, band int, bkey int"
 
+# knobs the persisted state is a pure function of: a different value for ANY
+# of these against existing state makes band keys never collide (and a
+# different dim makes the stored units incomparable) — pinned per state dir
+# via incremental.ensure_state_params(keys=EMBED_STATE_PARAM_KEYS, ...)
+EMBED_STATE_PARAM_KEYS = ("n_planes", "band_bits", "seed", "dim")
+
+EMBED_STATE_SPECS = (
+    incremental.StateTableSpec(
+        "unit_store", UNIT_SCHEMA, ("id", "unit"), ("id",), ("id",)
+    ),
+    incremental.StateTableSpec(
+        "band_index", EBAND_SCHEMA, ("id", "band", "bkey"),
+        ("band", "bkey"), ("band", "bkey"),
+    ),
+)
+
+
+def ensure_embed_state_params(state_dir: str, **params) -> dict:
+    """Pin the embedding-LSH knobs per state dir (raise on drift) — the
+    vector twin of the text sidecar; see incremental.ensure_state_params."""
+    return incremental.ensure_state_params(
+        state_dir, keys=EMBED_STATE_PARAM_KEYS, **params
+    )
+
+
+def load_embed_state(spark, state_dir: str, before_ingest_id: int | None = None):
+    """(unit_store, band_index) from ``{state_dir}/{unit_store,band_index}/
+    ingest_id=<n>/`` plus the optional compacted bucketed layout — same
+    layout, crash-recovery and loud-failure semantics as the text state
+    (incremental.load_state_tables)."""
+    comp = incremental._read_compaction_marker(state_dir)
+    if comp is not None and comp.get("kind") != "embed":
+        # one state dir holds ONE state kind: re-registering the text
+        # tables' DDL under the embed schemas would silently misread them
+        raise ValueError(
+            f"state at {state_dir!r} is not an embedding state "
+            f"(marker kind={comp.get('kind')!r})"
+        )
+    unit, band = incremental.load_state_tables(
+        spark, state_dir, EMBED_STATE_SPECS, before_ingest_id
+    )
+    return unit, band
+
+
+def compact_embed_state(
+    spark, state_dir: str, upto_ingest_id: int, n_buckets: int = 16,
+    prune: bool = True,
+) -> dict:
+    """Fold per-ingest embed-state partitions into ONE bucketed table pair:
+    band_index clustered by (band, bkey) — the probe join's keys — and
+    unit_store by id (the verify join's key).  Versioned tables + atomic
+    watermark marker; see incremental.compact_state_tables."""
+    return incremental.compact_state_tables(
+        spark, state_dir, upto_ingest_id, EMBED_STATE_SPECS,
+        n_buckets, {"kind": "embed"}, prune,
+    )
+
 
 @dataclass
 class EmbedIngestResult:

@@ -140,3 +140,108 @@ def test_distributed_cc_fallback_matches_local(spark, emb):
     assert {r["id"] for r in r_local.accepted.collect()} == {
         r["id"] for r in r_dist.accepted.collect()
     }
+
+
+# ---------------------------------------------------------------------------
+# persisted state: compaction, params sidecar, kind guard
+# ---------------------------------------------------------------------------
+
+
+def _write_embed_partition(res, state_dir, ingest_id):
+    res.new_unit_rows.write.mode("overwrite").parquet(
+        f"{state_dir}/unit_store/ingest_id={ingest_id}"
+    )
+    res.new_band_rows.write.mode("overwrite").parquet(
+        f"{state_dir}/band_index/ingest_id={ingest_id}"
+    )
+
+
+def test_embed_compaction_preserves_ingest_results(spark, emb, tmp_path):
+    """Ingest results over the compacted bucketed embed state are IDENTICAL
+    to results over the plain per-ingest partitions (compaction is layout,
+    not semantics), and the probe plan over compacted state reads the
+    catalog bucket layout."""
+    import os
+
+    state = str(tmp_path / "estate")
+    base = emb.limit(120).select("vec_id", "embedding")
+    inc1 = base.filter(F.xxhash64(F.col("vec_id").cast("string")) % 3 == 0)
+    inc2 = base.filter(F.xxhash64(F.col("vec_id").cast("string")) % 3 == 1)
+    inc3 = base.filter(F.xxhash64(F.col("vec_id").cast("string")) % 3 == 2)
+
+    us, bi = incremental_embed.empty_embed_state(spark)
+    r1 = incremental_embed.ingest_embedding_batch(inc1, us, bi, **ND_KW)
+    _write_embed_partition(r1, state, 0)
+    u1, b1 = incremental_embed.load_embed_state(spark, state, 1)
+    r2 = incremental_embed.ingest_embedding_batch(inc2, u1, b1, **ND_KW)
+    _write_embed_partition(r2, state, 1)
+    # materialize BEFORE compaction prunes the partitions these lazy frames read
+    n_r1, n_r2 = r1.new_unit_rows.count(), r2.new_unit_rows.count()
+
+    u2, b2 = incremental_embed.load_embed_state(spark, state, 2)
+    r3_plain = incremental_embed.ingest_embedding_batch(inc3, u2, b2, **ND_KW)
+    plain_accepted = {r["id"] for r in r3_plain.accepted.collect()}
+    plain_rejected = {
+        (r["id"], r["matched_id"]) for r in r3_plain.rejected.collect()
+    }
+
+    marker = incremental_embed.compact_embed_state(spark, state, 2, n_buckets=8)
+    assert marker["upto"] == 2 and marker["kind"] == "embed"
+    assert not os.path.exists(f"{state}/unit_store/ingest_id=0")
+    assert not os.path.exists(f"{state}/unit_store/ingest_id=1")
+
+    u2c, b2c = incremental_embed.load_embed_state(spark, state, 2)
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        r3_comp = incremental_embed.ingest_embedding_batch(inc3, u2c, b2c, **ND_KW)
+        plan = r3_comp.accepted._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+
+    assert {r["id"] for r in r3_comp.accepted.collect()} == plain_accepted
+    assert {
+        (r["id"], r["matched_id"]) for r in r3_comp.rejected.collect()
+    } == plain_rejected
+    assert "Bucketed: true" in plan
+
+    # no-op re-compact; tail unions on top of the compacted layout
+    assert incremental_embed.compact_embed_state(spark, state, 2, n_buckets=8) == marker
+    _write_embed_partition(r3_comp, state, 2)
+    u3, b3 = incremental_embed.load_embed_state(spark, state, 3)
+    assert u3.count() == n_r1 + n_r2 + r3_comp.new_unit_rows.count()
+
+    from log_analysis_spark.operators import incremental
+
+    db = incremental._state_db(state)
+    spark.sql(f"DROP TABLE IF EXISTS {db}.unit_store_c2")
+    spark.sql(f"DROP TABLE IF EXISTS {db}.band_index_c2")
+    spark.sql(f"DROP DATABASE IF EXISTS {db}")
+
+
+def test_embed_state_params_sidecar(tmp_path):
+    state = str(tmp_path / "estate")
+    p = dict(n_planes=64, band_bits=8, seed=42, dim=64)
+    assert incremental_embed.ensure_embed_state_params(state, **p) == p
+    assert incremental_embed.ensure_embed_state_params(state, **p) == p
+    with pytest.raises(ValueError, match="n_planes"):
+        incremental_embed.ensure_embed_state_params(state, **{**p, "n_planes": 32})
+    with pytest.raises(ValueError, match="dim"):
+        incremental_embed.ensure_embed_state_params(state, **{**p, "dim": 128})
+
+
+def test_load_embed_state_refuses_text_marker(spark, tmp_path):
+    """A text-minhash compaction marker in the state dir means the dir holds
+    the OTHER state kind — re-registering its tables under the embed DDL
+    would silently misread them."""
+    import json
+
+    state = str(tmp_path / "estate")
+    import os
+
+    os.makedirs(state)
+    with open(f"{state}/_compaction.json", "w") as f:
+        json.dump({"upto": 1, "version": 1, "n_buckets": 8,
+                   "hash_impl": "xxhash64"}, f)
+    with pytest.raises(ValueError, match="not an embedding state"):
+        incremental_embed.load_embed_state(spark, state, 1)

@@ -324,3 +324,71 @@ def test_submit_incremental_compaction_across_sessions(pkg_zip, tmp_path):
     )
     assert out.returncode != 0
     assert "n_hashes" in (out.stderr + out.stdout)
+
+
+def test_submit_incremental_embed_job(pkg_zip, tmp_path):
+    """The embedding-ingest job end to end across FRESH spark-submit
+    sessions: first batch builds state and auto-compacts (--compact-every 1),
+    second batch probes the compacted bucketed state and rejects its
+    verbatim copy at exact cosine; a drifted LSH knob refuses to run."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        """
+        CREATE TABLE v1 (vec_id BIGINT, embedding FLOAT[]);
+        INSERT INTO v1 VALUES
+          (1, [1.0, 0.0, 0.0, 0.0]::FLOAT[]),
+          (2, [0.0, 1.0, 0.0, 0.0]::FLOAT[]);
+        CREATE TABLE v2 (vec_id BIGINT, embedding FLOAT[]);
+        INSERT INTO v2 VALUES
+          (10, [1.0, 0.0, 0.0, 0.0]::FLOAT[]),
+          (11, [0.0, 0.0, 1.0, 0.0]::FLOAT[]);
+        """
+    )
+    for t in ("v1", "v2"):
+        con.execute(f"COPY {t} TO '{tmp_path}/{t}.parquet' (FORMAT PARQUET)")
+    state = tmp_path / "estate"
+    common = ["--state", str(state), "--compact-every", "1", "--n-buckets", "4"]
+
+    r1 = _submit(
+        pkg_zip, "run_incremental_embed.py",
+        ["--batch", f"{tmp_path}/v1.parquet", *common], cwd=tmp_path,
+    )
+    assert r1["n_accepted"] == 2
+    assert r1["compacted_upto"] == 1
+    assert not (state / "unit_store" / "ingest_id=0").exists()  # pruned
+    assert (state / "warehouse").exists()
+
+    # fresh session against ONLY the compacted layout: the verbatim copy of
+    # vector 1 rejects cross-corpus, the orthogonal new vector is admitted
+    r2 = _submit(
+        pkg_zip, "run_incremental_embed.py",
+        ["--batch", f"{tmp_path}/v2.parquet", *common], cwd=tmp_path,
+    )
+    assert r2["n_accepted"] == 1
+    assert r2["n_rejected_cross_corpus"] == 1
+
+    # re-submitting batch 2 resumes from the manifest, ingesting nothing
+    r2b = _submit(
+        pkg_zip, "run_incremental_embed.py",
+        ["--batch", f"{tmp_path}/v2.parquet", *common], cwd=tmp_path,
+    )
+    assert r2b.get("resumed") is True and r2b["ingest_id"] == r2["ingest_id"]
+
+    # params drift: refused loudly
+    spark_submit = shutil.which("spark-submit")
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    out = subprocess.run(
+        [
+            spark_submit, "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", str(pkg_zip),
+            str(REPO / "jobs" / "run_incremental_embed.py"),
+            "--batch", f"{tmp_path}/v2.parquet", *common, "--n-planes", "32",
+        ],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode != 0
+    assert "n_planes" in (out.stderr + out.stdout)
