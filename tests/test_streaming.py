@@ -214,3 +214,43 @@ def test_stream_neardup_ingest_cross_batch_rejection(spark, tmp_path):
     # drained stream: a third call processes nothing and changes nothing
     t3 = run_stream_neardup_ingest(spark, src, state)
     assert t3 == t2
+
+
+def test_stream_embed_ingest_across_microbatches(spark, tmp_path):
+    """Vector twin of the text streaming ingest: two drain calls, a
+    verbatim duplicate landing in the second file rejects cross-corpus at
+    exact cosine 1.0 against the persisted unit store; a drained stream
+    re-run changes nothing."""
+    from log_analysis_spark.streaming.incremental_embed_stream import (
+        run_stream_embed_ingest,
+    )
+
+    src = str(tmp_path / "vec_src")
+    state = str(tmp_path / "embed_state")
+    schema = "vec_id long, embedding array<float>"
+    spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])], schema
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    t1 = run_stream_embed_ingest(spark, src, state)
+    assert t1 == {"n_accepted": 2, "n_rejected": 0}
+
+    # second file: one verbatim copy of vector 1, one orthogonal new vector
+    spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0, 0.0]), (11, [0.0, 0.0, 1.0, 0.0])], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    t2 = run_stream_embed_ingest(spark, src, state)
+    assert t2 == {"n_accepted": 3, "n_rejected": 1}
+    rej = spark.read.parquet(f"{state}/rejects").collect()
+    assert len(rej) == 1
+    assert rej[0]["id"] == 10 and rej[0]["matched_id"] == 1
+    assert rej[0]["why"] == "cross_corpus" and rej[0]["cosine"] == 1.0
+    accepted = {
+        r["vec_id"] for r in spark.read.parquet(f"{state}/accepted").collect()
+    }
+    assert accepted == {1, 2, 11}
+
+    # drained stream: a third call processes nothing and changes nothing
+    t3 = run_stream_embed_ingest(spark, src, state)
+    assert t3 == t2
