@@ -237,20 +237,26 @@ def main() -> None:
     from log_analysis_spark.operators import dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    timed(
-        "doc_minhash_lsh",
-        lambda: dedup.minhash_lsh_pairs(docs, threshold=0.2).count(),
-    )
-    timed(
-        "doc_minhash_numpy",
-        lambda: dedup.minhash_lsh_pairs(docs, threshold=0.2, hash_impl="numpy").count(),
-    )
-    timed(
-        "doc_simhash",
-        lambda: dedup.simhash_neardup_pairs(
-            dedup.simhash_table(docs), max_hamming=8
-        ).count(),
-    )
+    # the heaviest doc rows are also the historically noisiest (2× host
+    # swings round to round) — interleave ×2 and report the min, same
+    # discipline as the headline block
+    for _ in range(2):
+        timed(
+            "doc_minhash_lsh",
+            lambda: dedup.minhash_lsh_pairs(docs, threshold=0.2).count(),
+        )
+        timed(
+            "doc_minhash_numpy",
+            lambda: dedup.minhash_lsh_pairs(
+                docs, threshold=0.2, hash_impl="numpy"
+            ).count(),
+        )
+        timed(
+            "doc_simhash",
+            lambda: dedup.simhash_neardup_pairs(
+                dedup.simhash_table(docs), max_hamming=8
+            ).count(),
+        )
 
     # embedding near-dup: oracle-twin expression path vs numpy-matmul
     # production path (identical pair sets — the delta is pure execution)
@@ -387,6 +393,16 @@ def main() -> None:
         skew_metrics["max_task_reduction"] = (
             round(u["max_task_ms"] / s["max_task_ms"], 2)
             if s.get("max_task_ms")
+            else None
+        )
+        # at bench scale per-task wall time is overhead-dominated, so the
+        # straggler evidence lives in the DATA metric: max shuffle bytes
+        # read by any one task — the quantity salting actually spreads
+        skew_metrics["max_shuffle_read_reduction"] = (
+            round(
+                u["max_task_shuffle_read_mb"] / s["max_task_shuffle_read_mb"], 2
+            )
+            if s.get("max_task_shuffle_read_mb")
             else None
         )
     finally:
