@@ -466,6 +466,48 @@ def main() -> int:
          executed(nd_mm), notes)
     )
 
+    # 15 — incremental EMBED ingest: the cross-corpus candidate probe is a
+    # (band, bkey) equi join against the persisted index whose exchanges
+    # carry no vector column (units re-attach by id only for the verify),
+    # and nothing in the plan is a cross product
+    from log_analysis_spark.operators import incremental_embed
+
+    emb200 = emb.limit(200).select("vec_id", "embedding")
+    ehalf = emb200.filter(F.xxhash64(F.col("vec_id").cast("string")) % 2 == 0)
+    er0 = incremental_embed.ingest_embedding_batch(
+        ehalf, *incremental_embed.empty_embed_state(spark),
+        threshold=0.3, band_bits=4,
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    eres = incremental_embed.ingest_embedding_batch(
+        emb200.subtract(ehalf), er0.new_unit_rows, er0.new_band_rows,
+        threshold=0.3, band_bits=4,
+    )
+    einc = executed(eres.accepted)
+    eband_shufs = [
+        (p, cols)
+        for p, cols in shuffle_schemas(eres.accepted)
+        if "band" in p and "bkey" in p
+    ]
+    ewide = [
+        (p, cols)
+        for p, cols in eband_shufs
+        if any("unit" in c or "embedding" in c for c in cols)
+    ]
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    notes = [
+        check("incremental embed: no CartesianProduct",
+              "CartesianProduct" not in einc),
+        check("incremental embed: no BroadcastNestedLoopJoin",
+              "BroadcastNestedLoopJoin" not in einc),
+        check(
+            "incremental embed: probe band-join shuffles carry no vector column",
+            len(eband_shufs) >= 1 and not ewide,
+            f"{len(eband_shufs)} band shuffles; wide={ewide[:1]}",
+        ),
+    ]
+    sections.append(("Incremental EMBED ingest (state probe)", einc, notes))
+
     # ---- write EXPLAIN.md -------------------------------------------------
     md = ["# EXPLAIN audit — physical plans vs 100 TB design intents",
           "",
