@@ -34,6 +34,7 @@ from log_analysis_spark.operators import (
     multimodal,
     router,
     similarity,
+    span_dedup,
     textstats,
     windows_ops,
 )
@@ -684,6 +685,31 @@ def q_corpus_sample(spark, sf_dir):
     ).select("doc_id", "lang", "source")
 
 
+def q_corpus_temperature_mix(spark, sf_dir):
+    """Temperature-flattened source mixing (T5 §3.4.3-style): keep rates
+    per source from n_s^(1/T) shares at T=2, target fraction 0.5, with the
+    same engine-portable md5-u16 draw as corpus_sample.  One tiny count
+    aggregate + a broadcast rate join — no corpus shuffle."""
+    return corpus.temperature_mix(
+        _docs(spark, sf_dir), "source", temperature=2.0, target_fraction=0.5
+    ).select("doc_id", "source")
+
+
+def q_doc_dup_span_stats(spark, sf_dir):
+    """Duplicated-span coverage per doc (Lee et al. 2021 ExactSubstr,
+    re-expressed at word-3-gram granularity): fraction of each document's
+    tokens covered by grams that recur elsewhere in the corpus (keep-first).
+    Candidate shuffle is keyed by the 16-byte gram md5, never text."""
+    return span_dedup.dup_span_stats(_docs(spark, sf_dir), k=3)
+
+
+def q_doc_dup_span_clean(spark, sf_dir):
+    """Span-level dedup rebuild: each document re-assembled from only the
+    tokens NOT covered by duplicated 3-grams (global keep-first keeps the
+    lexicographically smallest (doc, pos) occurrence intact)."""
+    return span_dedup.remove_dup_spans(_docs(spark, sf_dir), k=3)
+
+
 def q_doc_decontaminate(spark, sf_dir):
     """Benchmark decontamination (GPT-3 appendix C-style n-gram collision):
     docs whose md5(doc_id) leads with hex '0'/'1' act as the held-out eval
@@ -990,6 +1016,9 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_filter": q_regex_filter,
         "streaming_hourly": q_streaming_hourly,
         "doc_token_count": q_doc_token_count,
+        "corpus_temperature_mix": q_corpus_temperature_mix,
+        "doc_dup_span_stats": q_doc_dup_span_stats,
+        "doc_dup_span_clean": q_doc_dup_span_clean,
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_simhash": q_doc_simhash,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1075,6 +1104,11 @@ def retired_oracle_sql() -> dict[str, str]:
         "doc_token_count": (
             f"SELECT doc_id, len({_DOC_TOKENS}) AS n_tokens FROM documents"
         ),
+        "corpus_temperature_mix": _temperature_mix_oracle(
+            temperature=2.0, target_fraction=0.5
+        ),
+        "doc_dup_span_stats": _dup_span_oracle(k=3, clean=False),
+        "doc_dup_span_clean": _dup_span_oracle(k=3, clean=True),
     }
 
 
@@ -1569,13 +1603,94 @@ FROM (
 """
 
 
+def _u16_sql(id_expr: str = "doc_id") -> str:
+    """Leading 16 bits of md5(id) as an integer in [0, 65536) — the
+    engine-portable uniform draw shared by stratified_sample and
+    temperature_mix (strpos-decoded hex nibbles)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST({id_expr} AS STRING)), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+
+
+def _temperature_mix_oracle(temperature: float, target_fraction: float) -> str:
+    """Independent recompute of corpus.temperature_mix over documents by
+    source: per-source counts -> n^(1/T) shares -> keep rate
+    min(1, frac*N*share/n) -> integer threshold floor(round6(rate)*65536),
+    keep iff the md5-u16 draw falls under it.  pow/round are IEEE-double in
+    both engines; round-6 absorbs last-ulp divergence (documented
+    measure-zero risk, same as the md5-seed centroids)."""
+    alpha = 1.0 / float(temperature)
+    return f"""
+WITH n AS (SELECT source, CAST(count(*) AS DOUBLE) AS mass FROM documents GROUP BY source),
+t AS (SELECT sum(mass) AS tot, sum(pow(mass, {alpha})) AS denom FROM n),
+r AS (SELECT source,
+        CAST(floor(round(least(1.0, {target_fraction} * tot * pow(mass, {alpha}) / denom / mass), 6) * 65536.0) AS BIGINT) AS thr
+      FROM n, t)
+SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+WHERE ({_u16_sql("doc_id")}) < r.thr
+"""
+
+
+def _dup_span_oracle(k: int, clean: bool) -> str:
+    """Independent recompute of span_dedup (word-k-gram duplicated-span
+    removal, keep-first): grams by position via parallel unnest, keeper =
+    row_number 1 over (doc_id, pos), covered = removed-occurrence ranges,
+    then either the per-doc coverage stats or the uncovered-token rebuild
+    (generate_subscripts + string_agg — blind to the Spark side's
+    higher-order-function filter)."""
+    cte = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter({_DOC_TOKENS}, x -> x <> '') AS t
+  FROM documents
+),
+occ AS (
+  SELECT doc_id,
+         unnest(range(len(t) - {k} + 1)) AS pos,
+         unnest(list_transform(range(len(t) - {k} + 1),
+                i -> md5(array_to_string(t[i+1:i+{k}], ' ')))) AS g
+  FROM toks WHERE len(t) >= {k}
+),
+ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY g) AS cnt
+  FROM occ
+),
+removed AS (SELECT doc_id, pos FROM ranked WHERE cnt > 1 AND rn > 1),
+covered AS (
+  SELECT DISTINCT doc_id, pos + r.range AS tpos FROM removed, range({k}) r
+)"""
+    if not clean:
+        return f"""{cte},
+cov_agg AS (SELECT doc_id, count(*) AS covered_tokens FROM covered GROUP BY doc_id)
+SELECT tk.doc_id,
+       CAST(len(tk.t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(c.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+       CASE WHEN len(tk.t) > 0
+            THEN round(COALESCE(c.covered_tokens, 0) / CAST(len(tk.t) AS DOUBLE), 6)
+            ELSE 0.0 END AS dup_coverage
+FROM toks tk LEFT JOIN cov_agg c USING (doc_id)
+"""
+    return f"""{cte},
+tokpos AS (
+  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) - 1 AS tpos FROM toks
+),
+kept AS (
+  SELECT tp.doc_id, tp.tok, tp.tpos
+  FROM tokpos tp LEFT JOIN covered c ON c.doc_id = tp.doc_id AND c.tpos = tp.tpos
+  WHERE c.doc_id IS NULL
+),
+asm AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text FROM kept GROUP BY doc_id)
+SELECT tk.doc_id, COALESCE(a.clean_text, '') AS clean_text
+FROM toks tk LEFT JOIN asm a USING (doc_id)
+"""
+
+
 def _corpus_sample_oracle(rates: dict[str, float], default_rate: float = 1.0) -> str:
     """Mirror of corpus.stratified_sample: u16 = leading 4 md5 hex nibbles
     of the id (strpos-decoded), keep iff u16 < round(rate * 65536)."""
-    u16 = " + ".join(
-        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
-        for i in range(4)
-    )
+    u16 = _u16_sql("doc_id")
     rate = "CASE " + " ".join(
         f"WHEN lang = '{s}' THEN {r}" for s, r in sorted(rates.items())
     ) + f" ELSE {default_rate} END"

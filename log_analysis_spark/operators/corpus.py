@@ -50,6 +50,7 @@ __all__ = [
     "repetition_stats",
     "pack_shards",
     "stratified_sample",
+    "temperature_mix",
     "decontaminate",
     "transcripts_to_docs",
     "DEFAULT_REPETITION_THRESHOLDS",
@@ -412,3 +413,75 @@ def stratified_sample(
         rate = F.when(F.col(strata_col) == stratum, F.lit(float(r))).otherwise(rate)
     # integer threshold comparison (u16 < rate*65536) — no float equality
     return df.filter(u16 < F.round(rate * F.lit(65536.0)).cast("long"))
+
+
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str = "source",
+    temperature: float = 2.0,
+    target_fraction: float = 0.5,
+    id_col: str = "doc_id",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Temperature-flattened source mixing — the standard pretraining-mix
+    reweighting (T5 §3.4.3 / Gopher §A2 style): a source's mixture share
+    goes from its natural share ``n_s / N`` to ``n_s^(1/T) / Σ n_t^(1/T)``,
+    so ``T > 1`` upweights small sources and downweights dominant ones.
+
+    The realized keep rate per source is
+    ``rate_s = min(1, target_fraction · N · share_s / n_s)`` and each
+    row's draw is the same engine-portable md5-u16 uniform as
+    ``stratified_sample`` — so the whole op is ONE map-side-combinable
+    count aggregate (rows out = #sources), a broadcast join of the tiny
+    rate table back onto the corpus, and a pure filter.  No corpus-sized
+    shuffle anywhere; at 100 TB the per-source counts are the only thing
+    that moves.
+
+    ``weight_col`` switches the mass measure from row counts to e.g. a
+    precomputed ``n_tokens`` column (mixing by tokens, the usual unit).
+
+    Cross-engine exactness: ``pow`` is IEEE-double in both engines; the
+    rate is rounded to 6 decimals before the integer threshold
+    (``floor(round6(rate)·65536)``), so a last-ulp ``pow`` divergence
+    would need the rate on a 5e-7 boundary — measure-zero, the same
+    accepted risk as the md5-seed centroid rounding.
+
+    Spiritual reference: the reference pipeline has no mixing stage (it is
+    single-source); this is part of the LLM-training-data surface the
+    engine adds (SURVEY §6).
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    if not (0.0 < target_fraction <= 1.0):
+        raise ValueError(
+            f"target_fraction must be in (0,1], got {target_fraction}"
+        )
+    alpha = 1.0 / float(temperature)
+    mass = (
+        F.count(F.lit(1)) if weight_col is None else F.sum(F.col(weight_col))
+    ).cast("double")
+    stats = df.groupBy(strata_col).agg(mass.alias("_mass"))
+    tot = stats.agg(
+        F.sum("_mass").alias("_tot_mass"),
+        F.sum(F.pow(F.col("_mass"), F.lit(alpha))).alias("_denom"),
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(float(target_fraction))
+        * F.col("_tot_mass")
+        * F.pow(F.col("_mass"), F.lit(alpha))
+        / F.col("_denom")
+        / F.col("_mass"),
+    )
+    thr = F.floor(F.round(rate, 6) * F.lit(65536.0)).cast("long")
+    rates = stats.crossJoin(F.broadcast(tot)).select(
+        F.col(strata_col).alias("_stratum"), thr.alias("_thr")
+    )
+    u16 = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10).cast(
+        "long"
+    )
+    return (
+        df.join(F.broadcast(rates), df[strata_col] == F.col("_stratum"), "inner")
+        .filter(u16 < F.col("_thr"))
+        .drop("_stratum", "_thr")
+    )

@@ -1,0 +1,171 @@
+"""Duplicated-span (substring-level) deduplication.
+
+Lee et al., "Deduplicating Training Data Makes Language Models Better"
+(arXiv:2107.06499) showed that removing *spans* that recur across a
+corpus — not just whole near-duplicate documents — measurably improves
+LMs.  Their ExactSubstr uses a corpus-wide suffix array; that structure
+is inherently single-machine.  The distributed re-expression here works
+at word-``k``-gram granularity, which is the standard Spark-able
+approximation (the same granularity the Gopher/GPT-3 decontamination
+steps use, see ``corpus.decontaminate``):
+
+* every document yields one gram per token position ``i``:
+  ``md5`` of the space-joined tokens ``t_i .. t_{i+k-1}``;
+* a gram value is **duplicated** if it occurs at >= 2 (doc, pos)
+  locations anywhere in the corpus (cross-doc or within-doc);
+* the lexicographically smallest (doc_id, pos) occurrence of each
+  duplicated gram is the **keeper**; every other occurrence is removed
+  (keep-first, the same convention as ``dedup.exact_dedup``'s
+  ``min(id)``);
+* a removed occurrence covers token positions ``[pos, pos+k-1]``; the
+  union of covered positions per document defines the duplicated-span
+  coverage, and ``remove_dup_spans`` rebuilds the text from the
+  uncovered tokens only.
+
+Scale shape (the part that matters at 100 TB): the only corpus-sized
+shuffle is keyed by the 16-byte gram md5 — positions are ints, the
+document text NEVER enters a shuffle.  Per-doc covered-position arrays
+come back as one small aggregate (only documents that actually contain
+removed spans appear), which AQE broadcasts against the corpus for the
+final rebuild, so the text column stays where the scan put it.
+Tokenization is ``textstats.tokens_col`` (split on non-word runs) with
+empties dropped — byte-identical to the DuckDB oracle's
+``list_filter(string_split_regex(...))``.
+
+Spiritual reference: the reference repo deduplicates nothing below
+whole-record granularity; this operator family is part of the
+LLM-training-data surface the engine adds (SURVEY §6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import tokens_col
+
+__all__ = ["dup_span_occurrences", "dup_span_stats", "remove_dup_spans"]
+
+
+def _with_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    toks = F.filter(tokens_col(text_col), lambda x: x != "")
+    return df.select(F.col(id_col), F.col(text_col), toks.alias("_toks"))
+
+
+def _gram_occurrences(base: DataFrame, id_col: str, k: int) -> DataFrame:
+    """(id, pos, g): one md5 gram per token position; docs shorter than
+    ``k`` tokens contribute nothing.  The explicit ``n >= k`` guard
+    matters: ``sequence(0, n-k)`` with ``n < k`` would descend."""
+    n = F.size("_toks")
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("_toks", i + 1, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return base.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "g")
+    )
+
+
+def dup_span_occurrences(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All REMOVED occurrences: (id, pos) of every duplicated gram except
+    its global keep-first keeper.  The groupBy key and payload are the
+    16-byte gram hash + two ints — never text."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    occ = _gram_occurrences(_with_tokens(df, text_col, id_col), id_col, k)
+    agg = occ.groupBy("g").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.min(F.struct(F.col(id_col).alias("_kid"), F.col("pos").alias("_kpos"))).alias(
+            "_keep"
+        ),
+    )
+    return (
+        occ.join(agg.filter(F.col("_cnt") > 1), "g")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col("_keep._kid"))
+                & (F.col("pos") == F.col("_keep._kpos"))
+            )
+        )
+        .select(id_col, "pos")
+    )
+
+
+def _covered_positions(
+    df: DataFrame, k: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, sorted array of covered token positions) — one row per doc
+    that actually contains a removed span (sparse, broadcast-sized
+    relative to the corpus when duplication is sparse)."""
+    removed = dup_span_occurrences(df, k=k, text_col=text_col, id_col=id_col)
+    return (
+        removed.select(
+            id_col,
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias(
+                "_tpos"
+            ),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("_tpos")).alias("_cov"))
+    )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc duplicated-span coverage: (id, n_tokens, covered_tokens,
+    dup_coverage).  ``dup_coverage`` is the covered-token fraction
+    rounded to 6 decimals (0.0 for empty docs) — the filter signal for
+    'drop documents that are mostly recycled text'."""
+    base = _with_tokens(df, text_col, id_col)
+    cov = _covered_positions(df, k, text_col, id_col)
+    n_tok = F.size("_toks")
+    n_cov = F.size(F.coalesce(F.col("_cov"), F.array().cast("array<int>")))
+    return (
+        base.join(cov, id_col, "left")
+        .select(
+            id_col,
+            n_tok.cast("long").alias("n_tokens"),
+            n_cov.cast("long").alias("covered_tokens"),
+            F.when(n_tok > 0, F.round(n_cov / n_tok, 6))
+            .otherwise(F.lit(0.0))
+            .alias("dup_coverage"),
+        )
+    )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Rebuild each document from its uncovered tokens (space-joined;
+    empty string when everything was covered).  The rebuild is a pure
+    JVM higher-order filter over the token array against the doc's
+    covered-position array — zero Python, and the text reaches this
+    stage via the scan, not a shuffle (the covered-position aggregate is
+    the small join side)."""
+    base = _with_tokens(df, text_col, id_col)
+    cov = _covered_positions(df, k, text_col, id_col)
+    covered = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+    clean = F.concat_ws(
+        " ",
+        F.filter("_toks", lambda x, i: ~F.array_contains(covered, i)),
+    )
+    return base.join(cov, id_col, "left").select(
+        id_col, clean.alias(out_col)
+    )
