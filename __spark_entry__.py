@@ -33,6 +33,7 @@ from log_analysis_spark.operators import (
     joins,
     multimodal,
     router,
+    semdedup,
     similarity,
     span_dedup,
     textstats,
@@ -877,6 +878,32 @@ def q_embed_neardup(spark, sf_dir):
     )
 
 
+def q_embed_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): cluster embeddings to the 8 md5-seeded
+    deterministic centroids, prune within-cluster pairs at cosine >= 0.3 to
+    one representative per connected component (keep-first).  Every stage —
+    seed selection, assignment, within-cluster cosine, reachability — is
+    recomputed end to end by the DuckDB oracle (the same given-this-index
+    discipline as embed_ivf_topk)."""
+    emb = _embeddings(spark, sf_dir)
+    cents = similarity.md5_seed_centroids(emb, n_centroids=8)
+    return semdedup.semdedup(emb, threshold=0.3, cents=cents)
+
+
+def q_corpus_leakage_split(spark, sf_dir):
+    """Leakage-free train/eval split: near-dup GROUPS (exact global Jaccard
+    pairs -> connected components) are assigned to splits atomically by the
+    group representative's md5-u16 draw (eval_fraction=0.1), so no
+    near-duplicate pair straddles the boundary.  Oracle recomputes pairs,
+    reachability, and the split draw independently."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, k=2, threshold=NGRAM_JACCARD_T)
+    groups = dedup.neardup_groups(docs.select(F.col("doc_id").alias("id")), pairs)
+    return corpus.leakage_safe_split(docs, groups, eval_fraction=0.1).select(
+        "doc_id", "rep_id", "split"
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary media columns + whole-batch Arrow feature extraction, emitted
     as the DuckDB-expressible slice (n_bytes = utf-8 byte length, md5 over
@@ -1019,6 +1046,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_temperature_mix": q_corpus_temperature_mix,
         "doc_dup_span_stats": q_doc_dup_span_stats,
         "doc_dup_span_clean": q_doc_dup_span_clean,
+        "embed_semdedup": q_embed_semdedup,
+        "corpus_leakage_split": q_corpus_leakage_split,
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_simhash": q_doc_simhash,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1109,6 +1138,8 @@ def retired_oracle_sql() -> dict[str, str]:
         ),
         "doc_dup_span_stats": _dup_span_oracle(k=3, clean=False),
         "doc_dup_span_clean": _dup_span_oracle(k=3, clean=True),
+        "embed_semdedup": _semdedup_oracle(threshold=0.3, n_centroids=8),
+        "corpus_leakage_split": _leakage_split_oracle(eval_fraction=0.1),
     }
 
 
@@ -1684,6 +1715,86 @@ kept AS (
 asm AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text FROM kept GROUP BY doc_id)
 SELECT tk.doc_id, COALESCE(a.clean_text, '') AS clean_text
 FROM toks tk LEFT JOIN asm a USING (doc_id)
+"""
+
+
+def _semdedup_oracle(threshold: float, n_centroids: int) -> str:
+    """Independent end-to-end recompute of q_embed_semdedup: md5-ordered
+    seed centroids (round-6 unit components), nearest-centroid assignment
+    (ties -> lowest cid), within-cluster round-6 cosine pairs, recursive-CTE
+    reachability for the groups, keep-first (min reachable id).  The same
+    given-this-index discipline as _ivf_topk_oracle — no candidate
+    structure taken on faith."""
+    return f"""
+WITH RECURSIVE {_UNIT_VEC.strip()},
+cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS cid,
+         list_transform(unit, x -> round(x, 6)) AS cvec
+  FROM unitv
+  ORDER BY md5(CAST(vec_id AS VARCHAR))
+  LIMIT {n_centroids}
+),
+assigned AS (
+  SELECT vec_id, unit, cid AS centroid_id FROM (
+    SELECT u.vec_id, u.unit, c.cid,
+           row_number() OVER (
+             PARTITION BY u.vec_id
+             ORDER BY round(list_inner_product(u.unit, c.cvec), 6) DESC, c.cid
+           ) AS rn
+    FROM unitv u CROSS JOIN cents c)
+  WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE round(list_inner_product(a.unit, b.unit), 6) >= {threshold}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT vec_id, vec_id FROM assigned
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+),
+reps AS (SELECT id, min(r) AS rep_id FROM reach GROUP BY id)
+SELECT a.vec_id, CAST(a.centroid_id AS INTEGER) AS centroid_id
+FROM assigned a JOIN reps g ON g.id = a.vec_id AND g.rep_id = a.vec_id
+"""
+
+
+def _leakage_split_oracle(eval_fraction: float) -> str:
+    """Independent recompute of q_corpus_leakage_split: the
+    _neardup_groups_oracle reachability chain (exact global Jaccard pairs ->
+    min-reachable-id representative) plus the md5-u16 split draw on the
+    REPRESENTATIVE id — every group lands whole in one split."""
+    thr = int(round(float(eval_fraction) * 65536.0))
+    return f"""
+WITH RECURSIVE {_DOC_SHINGLES_2.strip()},
+scored AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+         CAST(len(a.sh) + len(b.sh) AS DOUBLE) AS sz
+  FROM doc_sh a JOIN doc_sh b ON a.id < b.id
+),
+pairs AS (
+  SELECT id_a, id_b FROM scored WHERE inter / (sz - inter) >= {NGRAM_JACCARD_T}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+),
+reps AS (SELECT id, min(r) AS rep_id FROM reach GROUP BY id)
+SELECT id AS doc_id, rep_id,
+       CASE WHEN ({_u16_sql("rep_id")}) < {thr} THEN 'eval' ELSE 'train' END AS split
+FROM reps
 """
 
 

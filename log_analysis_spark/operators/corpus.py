@@ -51,6 +51,7 @@ __all__ = [
     "pack_shards",
     "stratified_sample",
     "temperature_mix",
+    "leakage_safe_split",
     "decontaminate",
     "transcripts_to_docs",
     "DEFAULT_REPETITION_THRESHOLDS",
@@ -485,3 +486,44 @@ def temperature_mix(
         .filter(u16 < F.col("_thr"))
         .drop("_stratum", "_thr")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    groups: DataFrame,
+    eval_fraction: float = 0.1,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Contamination-free train/eval split: assign whole NEAR-DUP GROUPS to
+    a split atomically, so no near-duplicate pair ever straddles the
+    boundary (a doc-level random split leaks — the eval twin of a training
+    doc inflates every downstream metric; see the GPT-3 appendix-C
+    contamination analysis and Lee et al. 2021 §6.2, which measured the
+    same leak from duplicated spans).
+
+    ``groups`` is (id, rep_id) from ``dedup.neardup_groups`` over ANY pair
+    family (MinHash, SimHash, n-gram Jaccard, embedding-cosine, SemDeDup) —
+    the split composes with whichever notion of "duplicate" the pipeline
+    trusts.  The split draw is the group REPRESENTATIVE's md5-u16 — the
+    same engine-portable uniform as ``stratified_sample`` — so every member
+    inherits its group's draw: ``u16(rep) < round(eval_fraction * 65536)``
+    => eval, else train.
+
+    Scale shape: one (id, rep_id) equi-join onto the corpus (ids only — the
+    group table never carries text) and a pure projection.  Deterministic:
+    re-running on the same corpus reproduces the same split, and an
+    incrementally grown corpus keeps old members' splits stable as long as
+    their group representative is unchanged (keep-first reps are stable
+    under appends with higher ids)."""
+    if not (0.0 <= float(eval_fraction) <= 1.0):
+        raise ValueError(
+            f"eval_fraction must be in [0,1], got {eval_fraction}"
+        )
+    thr = int(round(float(eval_fraction) * 65536.0))
+    u16 = F.conv(
+        F.substring(F.md5(F.col("rep_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    split = F.when(u16 < thr, F.lit("eval")).otherwise(F.lit("train"))
+    g = groups.select(F.col("id").alias(id_col), "rep_id")
+    return df.join(g, id_col).withColumn(split_col, split)

@@ -1,0 +1,132 @@
+"""SemDeDup (within-cluster semantic dedup) and leakage-safe split semantics
+on hand-built frames — the contract-level oracle exactness is covered by
+test_retired_contract.py; these tests pin the behavioral corners."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_analysis_spark.operators import dedup, semdedup
+from log_analysis_spark.operators.corpus import leakage_safe_split
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+# two tight direction bundles (near cos=1 within, ~0 across) + one loner
+_BUNDLES = [
+    (1, [1.0, 0.01, 0.0]),
+    (2, [1.0, 0.02, 0.0]),
+    (3, [0.99, 0.0, 0.01]),
+    (10, [0.0, 1.0, 0.01]),
+    (11, [0.01, 1.0, 0.0]),
+    (20, [0.0, 0.01, 1.0]),
+]
+
+
+def test_semdedup_pairs_match_within_cluster_bruteforce(spark):
+    emb = _emb(spark, _BUNDLES)
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in semdedup.semdedup_pairs(emb, threshold=0.9, cents=cents).collect()
+    }
+    # brute force: unit-normalize, assign to nearest centroid, pair in-cluster
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    def cid(v):
+        u = unit(v)
+        sims = [round(sum(a * b for a, b in zip(u, c)), 6) for c in cents]
+        return sims.index(max(sims))
+
+    expect = set()
+    for i, (ia, va) in enumerate(_BUNDLES):
+        for ib, vb in _BUNDLES[i + 1 :]:
+            if cid(va) != cid(vb):
+                continue
+            cos = round(sum(a * b for a, b in zip(unit(va), unit(vb))), 6)
+            if cos >= 0.9:
+                expect.add((min(ia, ib), max(ia, ib)))
+    assert got == expect and got  # non-trivial: bundle pairs present
+
+
+def test_semdedup_keeps_one_rep_per_group_and_singletons(spark):
+    emb = _emb(spark, _BUNDLES)
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    kept = sorted(
+        r["vec_id"]
+        for r in semdedup.semdedup(emb, threshold=0.9, cents=cents).collect()
+    )
+    # bundle A {1,2,3} -> keep 1; bundle B {10,11} -> keep 10; loner 20 kept
+    assert kept == [1, 10, 20]
+
+
+def test_semdedup_zero_norm_vectors_are_excluded(spark):
+    emb = _emb(spark, _BUNDLES + [(99, [0.0, 0.0, 0.0])])
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    kept = {r["vec_id"] for r in semdedup.semdedup(emb, 0.9, cents).collect()}
+    assert 99 not in kept and kept == {1, 10, 20}
+
+
+def test_semdedup_max_cluster_guard_raises_loudly(spark):
+    emb = _emb(spark, _BUNDLES)
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    with pytest.raises(ValueError, match="max_cluster"):
+        semdedup.semdedup_pairs(emb, 0.9, cents, max_cluster=2)
+
+
+def test_leakage_split_groups_are_atomic_and_deterministic(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.ngram_jaccard_pairs(docs, k=2, threshold=0.2)
+    groups = dedup.neardup_groups(
+        docs.select(F.col("doc_id").alias("id")), pairs
+    )
+    out = leakage_safe_split(docs, groups, eval_fraction=0.25).cache()
+    try:
+        # atomicity: every group maps to exactly one split
+        mixed = (
+            out.groupBy("rep_id")
+            .agg(F.countDistinct("split").alias("k"))
+            .filter(F.col("k") > 1)
+            .count()
+        )
+        assert mixed == 0
+        # both splits populated at 25% and the op preserved the row count
+        sizes = dict(
+            (r["split"], r["n"])
+            for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+        )
+        assert set(sizes) == {"train", "eval"} and out.count() == docs.count()
+        # deterministic re-run
+        again = leakage_safe_split(docs, groups, eval_fraction=0.25)
+        assert (
+            out.select("doc_id", "split")
+            .exceptAll(again.select("doc_id", "split"))
+            .count()
+            == 0
+        )
+    finally:
+        out.unpersist()
+
+
+def test_leakage_split_edges_and_validation(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    groups = docs.select(
+        F.col("doc_id").alias("id"), F.col("doc_id").alias("rep_id")
+    )
+    assert (
+        leakage_safe_split(docs, groups, 0.0).filter(F.col("split") == "eval").count()
+        == 0
+    )
+    assert (
+        leakage_safe_split(docs, groups, 1.0).filter(F.col("split") == "train").count()
+        == 0
+    )
+    with pytest.raises(ValueError, match="eval_fraction"):
+        leakage_safe_split(docs, groups, 1.5)
