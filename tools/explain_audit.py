@@ -508,6 +508,105 @@ def main() -> int:
     ]
     sections.append(("Incremental EMBED ingest (state probe)", einc, notes))
 
+    # 16 — round-4 session-2 ops: span dedup / semdedup / temperature mix /
+    # leakage split.  The shared claim: document text and unit vectors stay
+    # out of every shuffle the op doesn't inherently need them in.
+    from log_analysis_spark.operators import semdedup as semd
+    from log_analysis_spark.operators import span_dedup
+
+    # span dedup: the only corpus-sized shuffle is keyed by the gram md5
+    # (16 B) + int positions; the text column reaches the final rebuild via
+    # the scan, never an exchange (covered-position aggregate broadcasts)
+    clean = span_dedup.remove_dup_spans(docs, k=3)
+    sd_shufs = shuffle_schemas(clean)
+    sd_text = [
+        (p, cols) for p, cols in sd_shufs
+        if any(c in ("text", "_toks") for c in cols)
+    ]
+    sd_plan = executed(clean)
+    notes = [
+        check("span_dedup: shuffles exist and none carries text or token arrays",
+              len(sd_shufs) >= 1 and not sd_text,
+              f"{len(sd_shufs)} shuffles; text-bearing={sd_text[:1]}"),
+        check("span_dedup: rebuild join is broadcast (text stays scan-side)",
+              "BroadcastHashJoin" in sd_plan),
+        check("span_dedup: no Python eval (JVM higher-order rebuild)",
+              "EvalPython" not in sd_plan and "ArrowEval" not in sd_plan),
+    ]
+    sections.append(("Span-level dedup (gram-hash shuffles only)", sd_plan, notes))
+
+    # semdedup: assignment is projection-only (zero Exchange); the
+    # within-cluster self-join is equi on centroid_id (no cross product) —
+    # each vector shuffles ONCE (single cluster membership, no band
+    # explosion), which is the op's minimal shape
+    cents_a = similarity.md5_seed_centroids(emb, n_centroids=8)
+    asg = similarity.assign_to_centroids(emb, cents_a)
+    notes = [
+        check("semdedup: centroid assignment has zero Exchange",
+              "Exchange" not in executed(asg)),
+    ]
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sp = semd.semdedup_pairs(emb, threshold=0.3, cents=cents_a, max_cluster=None)
+    sp_plan = executed(sp)
+    sp_shufs = shuffle_schemas(sp)
+    notes += [
+        check("semdedup: no CartesianProduct / BroadcastNestedLoopJoin",
+              "CartesianProduct" not in sp_plan
+              and "BroadcastNestedLoopJoin" not in sp_plan),
+        # both join sides are the SAME assigned frame, so Spark plans one
+        # Exchange and a ReusedExchange for the other side — each vector
+        # crosses the wire once, which is exactly the claim under audit
+        check("semdedup: pair-join shuffles exist, all keyed by centroid_id",
+              len(sp_shufs) >= 1
+              and all("centroid_id" in p for p, _c in sp_shufs),
+              f"{[(p[:50]) for p, _c in sp_shufs]}"),
+    ]
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    sections.append(("SemDeDup (projection assignment + cluster-keyed pairs)",
+                     sp_plan, notes))
+
+    # temperature mix: ONE tiny count aggregate (rows out = #sources) +
+    # broadcast rate join + pure filter — no corpus-payload shuffle
+    tm = corpus.temperature_mix(docs, "source", temperature=2.0,
+                                target_fraction=0.5)
+    tm_plan = executed(tm)
+    tm_shufs = shuffle_schemas(tm)
+    tm_wide = [
+        (p, cols) for p, cols in tm_shufs
+        if any(c in ("text", "doc_id") for c in cols)
+    ]
+    notes = [
+        check("temperature_mix: rate join is broadcast onto the corpus",
+              "BroadcastHashJoin" in tm_plan),
+        check("temperature_mix: shuffles carry only per-source aggregates",
+              not tm_wide,
+              f"{len(tm_shufs)} shuffles; corpus-bearing={tm_wide[:1]}"),
+    ]
+    sections.append(("Temperature mixing (count agg + broadcast rates)",
+                     tm_plan, notes))
+
+    # leakage split: with the contract projection (doc_id, rep_id, split),
+    # Catalyst prunes text out of the label-attach join — asserted so a
+    # regression that drags text through the group join fails loudly
+    lk_pairs = dedup.ngram_jaccard_pairs(docs.limit(200), k=2, threshold=0.2)
+    lk_groups = dedup.neardup_groups(
+        docs.limit(200).select(F.col("doc_id").alias("id")), lk_pairs
+    )
+    lk = corpus.leakage_safe_split(docs.limit(200), lk_groups, 0.1).select(
+        "doc_id", "rep_id", "split"
+    )
+    lk_shufs = shuffle_schemas(lk)
+    lk_text = [
+        (p, cols) for p, cols in lk_shufs if any("text" in c for c in cols)
+    ]
+    notes = [
+        check("leakage_split: projected result shuffles never carry text",
+              not lk_text,
+              f"{len(lk_shufs)} shuffles; text-bearing={lk_text[:1]}"),
+    ]
+    sections.append(("Leakage-safe split (pruned label-attach join)",
+                     executed(lk), notes))
+
     # ---- write EXPLAIN.md -------------------------------------------------
     md = ["# EXPLAIN audit — physical plans vs 100 TB design intents",
           "",
