@@ -878,6 +878,19 @@ def q_embed_neardup(spark, sf_dir):
     )
 
 
+def q_corpus_vocabulary(spark, sf_dir):
+    """Tokenizer-build first artifact: top-200 corpus tokens by frequency
+    (count desc, token asc), one token-keyed shuffle + TakeOrdered cut."""
+    return textstats.vocabulary(_docs(spark, sf_dir), top_v=200)
+
+
+def q_doc_unigram_surprise(spark, sf_dir):
+    """CCNet-style statistical-LM quality signal: per-doc mean negative log
+    probability under the corpus's own unigram frequencies (round-6 at the
+    token and doc level; empty docs 0.0)."""
+    return textstats.unigram_surprise(_docs(spark, sf_dir))
+
+
 def q_embed_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): cluster embeddings to the 8 md5-seeded
     deterministic centroids, prune within-cluster pairs at cosine >= 0.3 to
@@ -1048,6 +1061,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_span_clean": q_doc_dup_span_clean,
         "embed_semdedup": q_embed_semdedup,
         "corpus_leakage_split": q_corpus_leakage_split,
+        "corpus_vocabulary": q_corpus_vocabulary,
+        "doc_unigram_surprise": q_doc_unigram_surprise,
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_simhash": q_doc_simhash,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1140,6 +1155,8 @@ def retired_oracle_sql() -> dict[str, str]:
         "doc_dup_span_clean": _dup_span_oracle(k=3, clean=True),
         "embed_semdedup": _semdedup_oracle(threshold=0.3, n_centroids=8),
         "corpus_leakage_split": _leakage_split_oracle(eval_fraction=0.1),
+        "corpus_vocabulary": _vocabulary_oracle(top_v=200),
+        "doc_unigram_surprise": _UNIGRAM_SURPRISE_ORACLE,
     }
 
 
@@ -1715,6 +1732,47 @@ kept AS (
 asm AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text FROM kept GROUP BY doc_id)
 SELECT tk.doc_id, COALESCE(a.clean_text, '') AS clean_text
 FROM toks tk LEFT JOIN asm a USING (doc_id)
+"""
+
+
+_TOK_OCC = f"""
+tok AS (
+  SELECT doc_id, lower(t) AS tok
+  FROM (SELECT doc_id, unnest(list_filter({_DOC_TOKENS}, x -> x <> '')) AS t
+        FROM documents)
+)
+"""
+
+
+def _vocabulary_oracle(top_v: int) -> str:
+    """Independent recompute of textstats.vocabulary: lowercased non-empty
+    tokens, count desc / token asc total order, rank within the top-V."""
+    return f"""
+WITH {_TOK_OCC.strip()},
+counts AS (SELECT tok, count(*) AS n_occ FROM tok GROUP BY tok),
+ranked AS (
+  SELECT tok AS token, CAST(n_occ AS BIGINT) AS n_occ,
+         CAST(row_number() OVER (ORDER BY n_occ DESC, tok) AS INTEGER) AS vocab_rank
+  FROM counts)
+SELECT token, n_occ, vocab_rank FROM ranked WHERE vocab_rank <= {top_v}
+"""
+
+
+_UNIGRAM_SURPRISE_ORACLE = f"""
+WITH {_TOK_OCC.strip()},
+counts AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM counts),
+lp AS (SELECT tok,
+              CAST(round(-round(ln(cnt / t), 6) * 1000000.0) AS BIGINT) AS lpmicro
+       FROM counts, tot),
+scored AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         round(CAST(sum(lpmicro) AS DOUBLE) / count(*) / 1000000.0, 6) AS surprise
+  FROM tok JOIN lp USING (tok) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       COALESCE(s.surprise, 0.0) AS surprise
+FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 
 

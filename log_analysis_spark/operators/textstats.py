@@ -8,7 +8,7 @@ WholeStageCodegen) — no Python per row anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny per-language stopword lists for the n-gram/stopword language heuristic
@@ -155,3 +155,103 @@ def with_fingerprint_md5(df: DataFrame, text_col: str = "text", k: int = 16) -> 
         F.sequence(F.lit(1), n_win), lambda i: F.md5(F.substring(t, i, k))
     )
     return df.withColumn("fingerprint_md5", F.array_min(win_hashes))
+
+
+def token_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """One row per token OCCURRENCE: (id, tok).  The shared first stage of
+    vocabulary building and statistical LM scoring — text leaves the scan
+    as individual tokens, so nothing downstream ever shuffles a document."""
+    toks = F.filter(tokens_col(text_col), lambda x: x != "")
+    out = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    return out.withColumn("tok", F.lower(F.col("tok"))) if lowercase else out
+
+
+def vocabulary(
+    df: DataFrame,
+    top_v: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus vocabulary: the ``top_v`` most frequent tokens as
+    (token, n_occ, vocab_rank) — the first artifact a tokenizer build
+    needs.  Deterministic total order: count desc, token asc.
+
+    Scale shape: explode → groupBy(token) count is ONE token-keyed shuffle
+    with map-side partial aggregation (the payload is (token, long), never
+    text), and the top-V cut is ``orderBy().limit()`` which Spark executes
+    as per-partition top-V + driver merge (TakeOrderedAndProject) — no
+    global sort ever materializes.  The rank window runs over the V
+    surviving rows only."""
+    if top_v < 1:
+        raise ValueError(f"top_v must be >= 1, got {top_v}")
+    counts = (
+        token_table(df, text_col, id_col, lowercase)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    top = counts.orderBy(F.desc("n_occ"), F.asc("tok")).limit(top_v)
+    w = Window.orderBy(F.desc("n_occ"), F.asc("tok"))
+    return top.select(
+        F.col("tok").alias("token"),
+        F.col("n_occ").cast("long").alias("n_occ"),
+        F.row_number().over(w).cast("int").alias("vocab_rank"),
+    )
+
+
+def unigram_surprise(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-document statistical-LM quality signal (CCNet-style, Wenzek et
+    al. 2020 — there a 5-gram KenLM; here the corpus's own unigram model,
+    the Spark-able same-shaped signal): surprise = mean negative log
+    probability of the doc's tokens under corpus unigram frequencies.
+    High surprise = rare/garbled vocabulary; low = common fluent text.
+    Output (id, n_tokens, surprise), empty docs 0.0.
+
+    Scale shape: token counts are one token-keyed shuffle (map-side
+    combine); the corpus total is a one-row broadcast; scoring joins the
+    exploded tokens to the (token, logprob) table — narrow key + 8 B
+    payload — then one per-doc aggregate.  Document text never shuffles.
+
+    Cross-engine exactness: each token's logprob is ln(cnt/total) rounded
+    to 6 decimals from the SAME integers in both engines (1-ulp libm ln
+    divergence would need a value on a 5e-7 boundary — measure-zero, the
+    accepted pow/round risk class), then quantized to EXACT integer
+    micro-nats.  The per-doc mean is integer-sum / count — a float mean of
+    round-6 doubles is order-dependent at ~1e-13 and DID land two sf0.01
+    docs on opposite sides of a 6th-decimal rounding boundary; the integer
+    sum makes the quotient bit-identical in both engines."""
+    tok = token_table(df, text_col, id_col, lowercase)
+    counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("_cnt"))
+    total = counts.agg(F.sum("_cnt").alias("_tot"))
+    lp6 = F.round(F.log(F.col("_cnt") / F.col("_tot")), 6)
+    lp = counts.crossJoin(F.broadcast(total)).select(
+        "tok", F.round(-lp6 * F.lit(1e6), 0).cast("long").alias("_lpmicro")
+    )
+    scored = (
+        tok.join(lp, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(
+                F.sum("_lpmicro").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1e6),
+                6,
+            ).alias("surprise"),
+        )
+    )
+    return df.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+        F.coalesce("surprise", F.lit(0.0)).alias("surprise"),
+    )
