@@ -1851,7 +1851,8 @@ reach(id, r) AS (
 ),
 reps AS (SELECT id, min(r) AS rep_id FROM reach GROUP BY id)
 SELECT id AS doc_id, rep_id,
-       CASE WHEN ({_u16_sql("rep_id")}) < {thr} THEN 'eval' ELSE 'train' END AS split
+       CASE WHEN ({_u16_sql("'split:' || CAST(rep_id AS VARCHAR)")}) < {thr}
+            THEN 'eval' ELSE 'train' END AS split
 FROM reps
 """
 

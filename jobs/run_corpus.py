@@ -18,17 +18,28 @@ byte-identical shard assignments):
 1. **repetition filter** (`corpus.repetition_stats`): drop docs whose
    duplicate-line / duplicate-character / top-2-gram fractions exceed the
    thresholds (Gopher-style spam gate).
-2. **decontamination** (`corpus.decontaminate`, when ``--bench`` is given):
+2. **span dedup** (`span_dedup`, when ``--span-k`` > 0): either rebuild
+   docs without corpus-duplicated word k-gram spans (``--span-action
+   remove``) or drop docs whose duplicated-span coverage exceeds
+   ``--span-max-coverage`` (``filter``).
+3. **decontamination** (`corpus.decontaminate`, when ``--bench`` is given):
    drop docs sharing >= ``--decontam-min-hits`` word ``--decontam-n``-grams
    with the benchmark table.
-3. **PII scrub** (`textstats.scrub_pii`, when ``--scrub-pii``): redact
+4. **PII scrub** (`textstats.scrub_pii`, when ``--scrub-pii``): redact
    emails / IPv4s / long digit runs in place (text column replaced).
-4. **stratified sample** (`corpus.stratified_sample`): per-stratum
-   md5-threshold downsampling (e.g. re-weight dominant languages) — a pure
-   filter, composes with partition pruning.
-5. **shard packing** (`corpus.pack_shards`): md5-ordered exclusive token
+5. **quality gate** (`textstats.unigram_surprise`, when ``--max-surprise``):
+   drop docs whose mean unigram-LM surprise exceeds the threshold.
+6. **sampling**: per-stratum rates (`corpus.stratified_sample`, ``--rates``)
+   OR temperature-flattened source mixing (`corpus.temperature_mix`,
+   ``--temperature`` + ``--target-fraction``) — mutually exclusive.
+7. **leakage-safe split** (`corpus.leakage_safe_split`, when
+   ``--split-eval-frac``): MinHash near-dup groups land in train/eval
+   atomically; output is additionally partitioned by split.
+8. **shard packing** (`corpus.pack_shards`): md5-ordered exclusive token
    cumsum, shard = floor(cumsum / budget); written partitioned by shard so
    a training loader reads one directory per shard.
+9. **vocabulary sidecar** (`textstats.vocabulary`, when ``--vocab-top``):
+   the packed corpus's top-V token table written to ``OUT/vocab``.
 """
 
 from __future__ import annotations
@@ -59,12 +70,40 @@ def main() -> None:
     ap.add_argument("--decontam-n", type=int, default=5)
     ap.add_argument("--decontam-min-hits", type=int, default=1)
     ap.add_argument("--scrub-pii", action="store_true")
+    ap.add_argument(
+        "--span-k", type=int, default=0,
+        help="enable duplicated-span dedup at word k-grams (0 = off)",
+    )
+    ap.add_argument(
+        "--span-action", choices=("remove", "filter"), default="remove",
+        help="remove: rebuild docs without duplicated spans; "
+        "filter: drop docs whose dup coverage exceeds --span-max-coverage",
+    )
+    ap.add_argument("--span-max-coverage", type=float, default=0.5)
+    ap.add_argument(
+        "--max-surprise", type=float, default=None,
+        help="drop docs whose unigram-LM surprise exceeds this (garbled text)",
+    )
+    ap.add_argument(
+        "--temperature", type=float, default=None,
+        help="temperature-flattened source mixing instead of --rates "
+        "(requires --target-fraction; mutually exclusive with --rates)",
+    )
+    ap.add_argument("--target-fraction", type=float, default=0.5)
+    ap.add_argument("--mix-col", default="source")
+    ap.add_argument(
+        "--split-eval-frac", type=float, default=None,
+        help="emit a leakage-safe train/eval split column (near-dup groups "
+        "via MinHash LSH land in one split atomically)",
+    )
+    ap.add_argument("--vocab-top", type=int, default=0,
+                    help="write the top-V vocabulary table to OUT/vocab")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
 
-    from log_analysis_spark.operators import corpus, textstats
+    from log_analysis_spark.operators import corpus, dedup, span_dedup, textstats
     from log_analysis_spark.session import get_spark
 
     spark = get_spark("run_corpus", master=args.master)
@@ -103,6 +142,26 @@ def main() -> None:
     else:
         n_clean = n_input
 
+    if args.span_k:
+        if args.span_action == "remove":
+            clean = span_dedup.remove_dup_spans(docs, k=args.span_k)
+            docs, n_span = _materialize(
+                docs.drop("text").join(
+                    clean.withColumnRenamed("clean_text", "text"), "doc_id"
+                )
+            )
+        else:
+            cov = span_dedup.dup_span_stats(docs, k=args.span_k).select(
+                "doc_id", "dup_coverage"
+            )
+            docs, n_span = _materialize(
+                docs.join(cov, "doc_id")
+                .filter(F.col("dup_coverage") <= args.span_max_coverage)
+                .drop("dup_coverage")
+            )
+    else:
+        n_span = n_clean
+
     if args.bench:
         bench = spark.read.parquet(args.bench)
         flags = corpus.decontaminate(
@@ -114,7 +173,7 @@ def main() -> None:
             .drop("contaminated")
         )
     else:
-        n_decontam = n_clean
+        n_decontam = n_span
 
     if args.scrub_pii:
         docs = (
@@ -123,18 +182,53 @@ def main() -> None:
             .withColumnRenamed("text_clean", "text")
         )
 
+    if args.max_surprise is not None:
+        surp = textstats.unigram_surprise(docs).select("doc_id", "surprise")
+        docs = (
+            docs.join(surp, "doc_id")
+            .filter(F.col("surprise") <= args.max_surprise)
+            .drop("surprise")
+        )
+
     rates = json.loads(args.rates)
+    if rates and args.temperature is not None:
+        raise SystemExit("--rates and --temperature are mutually exclusive")
     if rates:
         docs = corpus.stratified_sample(docs, args.strata_col, rates)
+    elif args.temperature is not None:
+        docs = corpus.temperature_mix(
+            docs, args.mix_col,
+            temperature=args.temperature,
+            target_fraction=args.target_fraction,
+        )
     # docs feeds pack_shards AND the final join — persist so the sampled
     # scrubbed frame isn't recomputed on both sides
     docs, n_sampled = _materialize(docs)
+
+    if args.split_eval_frac is not None:
+        pairs = dedup.minhash_lsh_pairs(docs, threshold=0.2)
+        groups = dedup.neardup_groups(
+            docs.select(F.col("doc_id").alias("id")),
+            pairs.select("id_a", "id_b"),
+        )
+        docs = corpus.leakage_safe_split(
+            docs, groups, eval_fraction=args.split_eval_frac
+        ).drop("rep_id")
+        part_cols = ["split", "shard"]
+    else:
+        part_cols = ["shard"]
 
     packed = corpus.pack_shards(docs, budget=args.budget)
     out = (
         docs.join(packed.select("doc_id", "n_tokens", "shard"), "doc_id")
     )
-    out.write.mode("overwrite").partitionBy("shard").parquet(f"{args.out}/shards")
+    out.write.mode("overwrite").partitionBy(*part_cols).parquet(
+        f"{args.out}/shards"
+    )
+    if args.vocab_top:
+        textstats.vocabulary(docs, top_v=args.vocab_top).write.mode(
+            "overwrite"
+        ).parquet(f"{args.out}/vocab")
     if prev_cached is not None:
         prev_cached.unpersist()
 
@@ -146,11 +240,17 @@ def main() -> None:
             {
                 "n_input": n_input,
                 "n_after_repetition_filter": n_clean,
+                "n_after_span_dedup": n_span,
                 "n_after_decontamination": n_decontam,
                 "n_after_sampling": n_sampled,
                 "budget": args.budget,
                 "n_shards": n_shards,
                 "total_tokens": int(tok_total),
+                "n_eval": (
+                    shards.filter(F.col("split") == "eval").count()
+                    if args.split_eval_frac is not None
+                    else None
+                ),
                 "shards_path": f"{args.out}/shards",
             }
         )

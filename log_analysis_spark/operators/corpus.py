@@ -505,10 +505,14 @@ def leakage_safe_split(
     ``groups`` is (id, rep_id) from ``dedup.neardup_groups`` over ANY pair
     family (MinHash, SimHash, n-gram Jaccard, embedding-cosine, SemDeDup) —
     the split composes with whichever notion of "duplicate" the pipeline
-    trusts.  The split draw is the group REPRESENTATIVE's md5-u16 — the
-    same engine-portable uniform as ``stratified_sample`` — so every member
-    inherits its group's draw: ``u16(rep) < round(eval_fraction * 65536)``
-    => eval, else train.
+    trusts.  The split draw is the group REPRESENTATIVE's md5-u16 (the same
+    engine-portable uniform as ``stratified_sample``) DOMAIN-SEPARATED with
+    a ``'split:'`` purpose prefix: sampling stages draw on ``md5(id)``, so
+    an unprefixed ``md5(rep_id)`` would be CORRELATED with them — a corpus
+    already filtered to low-u16 ids would see eval fractions far above the
+    requested one (observed: 35% at requested 25% after temperature
+    mixing).  Every member inherits its group's draw:
+    ``u16('split:' || rep) < round(eval_fraction * 65536)`` => eval.
 
     Scale shape: one (id, rep_id) equi-join onto the corpus (ids only — the
     group table never carries text) and a pure projection.  Deterministic:
@@ -522,7 +526,13 @@ def leakage_safe_split(
         )
     thr = int(round(float(eval_fraction) * 65536.0))
     u16 = F.conv(
-        F.substring(F.md5(F.col("rep_id").cast("string")), 1, 4), 16, 10
+        F.substring(
+            F.md5(F.concat(F.lit("split:"), F.col("rep_id").cast("string"))),
+            1,
+            4,
+        ),
+        16,
+        10,
     ).cast("long")
     split = F.when(u16 < thr, F.lit("eval")).otherwise(F.lit("train"))
     g = groups.select(F.col("id").alias(id_col), "rep_id")

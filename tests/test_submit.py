@@ -40,6 +40,10 @@ def _submit(pkg_zip, job, extra, cwd):
         [
             spark_submit,
             "--master", "local[4]",
+            # get_spark's spark.driver.memory can't apply under spark-submit
+            # (the JVM is already up); the default 1g OOMs the longer stage
+            # chains, so size the driver here like any real launch would
+            "--driver-memory", "4g",
             "--conf", "spark.ui.enabled=false",
             "--py-files", str(pkg_zip),
             str(REPO / "jobs" / job),
@@ -115,6 +119,48 @@ def test_submit_corpus_job(pkg_zip, tmp_path):
     # shard count accounting: shard = floor(exclusive_cumsum / budget), so
     # the last shard index is within one doc's tokens of total/budget
     assert res["n_shards"] <= res["total_tokens"] // 1024 + 1
+
+
+def test_submit_corpus_job_full_stage_chain(pkg_zip, tmp_path):
+    """Every round-4 corpus stage on at once: span dedup (filter mode),
+    surprise quality gate, temperature mixing, leakage-safe split, and the
+    vocabulary sidecar — proving the flags compose in one spark-submit."""
+    res = _submit(
+        pkg_zip,
+        "run_corpus.py",
+        [
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--out", str(tmp_path / "cp"),
+            "--budget", "1024",
+            "--span-k", "3",
+            "--span-action", "filter",
+            "--span-max-coverage", "0.9",
+            "--max-surprise", "20.0",
+            "--temperature", "2.0",
+            "--target-fraction", "0.8",
+            "--split-eval-frac", "0.25",
+            "--vocab-top", "50",
+        ],
+        cwd=tmp_path,
+    )
+    assert (
+        res["n_input"]
+        >= res["n_after_repetition_filter"]
+        >= res["n_after_span_dedup"]
+        >= res["n_after_sampling"]
+        > 0
+    )
+    assert res["n_shards"] > 0 and res["total_tokens"] > 0
+    assert res["n_eval"] is not None and 0 <= res["n_eval"] < res["n_after_sampling"]
+    # split partitioning materialized on disk + vocab sidecar written
+    shard_dir = tmp_path / "cp" / "shards"
+    assert any(p.name.startswith("split=") for p in shard_dir.iterdir())
+    import duckdb
+
+    vocab = duckdb.connect().execute(
+        f"SELECT count(*), min(vocab_rank) FROM read_parquet('{tmp_path}/cp/vocab/*.parquet')"
+    ).fetchone()
+    assert 0 < vocab[0] <= 50 and vocab[1] == 1
 
 
 def test_submit_transcript_corpus_job(pkg_zip, tmp_path):
