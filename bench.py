@@ -258,6 +258,18 @@ def main() -> None:
             ).count(),
         )
 
+    # span-level dedup: the corpus rebuilt without duplicated 3-gram spans;
+    # sum(length) forces the rebuilt text column so pruning can't skip the
+    # higher-order-filter reassembly
+    from log_analysis_spark.operators import span_dedup as span_ops
+
+    timed(
+        "doc_span_dedup",
+        lambda: span_ops.remove_dup_spans(docs, k=3)
+        .selectExpr("sum(length(clean_text))")
+        .collect(),
+    )
+
     # embedding near-dup: oracle-twin expression path vs numpy-matmul
     # production path (identical pair sets — the delta is pure execution)
     from pyspark.sql import functions as F
@@ -278,6 +290,18 @@ def main() -> None:
         "embed_cosine_topk_matmul",
         lambda: similarity.cosine_topk_matmul(
             emb, emb.filter(F.col("vec_id") % 50 == 0), k=3
+        ).count(),
+    )
+
+    # SemDeDup: deterministic-index semantic dedup (assignment is
+    # projection-only; within-cluster pairs + CC keep-first)
+    from log_analysis_spark.operators import semdedup as semdedup_ops
+
+    timed(
+        "embed_semdedup",
+        lambda: semdedup_ops.semdedup(
+            emb, threshold=0.3,
+            cents=similarity.md5_seed_centroids(emb, n_centroids=8),
         ).count(),
     )
 

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from . import dedup
 from .similarity import (
@@ -117,6 +118,45 @@ def semdedup_pairs(
     )
 
 
+def _cluster_local_removed(pairs: DataFrame, id_type) -> DataFrame:
+    """Non-representative members of each within-cluster duplicate
+    component, via per-cluster union-find (whole-batch pandas, one group =
+    one cluster's edge list).  Valid because semdedup edges NEVER cross
+    clusters — every connected component lives inside one centroid_id — so
+    the global CC decomposes exactly into per-cluster CCs, and the
+    ``max_cluster`` guard already bounds a cluster's edges to task size.
+    One (centroid_id)-keyed shuffle of id pairs replaces the distributed
+    CC's O(log diameter) join rounds."""
+    import pandas as pd
+
+    out_schema = T.StructType([T.StructField("id", id_type)])
+
+    def uf(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(pdf["id_a"], pdf["id_b"]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN so every root is its component's lowest id
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        nodes = set(pdf["id_a"]).union(pdf["id_b"])
+        removed = [x for x in nodes if find(x) != x]
+        return pd.DataFrame({"id": removed}, dtype=pdf["id_a"].dtype)
+
+    return pairs.select("centroid_id", "id_a", "id_b").groupBy(
+        "centroid_id"
+    ).applyInPandas(uf, out_schema)
+
+
 def semdedup(
     emb: DataFrame,
     threshold: float = 0.3,
@@ -125,12 +165,21 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster: int | None = 100_000,
+    cc: str = "local",
 ) -> DataFrame:
     """Full SemDeDup: returns the KEPT corpus — one representative (lowest
     id) per semantic-duplicate group, singletons pass through.  Output:
     (id_col, centroid_id); join back to the source table by id for the
-    payload columns (ids-only here so the CC iteration and the final join
-    never move vectors or text)."""
+    payload columns (ids-only here so the grouping and the final join
+    never move vectors or text).
+
+    ``cc='local'`` (default) resolves components with ONE per-cluster
+    union-find pass (see ``_cluster_local_removed`` — exact, because the
+    pair graph never crosses clusters); ``cc='distributed'`` uses the
+    generic iterative ``dedup.neardup_groups``, kept as the
+    equality-tested fallback and for pathological cluster sizes."""
+    if cc not in ("local", "distributed"):
+        raise ValueError(f"cc must be 'local' or 'distributed', got {cc!r}")
     if cents is None:
         cents = build_centroids(emb, n_centroids, id_col, vec_col)
     assigned = assign_to_centroids(emb, cents, id_col, vec_col)
@@ -139,6 +188,12 @@ def semdedup(
     pairs = semdedup_pairs(
         emb, threshold, cents, n_centroids, id_col, vec_col, max_cluster=None
     )
+    ids_only = assigned.select(id_col, "centroid_id")
+    if cc == "local":
+        removed = _cluster_local_removed(
+            pairs, assigned.schema[id_col].dataType
+        ).withColumnRenamed("id", id_col)
+        return ids_only.join(removed, id_col, "left_anti")
     groups = dedup.neardup_groups(
         assigned.select(F.col(id_col).alias("id")),
         pairs.select("id_a", "id_b"),
@@ -146,4 +201,4 @@ def semdedup(
     keep = groups.filter(F.col("id") == F.col("rep_id")).select(
         F.col("id").alias(id_col)
     )
-    return assigned.select(id_col, "centroid_id").join(keep, id_col)
+    return ids_only.join(keep, id_col)

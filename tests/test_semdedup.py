@@ -74,6 +74,24 @@ def test_semdedup_zero_norm_vectors_are_excluded(spark):
     assert 99 not in kept and kept == {1, 10, 20}
 
 
+def test_semdedup_local_cc_equals_distributed(spark, sf_dir):
+    """The per-cluster union-find (cc='local', default) and the generic
+    iterative CC (cc='distributed') must keep identical corpora — the
+    decomposition claim (_cluster_local_removed docstring) made testable
+    on real data where clusters hold multi-edge components."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from log_analysis_spark.operators.similarity import md5_seed_centroids
+
+    cents = md5_seed_centroids(emb, n_centroids=8)
+    local = semdedup.semdedup(emb, threshold=0.3, cents=cents, cc="local")
+    dist = semdedup.semdedup(emb, threshold=0.3, cents=cents, cc="distributed")
+    assert local.exceptAll(dist).count() == 0
+    assert dist.exceptAll(local).count() == 0
+    assert local.count() > 0
+    with pytest.raises(ValueError, match="cc must be"):
+        semdedup.semdedup(emb, 0.3, cents, cc="bogus")
+
+
 def test_semdedup_max_cluster_guard_raises_loudly(spark):
     emb = _emb(spark, _BUNDLES)
     cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
