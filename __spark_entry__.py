@@ -917,6 +917,27 @@ def q_corpus_leakage_split(spark, sf_dir):
     )
 
 
+def q_embed_d4_prune(spark, sf_dir):
+    """D4 (Tirumala et al. 2023): SemDeDup at cosine 0.3 over the 8
+    md5-seeded centroids, then SSL-prototypes diversification — per cluster,
+    drop the floor(0.5·n) survivors MOST similar to their centroid.  The
+    oracle recomputes seeds, assignment, within-cluster pairs, reachability,
+    AND the per-cluster prototypicality rank cut end to end."""
+    emb = _embeddings(spark, sf_dir)
+    cents = similarity.md5_seed_centroids(emb, n_centroids=8)
+    return semdedup.d4_prune(
+        emb, threshold=0.3, keep_fraction=0.5, cents=cents
+    )
+
+
+def q_corpus_dsir_select(spark, sf_dir):
+    """DSIR (Xie et al. 2023) data selection: top-100 docs by unigram-LM
+    importance weight toward the lang='en' slice (integer micro-nat log
+    weights — exact in both engines; ties → lowest doc_id)."""
+    docs = _docs(spark, sf_dir)
+    return textstats.dsir_select(docs, F.col("lang") == "en", k=100)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary media columns + whole-batch Arrow feature extraction, emitted
     as the DuckDB-expressible slice (n_bytes = utf-8 byte length, md5 over
@@ -1060,6 +1081,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_span_stats": q_doc_dup_span_stats,
         "doc_dup_span_clean": q_doc_dup_span_clean,
         "embed_semdedup": q_embed_semdedup,
+        "embed_d4_prune": q_embed_d4_prune,
+        "corpus_dsir_select": q_corpus_dsir_select,
         "corpus_leakage_split": q_corpus_leakage_split,
         "corpus_vocabulary": q_corpus_vocabulary,
         "doc_unigram_surprise": q_doc_unigram_surprise,
@@ -1154,6 +1177,10 @@ def retired_oracle_sql() -> dict[str, str]:
         "doc_dup_span_stats": _dup_span_oracle(k=3, clean=False),
         "doc_dup_span_clean": _dup_span_oracle(k=3, clean=True),
         "embed_semdedup": _semdedup_oracle(threshold=0.3, n_centroids=8),
+        "embed_d4_prune": _d4_oracle(
+            threshold=0.3, keep_fraction=0.5, n_centroids=8
+        ),
+        "corpus_dsir_select": _dsir_select_oracle(k=100),
         "corpus_leakage_split": _leakage_split_oracle(eval_fraction=0.1),
         "corpus_vocabulary": _vocabulary_oracle(top_v=200),
         "doc_unigram_surprise": _UNIGRAM_SURPRISE_ORACLE,
@@ -1820,6 +1847,103 @@ reach(id, r) AS (
 reps AS (SELECT id, min(r) AS rep_id FROM reach GROUP BY id)
 SELECT a.vec_id, CAST(a.centroid_id AS INTEGER) AS centroid_id
 FROM assigned a JOIN reps g ON g.id = a.vec_id AND g.rep_id = a.vec_id
+"""
+
+
+def _d4_oracle(threshold: float, keep_fraction: float, n_centroids: int) -> str:
+    """Independent end-to-end recompute of q_embed_d4_prune: the full
+    _semdedup_oracle chain (seeds → assignment → within-cluster pairs →
+    reachability → keep-first), keeping each survivor's round-6 cosine to
+    its assigned centroid (``proto``), then the SSL-prototypes cut — per
+    cluster, rank by proto desc / id asc and drop the first
+    floor((1-keep_fraction)·n) rows.  Nothing taken on faith from the Spark
+    side, including the rank/floor arithmetic."""
+    return f"""
+WITH RECURSIVE {_UNIT_VEC.strip()},
+cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS cid,
+         list_transform(unit, x -> round(x, 6)) AS cvec
+  FROM unitv
+  ORDER BY md5(CAST(vec_id AS VARCHAR))
+  LIMIT {n_centroids}
+),
+assigned AS (
+  SELECT vec_id, unit, cid AS centroid_id, cos AS proto FROM (
+    SELECT u.vec_id, u.unit, c.cid,
+           round(list_inner_product(u.unit, c.cvec), 6) AS cos,
+           row_number() OVER (
+             PARTITION BY u.vec_id
+             ORDER BY round(list_inner_product(u.unit, c.cvec), 6) DESC, c.cid
+           ) AS rn
+    FROM unitv u CROSS JOIN cents c)
+  WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE round(list_inner_product(a.unit, b.unit), 6) >= {threshold}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT vec_id, vec_id FROM assigned
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+),
+reps AS (SELECT id, min(r) AS rep_id FROM reach GROUP BY id),
+kept AS (
+  SELECT a.vec_id, a.centroid_id, a.proto
+  FROM assigned a JOIN reps g ON g.id = a.vec_id AND g.rep_id = a.vec_id
+),
+ranked AS (
+  SELECT vec_id, centroid_id, proto,
+         row_number() OVER (
+           PARTITION BY centroid_id ORDER BY proto DESC, vec_id) AS rn,
+         count(*) OVER (PARTITION BY centroid_id) AS n
+  FROM kept
+)
+SELECT vec_id, CAST(centroid_id AS INTEGER) AS centroid_id, proto
+FROM ranked
+WHERE rn > CAST(floor((1.0 - {keep_fraction}) * n) AS BIGINT)
+"""
+
+
+def _dsir_select_oracle(k: int, target_sql: str = "lang = 'en'") -> str:
+    """Independent recompute of q_corpus_dsir_select: both unigram LMs from
+    the same token occurrences (target = docs matching ``target_sql``, raw =
+    all docs; add-1 smoothing over the shared raw vocab), per-token round-6
+    log-probs quantized to integer micro-nats, per-doc integer-sum log
+    importance weight, deterministic top-k (logw desc, doc_id asc)."""
+    return f"""
+WITH {_TOK_OCC.strip()},
+flags AS (SELECT doc_id, ({target_sql}) AS is_t FROM documents),
+counts AS (
+  SELECT tok, count(*) AS cr, count(*) FILTER (WHERE f.is_t) AS ct
+  FROM tok JOIN flags f USING (doc_id) GROUP BY tok
+),
+tots AS (
+  SELECT CAST(sum(cr) AS DOUBLE) AS tr, CAST(sum(ct) AS DOUBLE) AS tt,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM counts
+),
+dlp AS (
+  SELECT tok,
+         CAST(round(round(ln((ct + 1) / (tt + v)), 6) * 1000000.0) AS BIGINT)
+       - CAST(round(round(ln((cr + 1) / (tr + v)), 6) * 1000000.0) AS BIGINT)
+           AS dlpmicro
+  FROM counts, tots
+),
+scored AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(dlpmicro) AS BIGINT) AS logw_micro
+  FROM tok JOIN dlp USING (tok) GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, logw_micro FROM scored
+ORDER BY logw_micro DESC, doc_id
+LIMIT {k}
 """
 
 

@@ -40,19 +40,21 @@ LLM-training-data surface the engine adds (SURVEY §6).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import dedup
 from .similarity import (
+    _centroid_sims,
     _dot,
     assign_to_centroids,
     build_centroids,
     md5_seed_centroids,
+    with_unit_vec,
 )
 
-__all__ = ["semdedup_pairs", "semdedup"]
+__all__ = ["semdedup_pairs", "semdedup", "prototype_scores", "d4_prune"]
 
 
 def _check_cluster_sizes(assigned: DataFrame, max_cluster: int) -> None:
@@ -202,3 +204,75 @@ def semdedup(
         F.col("id").alias(id_col)
     )
     return ids_only.join(keep, id_col)
+
+
+def prototype_scores(
+    emb: DataFrame,
+    cents: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, centroid_id, proto) where ``proto`` is the round-6 cosine of
+    each vector to its ASSIGNED centroid — the SSL-prototypes signal
+    (Sorscher et al. 2022, arXiv:2206.14486): high proto = the cluster's
+    most typical (hence most redundant) members.  Pure projection over
+    broadcast centroid literals, zero corpus shuffle — the same shape as
+    ``assign_to_centroids`` (ties break to the lowest centroid id there and
+    the max sim IS the assigned sim, so one ``array_max`` reads it off)."""
+    cu = with_unit_vec(emb, vec_col).filter(F.col("unit").isNotNull())
+    sims = _centroid_sims(F.col("unit"), cents)
+    return cu.select(
+        F.col(id_col),
+        F.array_position(sims, F.array_max(sims)).cast("int").alias(
+            "centroid_id"
+        ),
+        F.array_max(sims).alias("proto"),
+    )
+
+
+def d4_prune(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    keep_fraction: float = 0.5,
+    cents: list[list[float]] | None = None,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int | None = 100_000,
+    cc: str = "local",
+) -> DataFrame:
+    """D4 (Tirumala et al. 2023, arXiv:2308.12284): SemDeDup, then
+    SSL-prototypes diversification over the survivors — per cluster, drop
+    the ``floor((1 - keep_fraction) * n)`` members MOST similar to their
+    centroid (ties on proto break to dropping the higher id, so the result
+    is a deterministic total order both engines can replay).  Returns the
+    kept corpus as (id_col, centroid_id, proto).
+
+    Scale shape: the semdedup stage is the audited one (projection
+    assignment + cluster-keyed pair join + per-cluster CC); the prune stage
+    adds ONE window over ids-and-scores keyed by centroid_id — 20 B rows,
+    bounded per-cluster by ``max_cluster``, no global sort, vectors and
+    text untouched."""
+    if not (0.0 <= keep_fraction <= 1.0):
+        raise ValueError(
+            f"keep_fraction must be in [0, 1], got {keep_fraction}"
+        )
+    if cents is None:
+        cents = build_centroids(emb, n_centroids, id_col, vec_col)
+    kept = semdedup(
+        emb, threshold, cents, n_centroids, id_col, vec_col, max_cluster, cc
+    )
+    scored = kept.join(
+        prototype_scores(emb, cents, id_col, vec_col).select(id_col, "proto"),
+        id_col,
+    )
+    w = Window.partitionBy("centroid_id")
+    rn = F.row_number().over(w.orderBy(F.desc("proto"), F.asc(id_col)))
+    n = F.count(F.lit(1)).over(w)
+    n_drop = F.floor((1.0 - F.lit(float(keep_fraction))) * n)
+    return (
+        scored.withColumn("_rn", rn)
+        .withColumn("_drop", n_drop)
+        .filter(F.col("_rn") > F.col("_drop"))
+        .select(id_col, "centroid_id", "proto")
+    )

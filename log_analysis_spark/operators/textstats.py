@@ -255,3 +255,89 @@ def unigram_surprise(
         F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
         F.coalesce("surprise", F.lit(0.0)).alias("surprise"),
     )
+
+
+def dsir_logweights(
+    df: DataFrame,
+    target: F.Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): per-doc
+    log importance weight under two unigram LMs — a TARGET model over the
+    docs where ``target`` is true (the high-quality exemplar slice) and a
+    RAW model over the whole corpus — so resampling by weight shifts the
+    corpus toward the target distribution.  Output
+    (id, n_tokens, logw_micro):
+
+        logw = sum over token occurrences of ln p_target(tok) - ln p_raw(tok)
+
+    with add-1 smoothing over the SHARED raw vocabulary (so unseen-in-target
+    tokens get a finite penalty, and both LMs normalize over the same V).
+    ``logw_micro`` is the sum of per-token round-6 log-probs quantized to
+    integer micro-nats — an EXACT integer in any engine (the same
+    cross-engine discipline as ``unigram_surprise``; DSIR's hashed n-gram
+    feature space degrades gracefully to unigrams here, where the tokenizer
+    is the repo-standard word split).  Docs with zero tokens get (0, 0).
+
+    Scale shape: ONE token-keyed shuffle builds both LMs (conditional
+    counts in the same aggregate); totals + vocab size are a one-row
+    broadcast; scoring joins exploded tokens to the (tok, 8 B) weight table
+    and integer-sums per doc.  Document text never enters an exchange."""
+    toks = F.filter(tokens_col(text_col), lambda x: x != "")
+    tok = df.select(
+        F.col(id_col), target.cast("boolean").alias("_is_t"),
+        F.explode(toks).alias("tok"),
+    )
+    if lowercase:
+        tok = tok.withColumn("tok", F.lower(F.col("tok")))
+    counts = tok.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("_cr"),
+        F.count_if(F.col("_is_t")).alias("_ct"),
+    )
+    tots = counts.agg(
+        F.sum("_cr").cast("double").alias("_tr"),
+        F.sum("_ct").cast("double").alias("_tt"),
+        F.count(F.lit(1)).cast("double").alias("_v"),
+    )
+    lp_t = F.round(F.log((F.col("_ct") + 1) / (F.col("_tt") + F.col("_v"))), 6)
+    lp_r = F.round(F.log((F.col("_cr") + 1) / (F.col("_tr") + F.col("_v"))), 6)
+    micro = lambda c: F.round(c * F.lit(1e6), 0).cast("long")  # noqa: E731
+    dlp = counts.crossJoin(F.broadcast(tots)).select(
+        "tok", (micro(lp_t) - micro(lp_r)).alias("_dlpmicro")
+    )
+    scored = (
+        tok.join(dlp, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("_dlpmicro").cast("long").alias("logw_micro"),
+        )
+    )
+    return df.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+        F.coalesce("logw_micro", F.lit(0).cast("long")).alias("logw_micro"),
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target: F.Column,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Deterministic DSIR selection: the ``k`` docs whose unigram importance
+    weight toward the target slice is highest (ties → lowest id; the paper
+    resamples via Gumbel noise on logw — a fixed top-k keeps the operator
+    replayable and oracle-able, and a caller wanting sampled selection can
+    add a seeded jitter column before the cut).  ``orderBy().limit(k)``
+    executes as per-partition top-k + driver merge (TakeOrderedAndProject)
+    — no global sort materializes."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = dsir_logweights(df, target, text_col, id_col, lowercase)
+    return w.orderBy(F.desc("logw_micro"), F.asc(id_col)).limit(k)
