@@ -98,6 +98,16 @@ def main() -> None:
     )
     ap.add_argument("--vocab-top", type=int, default=0,
                     help="write the top-V vocabulary table to OUT/vocab")
+    ap.add_argument(
+        "--dsir-top", type=int, default=0,
+        help="keep only the top-K docs by DSIR unigram-LM importance "
+        "weight toward --dsir-target (0 = stage off)",
+    )
+    ap.add_argument(
+        "--dsir-target", default="lang = 'en'",
+        help="SQL boolean expression over the docs defining the DSIR "
+        "target slice",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -111,26 +121,30 @@ def main() -> None:
     docs = spark.read.parquet(path)
     n_input = docs.count()
 
-    # each expensive stage persists its output before the count so the
+    # each expensive stage materializes its output before the count so the
     # progressively-longer chain (explode→groupBy repetition trees, the
     # decontamination gram join) executes ONCE, not once per downstream
-    # count + once for the final write; predecessors unpersist as soon as
-    # the next stage is materialized
+    # count + once for the final write.  localCheckpoint (not persist)
+    # because it also CUTS THE LOGICAL-PLAN LINEAGE: stages like DSIR and
+    # the leakage split reference their input frame 3-5 times, so the
+    # composed plan tree grows ~branching^stages — with every stage on,
+    # the un-truncated plan made the driver OOM just RENDERING the plan
+    # string for a downstream .cache() name.  persist() caches data but
+    # keeps the full plan; checkpointing resets each stage to a leaf.
+    # Predecessor block cleanup is left to the ContextCleaner: once the
+    # next stage is checkpointed its lineage no longer references the
+    # previous frame, so the blocks age out with the Python reference.
     prev_cached = None
 
     def _materialize(df):
         nonlocal prev_cached
         if df is prev_cached:
             # stage was a no-op (e.g. empty --rates, no --scrub-pii): the
-            # frame is already persisted; unpersisting "prev" here would
-            # evict the very cache the downstream two scans rely on
+            # frame is already materialized
             return df, df.count()
-        df = df.persist()
-        n = df.count()
-        if prev_cached is not None:
-            prev_cached.unpersist()
+        df = df.localCheckpoint(eager=True)
         prev_cached = df
-        return df, n
+        return df, df.count()
 
     if not args.no_repetition_filter:
         rep = corpus.repetition_stats(docs).select("doc_id", "keep_repetition")
@@ -190,6 +204,15 @@ def main() -> None:
             .drop("surprise")
         )
 
+    if args.dsir_top:
+        # top-K is ≤K rows → broadcast the selection back onto the corpus
+        sel = textstats.dsir_select(
+            docs, F.expr(args.dsir_target), k=args.dsir_top
+        ).select("doc_id")
+        docs, n_dsir = _materialize(docs.join(F.broadcast(sel), "doc_id"))
+    else:
+        n_dsir = None
+
     rates = json.loads(args.rates)
     if rates and args.temperature is not None:
         raise SystemExit("--rates and --temperature are mutually exclusive")
@@ -229,9 +252,6 @@ def main() -> None:
         textstats.vocabulary(docs, top_v=args.vocab_top).write.mode(
             "overwrite"
         ).parquet(f"{args.out}/vocab")
-    if prev_cached is not None:
-        prev_cached.unpersist()
-
     shards = spark.read.parquet(f"{args.out}/shards")
     n_shards = shards.select("shard").distinct().count()
     tok_total = shards.agg(F.sum("n_tokens")).collect()[0][0] or 0
@@ -242,6 +262,7 @@ def main() -> None:
                 "n_after_repetition_filter": n_clean,
                 "n_after_span_dedup": n_span,
                 "n_after_decontamination": n_decontam,
+                "n_after_dsir": n_dsir,
                 "n_after_sampling": n_sampled,
                 "budget": args.budget,
                 "n_shards": n_shards,

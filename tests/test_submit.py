@@ -123,8 +123,9 @@ def test_submit_corpus_job(pkg_zip, tmp_path):
 
 def test_submit_corpus_job_full_stage_chain(pkg_zip, tmp_path):
     """Every round-4 corpus stage on at once: span dedup (filter mode),
-    surprise quality gate, temperature mixing, leakage-safe split, and the
-    vocabulary sidecar — proving the flags compose in one spark-submit."""
+    surprise quality gate, DSIR top-K selection, temperature mixing,
+    leakage-safe split, and the vocabulary sidecar — proving the flags
+    compose in one spark-submit."""
     res = _submit(
         pkg_zip,
         "run_corpus.py",
@@ -136,6 +137,8 @@ def test_submit_corpus_job_full_stage_chain(pkg_zip, tmp_path):
             "--span-action", "filter",
             "--span-max-coverage", "0.9",
             "--max-surprise", "20.0",
+            "--dsir-top", "300",
+            "--dsir-target", "lang = 'en'",
             "--temperature", "2.0",
             "--target-fraction", "0.8",
             "--split-eval-frac", "0.25",
@@ -147,9 +150,11 @@ def test_submit_corpus_job_full_stage_chain(pkg_zip, tmp_path):
         res["n_input"]
         >= res["n_after_repetition_filter"]
         >= res["n_after_span_dedup"]
+        >= res["n_after_dsir"]
         >= res["n_after_sampling"]
         > 0
     )
+    assert res["n_after_dsir"] <= 300
     assert res["n_shards"] > 0 and res["total_tokens"] > 0
     assert res["n_eval"] is not None and 0 <= res["n_eval"] < res["n_after_sampling"]
     # split partitioning materialized on disk + vocab sidecar written
