@@ -938,6 +938,33 @@ def q_corpus_dsir_select(spark, sf_dir):
     return textstats.dsir_select(docs, F.col("lang") == "en", k=100)
 
 
+def q_doc_quality_classifier(spark, sf_dir):
+    """GPT-3-style model-based quality gate: a closed-form Naive-Bayes
+    linear classifier over fastText-hashed unigram+bigram features (4096
+    buckets), trained toward the lang='en' slice and scoring every doc —
+    integer micro-nat sums, so both engines produce bit-identical scores.
+    The oracle rebuilds feature hashing, both conditional LMs, the weight
+    quantization and the per-doc sums end to end."""
+    docs = _docs(spark, sf_dir)
+    return textstats.ngram_quality_classifier(
+        docs, F.col("lang") == "en", n_buckets=4096
+    )
+
+
+def q_embed_semantic_decontam(spark, sf_dir):
+    """Embedding-space benchmark decontamination: every corpus vector's max
+    round-6 cosine against a deterministic pseudo-eval slice (vec_id % 37
+    == 0), flagged at threshold 0.3 (calibrated non-trivial on the
+    synthetic corpus like embed_neardup).  Expression twin in contract; the
+    zero-join matmul production path is asserted row-identical in tests."""
+    emb = _embeddings(spark, sf_dir)
+    return similarity.semantic_decontaminate(
+        emb.filter(F.col("vec_id") % 37 != 0),
+        emb.filter(F.col("vec_id") % 37 == 0),
+        threshold=0.3,
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary media columns + whole-batch Arrow feature extraction, emitted
     as the DuckDB-expressible slice (n_bytes = utf-8 byte length, md5 over
@@ -1086,6 +1113,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_leakage_split": q_corpus_leakage_split,
         "corpus_vocabulary": q_corpus_vocabulary,
         "doc_unigram_surprise": q_doc_unigram_surprise,
+        "doc_quality_classifier": q_doc_quality_classifier,
+        "embed_semantic_decontam": q_embed_semantic_decontam,
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_simhash": q_doc_simhash,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1184,6 +1213,8 @@ def retired_oracle_sql() -> dict[str, str]:
         "corpus_leakage_split": _leakage_split_oracle(eval_fraction=0.1),
         "corpus_vocabulary": _vocabulary_oracle(top_v=200),
         "doc_unigram_surprise": _UNIGRAM_SURPRISE_ORACLE,
+        "doc_quality_classifier": _quality_classifier_oracle(n_buckets=4096),
+        "embed_semantic_decontam": _semantic_decontam_oracle(threshold=0.3),
     }
 
 
@@ -1686,6 +1717,72 @@ def _u16_sql(id_expr: str = "doc_id") -> str:
         f"(strpos('0123456789abcdef', substr(md5(CAST({id_expr} AS STRING)), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
         for i in range(4)
     )
+
+
+def _u32_sql(expr: str) -> str:
+    """Leading 32 bits of md5(expr) as an integer — the feature-hashing
+    counterpart of _u16_sql, mirroring textstats._hash_bucket's
+    conv(substr(md5, 1, 8), 16, 10)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
+def _quality_classifier_oracle(n_buckets: int, target_sql: str = "lang = 'en'") -> str:
+    """Independent recompute of q_doc_quality_classifier: fastText-hashed
+    features (lowercased unigrams + space-joined bigrams, md5-u32 mod B),
+    Naive-Bayes log-likelihood-ratio weights with add-1 smoothing over the
+    FIXED bucket space, round-6 micro-nat quantization, per-doc integer
+    sums and the length-normalized round-6 mean."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter({_DOC_TOKENS}, x -> x <> '') AS t FROM documents
+),
+flags AS (SELECT doc_id, ({target_sql}) AS is_t FROM documents),
+feats AS (
+  SELECT doc_id, lower(f) AS feat FROM (
+    SELECT doc_id, unnest(list_concat(
+      t, list_transform(range(1, length(t)), i -> t[i] || ' ' || t[i+1])
+    )) AS f FROM toks)
+),
+fb AS (SELECT doc_id, ({_u32_sql('feat')}) % {n_buckets} AS bucket FROM feats),
+counts AS (
+  SELECT bucket, count(*) AS cr, count(*) FILTER (WHERE f.is_t) AS ct
+  FROM fb JOIN flags f USING (doc_id) GROUP BY bucket),
+tots AS (SELECT CAST(sum(cr) AS DOUBLE) AS tr, CAST(sum(ct) AS DOUBLE) AS tt FROM counts),
+w AS (SELECT bucket,
+        CAST(round(round(ln((ct + 1) / (tt + {n_buckets}.0)), 6) * 1000000.0) AS BIGINT)
+      - CAST(round(round(ln((cr + 1) / (tr + {n_buckets}.0)), 6) * 1000000.0) AS BIGINT) AS w_micro
+      FROM counts, tots),
+scored AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         CAST(sum(w_micro) AS BIGINT) AS score_micro
+  FROM fb JOIN w USING (bucket) GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(s.n_feats, 0) AS n_feats,
+       COALESCE(s.score_micro, 0) AS score_micro,
+       CASE WHEN COALESCE(s.n_feats, 0) > 0
+            THEN round(CAST(s.score_micro AS DOUBLE) / s.n_feats / 1000000.0, 6)
+            ELSE 0.0 END AS mean_logodds
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
+def _semantic_decontam_oracle(threshold: float, bench_mod: int = 37) -> str:
+    """Independent recompute of q_embed_semantic_decontam: unit-normalize,
+    split bench/corpus on the vec_id modulus, brute-force max round-6
+    cosine per corpus vector, threshold flag."""
+    return f"""
+WITH {_UNIT_VEC.strip()},
+bench AS (SELECT unit FROM unitv WHERE vec_id % {bench_mod} = 0),
+corp AS (SELECT vec_id, unit FROM unitv WHERE vec_id % {bench_mod} <> 0),
+scored AS (
+  SELECT c.vec_id,
+         max(round(list_inner_product(c.unit, b.unit), 6)) AS max_bench_cos
+  FROM corp c CROSS JOIN bench b GROUP BY c.vec_id)
+SELECT vec_id, max_bench_cos, (max_bench_cos >= {threshold}) AS contaminated
+FROM scored
+"""
 
 
 def _temperature_mix_oracle(temperature: float, target_fraction: float) -> str:

@@ -305,6 +305,33 @@ def main() -> None:
         ).count(),
     )
 
+    # hashed-n-gram NB quality classifier: train toward the lang='en' slice
+    # + score every doc in one pass (sum forces the score columns so
+    # pruning can't skip the weight join)
+    from log_analysis_spark.operators import textstats as textstats_ops
+
+    timed(
+        "doc_quality_classifier",
+        lambda: textstats_ops.ngram_quality_classifier(
+            docs, F.col("lang") == "en", n_buckets=1 << 16
+        )
+        .selectExpr("sum(score_micro)", "sum(n_feats)")
+        .collect(),
+    )
+
+    # semantic decontamination, matmul production path: one zero-shuffle
+    # pass of the corpus against the broadcast bench matrix
+    timed(
+        "embed_semantic_decontam",
+        lambda: similarity.semantic_decontaminate_matmul(
+            emb.filter(F.col("vec_id") % 37 != 0),
+            emb.filter(F.col("vec_id") % 37 == 0),
+            threshold=0.3,
+        )
+        .selectExpr("sum(max_bench_cos)", "count_if(contaminated)")
+        .collect(),
+    )
+
     # embedding-space incremental ingest vs full re-pair — the vector twin
     # of the text rows below: corpus = 90% of vectors with its sign-band
     # state PREBUILT, increment = the other 10%; the repair row re-pairs

@@ -108,6 +108,18 @@ def main() -> None:
         help="SQL boolean expression over the docs defining the DSIR "
         "target slice",
     )
+    ap.add_argument(
+        "--classifier-min-mean", type=float, default=None,
+        help="model-based quality gate: train the hashed-n-gram NB "
+        "classifier toward --classifier-target and drop docs whose "
+        "per-token mean log-odds falls below this (nats)",
+    )
+    ap.add_argument(
+        "--classifier-target", default="lang = 'en'",
+        help="SQL boolean expression defining the classifier's "
+        "high-quality exemplar slice",
+    )
+    ap.add_argument("--classifier-buckets", type=int, default=1 << 16)
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -204,6 +216,19 @@ def main() -> None:
             .drop("surprise")
         )
 
+    if args.classifier_min_mean is not None:
+        scored = textstats.ngram_quality_classifier(
+            docs, F.expr(args.classifier_target),
+            n_buckets=args.classifier_buckets,
+        ).select("doc_id", "mean_logodds")
+        docs, n_classifier = _materialize(
+            docs.join(scored, "doc_id")
+            .filter(F.col("mean_logodds") >= args.classifier_min_mean)
+            .drop("mean_logodds")
+        )
+    else:
+        n_classifier = None
+
     if args.dsir_top:
         # top-K is ≤K rows → broadcast the selection back onto the corpus
         sel = textstats.dsir_select(
@@ -227,6 +252,22 @@ def main() -> None:
     # docs feeds pack_shards AND the final join — persist so the sampled
     # scrubbed frame isn't recomputed on both sides
     docs, n_sampled = _materialize(docs)
+    if n_sampled == 0:
+        # fail loudly: pack_shards would write an empty dataset and the
+        # read-back would die with an opaque schema-inference error
+        counts = {
+            "n_input": n_input,
+            "n_after_repetition_filter": n_clean,
+            "n_after_span_dedup": n_span,
+            "n_after_decontamination": n_decontam,
+            "n_after_classifier": n_classifier,
+            "n_after_dsir": n_dsir,
+            "n_after_sampling": n_sampled,
+        }
+        raise SystemExit(
+            "no documents survived the stage chain; loosen the gate that "
+            f"first hit zero: {json.dumps(counts)}"
+        )
 
     if args.split_eval_frac is not None:
         pairs = dedup.minhash_lsh_pairs(docs, threshold=0.2)
@@ -262,6 +303,7 @@ def main() -> None:
                 "n_after_repetition_filter": n_clean,
                 "n_after_span_dedup": n_span,
                 "n_after_decontamination": n_decontam,
+                "n_after_classifier": n_classifier,
                 "n_after_dsir": n_dsir,
                 "n_after_sampling": n_sampled,
                 "budget": args.budget,

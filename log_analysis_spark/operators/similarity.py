@@ -694,3 +694,119 @@ def embedding_neardup_pairs(
     return _attach_units_and_verify(
         cand, units, threshold, lambda ua, ub: F.round(_dot(ua, ub), 6)
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination (the semantic complement
+    of ``corpus.decontaminate``'s n-gram collision test): a corpus document
+    is contaminated iff its embedding's cosine vs ANY benchmark embedding
+    reaches ``threshold`` — catching paraphrased/reformatted eval leakage
+    that exact n-gram overlap misses.  Output one row per nonzero-norm
+    corpus vector: (id, max_bench_cos, contaminated), with max_bench_cos the
+    max round-6 cosine (max of round-6 values is order-independent, so the
+    score is engine-exact under the repo's accepted 1-ulp libm risk class).
+
+    This is the EXPRESSION oracle twin: a broadcast cross join against the
+    (small by contract) benchmark set, then a per-id max — the shape DuckDB
+    can replay literally.  Production is ``semantic_decontaminate_matmul``
+    (one numpy matmul per Arrow batch, zero joins); tests assert identical
+    output."""
+    b = (
+        with_unit_vec(bench, vec_col)
+        .filter(F.col("unit").isNotNull())
+        .select(F.col("unit").alias("bunit"))
+    )
+    c = (
+        with_unit_vec(corpus, vec_col)
+        .filter(F.col("unit").isNotNull())
+        .select(F.col(id_col), F.col("unit").alias("cunit"))
+    )
+    scored = (
+        c.crossJoin(F.broadcast(b))
+        .groupBy(id_col)
+        .agg(
+            F.max(F.round(_dot(F.col("cunit"), F.col("bunit")), 6)).alias(
+                "max_bench_cos"
+            )
+        )
+    )
+    return scored.select(
+        id_col,
+        "max_bench_cos",
+        (F.col("max_bench_cos") >= F.lit(threshold)).alias("contaminated"),
+    )
+
+
+def semantic_decontaminate_matmul(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bench: int = 100_000,
+) -> DataFrame:
+    """PRODUCTION form of ``semantic_decontaminate``: the benchmark unit
+    matrix rides in the UDF closure (same broadcast-small-side contract as
+    the IVF coarse quantizer and ``cosine_topk_matmul``'s query matrix) and
+    each Arrow batch of the corpus is scored with ONE numpy matmul —
+    ``round6(U_batch @ B.T).max(axis=1)``.  The corpus is touched exactly
+    once, with ZERO joins and ZERO shuffles: the plan is scan →
+    mapInPandas, so at 100 TB the cost is one pass over the embedding
+    column regardless of how the corpus is partitioned.  Rounding happens
+    BEFORE the max, exactly like the expression twin, so outputs are
+    identical row-for-row (tests assert it).
+
+    ``max_bench`` bounds the driver-side collect: a benchmark set is
+    thousands of eval rows by nature; exceeding the bound raises loudly
+    rather than silently building an executor-crushing closure."""
+    b_rows = (
+        with_unit_vec(bench, vec_col)
+        .filter(F.col("unit").isNotNull())
+        .select("unit")
+        .limit(max_bench + 1)
+        .collect()
+    )
+    if not b_rows:
+        raise ValueError("benchmark set has no non-null vectors")
+    if len(b_rows) > max_bench:
+        raise ValueError(
+            f"benchmark set exceeds max_bench={max_bench}; raise the bound "
+            "explicitly if the closure size is acceptable"
+        )
+    B = np.array([r["unit"] for r in b_rows], dtype=np.float64)  # (nb, dim)
+    dim = B.shape[1]
+    thr = float(threshold)
+    id_field = corpus.schema[id_col].dataType.simpleString()
+
+    def batch_iter(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            E = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if E.shape[1] != dim:
+                raise ValueError(f"corpus dim {E.shape[1]} != bench dim {dim}")
+            nrm = np.linalg.norm(E, axis=1)
+            keep = nrm > 0
+            if not keep.any():
+                continue
+            U = E[keep] / nrm[keep, None]
+            mx = np.round(U @ B.T, 6).max(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: ids[keep],
+                    "max_bench_cos": mx,
+                    "contaminated": mx >= thr,
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        batch_iter,
+        f"{id_col} {id_field}, max_bench_cos double, contaminated boolean",
+    )

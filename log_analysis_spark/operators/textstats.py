@@ -341,3 +341,202 @@ def dsir_select(
         raise ValueError(f"k must be >= 1, got {k}")
     w = dsir_logweights(df, target, text_col, id_col, lowercase)
     return w.orderBy(F.desc("logw_micro"), F.asc(id_col)).limit(k)
+
+
+def _hash_bucket(feat: F.Column, n_buckets: int) -> F.Column:
+    """Engine-portable feature hashing: leading 8 md5 hex nibbles (32 bits)
+    as an integer, mod ``n_buckets`` — the same md5-decode idiom as the
+    corpus sampling u16 draw, widened so bucket collisions are hash-driven
+    rather than truncation-driven."""
+    return F.conv(F.substring(F.md5(feat), 1, 8), 16, 10).cast("long") % F.lit(
+        n_buckets
+    )
+
+
+def hashed_feature_table(
+    df: DataFrame,
+    n_buckets: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bigrams: bool = True,
+    lowercase: bool = True,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """One row per hashed n-gram feature OCCURRENCE: (id, bucket) — the
+    fastText-style feature space (Joulin et al. 2016): word unigrams plus
+    (optionally) space-joined word bigrams, hashed into a FIXED bucket
+    space.  The fixed space is the 100 TB story: vocabulary grows without
+    bound with the corpus, but the feature table is capped at ``n_buckets``
+    rows, so any model over it stays broadcastable by construction no
+    matter how large the corpus gets.
+
+    Text leaves the scan as (id, 8 B bucket) rows — documents never enter
+    a shuffle.  ``extra_cols`` carries flag columns (e.g. a train-label
+    boolean) alongside the explode."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    toks = F.filter(tokens_col(text_col), lambda x: x != "")
+    if lowercase:
+        toks = F.transform(toks, F.lower)
+    n = F.size(toks)
+    feats = toks
+    if bigrams:
+        big = F.zip_with(
+            F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        feats = F.concat(feats, big)
+    cols = [F.col(id_col)] + [F.col(c) for c in (extra_cols or [])]
+    return df.select(*cols, F.explode(feats).alias("_feat")).select(
+        *[c for c in ([id_col] + list(extra_cols or []))],
+        _hash_bucket(F.col("_feat"), n_buckets).alias("bucket"),
+    )
+
+
+def train_ngram_quality(
+    df: DataFrame,
+    target: F.Column,
+    n_buckets: int = 1 << 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bigrams: bool = True,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Closed-form linear quality classifier over hashed n-gram features —
+    the model-based quality filter every large pretraining pipeline runs
+    (GPT-3's WebText-vs-CommonCrawl classifier, CCNet, Llama): here the
+    fastText feature space (hashed unigrams+bigrams) with Naive-Bayes
+    log-likelihood-ratio weights, which ARE a linear classifier and train
+    in ONE aggregation pass — no SGD, fully deterministic, engine-exact.
+
+        w(bucket) = ln p(bucket | target) - ln p(bucket | corpus)
+
+    with add-1 smoothing over the FIXED ``n_buckets`` space (not the
+    observed vocab — so weights are comparable across corpora sharing the
+    bucket space).  Output (bucket, w_micro): per-bucket round-6 log-odds
+    quantized to integer micro-nats (the repo's cross-engine exactness
+    discipline), PLUS a ``bucket = -1`` row carrying the default weight of
+    a never-observed bucket — scoring a NEW corpus against a persisted
+    weight table substitutes it for unseen buckets.
+
+    Scale shape: ONE bucket-keyed shuffle with map-side combine builds both
+    conditional counts in the same aggregate (payload (8 B, long, long));
+    the output is ≤ n_buckets + 1 rows — broadcastable by construction."""
+    feats = hashed_feature_table(
+        df.select(
+            id_col, text_col, target.cast("boolean").alias("_is_t")
+        ),
+        n_buckets,
+        text_col,
+        id_col,
+        bigrams,
+        lowercase,
+        extra_cols=["_is_t"],
+    )
+    counts = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("_cr"),
+        F.count_if(F.col("_is_t")).alias("_ct"),
+    )
+    tots = counts.agg(
+        F.sum("_cr").cast("double").alias("_tr"),
+        F.sum("_ct").cast("double").alias("_tt"),
+    )
+    b = F.lit(float(n_buckets))
+    micro = lambda c: F.round(F.round(c, 6) * F.lit(1e6), 0).cast("long")  # noqa: E731
+    w_of = lambda ct, cr: (  # noqa: E731
+        micro(F.log((ct + 1) / (F.col("_tt") + b)))
+        - micro(F.log((cr + 1) / (F.col("_tr") + b)))
+    )
+    observed = counts.crossJoin(F.broadcast(tots)).select(
+        "bucket", w_of(F.col("_ct"), F.col("_cr")).alias("w_micro")
+    )
+    default = tots.select(
+        F.lit(-1).cast("long").alias("bucket"),
+        w_of(F.lit(0.0), F.lit(0.0)).alias("w_micro"),
+    )
+    return observed.unionByName(default)
+
+
+def classifier_score(
+    df: DataFrame,
+    weights: DataFrame,
+    n_buckets: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bigrams: bool = True,
+    lowercase: bool = True,
+    broadcast_weights: bool = True,
+) -> DataFrame:
+    """Score documents under a hashed-n-gram linear model: per doc,
+    ``score_micro`` = integer sum of the weight of every feature occurrence
+    (unseen buckets take the weight table's ``bucket = -1`` default), plus
+    ``mean_logodds`` = round-6 per-token mean in nats — the length-
+    normalized quantity a keep/drop threshold should compare (integer-sum
+    division, so it is order-independent and engine-exact).  Docs with zero
+    features get (0, 0, 0.0).
+
+    Scale shape: features are (id, 8 B) rows; the weight join is a
+    broadcast hash join (weights ≤ n_buckets + 1 rows by construction —
+    set ``broadcast_weights=False`` only to force the shuffle plan for
+    testing); the per-doc aggregate is one id-keyed shuffle with map-side
+    partial sums.  Text never enters an exchange."""
+    feats = hashed_feature_table(
+        df, n_buckets, text_col, id_col, bigrams, lowercase
+    )
+    defw = weights.filter(F.col("bucket") == -1).agg(
+        F.coalesce(F.max("w_micro"), F.lit(0)).cast("long").alias("_defw")
+    )
+    w = weights.filter(F.col("bucket") != -1)
+    if broadcast_weights:
+        w, defw = F.broadcast(w), F.broadcast(defw)
+    scored = (
+        feats.join(w, "bucket", "left")
+        .crossJoin(defw)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum(F.coalesce(F.col("w_micro"), F.col("_defw")))
+            .cast("long")
+            .alias("score_micro"),
+        )
+    )
+    return df.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_feats", F.lit(0).cast("long")).alias("n_feats"),
+        F.coalesce("score_micro", F.lit(0).cast("long")).alias("score_micro"),
+        F.when(
+            F.coalesce("n_feats", F.lit(0)) > 0,
+            F.round(
+                F.col("score_micro").cast("double")
+                / F.col("n_feats")
+                / F.lit(1e6),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mean_logodds"),
+    )
+
+
+def ngram_quality_classifier(
+    df: DataFrame,
+    target: F.Column,
+    n_buckets: int = 1 << 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bigrams: bool = True,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Train-and-score convenience: NB log-odds weights toward ``target``
+    over this corpus, then every doc scored under them — the single-job
+    form of the GPT-3-style quality-classifier gate.  For scoring a NEW
+    corpus under persisted weights, call ``train_ngram_quality`` once,
+    write the (≤ n_buckets + 1)-row table, and ``classifier_score`` each
+    increment against it."""
+    w = train_ngram_quality(
+        df, target, n_buckets, text_col, id_col, bigrams, lowercase
+    )
+    return classifier_score(
+        df, w, n_buckets, text_col, id_col, bigrams, lowercase
+    )

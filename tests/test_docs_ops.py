@@ -618,3 +618,65 @@ def test_image_feature_extract_end_to_end(spark):
         assert np.allclose(r["channel_means"], img.reshape(-1, 3).mean(axis=0))
         assert r["decode_error"] is None
     assert out[3]["px_mean"] is None and "unsupported" in out[3]["decode_error"]
+
+
+def test_semantic_decontam_matmul_equals_expression_path(spark, embeddings):
+    """The zero-join matmul production path and the broadcast-cross-join
+    expression (oracle-twin) path must produce IDENTICAL rows — round-6
+    before the max in both, so the scores are bit-equal."""
+    bench = embeddings.filter(F.col("vec_id") % 37 == 0)
+    corp = embeddings.filter(F.col("vec_id") % 37 != 0)
+    expr_rows = {
+        (r["vec_id"], r["max_bench_cos"], r["contaminated"])
+        for r in similarity.semantic_decontaminate(
+            corp, bench, threshold=0.3
+        ).collect()
+    }
+    mm_rows = {
+        (r["vec_id"], r["max_bench_cos"], r["contaminated"])
+        for r in similarity.semantic_decontaminate_matmul(
+            corp, bench, threshold=0.3
+        ).collect()
+    }
+    assert mm_rows == expr_rows
+    assert len(mm_rows) == corp.count()
+    assert any(c for _, _, c in mm_rows)
+    assert not all(c for _, _, c in mm_rows)
+
+
+def test_semantic_decontam_flags_planted_copy(spark):
+    """A corpus vector identical to a bench vector scores cosine 1.0 and is
+    flagged; an orthogonal one scores 0.0 and is not — at any threshold in
+    (0, 1]."""
+    corp = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 0.0, 2.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    bench = spark.createDataFrame(
+        [(100, [2.0, 0.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    for fn in (
+        similarity.semantic_decontaminate,
+        similarity.semantic_decontaminate_matmul,
+    ):
+        got = {
+            r["vec_id"]: (r["max_bench_cos"], r["contaminated"])
+            for r in fn(corp, bench, threshold=0.99).collect()
+        }
+        assert got[1] == (1.0, True)
+        assert got[2] == (0.0, False)
+
+
+def test_semantic_decontam_matmul_guards(spark, embeddings):
+    """Loud failures: an empty benchmark set, and a benchmark set larger
+    than the driver-collect bound."""
+    bench = embeddings.filter(F.col("vec_id") % 37 == 0)
+    with pytest.raises(ValueError, match="no non-null vectors"):
+        similarity.semantic_decontaminate_matmul(
+            embeddings, bench.filter(F.lit(False)), threshold=0.5
+        )
+    with pytest.raises(ValueError, match="max_bench"):
+        similarity.semantic_decontaminate_matmul(
+            embeddings, bench, threshold=0.5, max_bench=3
+        )

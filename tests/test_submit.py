@@ -123,9 +123,9 @@ def test_submit_corpus_job(pkg_zip, tmp_path):
 
 def test_submit_corpus_job_full_stage_chain(pkg_zip, tmp_path):
     """Every round-4 corpus stage on at once: span dedup (filter mode),
-    surprise quality gate, DSIR top-K selection, temperature mixing,
-    leakage-safe split, and the vocabulary sidecar — proving the flags
-    compose in one spark-submit."""
+    surprise quality gate, NB-classifier quality gate, DSIR top-K
+    selection, temperature mixing, leakage-safe split, and the vocabulary
+    sidecar — proving the flags compose in one spark-submit."""
     res = _submit(
         pkg_zip,
         "run_corpus.py",
@@ -137,6 +137,9 @@ def test_submit_corpus_job_full_stage_chain(pkg_zip, tmp_path):
             "--span-action", "filter",
             "--span-max-coverage", "0.9",
             "--max-surprise", "20.0",
+            "--classifier-min-mean", "-10.0",
+            "--classifier-target", "lang = 'en'",
+            "--classifier-buckets", "4096",
             "--dsir-top", "300",
             "--dsir-target", "lang = 'en'",
             "--temperature", "2.0",
@@ -150,6 +153,7 @@ def test_submit_corpus_job_full_stage_chain(pkg_zip, tmp_path):
         res["n_input"]
         >= res["n_after_repetition_filter"]
         >= res["n_after_span_dedup"]
+        >= res["n_after_classifier"]
         >= res["n_after_dsir"]
         >= res["n_after_sampling"]
         > 0
@@ -166,6 +170,26 @@ def test_submit_corpus_job_full_stage_chain(pkg_zip, tmp_path):
         f"SELECT count(*), min(vocab_rank) FROM read_parquet('{tmp_path}/cp/vocab/*.parquet')"
     ).fetchone()
     assert 0 < vocab[0] <= 50 and vocab[1] == 1
+
+
+def test_corpus_job_fails_loudly_when_a_gate_empties_the_corpus(tmp_path):
+    """A gate strict enough to drop every doc must exit with the per-stage
+    counts in the message, not die later with an opaque schema-inference
+    error on the empty shards read-back (plain-python launch: the loud
+    guard is driver code, no executor path involved)."""
+    env = dict(os.environ)
+    out = subprocess.run(
+        [
+            "python", str(REPO / "jobs" / "run_corpus.py"),
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--out", str(tmp_path / "cp"),
+            "--classifier-min-mean", "1000.0",
+        ],
+        cwd=str(REPO), env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode != 0
+    assert "no documents survived" in out.stderr
+    assert '"n_after_classifier": 0' in out.stderr
 
 
 def test_submit_transcript_corpus_job(pkg_zip, tmp_path):

@@ -113,3 +113,147 @@ def test_dsir_weights_favor_target_vocabulary(spark):
     assert top == [1, 5]
     with pytest.raises(ValueError, match="k must be"):
         dsir_select(df, F.col("is_t"), k=0)
+
+
+def _clf_mirror(rows, target_ids, n_buckets, bigrams=True):
+    """Pure-Python mirror of the hashed-n-gram NB classifier: feature
+    hashing (md5-u32 mod B), add-1 NB log-odds over the FIXED bucket
+    space, per-doc integer micro-nat sums."""
+    import hashlib
+    import re
+
+    def feats(text):
+        toks = [t.lower() for t in re.split(r"[^\w']+", text.strip()) if t]
+        out = list(toks)
+        if bigrams:
+            out += [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        return [
+            int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % n_buckets
+            for f in out
+        ]
+
+    cr, ct = {}, {}
+    for doc_id, text in rows:
+        for b in feats(text):
+            cr[b] = cr.get(b, 0) + 1
+            if doc_id in target_ids:
+                ct[b] = ct.get(b, 0) + 1
+    tr, tt = sum(cr.values()), sum(ct.values())
+
+    def micro(p):
+        return round(round(math.log(p), 6) * 1e6)
+
+    w = {
+        b: micro((ct.get(b, 0) + 1) / (tt + n_buckets))
+        - micro((c + 1) / (tr + n_buckets))
+        for b, c in cr.items()
+    }
+    default = micro(1 / (tt + n_buckets)) - micro(1 / (tr + n_buckets))
+    scores = {}
+    for doc_id, text in rows:
+        fs = feats(text)
+        scores[doc_id] = (len(fs), sum(w.get(b, default) for b in fs))
+    return w, default, scores
+
+
+def test_classifier_matches_python_mirror(spark):
+    """End-to-end closed form: train + score on a planted corpus must equal
+    an independent pure-Python recompute of hashing, NB weights and sums."""
+    from pyspark.sql import functions as F
+
+    from log_analysis_spark.operators.textstats import ngram_quality_classifier
+
+    rows = [
+        (1, "good clean prose flows well"),
+        (2, "good prose reads well enough"),
+        (3, "buy cheap pills now now now"),
+        (4, "cheap cheap buy buy now"),
+        (5, "good prose but buy pills"),
+        (6, ""),
+    ]
+    target = {1, 2}
+    df = spark.createDataFrame(
+        [(i, t, i in target) for i, t in rows],
+        "doc_id long, text string, is_t boolean",
+    )
+    got = {
+        r["doc_id"]: (r["n_feats"], r["score_micro"], r["mean_logodds"])
+        for r in ngram_quality_classifier(
+            df, F.col("is_t"), n_buckets=1 << 16
+        ).collect()
+    }
+    _, _, want = _clf_mirror(rows, target, 1 << 16)
+    for doc_id, (nf, sm) in want.items():
+        mean = round(sm / nf / 1e6, 6) if nf else 0.0
+        assert got[doc_id] == (nf, sm, mean), doc_id
+    assert got[6] == (0, 0, 0.0)
+    # the target-voc docs outrank the spam docs on the normalized mean
+    assert min(got[1][2], got[2][2]) > max(got[3][2], got[4][2])
+
+
+def test_classifier_bigram_sensitivity(spark):
+    """Same unigrams, different order: only the bigram features separate
+    the classes — with bigrams on the scores differ, with bigrams off they
+    collapse to equal."""
+    from pyspark.sql import functions as F
+
+    from log_analysis_spark.operators.textstats import ngram_quality_classifier
+
+    rows = [
+        (1, "alpha beta", True),
+        (2, "alpha beta", True),
+        (3, "beta alpha", False),
+        (4, "beta alpha", False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    with_bg = {
+        r["doc_id"]: r["score_micro"]
+        for r in ngram_quality_classifier(
+            df, F.col("is_t"), n_buckets=1 << 16
+        ).collect()
+    }
+    assert with_bg[1] > with_bg[3]
+    no_bg = {
+        r["doc_id"]: r["score_micro"]
+        for r in ngram_quality_classifier(
+            df, F.col("is_t"), n_buckets=1 << 16, bigrams=False
+        ).collect()
+    }
+    assert no_bg[1] == no_bg[3]
+
+
+def test_classifier_default_weight_scores_unseen_corpus(spark):
+    """Persisted-weights path: score a NEW corpus whose tokens were never
+    seen in training — every feature takes the bucket=-1 default weight."""
+    from pyspark.sql import functions as F
+
+    from log_analysis_spark.operators.textstats import (
+        classifier_score,
+        train_ngram_quality,
+    )
+
+    B = 1 << 16
+    train = spark.createDataFrame(
+        [(1, "alpha beta", True), (2, "gamma delta", False)],
+        "doc_id long, text string, is_t boolean",
+    )
+    w = train_ngram_quality(train, F.col("is_t"), n_buckets=B)
+    default = w.filter("bucket = -1").collect()[0]["w_micro"]
+    new = spark.createDataFrame(
+        [(10, "zzzznovel qqqqtoken")], "doc_id long, text string"
+    )
+    got = classifier_score(new, w, n_buckets=B).collect()[0]
+    # 2 unigrams + 1 bigram, all unseen (md5 buckets of novel strings
+    # colliding with the 5 trained buckets has probability ~2e-4)
+    assert got["n_feats"] == 3
+    assert got["score_micro"] == 3 * default
+
+
+def test_classifier_validation(spark):
+    from pyspark.sql import functions as F
+
+    from log_analysis_spark.operators.textstats import train_ngram_quality
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n_buckets"):
+        train_ngram_quality(df, F.lit(True), n_buckets=1)

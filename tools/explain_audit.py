@@ -607,6 +607,47 @@ def main() -> int:
     sections.append(("Leakage-safe split (pruned label-attach join)",
                      executed(lk), notes))
 
+    # quality classifier: the corpus-sized shuffles carry (id/bucket, 8 B)
+    # rows — text never enters an exchange — and the weight table joins
+    # back by broadcast (it is <= n_buckets + 1 rows by construction)
+    qc = textstats.ngram_quality_classifier(
+        docs, F.col("lang") == "en", n_buckets=4096
+    )
+    qc_plan = executed(qc)
+    qc_shufs = shuffle_schemas(qc)
+    qc_text = [
+        (p, cols) for p, cols in qc_shufs if any("text" in c for c in cols)
+    ]
+    notes = [
+        check("quality_classifier: no shuffle carries the text column",
+              not qc_text,
+              f"{len(qc_shufs)} shuffles; text-bearing={qc_text[:1]}"),
+        check("quality_classifier: weight join is broadcast",
+              "BroadcastHashJoin" in qc_plan),
+    ]
+    sections.append(("Quality classifier (hashed-feature shuffles, broadcast weights)",
+                     qc_plan, notes))
+
+    # semantic decontamination (matmul production path): the corpus side is
+    # scan -> mapInPandas with ZERO exchanges — the bench matrix rides in
+    # the closure, so cost is one pass over the embedding column
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sdec = similarity.semantic_decontaminate_matmul(
+        emb.filter(F.col("vec_id") % 37 != 0),
+        emb.filter(F.col("vec_id") % 37 == 0),
+        threshold=0.3,
+    )
+    sdec_plan = executed(sdec)
+    sdec_shufs = shuffle_schemas(sdec)
+    notes = [
+        check("semantic_decontam_matmul: zero shuffles (scan -> mapInPandas)",
+              not sdec_shufs, f"shuffles={sdec_shufs[:2]}"),
+        check("semantic_decontam_matmul: no join operator in the plan",
+              "Join" not in sdec_plan),
+    ]
+    sections.append(("Semantic decontamination (zero-shuffle matmul scan)",
+                     sdec_plan, notes))
+
     # ---- write EXPLAIN.md -------------------------------------------------
     md = ["# EXPLAIN audit — physical plans vs 100 TB design intents",
           "",
