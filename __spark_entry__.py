@@ -930,6 +930,19 @@ def q_embed_d4_prune(spark, sf_dir):
     )
 
 
+def q_embed_cluster_balanced(spark, sf_dir):
+    """Cluster-balanced downsampling: nearest-md5-seed-centroid assignment,
+    then each cluster sampled at min(1, cap/n_c) via the 'cbal:'-prefixed
+    md5-u16 draw — the embedding-space mixture flattener.  The oracle
+    rebuilds seeds, assignment, per-cluster rates and the integer-threshold
+    draw end to end."""
+    emb = _embeddings(spark, sf_dir)
+    cents = similarity.md5_seed_centroids(emb, n_centroids=8)
+    return semdedup.cluster_balanced_sample(
+        emb, cap_per_cluster=40, cents=cents
+    )
+
+
 def q_corpus_dsir_select(spark, sf_dir):
     """DSIR (Xie et al. 2023) data selection: top-100 docs by unigram-LM
     importance weight toward the lang='en' slice (integer micro-nat log
@@ -948,6 +961,32 @@ def q_doc_quality_classifier(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return textstats.ngram_quality_classifier(
         docs, F.col("lang") == "en", n_buckets=4096
+    )
+
+
+def q_doc_winnow(spark, sf_dir):
+    """Full winnowing fingerprints (Schleimer et al. 2003): md5 over every
+    16-char gram, window of 8 gram hashes, min-per-window with rightmost
+    tie-break, distinct (pos, hash) pairs.  The oracle replays gram
+    hashing, the reversed-list rightmost-min rule and the dedup in DuckDB
+    list algebra; xxhash64 stays the production hash (guarantee tested
+    behaviorally)."""
+    docs = _docs(spark, sf_dir)
+    return textstats.winnow_fingerprints(docs, k=16, w=8, hash_impl="md5")
+
+
+def q_doc_pareto_gate(spark, sf_dir):
+    """GPT-3's stochastic quality gate (Brown et al. 2020 App. A): NB
+    classifier scores mapped through sigmoid, then keep iff a deterministic
+    Pareto(9) draw (md5-u16 under a 'pareto:' domain prefix, pre-inverted
+    through the CDF) exceeds 1 - quality.  The oracle rebuilds the whole
+    classifier chain AND the gate arithmetic."""
+    docs = _docs(spark, sf_dir)
+    scored = textstats.ngram_quality_classifier(
+        docs, F.col("lang") == "en", n_buckets=4096
+    )
+    return textstats.pareto_classifier_gate(scored, alpha=9.0).select(
+        "doc_id", "mean_logodds", "keep_pareto"
     )
 
 
@@ -1109,11 +1148,14 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_span_clean": q_doc_dup_span_clean,
         "embed_semdedup": q_embed_semdedup,
         "embed_d4_prune": q_embed_d4_prune,
+        "embed_cluster_balanced": q_embed_cluster_balanced,
         "corpus_dsir_select": q_corpus_dsir_select,
         "corpus_leakage_split": q_corpus_leakage_split,
         "corpus_vocabulary": q_corpus_vocabulary,
         "doc_unigram_surprise": q_doc_unigram_surprise,
         "doc_quality_classifier": q_doc_quality_classifier,
+        "doc_pareto_gate": q_doc_pareto_gate,
+        "doc_winnow": q_doc_winnow,
         "embed_semantic_decontam": q_embed_semantic_decontam,
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_simhash": q_doc_simhash,
@@ -1209,11 +1251,16 @@ def retired_oracle_sql() -> dict[str, str]:
         "embed_d4_prune": _d4_oracle(
             threshold=0.3, keep_fraction=0.5, n_centroids=8
         ),
+        "embed_cluster_balanced": _cluster_balanced_oracle(
+            cap_per_cluster=40, n_centroids=8
+        ),
         "corpus_dsir_select": _dsir_select_oracle(k=100),
         "corpus_leakage_split": _leakage_split_oracle(eval_fraction=0.1),
         "corpus_vocabulary": _vocabulary_oracle(top_v=200),
         "doc_unigram_surprise": _UNIGRAM_SURPRISE_ORACLE,
         "doc_quality_classifier": _quality_classifier_oracle(n_buckets=4096),
+        "doc_pareto_gate": _pareto_gate_oracle(n_buckets=4096, alpha=9.0),
+        "doc_winnow": _winnow_oracle(k=16, w=8),
         "embed_semantic_decontam": _semantic_decontam_oracle(threshold=0.3),
     }
 
@@ -1735,6 +1782,19 @@ def _quality_classifier_oracle(n_buckets: int, target_sql: str = "lang = 'en'") 
     Naive-Bayes log-likelihood-ratio weights with add-1 smoothing over the
     FIXED bucket space, round-6 micro-nat quantization, per-doc integer
     sums and the length-normalized round-6 mean."""
+    return (
+        _classifier_ctes(n_buckets, target_sql)
+        + """
+SELECT doc_id, n_feats, score_micro, mean_logodds FROM docscores
+"""
+    )
+
+
+def _classifier_ctes(n_buckets: int, target_sql: str) -> str:
+    """Shared WITH-chain rebuilding the NB classifier end to end, ending in
+    ``docscores(doc_id, n_feats, score_micro, mean_logodds)`` — used by the
+    classifier oracle and the Pareto-gate oracle so the two recomputes
+    cannot drift."""
     return f"""
 WITH toks AS (
   SELECT doc_id, list_filter({_DOC_TOKENS}, x -> x <> '') AS t FROM documents
@@ -1758,14 +1818,64 @@ w AS (SELECT bucket,
 scored AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
          CAST(sum(w_micro) AS BIGINT) AS score_micro
-  FROM fb JOIN w USING (bucket) GROUP BY doc_id)
-SELECT d.doc_id, COALESCE(s.n_feats, 0) AS n_feats,
-       COALESCE(s.score_micro, 0) AS score_micro,
-       CASE WHEN COALESCE(s.n_feats, 0) > 0
-            THEN round(CAST(s.score_micro AS DOUBLE) / s.n_feats / 1000000.0, 6)
-            ELSE 0.0 END AS mean_logodds
-FROM documents d LEFT JOIN scored s USING (doc_id)
+  FROM fb JOIN w USING (bucket) GROUP BY doc_id),
+docscores AS (
+  SELECT d.doc_id, COALESCE(s.n_feats, 0) AS n_feats,
+         COALESCE(s.score_micro, 0) AS score_micro,
+         CASE WHEN COALESCE(s.n_feats, 0) > 0
+              THEN round(CAST(s.score_micro AS DOUBLE) / s.n_feats / 1000000.0, 6)
+              ELSE 0.0 END AS mean_logodds
+  FROM documents d LEFT JOIN scored s USING (doc_id))"""
+
+
+def _winnow_oracle(k: int, w: int) -> str:
+    """Independent recompute of q_doc_winnow: per doc, md5 over every
+    k-char gram, then for each of max(grams - w + 1, 1) windows the
+    rightmost position of the window's (lexicographic) min hash — found as
+    list_position in the REVERSED slice — deduped, with the gram hash
+    recomputed from the selected position (pos determines hash, so
+    distinct-pos == distinct-(pos, hash))."""
+    slc = f"list_slice(h, i, i + {w - 1})"
+    return f"""
+WITH g AS (
+  SELECT doc_id, text,
+         list_transform(range(1, length(text) - {k} + 2),
+                        i -> md5(substr(text, i, {k}))) AS h
+  FROM documents WHERE length(text) >= {k}
+),
+sel AS (
+  SELECT doc_id, text,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(h) - {w - 1}, 1) + 1),
+           i -> i + len({slc})
+                  - list_position(list_reverse({slc}), list_min({slc}))
+         ))) AS pos
+  FROM g
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       md5(substr(text, CAST(pos AS INTEGER), {k})) AS gram_hash
+FROM sel
 """
+
+
+def _pareto_gate_oracle(
+    n_buckets: int, alpha: float, target_sql: str = "lang = 'en'"
+) -> str:
+    """Independent recompute of q_doc_pareto_gate: the classifier chain
+    (shared CTEs), then the pre-inverted Pareto rule — keep iff the doc's
+    'pareto:'-prefixed md5-u16 uniform clears
+    floor(round6(1 - (2 - sigmoid(score))^(-alpha)) * 65536)."""
+    return (
+        _classifier_ctes(n_buckets, target_sql)
+        + f"""
+SELECT doc_id, mean_logodds,
+       ({_u16_sql("'pareto:' || CAST(doc_id AS STRING)")})
+       >= CAST(floor(round(
+            1 - pow(2 - 1.0 / (1 + exp(-mean_logodds)), -{alpha}), 6
+          ) * 65536.0) AS BIGINT) AS keep_pareto
+FROM docscores
+"""
+    )
 
 
 def _semantic_decontam_oracle(threshold: float, bench_mod: int = 37) -> str:
@@ -1944,6 +2054,42 @@ reach(id, r) AS (
 reps AS (SELECT id, min(r) AS rep_id FROM reach GROUP BY id)
 SELECT a.vec_id, CAST(a.centroid_id AS INTEGER) AS centroid_id
 FROM assigned a JOIN reps g ON g.id = a.vec_id AND g.rep_id = a.vec_id
+"""
+
+
+def _cluster_balanced_oracle(cap_per_cluster: int, n_centroids: int) -> str:
+    """Independent recompute of q_embed_cluster_balanced: md5-ordered seed
+    centroids, nearest-centroid assignment (ties -> lowest cid), per-cluster
+    keep rate min(1, cap/n), floor(round6(rate)*65536) integer threshold vs
+    the 'cbal:'-prefixed md5-u16 draw."""
+    return f"""
+WITH {_UNIT_VEC.strip()},
+cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS cid,
+         list_transform(unit, x -> round(x, 6)) AS cvec
+  FROM unitv
+  ORDER BY md5(CAST(vec_id AS VARCHAR))
+  LIMIT {n_centroids}
+),
+assigned AS (
+  SELECT vec_id, cid AS centroid_id FROM (
+    SELECT u.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY u.vec_id
+             ORDER BY round(list_inner_product(u.unit, c.cvec), 6) DESC, c.cid
+           ) AS rn
+    FROM unitv u CROSS JOIN cents c)
+  WHERE rn = 1
+),
+thr AS (
+  SELECT centroid_id,
+         CAST(floor(round(least(1.0, {cap_per_cluster}.0 / count(*)), 6)
+                    * 65536.0) AS BIGINT) AS t
+  FROM assigned GROUP BY centroid_id
+)
+SELECT a.vec_id, CAST(a.centroid_id AS INTEGER) AS centroid_id
+FROM assigned a JOIN thr USING (centroid_id)
+WHERE ({_u16_sql("'cbal:' || CAST(a.vec_id AS STRING)")}) < thr.t
 """
 
 

@@ -319,6 +319,25 @@ def main() -> None:
         .collect(),
     )
 
+    # full winnowing fingerprints, production xxhash64 path: pure
+    # projection + explode, O(grams * w) JVM work per doc, zero shuffle
+    timed(
+        "doc_winnow",
+        lambda: textstats_ops.winnow_fingerprints(
+            docs, k=16, w=8, hash_impl="xxhash64"
+        ).count(),
+    )
+
+    # cluster-balanced embedding downsampling: projection assignment +
+    # k-row count aggregate + broadcast rate join + pure filter
+    timed(
+        "embed_cluster_balanced",
+        lambda: semdedup_ops.cluster_balanced_sample(
+            emb, cap_per_cluster=200,
+            cents=similarity.md5_seed_centroids(emb, n_centroids=8),
+        ).count(),
+    )
+
     # semantic decontamination, matmul production path: one zero-shuffle
     # pass of the corpus against the broadcast bench matrix
     timed(

@@ -120,6 +120,12 @@ def main() -> None:
         "high-quality exemplar slice",
     )
     ap.add_argument("--classifier-buckets", type=int, default=1 << 16)
+    ap.add_argument(
+        "--classifier-pareto-alpha", type=float, default=None,
+        help="GPT-3-style stochastic gate: instead of the hard "
+        "--classifier-min-mean cut, keep each doc iff a deterministic "
+        "Pareto(alpha) draw exceeds 1 - sigmoid(score)",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -216,16 +222,35 @@ def main() -> None:
             .drop("surprise")
         )
 
-    if args.classifier_min_mean is not None:
+    if (
+        args.classifier_min_mean is not None
+        and args.classifier_pareto_alpha is not None
+    ):
+        raise SystemExit(
+            "--classifier-min-mean and --classifier-pareto-alpha are "
+            "mutually exclusive gates"
+        )
+    if (
+        args.classifier_min_mean is not None
+        or args.classifier_pareto_alpha is not None
+    ):
         scored = textstats.ngram_quality_classifier(
             docs, F.expr(args.classifier_target),
             n_buckets=args.classifier_buckets,
         ).select("doc_id", "mean_logodds")
-        docs, n_classifier = _materialize(
-            docs.join(scored, "doc_id")
-            .filter(F.col("mean_logodds") >= args.classifier_min_mean)
-            .drop("mean_logodds")
-        )
+        if args.classifier_pareto_alpha is not None:
+            keep = (
+                textstats.pareto_classifier_gate(
+                    scored, alpha=args.classifier_pareto_alpha
+                )
+                .filter(F.col("keep_pareto"))
+                .select("doc_id")
+            )
+        else:
+            keep = scored.filter(
+                F.col("mean_logodds") >= args.classifier_min_mean
+            ).select("doc_id")
+        docs, n_classifier = _materialize(docs.join(keep, "doc_id"))
     else:
         n_classifier = None
 

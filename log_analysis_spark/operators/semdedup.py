@@ -54,7 +54,13 @@ from .similarity import (
     with_unit_vec,
 )
 
-__all__ = ["semdedup_pairs", "semdedup", "prototype_scores", "d4_prune"]
+__all__ = [
+    "semdedup_pairs",
+    "semdedup",
+    "prototype_scores",
+    "d4_prune",
+    "cluster_balanced_sample",
+]
 
 
 def _check_cluster_sizes(assigned: DataFrame, max_cluster: int) -> None:
@@ -275,4 +281,65 @@ def d4_prune(
         .withColumn("_drop", n_drop)
         .filter(F.col("_rn") > F.col("_drop"))
         .select(id_col, "centroid_id", "proto")
+    )
+
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    cap_per_cluster: int,
+    cents: list[list[float]] | None = None,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-balanced downsampling: assign every vector to its nearest
+    centroid, then sample each cluster at ``rate_c = min(1, cap / n_c)`` so
+    the expected kept size per cluster is flattened toward ``cap`` — the
+    embedding-space counterpart of ``corpus.temperature_mix`` (T -> inf),
+    used to keep a pretraining mix from being dominated by one dense
+    semantic region.  Returns kept rows as (id_col, centroid_id).
+
+    Determinism/exactness: the per-row draw is the md5-u16 uniform under a
+    ``'cbal:'`` domain prefix (decorrelated from the sampling / split /
+    pareto draws); the per-cluster rate is quantized through the
+    ``floor(round6(rate) * 65536)`` integer threshold, the
+    temperature_mix discipline.
+
+    Scale shape: assignment is a pure projection over broadcast centroid
+    literals (zero corpus shuffle); per-cluster counts are one map-side-
+    combinable aggregate (rows out = n_centroids); the rate table joins
+    back by broadcast; the keep decision is a pure filter.  Vectors never
+    enter an exchange."""
+    if cap_per_cluster < 1:
+        raise ValueError(
+            f"cap_per_cluster must be >= 1, got {cap_per_cluster}"
+        )
+    if cents is None:
+        cents = md5_seed_centroids(emb, n_centroids, id_col, vec_col)
+    assigned = assign_to_centroids(emb, cents, id_col, vec_col).select(
+        id_col, "centroid_id"
+    )
+    counts = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    rate = F.least(
+        F.lit(1.0), F.lit(float(cap_per_cluster)) / F.col("_n")
+    )
+    thr = counts.select(
+        "centroid_id",
+        F.floor(F.round(rate, 6) * F.lit(65536.0)).cast("long").alias("_thr"),
+    )
+    u16 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("cbal:"), F.col(id_col).cast("string"))),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        assigned.join(F.broadcast(thr), "centroid_id")
+        .filter(u16 < F.col("_thr"))
+        .select(id_col, "centroid_id")
     )

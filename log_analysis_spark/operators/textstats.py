@@ -157,6 +157,63 @@ def with_fingerprint_md5(df: DataFrame, text_col: str = "text", k: int = 16) -> 
     return df.withColumn("fingerprint_md5", F.array_min(win_hashes))
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 16,
+    w: int = 8,
+    hash_impl: str = "xxhash64",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full winnowing (Schleimer et al. 2003, SIGMOD): hash every k-char
+    gram, slide a window of ``w`` gram hashes, select each window's MINIMUM
+    hash taking the RIGHTMOST occurrence on ties, and emit the distinct
+    selected (pos, gram_hash) pairs — the document's fingerprint sketch.
+    The winnowing guarantee: any substring shared between two documents of
+    length >= w + k - 1 chars produces at least one shared fingerprint, at
+    ~2/(w+1) expected density (vs the single-min ``with_fingerprint``,
+    which only catches whole-document near-identity).
+
+    ``hash_impl='xxhash64'`` is production (long hashes, min = numeric);
+    ``'md5'`` is the engine-portable twin (hex strings, min = lexicographic
+    — identical rule in DuckDB) used by the exact contract oracle.
+
+    Scale shape: pure projection + explode — sequence/transform/slice/
+    array_min/array_position are all JVM expressions inside
+    WholeStageCodegen; no Python, no shuffle, text never leaves the scan.
+    Per-doc work is O(grams * w); docs shorter than k chars emit nothing.
+    The rightmost-min is found by position of the min in the REVERSED
+    window (first match there = last match forward), so ties need no
+    second pass."""
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k}, w={w}")
+    if hash_impl not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash_impl: {hash_impl!r}")
+    t = F.col(text_col)
+    hfn = F.xxhash64 if hash_impl == "xxhash64" else F.md5
+    m = F.length(t) - F.lit(k - 1)  # gram count
+    h = F.transform(
+        F.sequence(F.lit(1), m), lambda i: hfn(F.substring(t, i, k))
+    )
+    n_win = F.greatest(m - F.lit(w - 1), F.lit(1))
+
+    def pick(i):
+        s = F.slice(h, i, w)  # clamps to the array end when m < i+w-1
+        mn = F.array_min(s)
+        rpos = F.size(s) + 1 - F.array_position(F.reverse(s), mn)
+        return F.struct(
+            (i + rpos - 1).cast("long").alias("pos"), mn.alias("gram_hash")
+        )
+
+    sel = F.array_distinct(F.transform(F.sequence(F.lit(1), n_win), pick))
+    return (
+        df.filter(F.length(t) >= k)
+        .select(F.col(id_col), F.explode(sel).alias("_fp"))
+        .select(id_col, F.col("_fp.pos").alias("pos"),
+                F.col("_fp.gram_hash").alias("gram_hash"))
+    )
+
+
 def token_table(
     df: DataFrame,
     text_col: str = "text",
@@ -517,6 +574,48 @@ def classifier_score(
         .otherwise(F.lit(0.0))
         .alias("mean_logodds"),
     )
+
+
+def pareto_classifier_gate(
+    scored: DataFrame,
+    alpha: float = 9.0,
+    score_col: str = "mean_logodds",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-3's stochastic quality gate (Brown et al. 2020, Appendix A):
+    instead of a hard threshold, a document survives iff
+    ``pareto_draw(alpha) > 1 - quality`` — low-scoring docs still get in
+    with probability ``(2 - quality)^(-alpha)``, preserving tail diversity
+    the hard cut would destroy.  ``quality = sigmoid(score_col)`` maps the
+    classifier's log-odds to the (0,1) range the rule expects.
+
+    The draw is deterministic and engine-portable: the doc's md5-u16
+    uniform under a ``'pareto:'`` domain-separation prefix (decorrelated
+    from the sampling/split draws by construction).  Rather than sampling
+    the Pareto and comparing, the rule is pre-inverted through the CDF —
+    keep iff ``u16 > floor(round6(1 - (2 - sigmoid(score))^(-alpha)) ·
+    65536)`` — so the only float math is one exp + one pow, quantized to
+    round-6 before the integer comparison (the temperature_mix discipline:
+    a last-ulp divergence needs the CDF on a 5e-7 boundary, measure-zero).
+
+    Input is ``classifier_score`` output (or anything carrying
+    ``score_col``); output adds ``keep_pareto``.  Pure projection +
+    filter-ready flag — zero exchanges, composes into the scan."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    quality = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col(score_col)))
+    cdf = F.lit(1.0) - F.pow(F.lit(2.0) - quality, F.lit(-float(alpha)))
+    thr = F.floor(F.round(cdf, 6) * F.lit(65536.0)).cast("long")
+    u16 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("pareto:"), F.col(id_col).cast("string"))),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return scored.withColumn("keep_pareto", u16 >= thr)
 
 
 def ngram_quality_classifier(

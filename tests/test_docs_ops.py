@@ -680,3 +680,74 @@ def test_semantic_decontam_matmul_guards(spark, embeddings):
         similarity.semantic_decontaminate_matmul(
             embeddings, bench, threshold=0.5, max_bench=3
         )
+
+
+def _winnow_py(text, k, w):
+    """Pure-Python winnowing mirror (xxhash-free: md5 hex, lexicographic
+    min, rightmost tie) for exactness checks on hand-built docs."""
+    import hashlib
+
+    grams = [
+        hashlib.md5(text[i : i + k].encode()).hexdigest()
+        for i in range(len(text) - k + 1)
+    ]
+    out = set()
+    n_win = max(len(grams) - w + 1, 1)
+    for i in range(n_win):
+        s = grams[i : i + w]
+        mn = min(s)
+        rpos = len(s) - 1 - s[::-1].index(mn)
+        out.add((i + rpos + 1, mn))  # 1-based positions
+    return out
+
+
+def test_winnow_matches_python_mirror_including_ties(spark):
+    """Hand-built docs — one periodic ('abababab…', every window full of
+    tied hashes, exercising the rightmost-tie rule) and one random-ish —
+    match the pure-Python winnowing replay exactly."""
+    docs = [(1, "ab" * 12), (2, "the quick brown fox jumps over it")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["pos"], r["gram_hash"])
+        for r in textstats.winnow_fingerprints(
+            df, k=4, w=3, hash_impl="md5"
+        ).collect()
+    }
+    expect = {
+        (i, p, h) for i, t in docs for (p, h) in _winnow_py(t, k=4, w=3)
+    }
+    assert got == expect
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """The winnowing guarantee, on the production xxhash64 path: two docs
+    sharing a substring of length >= w + k - 1 share at least one
+    fingerprint hash; docs shorter than k emit nothing."""
+    shared = "zqxjkwvfpbzqxjkwvfpb"  # len 20 >= w + k - 1 = 4 + 8 - 1
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa " + shared + " bbbb"),
+            (2, "cccc " + shared + " dddd"),
+            (3, "unrelated text with none of that"),
+            (4, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = textstats.winnow_fingerprints(df, k=8, w=4, hash_impl="xxhash64")
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["gram_hash"])
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3] & by_doc[2])
+    assert 4 not in by_doc  # shorter than k -> no grams, no rows
+    # density sanity: selected fingerprints ~ 2/(w+1) of gram count
+    n_grams = len(df.collect()[0]["text"]) - 7
+    assert len(by_doc[1]) <= n_grams
+
+
+def test_winnow_validation(spark):
+    df = spark.createDataFrame([(1, "x" * 40)], "doc_id long, text string")
+    with pytest.raises(ValueError, match="k and w"):
+        textstats.winnow_fingerprints(df, k=0, w=4)
+    with pytest.raises(ValueError, match="hash_impl"):
+        textstats.winnow_fingerprints(df, k=4, w=4, hash_impl="sha1")

@@ -148,3 +148,37 @@ def test_leakage_split_edges_and_validation(spark, sf_dir):
     )
     with pytest.raises(ValueError, match="eval_fraction"):
         leakage_safe_split(docs, groups, 1.5)
+
+
+def test_cluster_balanced_sample_flattens_skewed_clusters(spark):
+    """A 60-vector dense bundle vs a 3-vector sparse one at cap 10: the
+    sparse cluster keeps everything (rate 1.0 is an exact 65536 threshold,
+    no draw can lose), the dense one lands near 10, and the kept set is the
+    exact pure-Python replay of the 'cbal:' md5-u16 rule."""
+    import hashlib
+
+    dense = [(i, [1.0, i * 1e-4, 0.0]) for i in range(60)]
+    sparse = [(100 + i, [0.0, 1.0, i * 1e-4]) for i in range(3)]
+    emb = _emb(spark, dense + sparse)
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    kept = {
+        r["vec_id"]: r["centroid_id"]
+        for r in semdedup.cluster_balanced_sample(
+            emb, cap_per_cluster=10, cents=cents
+        ).collect()
+    }
+    assert {v for v in kept if v >= 100} == {100, 101, 102}
+    thr = math.floor(round(10.0 / 60.0, 6) * 65536.0)
+    expect_dense = {
+        i
+        for i in range(60)
+        if int(hashlib.md5(f"cbal:{i}".encode()).hexdigest()[:4], 16) < thr
+    }
+    assert {v for v in kept if v < 100} == expect_dense
+    assert set(kept.values()) == {1, 2}
+
+
+def test_cluster_balanced_sample_validation(spark):
+    emb = _emb(spark, _BUNDLES)
+    with pytest.raises(ValueError, match="cap_per_cluster"):
+        semdedup.cluster_balanced_sample(emb, cap_per_cluster=0)

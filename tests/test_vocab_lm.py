@@ -257,3 +257,38 @@ def test_classifier_validation(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="n_buckets"):
         train_ngram_quality(df, F.lit(True), n_buckets=1)
+
+
+def test_pareto_gate_matches_python_mirror(spark):
+    """keep_pareto for hand-planted scores equals the pure-Python
+    recompute of sigmoid -> pre-inverted Pareto CDF -> md5-u16 integer
+    comparison, across positive/negative/zero scores."""
+    import hashlib
+
+    from log_analysis_spark.operators.textstats import pareto_classifier_gate
+
+    rows = [(i, s) for i, s in enumerate([-3.0, -0.5, 0.0, 0.7, 5.0, -0.08])]
+    df = spark.createDataFrame(rows, "doc_id long, mean_logodds double")
+    got = {
+        r["doc_id"]: r["keep_pareto"]
+        for r in pareto_classifier_gate(df, alpha=9.0).collect()
+    }
+    for i, s in rows:
+        q = 1.0 / (1.0 + math.exp(-s))
+        thr = math.floor(round(1.0 - (2.0 - q) ** -9.0, 6) * 65536.0)
+        u16 = int(hashlib.md5(f"pareto:{i}".encode()).hexdigest()[:4], 16)
+        assert got[i] == (u16 >= thr), (i, s, u16, thr)
+
+
+def test_pareto_gate_extremes_and_validation(spark):
+    """A hugely positive score (quality -> 1, CDF -> 0) survives for every
+    draw; alpha <= 0 raises."""
+    from log_analysis_spark.operators.textstats import pareto_classifier_gate
+
+    df = spark.createDataFrame(
+        [(i, 50.0) for i in range(64)], "doc_id long, mean_logodds double"
+    )
+    out = pareto_classifier_gate(df, alpha=9.0)
+    assert all(r["keep_pareto"] for r in out.collect())
+    with pytest.raises(ValueError, match="alpha"):
+        pareto_classifier_gate(df, alpha=0.0)

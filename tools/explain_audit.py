@@ -648,6 +648,45 @@ def main() -> int:
     sections.append(("Semantic decontamination (zero-shuffle matmul scan)",
                      sdec_plan, notes))
 
+    # winnowing fingerprints: pure projection + explode — the whole sketch
+    # is JVM expression work inside the scan stage, zero exchanges
+    wn = textstats.winnow_fingerprints(docs, k=16, w=8, hash_impl="xxhash64")
+    wn_plan = executed(wn)
+    wn_shufs = shuffle_schemas(wn)
+    notes = [
+        check("winnow: zero shuffles (projection + explode only)",
+              not wn_shufs, f"shuffles={wn_shufs[:2]}"),
+        check("winnow: no Python in the plan",
+              "Python" not in wn_plan and "Arrow" not in wn_plan),
+    ]
+    sections.append(("Winnowing fingerprints (zero-shuffle sketch)",
+                     wn_plan, notes))
+
+    # cluster-balanced sampling: assignment is projection-only, the only
+    # corpus-sized movement is the (centroid_id, count) aggregate — the
+    # rate table comes back by broadcast and no exchange carries a vector
+    from log_analysis_spark.operators import semdedup as semdedup_ops
+    from log_analysis_spark.operators.similarity import md5_seed_centroids
+
+    cbal = semdedup_ops.cluster_balanced_sample(
+        emb, cap_per_cluster=40, cents=md5_seed_centroids(emb, 8)
+    )
+    cbal_plan = executed(cbal)
+    cbal_shufs = shuffle_schemas(cbal)
+    cbal_wide = [
+        (p, cols)
+        for p, cols in cbal_shufs
+        if any("embedding" in c or "unit" in c for c in cols)
+    ]
+    notes = [
+        check("cluster_balanced: no exchange carries a vector column",
+              not cbal_wide, f"{len(cbal_shufs)} shuffles; wide={cbal_wide[:1]}"),
+        check("cluster_balanced: rate table joins back by broadcast",
+              "BroadcastHashJoin" in cbal_plan),
+    ]
+    sections.append(("Cluster-balanced sampling (broadcast rates, narrow agg)",
+                     cbal_plan, notes))
+
     # ---- write EXPLAIN.md -------------------------------------------------
     md = ["# EXPLAIN audit — physical plans vs 100 TB design intents",
           "",
