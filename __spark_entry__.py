@@ -990,6 +990,29 @@ def q_doc_pareto_gate(spark, sf_dir):
     )
 
 
+def q_doc_gopher_rules(spark, sf_dir):
+    """Gopher quality-filter gate (Rae et al. 2021 A1.1) at the paper's
+    thresholds: per-rule booleans + the composite keep flag, every ratio
+    threshold evaluated as a cross-multiplied INTEGER comparison so the
+    DuckDB oracle replays the arithmetic bit-exactly."""
+    docs = _docs(spark, sf_dir)
+    return textstats.gopher_rules(docs).select(
+        "doc_id", "n_words", "g_word_count", "g_mean_word_len",
+        "g_symbol_ratio", "g_bullet_lines", "g_ellipsis_lines",
+        "g_alpha_words", "g_stopwords", "keep_gopher",
+    )
+
+
+def q_doc_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail partitioning (Wenzek et al. 2020 §4.4):
+    per-language equal-mass surprise buckets via the (lang, micro-nat
+    score) histogram CDF — all-integer bucket math, no per-doc rank window.
+    The oracle rebuilds the unigram LM, the histogram and the cumulative
+    cut end to end."""
+    docs = _docs(spark, sf_dir)
+    return textstats.perplexity_buckets(docs, n_buckets=3)
+
+
 def q_embed_semantic_decontam(spark, sf_dir):
     """Embedding-space benchmark decontamination: every corpus vector's max
     round-6 cosine against a deterministic pseudo-eval slice (vec_id % 37
@@ -1156,6 +1179,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_classifier": q_doc_quality_classifier,
         "doc_pareto_gate": q_doc_pareto_gate,
         "doc_winnow": q_doc_winnow,
+        "doc_gopher_rules": q_doc_gopher_rules,
+        "doc_ppl_buckets": q_doc_ppl_buckets,
         "embed_semantic_decontam": q_embed_semantic_decontam,
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_simhash": q_doc_simhash,
@@ -1261,6 +1286,8 @@ def retired_oracle_sql() -> dict[str, str]:
         "doc_quality_classifier": _quality_classifier_oracle(n_buckets=4096),
         "doc_pareto_gate": _pareto_gate_oracle(n_buckets=4096, alpha=9.0),
         "doc_winnow": _winnow_oracle(k=16, w=8),
+        "doc_gopher_rules": _gopher_rules_oracle(),
+        "doc_ppl_buckets": _ppl_buckets_oracle(n_buckets=3),
         "embed_semantic_decontam": _semantic_decontam_oracle(threshold=0.3),
     }
 
@@ -1992,7 +2019,11 @@ SELECT token, n_occ, vocab_rank FROM ranked WHERE vocab_rank <= {top_v}
 """
 
 
-_UNIGRAM_SURPRISE_ORACLE = f"""
+# Shared WITH-chain rebuilding the corpus unigram LM end to end, ending in
+# ``surtbl(doc_id, n_tokens, surprise)`` over ALL documents — used by the
+# unigram-surprise oracle and the perplexity-bucket oracle so the two
+# recomputes cannot drift.
+_SURPRISE_CTES = f"""
 WITH {_TOK_OCC.strip()},
 counts AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
 tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM counts),
@@ -2002,11 +2033,109 @@ lp AS (SELECT tok,
 scored AS (
   SELECT doc_id, count(*) AS n_tokens,
          round(CAST(sum(lpmicro) AS DOUBLE) / count(*) / 1000000.0, 6) AS surprise
-  FROM tok JOIN lp USING (tok) GROUP BY doc_id)
-SELECT d.doc_id,
-       CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
-       COALESCE(s.surprise, 0.0) AS surprise
-FROM documents d LEFT JOIN scored s USING (doc_id)
+  FROM tok JOIN lp USING (tok) GROUP BY doc_id),
+surtbl AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+         COALESCE(s.surprise, 0.0) AS surprise
+  FROM documents d LEFT JOIN scored s USING (doc_id))"""
+
+_UNIGRAM_SURPRISE_ORACLE = (
+    _SURPRISE_CTES
+    + """
+SELECT doc_id, n_tokens, surprise FROM surtbl
+"""
+)
+
+
+def _ppl_buckets_oracle(n_buckets: int) -> str:
+    """Independent recompute of q_doc_ppl_buckets: the full unigram-LM
+    surprise chain (shared CTEs), the per-(lang, micro-nat score)
+    histogram, the strictly-below cumulative count over histogram rows and
+    the all-integer bucket = (cum_below * k) // n_lang cut."""
+    return (
+        _SURPRISE_CTES
+        + f""",
+keyed AS (
+  SELECT s.doc_id, d.lang, s.surprise,
+         CAST(round(s.surprise * 1000000.0) AS BIGINT) AS smicro
+  FROM surtbl s JOIN documents d USING (doc_id)),
+hist AS (SELECT lang, smicro, count(*) AS cnt FROM keyed GROUP BY 1, 2),
+buck AS (
+  SELECT lang, smicro,
+         (COALESCE(sum(cnt) OVER (PARTITION BY lang ORDER BY smicro
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0)
+          * {int(n_buckets)})
+         // (sum(cnt) OVER (PARTITION BY lang)) AS ppl_bucket
+  FROM hist)
+SELECT k.doc_id, k.lang, k.surprise,
+       CAST(b.ppl_bucket AS INTEGER) AS ppl_bucket
+FROM keyed k JOIN buck b USING (lang, smicro)
+"""
+    )
+
+
+def _gopher_rules_oracle(
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean: int = 3,
+    max_mean: int = 10,
+    min_stopwords: int = 2,
+) -> str:
+    """Independent recompute of q_doc_gopher_rules: tokenization, line
+    splitting, the cross-multiplied integer ratio rules and the stopword
+    containment count — all integer arithmetic, bit-exact by construction."""
+    stop_sum = " + ".join(
+        f"CASE WHEN list_contains(lowtoks, '{w}') THEN 1 ELSE 0 END"
+        for w in [
+            "the", "be", "to", "of", "and", "that", "have", "with",
+        ]
+    )
+    return f"""
+WITH feats AS (
+  SELECT doc_id, text,
+         list_filter({_DOC_TOKENS}, x -> x <> '') AS toks,
+         list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS ls
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT)
+      AS sum_len,
+    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+    CAST(len(regexp_extract_all(text, '\\.\\.\\.'))
+         + length(text) - length(replace(text, '…', '')) AS BIGINT) AS n_ell,
+    CAST(len(ls) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(ls, x -> regexp_matches(ltrim(x), '^[-*•]')))
+         AS BIGINT) AS n_bullet,
+    CAST(len(list_filter(ls, x -> regexp_matches(rtrim(x), '(\\.\\.\\.|…)$')))
+         AS BIGINT) AS n_ell_end,
+    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+         AS BIGINT) AS n_alpha,
+    ({stop_sum}) AS n_stop
+  FROM (SELECT doc_id, text, toks, ls,
+               list_transform(toks, x -> lower(x)) AS lowtoks FROM feats)
+),
+rules AS (
+  SELECT doc_id, n_words,
+    n_words >= {min_words} AND n_words <= {max_words} AS g_word_count,
+    sum_len >= {min_mean} * n_words AND sum_len <= {max_mean} * n_words
+      AS g_mean_word_len,
+    n_hash * 10 <= n_words AND n_ell * 10 <= n_words AS g_symbol_ratio,
+    n_bullet * 10 <= n_lines * 9 AS g_bullet_lines,
+    n_ell_end * 10 <= n_lines * 3 AS g_ellipsis_lines,
+    n_alpha * 10 >= n_words * 8 AS g_alpha_words,
+    n_stop >= {min_stopwords} AS g_stopwords
+  FROM base
+)
+SELECT doc_id, n_words, g_word_count, g_mean_word_len, g_symbol_ratio,
+       g_bullet_lines, g_ellipsis_lines, g_alpha_words, g_stopwords,
+       (g_word_count AND g_mean_word_len AND g_symbol_ratio AND
+        g_bullet_lines AND g_ellipsis_lines AND g_alpha_words AND
+        g_stopwords) AS keep_gopher
+FROM rules
 """
 
 

@@ -328,6 +328,24 @@ def main() -> None:
         ).count(),
     )
 
+    # Gopher quality gate: 7 integer rules fused into the scan, zero shuffle
+    timed(
+        "doc_gopher_rules",
+        lambda: textstats_ops.gopher_rules(docs)
+        .filter("keep_gopher")
+        .count(),
+    )
+
+    # CCNet perplexity buckets: unigram LM (token-keyed shuffle) + the
+    # (lang, score)-histogram CDF — no corpus-sized single partition
+    timed(
+        "doc_ppl_buckets",
+        lambda: textstats_ops.perplexity_buckets(docs, n_buckets=3)
+        .groupBy("ppl_bucket")
+        .count()
+        .collect(),
+    )
+
     # cluster-balanced embedding downsampling: projection assignment +
     # k-row count aggregate + broadcast rate join + pure filter
     timed(

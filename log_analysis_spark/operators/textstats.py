@@ -214,6 +214,166 @@ def winnow_fingerprints(
     )
 
 
+# Gopher's required-stopword containment list (Rae et al. 2021, table A1).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    max_symbol_per10: int = 1,
+    max_bullet_per10: int = 9,
+    max_ellipsis_per10: int = 3,
+    min_alpha_per10: int = 8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher quality-filter rules (Rae et al. 2021, "Scaling Language
+    Models", appendix A1.1) — the de-facto standard heuristic gate for web
+    pretraining corpora, reused by MassiveText / RefinedWeb / Dolma:
+
+    - word count in [min_words, max_words];
+    - mean word length in [min_mean_word_len, max_mean_word_len];
+    - '#' and '...' symbol-to-word ratios each <= 0.1;
+    - <= 90% of lines start with a bullet; <= 30% end with an ellipsis;
+    - >= 80% of words contain at least one alphabetic character;
+    - contains >= ``min_stopwords`` distinct words from Gopher's
+      8-stopword containment list.
+
+    Adds one boolean per rule (``g_*``) and ``keep_gopher`` (AND of all).
+
+    Cross-engine exactness: every ratio threshold is evaluated as a
+    CROSS-MULTIPLIED integer comparison — mean word length in [3, 10]
+    becomes ``3*n <= sum_len <= 10*n``, a 0.1 ratio cap becomes
+    ``count*10 <= n`` — so the op involves zero float arithmetic and the
+    DuckDB oracle replays it bit-exactly (thresholds are therefore passed
+    as integer numerators over a fixed denominator of 10).  Empty docs
+    fail the word-count rule; the vacuous ratio rules (0 <= 0) stay true.
+
+    Scale shape: a pure projection — split / filter / aggregate / length
+    are all JVM expressions inside WholeStageCodegen; zero shuffles, zero
+    Python, and at 100 TB the whole gate fuses into the parquet scan.
+    """
+    if min_words < 0 or max_words < min_words:
+        raise ValueError(
+            f"need 0 <= min_words <= max_words, got {min_words}, {max_words}"
+        )
+    t = F.col(text_col)
+    toks = F.filter(tokens_col(text_col), lambda x: x != "")
+    n_words = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    n_hash = (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))).cast(
+        "long"
+    )
+    n_ellipsis = (
+        F.regexp_count(t, F.lit(r"\.\.\."))
+        + F.length(t)
+        - F.length(F.replace(t, F.lit("…"), F.lit("")))
+    ).cast("long")
+    lines = F.filter(F.split(t, "\n"), lambda x: F.trim(x) != "")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(lines, lambda x: F.ltrim(x).rlike(r"^[-*•]"))
+    ).cast("long")
+    n_ell_end = F.size(
+        F.filter(lines, lambda x: F.rtrim(x).rlike(r"(\.\.\.|…)$"))
+    ).cast("long")
+    n_alpha = F.size(
+        F.filter(toks, lambda x: x.rlike("[A-Za-z]"))
+    ).cast("long")
+    lowered = F.transform(toks, lambda x: F.lower(x))
+    n_stop = sum(
+        F.when(F.array_contains(lowered, F.lit(w)), 1).otherwise(0)
+        for w in GOPHER_STOPWORDS
+    )
+    rules = {
+        "g_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "g_mean_word_len": (sum_len >= F.lit(min_mean_word_len) * n_words)
+        & (sum_len <= F.lit(max_mean_word_len) * n_words),
+        "g_symbol_ratio": (n_hash * 10 <= n_words * max_symbol_per10)
+        & (n_ellipsis * 10 <= n_words * max_symbol_per10),
+        "g_bullet_lines": n_bullet * 10 <= n_lines * max_bullet_per10,
+        "g_ellipsis_lines": n_ell_end * 10 <= n_lines * max_ellipsis_per10,
+        "g_alpha_words": n_alpha * 10 >= n_words * min_alpha_per10,
+        "g_stopwords": n_stop >= F.lit(min_stopwords),
+    }
+    out = df.withColumn("n_words", n_words)
+    keep = F.lit(True)
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond)
+        keep = keep & F.col(name)
+    return out.withColumn("keep_gopher", keep)
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    n_buckets: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet's head/middle/tail corpus partitioning (Wenzek et al. 2020,
+    §4.4): per language, rank documents by statistical-LM surprise
+    (``unigram_surprise`` — low = fluent) and cut the ranking into
+    ``n_buckets`` equal-mass buckets; bucket 0 is CCNet's "head" (the
+    highest-quality slice, the one kept for LM pretraining), the last is
+    the "tail".  Output: (id, lang, surprise, ppl_bucket).
+
+    Equal-score documents land in the SAME bucket by construction —
+    CCNet's cutoffs are score thresholds, not per-doc ranks — so the op
+    needs no per-doc tie-break: bucket = floor(cum_below * k / n_lang)
+    where ``cum_below`` counts the language's docs with strictly smaller
+    surprise.  All integer arithmetic over round-6-derived micro-nat
+    scores, hence bit-exact cross-engine.
+
+    Scale shape (why this survives 100 TB where a per-lang rank window
+    dies): ranking 10^12 docs with ``Window.partitionBy(lang)`` funnels
+    each language — 60%+ of a web corpus is one language — through a
+    single partition.  Instead the op aggregates a per-(lang, score)
+    HISTOGRAM (map-side combinable; rows = distinct round-6 scores, vastly
+    smaller than docs), runs the cumulative window over histogram rows
+    only, and joins bucket labels back by the narrow (lang, 8 B score)
+    key.  Document text never shuffles; no corpus-sized single partition
+    exists anywhere in the plan."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    scored = unigram_surprise(df, text_col, id_col).join(
+        df.select(id_col, lang_col), id_col
+    )
+    smicro = F.round(F.col("surprise") * F.lit(1e6), 0).cast("long")
+    keyed = scored.select(
+        id_col, lang_col, "surprise", smicro.alias("_smicro")
+    )
+    hist = keyed.groupBy(lang_col, "_smicro").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    w_lang = Window.partitionBy(lang_col)
+    w_cum = w_lang.orderBy("_smicro").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bucketed = (
+        hist.withColumn(
+            "_cum",
+            F.coalesce(F.sum("_cnt").over(w_cum), F.lit(0).cast("long")),
+        )
+        .withColumn("_tot", F.sum("_cnt").over(w_lang))
+        .select(
+            lang_col,
+            "_smicro",
+            F.expr(f"(_cum * {int(n_buckets)}) div _tot").alias("ppl_bucket"),
+        )
+    )
+    return keyed.join(bucketed, [lang_col, "_smicro"]).select(
+        id_col, lang_col, "surprise", F.col("ppl_bucket").cast("int").alias("ppl_bucket")
+    )
+
+
 def token_table(
     df: DataFrame,
     text_col: str = "text",

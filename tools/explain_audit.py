@@ -648,6 +648,52 @@ def main() -> int:
     sections.append(("Semantic decontamination (zero-shuffle matmul scan)",
                      sdec_plan, notes))
 
+    # Gopher rules: the whole 7-rule gate is integer expression work that
+    # fuses into the scan — zero exchanges, zero Python
+    gr = textstats.gopher_rules(docs)
+    gr_plan = executed(gr)
+    gr_shufs = shuffle_schemas(gr)
+    notes = [
+        check("gopher_rules: zero shuffles (pure projection gate)",
+              not gr_shufs, f"shuffles={gr_shufs[:2]}"),
+        check("gopher_rules: no Python in the plan",
+              "Python" not in gr_plan and "Arrow" not in gr_plan),
+    ]
+    sections.append(("Gopher quality rules (scan-fused projection)",
+                     gr_plan, notes))
+
+    # CCNet perplexity buckets: the cumulative window runs over the
+    # (lang, score) HISTOGRAM, never the corpus — no single-partition
+    # stage, and no exchange ever carries the document text
+    pb = textstats.perplexity_buckets(docs, n_buckets=3)
+    pb_plan = executed(pb)
+    pb_shufs = shuffle_schemas(pb)
+    pb_text = [
+        (p, cols) for p, cols in pb_shufs
+        if any(c == "text" or c.endswith(".text") for c in cols)
+    ]
+    # the only SinglePartition exchange allowed is the unigram LM's 1-row
+    # corpus-total scalar aggregate; the bucket window itself must be
+    # lang-hash-partitioned over histogram rows, never a global funnel
+    pb_single = [
+        (p, cols) for p, cols in pb_shufs if "SinglePartition" in p
+    ]
+    pb_single_bad = [
+        (p, cols)
+        for p, cols in pb_single
+        if any(c in ("doc_id", "tok", "_smicro", "surprise") for c in cols)
+    ]
+    notes = [
+        check("ppl_buckets: no exchange carries the document text",
+              not pb_text, f"{len(pb_shufs)} shuffles; text={pb_text[:1]}"),
+        check("ppl_buckets: SinglePartition exchanges are scalar-aggregate "
+              "only (bucket window is lang-partitioned over the histogram)",
+              len(pb_single) <= 1 and not pb_single_bad,
+              f"single={pb_single[:2]}"),
+    ]
+    sections.append(("CCNet perplexity buckets (histogram CDF, no "
+                     "corpus-sized partition)", pb_plan, notes))
+
     # winnowing fingerprints: pure projection + explode — the whole sketch
     # is JVM expression work inside the scan stage, zero exchanges
     wn = textstats.winnow_fingerprints(docs, k=16, w=8, hash_impl="xxhash64")
