@@ -996,7 +996,10 @@ def q_doc_gopher_rules(spark, sf_dir):
     threshold evaluated as a cross-multiplied INTEGER comparison so the
     DuckDB oracle replays the arithmetic bit-exactly."""
     docs = _docs(spark, sf_dir)
-    return textstats.gopher_rules(docs).select(
+    # min_stopwords=1, not the paper's 2: the synthetic corpus's vocabulary
+    # contains exactly one of Gopher's 8 stopwords ('the'), so the paper
+    # threshold is constant-false here and would hide oracle divergence.
+    return textstats.gopher_rules(docs, min_stopwords=1).select(
         "doc_id", "n_words", "g_word_count", "g_mean_word_len",
         "g_symbol_ratio", "g_bullet_lines", "g_ellipsis_lines",
         "g_alpha_words", "g_stopwords", "keep_gopher",
@@ -1286,7 +1289,7 @@ def retired_oracle_sql() -> dict[str, str]:
         "doc_quality_classifier": _quality_classifier_oracle(n_buckets=4096),
         "doc_pareto_gate": _pareto_gate_oracle(n_buckets=4096, alpha=9.0),
         "doc_winnow": _winnow_oracle(k=16, w=8),
-        "doc_gopher_rules": _gopher_rules_oracle(),
+        "doc_gopher_rules": _gopher_rules_oracle(min_stopwords=1),
         "doc_ppl_buckets": _ppl_buckets_oracle(n_buckets=3),
         "embed_semantic_decontam": _semantic_decontam_oracle(threshold=0.3),
     }

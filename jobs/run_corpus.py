@@ -18,6 +18,10 @@ byte-identical shard assignments):
 1. **repetition filter** (`corpus.repetition_stats`): drop docs whose
    duplicate-line / duplicate-character / top-2-gram fractions exceed the
    thresholds (Gopher-style spam gate).
+1b. **Gopher rules** (`textstats.gopher_rules`, when ``--gopher``): the
+   Rae-et-al A1.1 seven-rule heuristic gate (word count, mean word
+   length, symbol/bullet/ellipsis ratios, alpha fraction, stopwords) —
+   a scan-fused projection, so it runs before anything that shuffles.
 2. **span dedup** (`span_dedup`, when ``--span-k`` > 0): either rebuild
    docs without corpus-duplicated word k-gram spans (``--span-action
    remove``) or drop docs whose duplicated-span coverage exceeds
@@ -29,6 +33,9 @@ byte-identical shard assignments):
    emails / IPv4s / long digit runs in place (text column replaced).
 5. **quality gate** (`textstats.unigram_surprise`, when ``--max-surprise``):
    drop docs whose mean unigram-LM surprise exceeds the threshold.
+5b. **CCNet tiering** (`textstats.perplexity_buckets`, when
+   ``--ppl-keep``): per-language equal-mass surprise buckets; keep only
+   the listed tiers (e.g. ``--ppl-keep 0`` = CCNet's "head").
 6. **sampling**: per-stratum rates (`corpus.stratified_sample`, ``--rates``)
    OR temperature-flattened source mixing (`corpus.temperature_mix`,
    ``--temperature`` + ``--target-fraction``) — mutually exclusive.
@@ -80,6 +87,29 @@ def main() -> None:
         "filter: drop docs whose dup coverage exceeds --span-max-coverage",
     )
     ap.add_argument("--span-max-coverage", type=float, default=0.5)
+    ap.add_argument(
+        "--gopher", action="store_true",
+        help="apply the Gopher A1.1 seven-rule quality gate",
+    )
+    ap.add_argument(
+        "--gopher-min-words", type=int, default=50,
+        help="Gopher word-count lower bound (paper default 50)",
+    )
+    ap.add_argument(
+        "--gopher-min-stopwords", type=int, default=2,
+        help="distinct required-stopword containment bound (paper "
+        "default 2; the containment list is English-specific, so lower "
+        "it for multilingual corpora)",
+    )
+    ap.add_argument(
+        "--ppl-keep", default=None,
+        help="comma-separated CCNet perplexity tiers to keep "
+        "(e.g. '0' = head, '0,1' = head+middle)",
+    )
+    ap.add_argument(
+        "--ppl-buckets", type=int, default=3,
+        help="number of equal-mass CCNet tiers per language",
+    )
     ap.add_argument(
         "--max-surprise", type=float, default=None,
         help="drop docs whose unigram-LM surprise exceeds this (garbled text)",
@@ -174,6 +204,20 @@ def main() -> None:
     else:
         n_clean = n_input
 
+    if args.gopher:
+        # scan-fused projection — no join needed, the gate is a filter
+        docs, n_gopher = _materialize(
+            textstats.gopher_rules(
+                docs,
+                min_words=args.gopher_min_words,
+                min_stopwords=args.gopher_min_stopwords,
+            )
+            .filter(F.col("keep_gopher"))
+            .select(*docs.columns)
+        )
+    else:
+        n_gopher = None
+
     if args.span_k:
         if args.span_action == "remove":
             clean = span_dedup.remove_dup_spans(docs, k=args.span_k)
@@ -221,6 +265,26 @@ def main() -> None:
             .filter(F.col("surprise") <= args.max_surprise)
             .drop("surprise")
         )
+
+    if args.ppl_keep is not None:
+        keep_tiers = [int(x) for x in args.ppl_keep.split(",") if x != ""]
+        if not keep_tiers or not all(
+            0 <= t < args.ppl_buckets for t in keep_tiers
+        ):
+            raise SystemExit(
+                f"--ppl-keep tiers must be in [0, {args.ppl_buckets}), "
+                f"got {args.ppl_keep!r}"
+            )
+        tiers = textstats.perplexity_buckets(
+            docs, n_buckets=args.ppl_buckets
+        ).select("doc_id", "ppl_bucket")
+        docs, n_ppl = _materialize(
+            docs.join(tiers, "doc_id")
+            .filter(F.col("ppl_bucket").isin(keep_tiers))
+            .drop("ppl_bucket")
+        )
+    else:
+        n_ppl = None
 
     if (
         args.classifier_min_mean is not None
@@ -283,8 +347,10 @@ def main() -> None:
         counts = {
             "n_input": n_input,
             "n_after_repetition_filter": n_clean,
+            "n_after_gopher": n_gopher,
             "n_after_span_dedup": n_span,
             "n_after_decontamination": n_decontam,
+            "n_after_ppl_tiering": n_ppl,
             "n_after_classifier": n_classifier,
             "n_after_dsir": n_dsir,
             "n_after_sampling": n_sampled,
@@ -326,8 +392,10 @@ def main() -> None:
             {
                 "n_input": n_input,
                 "n_after_repetition_filter": n_clean,
+                "n_after_gopher": n_gopher,
                 "n_after_span_dedup": n_span,
                 "n_after_decontamination": n_decontam,
+                "n_after_ppl_tiering": n_ppl,
                 "n_after_classifier": n_classifier,
                 "n_after_dsir": n_dsir,
                 "n_after_sampling": n_sampled,

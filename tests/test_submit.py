@@ -122,10 +122,12 @@ def test_submit_corpus_job(pkg_zip, tmp_path):
 
 
 def test_submit_corpus_job_full_stage_chain(pkg_zip, tmp_path):
-    """Every round-4 corpus stage on at once: span dedup (filter mode),
-    surprise quality gate, NB-classifier quality gate, DSIR top-K
-    selection, temperature mixing, leakage-safe split, and the vocabulary
-    sidecar — proving the flags compose in one spark-submit."""
+    """Every round-4 corpus stage on at once: Gopher rules, span dedup
+    (filter mode), surprise quality gate, CCNet tiering, NB-classifier
+    quality gate, DSIR top-K selection, temperature mixing, leakage-safe
+    split, and the vocabulary sidecar — proving the flags compose in one
+    spark-submit.  --gopher-min-stopwords 1 because the synthetic corpus
+    vocabulary carries exactly one of Gopher's 8 stopwords."""
     res = _submit(
         pkg_zip,
         "run_corpus.py",
@@ -133,6 +135,10 @@ def test_submit_corpus_job_full_stage_chain(pkg_zip, tmp_path):
             "--sf-dir", "/root/testdata/sf0.001",
             "--out", str(tmp_path / "cp"),
             "--budget", "1024",
+            "--gopher",
+            "--gopher-min-words", "5",
+            "--gopher-min-stopwords", "1",
+            "--ppl-keep", "0,1",
             "--span-k", "3",
             "--span-action", "filter",
             "--span-max-coverage", "0.9",
@@ -152,12 +158,17 @@ def test_submit_corpus_job_full_stage_chain(pkg_zip, tmp_path):
     assert (
         res["n_input"]
         >= res["n_after_repetition_filter"]
+        >= res["n_after_gopher"]
         >= res["n_after_span_dedup"]
+        >= res["n_after_ppl_tiering"]
         >= res["n_after_classifier"]
         >= res["n_after_dsir"]
         >= res["n_after_sampling"]
         > 0
     )
+    # the gates actually bite on this corpus (not pass-through)
+    assert res["n_after_gopher"] < res["n_after_repetition_filter"]
+    assert res["n_after_ppl_tiering"] < res["n_after_span_dedup"]
     assert res["n_after_dsir"] <= 300
     assert res["n_shards"] > 0 and res["total_tokens"] > 0
     assert res["n_eval"] is not None and 0 <= res["n_eval"] < res["n_after_sampling"]
