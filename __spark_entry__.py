@@ -990,6 +990,18 @@ def q_doc_pareto_gate(spark, sf_dir):
     )
 
 
+def q_doc_line_dedup(spark, sf_dir):
+    """Exact line-level corpus dedup (RefinedWeb/MassiveText style) over
+    the transcript-assembled docs: any eligible line (>= 2 word tokens)
+    recurring anywhere in the corpus keeps only its first (conv, line_no)
+    occurrence.  Complements the assembly's boilerplate strip, which only
+    removes turns recurring across >= 10% of conversations — this catches
+    a line duplicated even twice.  The oracle replays assembly,
+    eligibility, the keep-first window and the indexed rebuild."""
+    docs = corpus.transcripts_to_docs(transcripts_from_events(spark, sf_dir))
+    return span_dedup.dedup_lines(docs, min_words=2, id_col="conv_id")
+
+
 def q_doc_gopher_rules(spark, sf_dir):
     """Gopher quality-filter gate (Rae et al. 2021 A1.1) at the paper's
     thresholds: per-rule booleans + the composite keep flag, every ratio
@@ -1184,6 +1196,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow": q_doc_winnow,
         "doc_gopher_rules": q_doc_gopher_rules,
         "doc_ppl_buckets": q_doc_ppl_buckets,
+        "doc_line_dedup": q_doc_line_dedup,
         "embed_semantic_decontam": q_embed_semantic_decontam,
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_simhash": q_doc_simhash,
@@ -1291,6 +1304,7 @@ def retired_oracle_sql() -> dict[str, str]:
         "doc_winnow": _winnow_oracle(k=16, w=8),
         "doc_gopher_rules": _gopher_rules_oracle(min_stopwords=1),
         "doc_ppl_buckets": _ppl_buckets_oracle(n_buckets=3),
+        "doc_line_dedup": _line_dedup_oracle(min_words=2),
         "embed_semantic_decontam": _semantic_decontam_oracle(threshold=0.3),
     }
 
@@ -2369,11 +2383,13 @@ WHERE ({u16}) < CAST(round(({rate}) * 65536.0) AS BIGINT)
 """
 
 
-def _conv_docs_oracle(frac: float = 0.1, min_convs: int = 2) -> str:
-    """Independent recompute of q_conv_docs: threshold from a scalar
-    aggregate, boilerplate strip via NOT IN, ordered assembly via
-    struct-sort (blind to the Spark side's broadcast anti-join shape)."""
-    return oracles.on_transcripts(f""",
+def _conv_docs_ctes(frac: float = 0.1, min_convs: int = 2) -> str:
+    """Shared WITH-chain fragment replaying transcripts→docs assembly
+    (threshold from a scalar aggregate, boilerplate strip via NOT IN,
+    ordered assembly via struct-sort), ending in ``convdocs(conv_id,
+    text, n_turns, n_turns_kept)`` — used by the conv_docs oracle and the
+    line-dedup oracle so the two recomputes cannot drift."""
+    return f""",
 tot AS (SELECT count(DISTINCT conv_id) AS nc FROM transcripts),
 bp AS (
   SELECT text FROM transcripts, tot
@@ -2390,12 +2406,68 @@ asm AS (
            chr(10)) AS text,
          count(*) AS kept
   FROM kept GROUP BY conv_id
-)
-SELECT c.conv_id, COALESCE(asm.text, '') AS text, c.n_turns,
-       CAST(COALESCE(asm.kept, 0) AS BIGINT) AS n_turns_kept
-FROM (SELECT conv_id, count(*) AS n_turns FROM transcripts GROUP BY conv_id) c
-LEFT JOIN asm USING (conv_id)
-""")
+),
+convdocs AS (
+  SELECT c.conv_id, COALESCE(asm.text, '') AS text, c.n_turns,
+         CAST(COALESCE(asm.kept, 0) AS BIGINT) AS n_turns_kept
+  FROM (SELECT conv_id, count(*) AS n_turns FROM transcripts GROUP BY conv_id) c
+  LEFT JOIN asm USING (conv_id))"""
+
+
+def _conv_docs_oracle(frac: float = 0.1, min_convs: int = 2) -> str:
+    """Independent recompute of q_conv_docs (shared CTE chain; blind to
+    the Spark side's broadcast anti-join shape)."""
+    return oracles.on_transcripts(
+        _conv_docs_ctes(frac, min_convs)
+        + """
+SELECT conv_id, text, n_turns, n_turns_kept FROM convdocs
+"""
+    )
+
+
+def _line_dedup_oracle(min_words: int = 2) -> str:
+    """Independent recompute of q_doc_line_dedup: the conv-docs chain,
+    then per-line eligibility (trimmed non-empty, >= min_words tokens),
+    the global keep-first over md5(trim(line)) via a row_number window
+    ordered by (conv_id, pos), and the indexed-filter rebuild."""
+    return oracles.on_transcripts(
+        _conv_docs_ctes()
+        + f""",
+lns AS (
+  SELECT conv_id, string_split(text, chr(10)) AS l,
+         len(string_split(text, chr(10))) AS nl
+  FROM convdocs),
+occ AS (
+  SELECT conv_id, u.p - 1 AS pos, trim(u.s) AS tl
+  FROM (SELECT conv_id,
+               unnest(list_transform(range(1, nl + 1),
+                                     i -> {{'p': i, 's': l[i]}})) AS u
+        FROM lns)),
+elig AS (
+  SELECT conv_id, pos, md5(tl) AS k
+  FROM occ
+  WHERE tl <> ''
+    AND len(list_filter(string_split_regex(tl, '[^\\w'']+'),
+                        x -> x <> '')) >= {min_words}),
+rem AS (
+  SELECT conv_id, pos FROM (
+    SELECT conv_id, pos,
+           row_number() OVER (PARTITION BY k ORDER BY conv_id, pos) AS rn
+    FROM elig)
+  WHERE rn > 1),
+drops AS (SELECT conv_id, list_sort(list(pos)) AS dr FROM rem GROUP BY conv_id)
+SELECT n.conv_id,
+       array_to_string(
+         list_transform(
+           list_filter(range(1, n.nl + 1),
+                       i -> NOT list_contains(COALESCE(d.dr, []), i - 1)),
+           i -> n.l[i]),
+         chr(10)) AS clean_text,
+       CAST(n.nl AS BIGINT) AS n_lines,
+       CAST(COALESCE(len(d.dr), 0) AS BIGINT) AS n_lines_removed
+FROM lns n LEFT JOIN drops d USING (conv_id)
+"""
+    )
 
 
 def _decontaminate_oracle(n: int = 5) -> str:

@@ -328,6 +328,15 @@ def main() -> None:
         ).count(),
     )
 
+    # exact line-level corpus dedup: md5-keyed line shuffle + indexed
+    # rebuild (text never shuffles)
+    timed(
+        "doc_line_dedup",
+        lambda: span_ops.dedup_lines(docs, min_words=2)
+        .agg(F.sum("n_lines_removed"))
+        .collect(),
+    )
+
     # Gopher quality gate: 7 integer rules fused into the scan, zero shuffle
     timed(
         "doc_gopher_rules",

@@ -44,7 +44,13 @@ from pyspark.sql import functions as F
 
 from .textstats import tokens_col
 
-__all__ = ["dup_span_occurrences", "dup_span_stats", "remove_dup_spans"]
+__all__ = [
+    "dup_span_occurrences",
+    "dup_span_stats",
+    "remove_dup_spans",
+    "dup_line_occurrences",
+    "dedup_lines",
+]
 
 
 def _with_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -168,4 +174,94 @@ def remove_dup_spans(
     )
     return base.join(cov, id_col, "left").select(
         id_col, clean.alias(out_col)
+    )
+
+
+def dup_line_occurrences(
+    df: DataFrame,
+    min_words: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All REMOVED line occurrences for exact line-level corpus dedup
+    (RefinedWeb / MassiveText style: a line recurring anywhere in the
+    corpus — navigation chrome, templated status lines, license headers —
+    keeps only its lexicographically-first (doc, line_no) occurrence).
+
+    A line is ELIGIBLE when its trimmed text is non-empty and has >=
+    ``min_words`` word tokens (raise it to protect common short lines like
+    "yes"); the dedup key is ``md5(trim(line))`` so indentation variants
+    of the same line match.  Returns (id, pos) of every eligible
+    occurrence except each duplicated line's keeper; ``pos`` is the
+    0-based line index within the doc's ``split(text, '\\n')``.
+
+    Scale shape: the only corpus-sized shuffle is keyed by the 16-byte
+    line md5 and carries (id, pos) ints — the document text never enters
+    an exchange (same discipline as the word-k-gram family above)."""
+    if min_words < 1:
+        raise ValueError(f"min_words must be >= 1, got {min_words}")
+    lines = F.split(F.col(text_col), "\n")
+    occ = df.select(
+        F.col(id_col), F.posexplode(lines).alias("pos", "_line")
+    )
+    line_toks = F.filter(
+        F.split(F.trim(F.col("_line")), r"[^\w']+"), lambda x: x != ""
+    )
+    eligible = occ.filter(
+        (F.trim(F.col("_line")) != "") & (F.size(line_toks) >= min_words)
+    ).select(
+        F.col(id_col),
+        "pos",
+        F.md5(F.trim(F.col("_line"))).alias("_k"),
+    )
+    agg = eligible.groupBy("_k").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.min(
+            F.struct(F.col(id_col).alias("_kid"), F.col("pos").alias("_kpos"))
+        ).alias("_keep"),
+    )
+    return (
+        eligible.join(agg, "_k")
+        .filter(
+            (F.col("_cnt") >= 2)
+            & ~(
+                (F.col(id_col) == F.col("_keep._kid"))
+                & (F.col("pos") == F.col("_keep._kpos"))
+            )
+        )
+        .select(id_col, "pos")
+    )
+
+
+def dedup_lines(
+    df: DataFrame,
+    min_words: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Rebuild each document without its removed duplicate lines →
+    (id, out_col, n_lines, n_lines_removed).  Complements
+    ``corpus.transcripts_to_docs``'s boilerplate strip: that stage drops
+    turns recurring across >= frac of CONVERSATIONS; this one catches any
+    line duplicated even twice anywhere in the corpus.
+
+    The rebuild is a pure JVM indexed filter of the doc's line array
+    against its (sparse, left-joined) removed-position array — text
+    reaches this stage via the scan, never a shuffle; only docs that
+    actually lose a line appear on the join's build side."""
+    removed = dup_line_occurrences(df, min_words, text_col, id_col)
+    drops = removed.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("_drops")
+    )
+    lines = F.split(F.col(text_col), "\n")
+    dr = F.coalesce(F.col("_drops"), F.array().cast("array<int>"))
+    clean = F.concat_ws(
+        "\n", F.filter(lines, lambda x, i: ~F.array_contains(dr, i))
+    )
+    return df.join(drops, id_col, "left").select(
+        F.col(id_col),
+        clean.alias(out_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(dr).cast("long").alias("n_lines_removed"),
     )

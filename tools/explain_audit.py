@@ -648,6 +648,27 @@ def main() -> int:
     sections.append(("Semantic decontamination (zero-shuffle matmul scan)",
                      sdec_plan, notes))
 
+    # line-level corpus dedup: the only corpus-sized shuffle is keyed by
+    # the 16-byte line md5 with (id, pos) ints; the rebuild's text column
+    # arrives via the scan, never an exchange
+    from log_analysis_spark.operators import span_dedup as span_dedup_ops
+
+    ld = span_dedup_ops.dedup_lines(docs, min_words=2)
+    ld_plan = executed(ld)
+    ld_shufs = shuffle_schemas(ld)
+    ld_text = [
+        (p, cols) for p, cols in ld_shufs
+        if any(c == "text" or c == "_line" or c == "clean_text" for c in cols)
+    ]
+    notes = [
+        check("line_dedup: no exchange carries line or document text",
+              not ld_text, f"{len(ld_shufs)} shuffles; text={ld_text[:1]}"),
+        check("line_dedup: no Python in the plan",
+              "Python" not in ld_plan and "Arrow" not in ld_plan),
+    ]
+    sections.append(("Line-level corpus dedup (hash-keyed shuffle, "
+                     "scan-side rebuild)", ld_plan, notes))
+
     # Gopher rules: the whole 7-rule gate is integer expression work that
     # fuses into the scan — zero exchanges, zero Python
     gr = textstats.gopher_rules(docs)
