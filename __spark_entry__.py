@@ -990,6 +990,15 @@ def q_doc_pareto_gate(spark, sf_dir):
     )
 
 
+def q_corpus_report(spark, sf_dir):
+    """One-pass corpus audit report per source x lang: doc/token/char
+    totals, token extrema, Gopher-gate keeps (min_stopwords=1 on this
+    corpus), PII-bearing doc counts.  Integer-only aggregate — the oracle
+    rebuilds the Gopher chain and the PII presence test end to end."""
+    docs = _docs(spark, sf_dir)
+    return corpus.corpus_report(docs, gopher_min_stopwords=1)
+
+
 def q_doc_line_dedup(spark, sf_dir):
     """Exact line-level corpus dedup (RefinedWeb/MassiveText style) over
     the transcript-assembled docs: any eligible line (>= 2 word tokens)
@@ -1197,6 +1206,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher_rules": q_doc_gopher_rules,
         "doc_ppl_buckets": q_doc_ppl_buckets,
         "doc_line_dedup": q_doc_line_dedup,
+        "corpus_report": q_corpus_report,
         "embed_semantic_decontam": q_embed_semantic_decontam,
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_simhash": q_doc_simhash,
@@ -1305,6 +1315,7 @@ def retired_oracle_sql() -> dict[str, str]:
         "doc_gopher_rules": _gopher_rules_oracle(min_stopwords=1),
         "doc_ppl_buckets": _ppl_buckets_oracle(n_buckets=3),
         "doc_line_dedup": _line_dedup_oracle(min_words=2),
+        "corpus_report": _corpus_report_oracle(),
         "embed_semantic_decontam": _semantic_decontam_oracle(threshold=0.3),
     }
 
@@ -2093,16 +2104,18 @@ FROM keyed k JOIN buck b USING (lang, smicro)
     )
 
 
-def _gopher_rules_oracle(
+def _gopher_ctes(
     min_words: int = 50,
     max_words: int = 100_000,
     min_mean: int = 3,
     max_mean: int = 10,
     min_stopwords: int = 2,
 ) -> str:
-    """Independent recompute of q_doc_gopher_rules: tokenization, line
-    splitting, the cross-multiplied integer ratio rules and the stopword
-    containment count — all integer arithmetic, bit-exact by construction."""
+    """Shared WITH-chain replaying the Gopher gate (tokenization, line
+    splitting, cross-multiplied integer ratio rules, stopword containment
+    count), ending in ``rules(doc_id, n_words, g_*, keep_gopher)`` — used
+    by the gopher oracle and the corpus-report oracle so the two
+    recomputes cannot drift."""
     stop_sum = " + ".join(
         f"CASE WHEN list_contains(lowtoks, '{w}') THEN 1 ELSE 0 END"
         for w in [
@@ -2136,24 +2149,69 @@ base AS (
                list_transform(toks, x -> lower(x)) AS lowtoks FROM feats)
 ),
 rules AS (
-  SELECT doc_id, n_words,
-    n_words >= {min_words} AND n_words <= {max_words} AS g_word_count,
-    sum_len >= {min_mean} * n_words AND sum_len <= {max_mean} * n_words
-      AS g_mean_word_len,
-    n_hash * 10 <= n_words AND n_ell * 10 <= n_words AS g_symbol_ratio,
-    n_bullet * 10 <= n_lines * 9 AS g_bullet_lines,
-    n_ell_end * 10 <= n_lines * 3 AS g_ellipsis_lines,
-    n_alpha * 10 >= n_words * 8 AS g_alpha_words,
-    n_stop >= {min_stopwords} AS g_stopwords
-  FROM base
-)
+  SELECT doc_id, n_words, g_word_count, g_mean_word_len, g_symbol_ratio,
+         g_bullet_lines, g_ellipsis_lines, g_alpha_words, g_stopwords,
+         (g_word_count AND g_mean_word_len AND g_symbol_ratio AND
+          g_bullet_lines AND g_ellipsis_lines AND g_alpha_words AND
+          g_stopwords) AS keep_gopher
+  FROM (
+    SELECT doc_id, n_words,
+      n_words >= {min_words} AND n_words <= {max_words} AS g_word_count,
+      sum_len >= {min_mean} * n_words AND sum_len <= {max_mean} * n_words
+        AS g_mean_word_len,
+      n_hash * 10 <= n_words AND n_ell * 10 <= n_words AS g_symbol_ratio,
+      n_bullet * 10 <= n_lines * 9 AS g_bullet_lines,
+      n_ell_end * 10 <= n_lines * 3 AS g_ellipsis_lines,
+      n_alpha * 10 >= n_words * 8 AS g_alpha_words,
+      n_stop >= {min_stopwords} AS g_stopwords
+    FROM base)
+)"""
+
+
+def _gopher_rules_oracle(min_stopwords: int = 2) -> str:
+    """Independent recompute of q_doc_gopher_rules (shared CTE chain) —
+    all integer arithmetic, bit-exact by construction."""
+    return (
+        _gopher_ctes(min_stopwords=min_stopwords)
+        + """
 SELECT doc_id, n_words, g_word_count, g_mean_word_len, g_symbol_ratio,
        g_bullet_lines, g_ellipsis_lines, g_alpha_words, g_stopwords,
-       (g_word_count AND g_mean_word_len AND g_symbol_ratio AND
-        g_bullet_lines AND g_ellipsis_lines AND g_alpha_words AND
-        g_stopwords) AS keep_gopher
+       keep_gopher
 FROM rules
 """
+    )
+
+
+def _corpus_report_oracle() -> str:
+    """Independent recompute of q_corpus_report: the Gopher chain (shared
+    CTEs, min_stopwords=1), PII presence over the original text with the
+    same Java/RE2-common patterns, integer-only per-group aggregate."""
+    pii_terms = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))"
+        for _name, pat, _tok in textstats.PII_PATTERNS
+    )
+    return (
+        _gopher_ctes(min_stopwords=1)
+        + f""",
+docfeat AS (
+  SELECT d.doc_id, d.source, d.lang,
+         CAST(length(d.text) AS BIGINT) AS nc,
+         ({pii_terms}) > 0 AS has_pii,
+         r.n_words AS nt, r.keep_gopher
+  FROM documents d JOIN rules r USING (doc_id))
+SELECT source, lang,
+       count(*) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       CAST(sum(nc) AS BIGINT) AS n_chars,
+       min(nt) AS min_tokens,
+       max(nt) AS max_tokens,
+       CAST(sum(CASE WHEN keep_gopher THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gopher_keep,
+       CAST(sum(CASE WHEN has_pii THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_with_pii
+FROM docfeat GROUP BY source, lang
+"""
+    )
 
 
 def _semdedup_oracle(threshold: float, n_centroids: int) -> str:

@@ -328,6 +328,14 @@ def main() -> None:
         ).count(),
     )
 
+    # one-pass corpus audit report: scan-fused per-doc features + a single
+    # map-side-combinable aggregate
+    timed(
+        "corpus_report",
+        lambda: corpus_ops.corpus_report(docs, gopher_min_stopwords=1)
+        .collect(),
+    )
+
     # exact line-level corpus dedup: md5-keyed line shuffle + indexed
     # rebuild (text never shuffles)
     timed(

@@ -129,6 +129,12 @@ def main() -> None:
     ap.add_argument("--vocab-top", type=int, default=0,
                     help="write the top-V vocabulary table to OUT/vocab")
     ap.add_argument(
+        "--report", action="store_true",
+        help="write the one-pass per-(source, lang) corpus audit report "
+        "(doc/token totals, gate flag counts) for the PACKED corpus to "
+        "OUT/report",
+    )
+    ap.add_argument(
         "--dsir-top", type=int, default=0,
         help="keep only the top-K docs by DSIR unigram-LM importance "
         "weight toward --dsir-target (0 = stage off)",
@@ -384,6 +390,10 @@ def main() -> None:
         textstats.vocabulary(docs, top_v=args.vocab_top).write.mode(
             "overwrite"
         ).parquet(f"{args.out}/vocab")
+    if args.report:
+        corpus.corpus_report(
+            docs, gopher_min_stopwords=args.gopher_min_stopwords
+        ).write.mode("overwrite").parquet(f"{args.out}/report")
     shards = spark.read.parquet(f"{args.out}/shards")
     n_shards = shards.select("shard").distinct().count()
     tok_total = shards.agg(F.sum("n_tokens")).collect()[0][0] or 0

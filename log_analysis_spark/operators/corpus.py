@@ -54,6 +54,7 @@ __all__ = [
     "leakage_safe_split",
     "decontaminate",
     "transcripts_to_docs",
+    "corpus_report",
     "DEFAULT_REPETITION_THRESHOLDS",
 ]
 
@@ -537,3 +538,51 @@ def leakage_safe_split(
     split = F.when(u16 < thr, F.lit("eval")).otherwise(F.lit("train"))
     g = groups.select(F.col("id").alias(id_col), "rep_id")
     return df.join(g, id_col).withColumn(split_col, split)
+
+
+def corpus_report(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("source", "lang"),
+    text_col: str = "text",
+    gopher_min_stopwords: int = 2,
+) -> DataFrame:
+    """One-pass corpus audit report — the table a data operator reads
+    before committing a training run: per group (default source × lang),
+    document and token totals, length extrema, and how many docs each
+    scan-fused gate (Gopher rules at paper defaults, PII presence)
+    would flag.
+
+    All per-doc features (token counts, rule booleans, PII counts) are
+    pure projections that fuse into the scan; the report itself is ONE
+    map-side-combinable aggregate whose output is |source|x|lang| rows —
+    at 100 TB this is a single pass over the corpus producing a
+    driver-sized table, with no second job per statistic.
+
+    Integer-only aggregate payload (counts, sums, min/max) — bit-exact
+    cross-engine; deliberately no medians/quantiles, which are not
+    exactly recomputable across engines without a sort."""
+    from .textstats import gopher_rules, scrub_pii, tokens_col as _tc
+
+    feats = scrub_pii(
+        gopher_rules(df, min_stopwords=gopher_min_stopwords),
+        text_col=text_col,
+    )
+    n_tok = F.size(F.filter(_tc(text_col), lambda x: x != "")).cast("long")
+    has_pii = (
+        (F.col("n_emails") + F.col("n_ips") + F.col("n_nums")) > 0
+    ).cast("int")
+    return (
+        feats.withColumn("_nt", n_tok)
+        .groupBy(*[F.col(c) for c in group_cols])
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("n_tokens"),
+            F.sum(F.length(F.col(text_col)).cast("long")).alias("n_chars"),
+            F.min("_nt").alias("min_tokens"),
+            F.max("_nt").alias("max_tokens"),
+            F.sum(F.col("keep_gopher").cast("int")).cast("long").alias(
+                "n_gopher_keep"
+            ),
+            F.sum(has_pii).cast("long").alias("n_docs_with_pii"),
+        )
+    )

@@ -245,3 +245,33 @@ def test_transcripts_to_docs_planted(spark):
 
     with pytest.raises(ValueError):
         corpus.transcripts_to_docs(df, boilerplate_conv_frac=0.0)
+
+
+def test_corpus_report_totals_and_gates(spark):
+    from log_analysis_spark.operators.corpus import corpus_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat with the dog and they have rested well", "web", "en"),
+            (2, "the cat sat with the dog and they have rested too", "web", "en"),
+            (3, "contact me at bob@mail.example for details", "web", "en"),
+            (4, "el gato grande", "books", "es"),
+        ],
+        "doc_id long, text string, source string, lang string",
+    )
+    rows = {
+        (r["source"], r["lang"]): r
+        for r in corpus_report(docs, gopher_min_stopwords=2).collect()
+    }
+    web = rows[("web", "en")]
+    assert web["n_docs"] == 3
+    assert web["n_tokens"] == 11 + 11 + 8
+    assert web["min_tokens"] == 8 and web["max_tokens"] == 11
+    # docs 1-2 pass every rule except word count (11 < 50) -> 0 keeps
+    assert web["n_gopher_keep"] == 0
+    assert web["n_docs_with_pii"] == 1          # the email in doc 3
+    bk = rows[("books", "es")]
+    assert bk["n_docs"] == 1 and bk["n_docs_with_pii"] == 0
+    assert bk["n_chars"] == len("el gato grande")
+    # one row per (source, lang): no cross-group leakage
+    assert set(rows) == {("web", "en"), ("books", "es")}

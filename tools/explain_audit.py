@@ -648,6 +648,29 @@ def main() -> int:
     sections.append(("Semantic decontamination (zero-shuffle matmul scan)",
                      sdec_plan, notes))
 
+    # corpus audit report: per-doc features fuse into the scan; the report
+    # is ONE map-side-combinable aggregate, so the only exchange carries
+    # the (source, lang) keys + integer partials — never text
+    from log_analysis_spark.operators import corpus as corpus_ops
+
+    cr = corpus_ops.corpus_report(docs, gopher_min_stopwords=1)
+    cr_plan = executed(cr)
+    cr_shufs = shuffle_schemas(cr)
+    cr_text = [
+        (p, cols) for p, cols in cr_shufs
+        if any("text" in c for c in cols)
+    ]
+    notes = [
+        check("corpus_report: exactly one exchange (single-pass aggregate)",
+              len(cr_shufs) == 1, f"shuffles={len(cr_shufs)}"),
+        check("corpus_report: the exchange carries no text column",
+              not cr_text, f"text={cr_text[:1]}"),
+        check("corpus_report: partial aggregation before the exchange "
+              "(map-side combine)", "partial" in cr_plan.lower()),
+    ]
+    sections.append(("Corpus audit report (one-pass aggregate)",
+                     cr_plan, notes))
+
     # line-level corpus dedup: the only corpus-sized shuffle is keyed by
     # the 16-byte line md5 with (id, pos) ints; the rebuild's text column
     # arrives via the scan, never an exchange
