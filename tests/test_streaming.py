@@ -254,3 +254,46 @@ def test_stream_embed_ingest_across_microbatches(spark, tmp_path):
     # drained stream: a third call processes nothing and changes nothing
     t3 = run_stream_embed_ingest(spark, src, state)
     assert t3 == t2
+
+
+def test_streaming_quality_gates_match_batch(spark, tmp_path):
+    """The scan-fused corpus gates (Gopher rules, Pareto-free PII scrub)
+    are stateless projections, so they run UNCHANGED under Structured
+    Streaming: readStream over the docs dir -> gopher_rules + scrub_pii
+    -> append memory sink equals the batch run row-for-row.  This is the
+    streaming story for the whole gate family — any pure-projection
+    operator composes into an ingest stream for free."""
+    from log_analysis_spark.operators import textstats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "docs_src")
+    docs.write.mode("overwrite").parquet(path)
+
+    gated = textstats.scrub_pii(
+        textstats.gopher_rules(
+            spark.readStream.schema(docs.schema).parquet(path),
+            min_stopwords=1,
+        )
+    ).select("doc_id", "keep_gopher", "n_emails", "text_clean")
+    q = (
+        gated.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_gates")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stream_rows = {
+        tuple(r) for r in spark.sql("SELECT * FROM t_gates").collect()
+    }
+    batch_rows = {
+        tuple(r)
+        for r in textstats.scrub_pii(
+            textstats.gopher_rules(docs, min_stopwords=1)
+        )
+        .select("doc_id", "keep_gopher", "n_emails", "text_clean")
+        .collect()
+    }
+    assert stream_rows == batch_rows and len(stream_rows) == 500
