@@ -152,6 +152,7 @@ def test_submit_corpus_job_full_stage_chain(pkg_zip, tmp_path):
             "--target-fraction", "0.8",
             "--split-eval-frac", "0.25",
             "--vocab-top", "50",
+            "--report",
         ],
         cwd=tmp_path,
     )
@@ -181,6 +182,12 @@ def test_submit_corpus_job_full_stage_chain(pkg_zip, tmp_path):
         f"SELECT count(*), min(vocab_rank) FROM read_parquet('{tmp_path}/cp/vocab/*.parquet')"
     ).fetchone()
     assert 0 < vocab[0] <= 50 and vocab[1] == 1
+    # audit-report sidecar: one row per surviving (source, lang), doc total
+    # equals the packed corpus
+    rep = duckdb.connect().execute(
+        f"SELECT sum(n_docs), count(*) FROM read_parquet('{tmp_path}/cp/report/*.parquet')"
+    ).fetchone()
+    assert rep[0] == res["n_after_sampling"] and rep[1] > 0
 
 
 def test_corpus_job_fails_loudly_when_a_gate_empties_the_corpus(tmp_path):
