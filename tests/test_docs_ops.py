@@ -848,3 +848,63 @@ def test_ppl_buckets_validation_and_per_lang_independence(spark):
     # each lang is bucketed independently: each gets its own 0 and 1
     assert out[1] == 0 and out[3] == 1
     assert out[2] == 0 and out[4] == 1
+
+
+def test_gopher_rules_fuzz_python_mirror(spark):
+    """200 randomized docs (words, symbols, bullets, ellipses, newlines,
+    unicode) vs a pure-Python replay of the integer rule arithmetic —
+    every rule boolean must match exactly."""
+    import random
+    import re as _re
+
+    rng = random.Random(4242)
+    words = ["the", "of", "cat", "run", "zxqw", "a", "##", "...", "12345",
+             "longishword", "x", "with", "…", "данные"]
+    docs = []
+    for i in range(200):
+        n_lines = rng.randint(0, 6)
+        lines = []
+        for _ in range(n_lines):
+            toks = [rng.choice(words) for _ in range(rng.randint(0, 30))]
+            line = " ".join(toks)
+            if rng.random() < 0.3:
+                line = "- " + line
+            if rng.random() < 0.3:
+                line = line + " ..."
+            lines.append(line)
+        docs.append((i, "\n".join(lines)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in textstats.gopher_rules(df, min_words=3).collect()}
+
+    def mirror(text):
+        # Java \w is ASCII-only (documented parity: see the simhash
+        # ASCII-tokenization test) -> mirror with re.ASCII
+        toks = [t for t in _re.split(r"[^\w']+", text.strip(), flags=_re.ASCII)
+                if t != ""]
+        n = len(toks)
+        sl = sum(len(t) for t in toks)
+        nh = text.count("#")
+        ne = len(_re.findall(r"\.\.\.", text)) + text.count("…")
+        ls = [x for x in text.split("\n") if x.strip() != ""]
+        nl = len(ls)
+        nb = sum(1 for x in ls if _re.match(r"^[-*•]", x.lstrip()))
+        nee = sum(1 for x in ls if _re.search(r"(\.\.\.|…)$", x.rstrip()))
+        na = sum(1 for t in toks if _re.search(r"[A-Za-z]", t))
+        low = [t.lower() for t in toks]
+        ns = sum(1 for w in textstats.GOPHER_STOPWORDS if w in low)
+        return {
+            "g_word_count": 3 <= n <= 100_000,
+            "g_mean_word_len": 3 * n <= sl <= 10 * n,
+            "g_symbol_ratio": nh * 10 <= n and ne * 10 <= n,
+            "g_bullet_lines": nb * 10 <= nl * 9,
+            "g_ellipsis_lines": nee * 10 <= nl * 3,
+            "g_alpha_words": na * 10 >= n * 8,
+            "g_stopwords": ns >= 2,
+        }
+
+    for i, text in docs:
+        exp = mirror(text)
+        for rule, want in exp.items():
+            assert got[i][rule] == want, (i, rule, text[:80])
+        assert got[i]["keep_gopher"] == all(exp.values()), i
