@@ -336,11 +336,16 @@ def main() -> None:
         .collect(),
     )
 
-    # exact line-level corpus dedup: md5-keyed line shuffle + indexed
-    # rebuild (text never shuffles)
+    # exact line-level corpus dedup over the transcript-assembled docs
+    # (real multi-line corpus with recurring lines): md5-keyed line
+    # shuffle + indexed rebuild (text never shuffles)
     timed(
         "doc_line_dedup",
-        lambda: span_ops.dedup_lines(docs, min_words=2)
+        lambda: span_ops.dedup_lines(
+            corpus_ops.transcripts_to_docs(turns),
+            min_words=2,
+            id_col="conv_id",
+        )
         .agg(F.sum("n_lines_removed"))
         .collect(),
     )

@@ -179,16 +179,30 @@ def winnow_fingerprints(
     — identical rule in DuckDB) used by the exact contract oracle.
 
     Scale shape: pure projection + explode — sequence/transform/slice/
-    array_min/array_position are all JVM expressions inside
-    WholeStageCodegen; no Python, no shuffle, text never leaves the scan.
-    Per-doc work is O(grams * w); docs shorter than k chars emit nothing.
-    The rightmost-min is found by position of the min in the REVERSED
-    window (first match there = last match forward), so ties need no
-    second pass."""
+    array_min/array_position are all JVM expressions; no Python, no
+    shuffle, text never leaves the scan.  Per-doc work is O(grams * w);
+    docs shorter than k chars emit nothing.  The rightmost-min is found by
+    position of the min in the REVERSED window (first match there = last
+    match forward), so ties need no second pass.
+
+    O(grams * w) is guaranteed by explicit LET-BINDINGS
+    (``transform(array(x), v -> body)[1]``): a Catalyst higher-order
+    lambda re-evaluates any closed-over subtree once PER ELEMENT, so
+    referencing the gram-hash array expression directly inside the
+    per-window lambda would recompute every gram hash for every window —
+    O(grams^2) hashing that turned a seconds-long scan into a 40-minute
+    single task at sf0.1 before the binding was introduced.  The let
+    materializes the gram array, each window slice, and each window min
+    exactly once as lambda variables."""
     if k < 1 or w < 1:
         raise ValueError(f"k and w must be >= 1, got k={k}, w={w}")
     if hash_impl not in ("xxhash64", "md5"):
         raise ValueError(f"unknown hash_impl: {hash_impl!r}")
+
+    def let(value, body):
+        # evaluate `value` once, expose it to `body` as a lambda variable
+        return F.element_at(F.transform(F.array(value), body), 1)
+
     t = F.col(text_col)
     hfn = F.xxhash64 if hash_impl == "xxhash64" else F.md5
     m = F.length(t) - F.lit(k - 1)  # gram count
@@ -197,15 +211,27 @@ def winnow_fingerprints(
     )
     n_win = F.greatest(m - F.lit(w - 1), F.lit(1))
 
-    def pick(i):
-        s = F.slice(h, i, w)  # clamps to the array end when m < i+w-1
-        mn = F.array_min(s)
-        rpos = F.size(s) + 1 - F.array_position(F.reverse(s), mn)
-        return F.struct(
-            (i + rpos - 1).cast("long").alias("pos"), mn.alias("gram_hash")
+    def pick(hv, i):
+        # slice clamps to the array end when m < i+w-1
+        return let(
+            F.slice(hv, i, w),
+            lambda s: let(
+                F.array_min(s),
+                lambda mn: F.struct(
+                    (
+                        i + (F.size(s) + 1 - F.array_position(F.reverse(s), mn)) - 1
+                    ).cast("long").alias("pos"),
+                    mn.alias("gram_hash"),
+                ),
+            ),
         )
 
-    sel = F.array_distinct(F.transform(F.sequence(F.lit(1), n_win), pick))
+    sel = let(
+        h,
+        lambda hv: F.array_distinct(
+            F.transform(F.sequence(F.lit(1), n_win), lambda i: pick(hv, i))
+        ),
+    )
     return (
         df.filter(F.length(t) >= k)
         .select(F.col(id_col), F.explode(sel).alias("_fp"))
@@ -255,8 +281,13 @@ def gopher_rules(
     fail the word-count rule; the vacuous ratio rules (0 <= 0) stay true.
 
     Scale shape: a pure projection — split / filter / aggregate / length
-    are all JVM expressions inside WholeStageCodegen; zero shuffles, zero
-    Python, and at 100 TB the whole gate fuses into the parquet scan.
+    are all JVM expressions; zero shuffles, zero Python, and at 100 TB
+    the whole gate fuses into the parquet scan.  The per-doc counters
+    (tokenization, line split, stopword scan) are computed ONCE into an
+    intermediate struct column; the rule booleans read its fields.  The
+    struct is referenced by 8 downstream columns and is not cheap, so
+    Catalyst's CollapseProject keeps the two projections separate — each
+    doc is tokenized once, not once per rule.
     """
     if min_words < 0 or max_words < min_words:
         raise ValueError(
@@ -264,51 +295,59 @@ def gopher_rules(
         )
     t = F.col(text_col)
     toks = F.filter(tokens_col(text_col), lambda x: x != "")
-    n_words = F.size(toks).cast("long")
-    sum_len = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
-    )
-    n_hash = (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))).cast(
-        "long"
-    )
-    n_ellipsis = (
-        F.regexp_count(t, F.lit(r"\.\.\."))
-        + F.length(t)
-        - F.length(F.replace(t, F.lit("…"), F.lit("")))
-    ).cast("long")
     lines = F.filter(F.split(t, "\n"), lambda x: F.trim(x) != "")
-    n_lines = F.size(lines).cast("long")
-    n_bullet = F.size(
-        F.filter(lines, lambda x: F.ltrim(x).rlike(r"^[-*•]"))
-    ).cast("long")
-    n_ell_end = F.size(
-        F.filter(lines, lambda x: F.rtrim(x).rlike(r"(\.\.\.|…)$"))
-    ).cast("long")
-    n_alpha = F.size(
-        F.filter(toks, lambda x: x.rlike("[A-Za-z]"))
-    ).cast("long")
     lowered = F.transform(toks, lambda x: F.lower(x))
-    n_stop = sum(
-        F.when(F.array_contains(lowered, F.lit(w)), 1).otherwise(0)
-        for w in GOPHER_STOPWORDS
+    counters = F.struct(
+        F.size(toks).cast("long").alias("n_words"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("sum_len"),
+        (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit(""))))
+        .cast("long")
+        .alias("n_hash"),
+        (
+            F.regexp_count(t, F.lit(r"\.\.\."))
+            + F.length(t)
+            - F.length(F.replace(t, F.lit("…"), F.lit("")))
+        )
+        .cast("long")
+        .alias("n_ellipsis"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(F.filter(lines, lambda x: F.ltrim(x).rlike(r"^[-*•]")))
+        .cast("long")
+        .alias("n_bullet"),
+        F.size(F.filter(lines, lambda x: F.rtrim(x).rlike(r"(\.\.\.|…)$")))
+        .cast("long")
+        .alias("n_ell_end"),
+        F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+        .cast("long")
+        .alias("n_alpha"),
+        sum(
+            F.when(F.array_contains(lowered, F.lit(w)), 1).otherwise(0)
+            for w in GOPHER_STOPWORDS
+        ).alias("n_stop"),
     )
+    g = F.col("_g")
     rules = {
-        "g_word_count": (n_words >= min_words) & (n_words <= max_words),
-        "g_mean_word_len": (sum_len >= F.lit(min_mean_word_len) * n_words)
-        & (sum_len <= F.lit(max_mean_word_len) * n_words),
-        "g_symbol_ratio": (n_hash * 10 <= n_words * max_symbol_per10)
-        & (n_ellipsis * 10 <= n_words * max_symbol_per10),
-        "g_bullet_lines": n_bullet * 10 <= n_lines * max_bullet_per10,
-        "g_ellipsis_lines": n_ell_end * 10 <= n_lines * max_ellipsis_per10,
-        "g_alpha_words": n_alpha * 10 >= n_words * min_alpha_per10,
-        "g_stopwords": n_stop >= F.lit(min_stopwords),
+        "g_word_count": (g.n_words >= min_words) & (g.n_words <= max_words),
+        "g_mean_word_len": (
+            g.sum_len >= F.lit(min_mean_word_len) * g.n_words
+        )
+        & (g.sum_len <= F.lit(max_mean_word_len) * g.n_words),
+        "g_symbol_ratio": (g.n_hash * 10 <= g.n_words * max_symbol_per10)
+        & (g.n_ellipsis * 10 <= g.n_words * max_symbol_per10),
+        "g_bullet_lines": g.n_bullet * 10 <= g.n_lines * max_bullet_per10,
+        "g_ellipsis_lines": g.n_ell_end * 10
+        <= g.n_lines * max_ellipsis_per10,
+        "g_alpha_words": g.n_alpha * 10 >= g.n_words * min_alpha_per10,
+        "g_stopwords": g.n_stop >= F.lit(min_stopwords),
     }
-    out = df.withColumn("n_words", n_words)
+    out = df.withColumn("_g", counters).withColumn("n_words", g.n_words)
     keep = F.lit(True)
     for name, cond in rules.items():
         out = out.withColumn(name, cond)
         keep = keep & F.col(name)
-    return out.withColumn("keep_gopher", keep)
+    return out.withColumn("keep_gopher", keep).drop("_g")
 
 
 def perplexity_buckets(
