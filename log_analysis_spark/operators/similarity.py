@@ -30,10 +30,25 @@ def _norm(a: F.Column) -> F.Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
+def _let(value: F.Column, body) -> F.Column:
+    """Let-binding for Catalyst expressions: evaluate ``value`` ONCE and
+    expose it to ``body`` as a lambda variable.  A higher-order lambda
+    re-evaluates any closed-over subtree once per element, so e.g. a norm
+    referenced inside a per-component normalize lambda would re-run the
+    O(dim) aggregate for every component — O(dim²) per row."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def with_unit_vec(df: DataFrame, vec_col: str = "embedding", out: str = "unit") -> DataFrame:
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    n = _norm(v)
-    return df.withColumn(out, F.when(n > 0, F.transform(v, lambda x: x / n)))
+    unit = _let(
+        v,
+        lambda vv: _let(
+            _norm(vv),
+            lambda n: F.when(n > 0, F.transform(vv, lambda x: x / n)),
+        ),
+    )
+    return df.withColumn(out, unit)
 
 
 def cosine_topk(
