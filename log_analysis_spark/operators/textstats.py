@@ -282,21 +282,24 @@ def gopher_rules(
 
     Scale shape: a pure projection — split / filter / aggregate / length
     are all JVM expressions; zero shuffles, zero Python, and at 100 TB
-    the whole gate fuses into the parquet scan.  The per-doc counters
-    (tokenization, line split, stopword scan) are computed ONCE into an
-    intermediate struct column; the rule booleans read its fields.  The
-    struct is referenced by 8 downstream columns and is not cheap, so
-    Catalyst's CollapseProject keeps the two projections separate — each
-    doc is tokenized once, not once per rule.
+    the whole gate fuses into the parquet scan.  The token and line
+    arrays are materialized ONCE as intermediate columns and the per-doc
+    counters ONCE as a struct the rule booleans read — every intermediate
+    is multi-referenced and non-cheap, so Catalyst's CollapseProject
+    keeps the projections separate instead of re-tokenizing per rule.
+    The stopword containment count is ``size(array_intersect(lowered,
+    stoplist))`` (distinct stopwords present), one pass over the tokens.
     """
     if min_words < 0 or max_words < min_words:
         raise ValueError(
             f"need 0 <= min_words <= max_words, got {min_words}, {max_words}"
         )
     t = F.col(text_col)
-    toks = F.filter(tokens_col(text_col), lambda x: x != "")
-    lines = F.filter(F.split(t, "\n"), lambda x: F.trim(x) != "")
-    lowered = F.transform(toks, lambda x: F.lower(x))
+    base = df.withColumn(
+        "_toks", F.filter(tokens_col(text_col), lambda x: x != "")
+    ).withColumn("_lines", F.filter(F.split(t, "\n"), lambda x: F.trim(x) != ""))
+    toks, lines = F.col("_toks"), F.col("_lines")
+    stoplist = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
     counters = F.struct(
         F.size(toks).cast("long").alias("n_words"),
         F.aggregate(
@@ -322,9 +325,10 @@ def gopher_rules(
         F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
         .cast("long")
         .alias("n_alpha"),
-        sum(
-            F.when(F.array_contains(lowered, F.lit(w)), 1).otherwise(0)
-            for w in GOPHER_STOPWORDS
+        F.size(
+            F.array_intersect(
+                F.transform(toks, lambda x: F.lower(x)), stoplist
+            )
         ).alias("n_stop"),
     )
     g = F.col("_g")
@@ -342,12 +346,12 @@ def gopher_rules(
         "g_alpha_words": g.n_alpha * 10 >= g.n_words * min_alpha_per10,
         "g_stopwords": g.n_stop >= F.lit(min_stopwords),
     }
-    out = df.withColumn("_g", counters).withColumn("n_words", g.n_words)
+    out = base.withColumn("_g", counters).withColumn("n_words", g.n_words)
     keep = F.lit(True)
     for name, cond in rules.items():
         out = out.withColumn(name, cond)
         keep = keep & F.col(name)
-    return out.withColumn("keep_gopher", keep).drop("_g")
+    return out.withColumn("keep_gopher", keep).drop("_g", "_toks", "_lines")
 
 
 def perplexity_buckets(
