@@ -1011,6 +1011,19 @@ def q_doc_line_dedup(spark, sf_dir):
     return span_dedup.dedup_lines(docs, min_words=2, id_col="conv_id")
 
 
+def q_doc_strip_common_lines(spark, sf_dir):
+    """Boilerplate-line stripping over the transcript-assembled docs: any
+    eligible line (>= 2 word tokens) present in >= max(2, ceil(3% of
+    convs)) DISTINCT conversations is removed everywhere (no keeper) —
+    the skew-safe frequency companion of doc_line_dedup.  The oracle
+    replays assembly, eligibility, the distinct-doc threshold and the
+    indexed rebuild."""
+    docs = corpus.transcripts_to_docs(transcripts_from_events(spark, sf_dir))
+    return span_dedup.strip_common_lines(
+        docs, max_doc_frac=0.03, min_words=2, id_col="conv_id"
+    )
+
+
 def q_doc_gopher_rules(spark, sf_dir):
     """Gopher quality-filter gate (Rae et al. 2021 A1.1) at the paper's
     thresholds: per-rule booleans + the composite keep flag, every ratio
@@ -1206,6 +1219,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher_rules": q_doc_gopher_rules,
         "doc_ppl_buckets": q_doc_ppl_buckets,
         "doc_line_dedup": q_doc_line_dedup,
+        "doc_strip_common_lines": q_doc_strip_common_lines,
         "corpus_report": q_corpus_report,
         "embed_semantic_decontam": q_embed_semantic_decontam,
         "doc_minhash_lsh": q_doc_minhash_lsh,
@@ -1315,6 +1329,9 @@ def retired_oracle_sql() -> dict[str, str]:
         "doc_gopher_rules": _gopher_rules_oracle(min_stopwords=1),
         "doc_ppl_buckets": _ppl_buckets_oracle(n_buckets=3),
         "doc_line_dedup": _line_dedup_oracle(min_words=2),
+        "doc_strip_common_lines": _strip_common_lines_oracle(
+            max_doc_frac=0.03, min_docs=2, min_words=2
+        ),
         "corpus_report": _corpus_report_oracle(),
         "embed_semantic_decontam": _semantic_decontam_oracle(threshold=0.3),
     }
@@ -2178,6 +2195,56 @@ SELECT doc_id, n_words, g_word_count, g_mean_word_len, g_symbol_ratio,
        g_bullet_lines, g_ellipsis_lines, g_alpha_words, g_stopwords,
        keep_gopher
 FROM rules
+"""
+    )
+
+
+def _strip_common_lines_oracle(
+    max_doc_frac: float, min_docs: int, min_words: int
+) -> str:
+    """Independent recompute of q_doc_strip_common_lines: the conv-docs
+    chain, per-line eligibility, the distinct-doc frequency threshold
+    max(min_docs, ceil(frac * n_docs)) from a scalar aggregate, and the
+    rebuild dropping every occurrence of a common line."""
+    return oracles.on_transcripts(
+        _conv_docs_ctes()
+        + f""",
+lns AS (
+  SELECT conv_id, string_split(text, chr(10)) AS l,
+         len(string_split(text, chr(10))) AS nl
+  FROM convdocs),
+occ AS (
+  SELECT conv_id, u.p - 1 AS pos, trim(u.s) AS tl
+  FROM (SELECT conv_id,
+               unnest(list_transform(range(1, nl + 1),
+                                     i -> {{'p': i, 's': l[i]}})) AS u
+        FROM lns)),
+elig AS (
+  SELECT conv_id, pos, md5(tl) AS k
+  FROM occ
+  WHERE tl <> ''
+    AND len(list_filter(string_split_regex(tl, '[^\\w'']+'),
+                        x -> x <> '')) >= {min_words}),
+nd AS (SELECT count(*) AS n_docs FROM convdocs),
+common AS (
+  SELECT k FROM elig, nd
+  GROUP BY k, nd.n_docs
+  HAVING count(DISTINCT conv_id)
+         >= greatest({min_docs},
+                     CAST(ceil({max_doc_frac} * nd.n_docs) AS BIGINT))),
+drops AS (
+  SELECT conv_id, list_sort(list(pos)) AS dr
+  FROM elig JOIN common USING (k) GROUP BY conv_id)
+SELECT n.conv_id,
+       array_to_string(
+         list_transform(
+           list_filter(range(1, n.nl + 1),
+                       i -> NOT list_contains(COALESCE(d.dr, []), i - 1)),
+           i -> n.l[i]),
+         chr(10)) AS clean_text,
+       CAST(n.nl AS BIGINT) AS n_lines,
+       CAST(COALESCE(len(d.dr), 0) AS BIGINT) AS n_lines_removed
+FROM lns n LEFT JOIN drops d USING (conv_id)
 """
     )
 

@@ -350,6 +350,20 @@ def main() -> None:
         .collect(),
     )
 
+    # boilerplate-line stripping over the assembled conv docs: broadcast
+    # common-set probe, occurrences never shuffle on the line key
+    timed(
+        "doc_strip_common_lines",
+        lambda: span_ops.strip_common_lines(
+            corpus_ops.transcripts_to_docs(turns),
+            max_doc_frac=0.03,
+            min_words=2,
+            id_col="conv_id",
+        )
+        .agg(F.sum("n_lines_removed"))
+        .collect(),
+    )
+
     # Gopher quality gate: 7 integer rules fused into the scan, zero shuffle
     timed(
         "doc_gopher_rules",

@@ -50,6 +50,7 @@ __all__ = [
     "remove_dup_spans",
     "dup_line_occurrences",
     "dedup_lines",
+    "strip_common_lines",
 ]
 
 
@@ -249,7 +250,14 @@ def dedup_lines(
     The rebuild is a pure JVM indexed filter of the doc's line array
     against its (sparse, left-joined) removed-position array — text
     reaches this stage via the scan, never a shuffle; only docs that
-    actually lose a line appear on the join's build side."""
+    actually lose a line appear on the join's build side.
+
+    Skew note for 100 TB: keep-first needs every occurrence of a line to
+    meet its keeper, so a line recurring across a large fraction of the
+    corpus is a hot join key.  Run ``strip_common_lines`` (broadcast
+    removal of frequency-common lines, no keeper) first — as
+    ``q_doc_line_dedup``'s boilerplate-stripped input does — so the
+    duplicates this op resolves are sub-threshold by construction."""
     removed = dup_line_occurrences(df, min_words, text_col, id_col)
     drops = removed.groupBy(id_col).agg(
         F.sort_array(F.collect_list("pos")).alias("_drops")
@@ -263,5 +271,86 @@ def dedup_lines(
         F.col(id_col),
         clean.alias(out_col),
         F.size(lines).cast("long").alias("n_lines"),
+        F.size(dr).cast("long").alias("n_lines_removed"),
+    )
+
+
+def strip_common_lines(
+    df: DataFrame,
+    max_doc_frac: float = 0.1,
+    min_docs: int = 2,
+    min_words: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Boilerplate-line stripping: any eligible line occurring in >=
+    ``max(min_docs, ceil(max_doc_frac * n_docs))`` DISTINCT documents is
+    removed from EVERY document (no keeper) — the C4/RefinedWeb boilerplate
+    rule (navigation chrome, cookie banners, license headers) at line
+    granularity, and the skew-safe companion of ``dedup_lines``:
+
+    * ``dedup_lines`` keeps one occurrence per duplicated line, which at
+      100 TB makes a line recurring across a large fraction of the corpus
+      a HOT join key (all its (id, pos) occurrences meet in one reducer).
+      Run this op first: frequency-common lines are removed outright, and
+      the residual duplicates dedup_lines sees are sub-threshold by
+      construction.
+    * the common-line set is bounded by construction (a line in >=
+      frac*n docs means <= avg_lines_per_doc / frac distinct commons), so
+      it BROADCASTS: occurrences never shuffle at all — the only
+      corpus-sized movement is the per-doc drop-list aggregate, keyed by
+      doc id (uniform).
+
+    Output: (id, out_col, n_lines, n_lines_removed).  Eligibility and the
+    ``md5(trim(line))`` key match ``dup_line_occurrences``; the doc-count
+    threshold rides a broadcast 1-row aggregate (no driver-side count),
+    the same discipline as ``corpus.transcripts_to_docs``."""
+    if not (0.0 < max_doc_frac <= 1.0):
+        raise ValueError(
+            f"max_doc_frac must be in (0, 1], got {max_doc_frac}"
+        )
+    if min_words < 1:
+        raise ValueError(f"min_words must be >= 1, got {min_words}")
+    lines = F.split(F.col(text_col), "\n")
+    occ = df.select(
+        F.col(id_col), F.posexplode(lines).alias("pos", "_line")
+    )
+    line_toks = F.filter(
+        F.split(F.trim(F.col("_line")), r"[^\w']+"), lambda x: x != ""
+    )
+    eligible = occ.filter(
+        (F.trim(F.col("_line")) != "") & (F.size(line_toks) >= min_words)
+    ).select(
+        F.col(id_col), "pos", F.md5(F.trim(F.col("_line"))).alias("_k")
+    )
+    totals = df.agg(F.count(F.lit(1)).alias("_nd"))
+    common = (
+        eligible.groupBy("_k")
+        .agg(F.count_distinct(F.col(id_col)).alias("_docs"))
+        .crossJoin(F.broadcast(totals))
+        .filter(
+            F.col("_docs")
+            >= F.greatest(
+                F.lit(int(min_docs)),
+                F.ceil(F.lit(float(max_doc_frac)) * F.col("_nd")),
+            )
+        )
+        .select("_k")
+    )
+    drops = (
+        eligible.join(F.broadcast(common), "_k")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("_drops"))
+    )
+    all_lines = F.split(F.col(text_col), "\n")
+    dr = F.coalesce(F.col("_drops"), F.array().cast("array<int>"))
+    clean = F.concat_ws(
+        "\n", F.filter(all_lines, lambda x, i: ~F.array_contains(dr, i))
+    )
+    return df.join(drops, id_col, "left").select(
+        F.col(id_col),
+        clean.alias(out_col),
+        F.size(all_lines).cast("long").alias("n_lines"),
         F.size(dr).cast("long").alias("n_lines_removed"),
     )

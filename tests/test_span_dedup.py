@@ -7,6 +7,7 @@ import random
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from log_analysis_spark.operators.corpus import temperature_mix
 from log_analysis_spark.operators.span_dedup import (
@@ -15,6 +16,7 @@ from log_analysis_spark.operators.span_dedup import (
     dup_span_occurrences,
     dup_span_stats,
     remove_dup_spans,
+    strip_common_lines,
 )
 
 
@@ -235,3 +237,65 @@ def test_line_dedup_whitespace_normalized_key(spark):
     assert out[2] == "unique two"
     with pytest.raises(ValueError, match="min_words"):
         dup_line_occurrences(df, min_words=0)
+
+
+def test_strip_common_lines_threshold_and_no_keeper(spark):
+    """A line in >= max(min_docs, ceil(frac*n)) distinct docs is removed
+    from EVERY doc (no keeper kept); sub-threshold lines are untouched
+    even when duplicated; within-doc repeats count as ONE distinct doc."""
+    common = "shared cookie banner line"
+    sub = "below threshold line"
+    docs = [
+        (1, f"{common}\nunique one body"),
+        (2, f"{common}\n{common}\nunique two body"),   # twice in ONE doc
+        (3, f"{common}\nunique three body"),
+        (4, f"{sub}\nunique four body"),
+        (5, f"{sub}\nunique five body"),
+        (6, "nothing shared here at all"),
+        (7, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # threshold: max(3, ceil(0.1*7)=1) = 3 distinct docs -> only `common`
+    out = {r["doc_id"]: r for r in strip_common_lines(
+        df, max_doc_frac=0.1, min_docs=3, min_words=2
+    ).collect()}
+    assert out[1]["clean_text"] == "unique one body"
+    assert out[2]["clean_text"] == "unique two body"
+    assert out[2]["n_lines_removed"] == 2       # both within-doc copies go
+    assert out[3]["clean_text"] == "unique three body"
+    # `sub` is in only 2 docs < 3 -> kept everywhere (dedup_lines' job)
+    assert out[4]["clean_text"] == docs[3][1]
+    assert out[5]["clean_text"] == docs[4][1]
+    assert out[6]["clean_text"] == docs[5][1]
+    assert out[7]["clean_text"] == "" and out[7]["n_lines_removed"] == 0
+    # distinct-doc counting: min_docs=2 now also catches `sub`
+    out2 = {r["doc_id"]: r["clean_text"] for r in strip_common_lines(
+        df, max_doc_frac=0.1, min_docs=2, min_words=2
+    ).collect()}
+    assert out2[4] == "unique four body" and out2[5] == "unique five body"
+    with pytest.raises(ValueError, match="max_doc_frac"):
+        strip_common_lines(df, max_doc_frac=0.0)
+    with pytest.raises(ValueError, match="min_words"):
+        strip_common_lines(df, min_words=0)
+
+
+def test_strip_common_then_dedup_lines_composition(spark):
+    """The documented 100 TB composition: strip_common_lines removes the
+    hot frequency-common lines, then dedup_lines on the residue resolves
+    only sub-threshold duplicates — and the pair's combined removal
+    equals running dedup_lines alone except that common lines lose ALL
+    occurrences (dedup_lines alone would keep one)."""
+    common = "hot recurring header line"
+    docs = [(i, f"{common}\nbody line number {i} here") for i in range(1, 5)]
+    docs.append((5, "body line number 1 here\nunique tail five"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    stripped = strip_common_lines(
+        df, max_doc_frac=0.5, min_docs=2, min_words=2
+    ).select("doc_id", F.col("clean_text").alias("text"))
+    final = {r["doc_id"]: r["clean_text"]
+             for r in dedup_lines(stripped, min_words=2).collect()}
+    assert final[1] == "body line number 1 here"   # keeper of the sub-dup
+    assert final[5] == "unique tail five"          # its copy deduped
+    for i in (2, 3, 4):
+        assert final[i] == f"body line number {i} here"
+    assert common not in "\n".join(final.values())

@@ -692,6 +692,32 @@ def main() -> int:
     sections.append(("Line-level corpus dedup (hash-keyed shuffle, "
                      "scan-side rebuild)", ld_plan, notes))
 
+    # common-line stripping: the common set broadcasts, so line
+    # occurrences never hash-shuffle — the only exchanges are keyed by
+    # doc id (the drop-list aggregate) or SinglePartition 1-row totals
+    cl = span_dedup_ops.strip_common_lines(docs, min_words=2)
+    cl_plan = executed(cl)
+    cl_shufs = shuffle_schemas(cl)
+    # safe _k-keyed exchanges: the map-side-combined count (['_k','count'])
+    # and the (k, doc) distinct-pair phase (compound key spreads hot lines).
+    # unsafe: occurrence rows (pos) or raw line text moving on the line key
+    cl_linekey_wide = [
+        (p, cols)
+        for p, cols in cl_shufs
+        if ("_line" in cols)
+        or ("hashpartitioning(_k" in p and "pos" in cols)
+    ]
+    notes = [
+        check("strip_common_lines: line-key exchanges carry only the "
+              "map-side-combined count, never occurrence rows (the "
+              "occurrence probe rides the broadcast)", not cl_linekey_wide,
+              f"{len(cl_shufs)} shuffles; wide={cl_linekey_wide[:1]}"),
+        check("strip_common_lines: common-set probe is a broadcast join",
+              "BroadcastHashJoin" in cl_plan),
+    ]
+    sections.append(("Common-line stripping (broadcast frequency gate)",
+                     cl_plan, notes))
+
     # Gopher rules: the whole 7-rule gate is integer expression work that
     # fuses into the scan — zero exchanges, zero Python
     gr = textstats.gopher_rules(docs)
