@@ -17,6 +17,11 @@ Stages (every one an already-tested operator; this job only composes):
    conversation — ordered ``role: text`` rendering, boilerplate turns
    (exact texts recurring across >= ``--boilerplate-frac`` of
    conversations) stripped via a broadcast anti-join.
+1b. **line strip** (`span_dedup.strip_common_lines`, when
+   ``--strip-line-frac`` is set): frequency-common LINES of the assembled
+   docs (>= frac of conversations) removed everywhere via the broadcast
+   common-set probe — catches composite-turn boilerplate the turn-level
+   strip can't see, and keeps keep-first dedup keys cold downstream.
 2. **annotate + gate** (`textstats.with_quality`, `with_lang_pred`): token
    count / punctuation / stopword signals and n-gram language id; docs
    below ``--min-tokens`` surviving tokens are dropped.
@@ -53,6 +58,11 @@ def main() -> None:
     ap.add_argument("--out", required=True, help="output directory")
     ap.add_argument("--budget", type=int, default=65536, help="tokens per shard")
     ap.add_argument("--boilerplate-frac", type=float, default=0.1)
+    ap.add_argument(
+        "--strip-line-frac", type=float, default=None,
+        help="also strip LINES of the assembled docs recurring across >= "
+        "this fraction of conversations (broadcast common-set probe)",
+    )
     ap.add_argument("--min-tokens", type=int, default=1)
     ap.add_argument("--dedup-threshold", type=float, default=0.9)
     ap.add_argument("--shingle-k", type=int, default=3)
@@ -65,7 +75,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from log_analysis_spark.datagen import transcripts_from_events
-    from log_analysis_spark.operators import corpus, dedup, textstats
+    from log_analysis_spark.operators import corpus, dedup, span_dedup, textstats
     from log_analysis_spark.plans.manifest import (
         Manifest,
         StageRecord,
@@ -92,6 +102,7 @@ def main() -> None:
     fp = fingerprint_input(
         args.out, args.budget, args.boilerplate_frac, args.min_tokens,
         args.dedup_threshold, args.shingle_k, args.no_dedup,
+        args.strip_line_frac,
         fingerprint_source(turns),
     )
     prior = manifest.lookup("shards", fp)
@@ -103,6 +114,19 @@ def main() -> None:
     docs = corpus.transcripts_to_docs(
         turns, boilerplate_conv_frac=args.boilerplate_frac
     )
+    n_lines_removed = None
+    if args.strip_line_frac is not None:
+        stripped = span_dedup.strip_common_lines(
+            docs, max_doc_frac=args.strip_line_frac,
+            min_words=2, id_col="conv_id",
+        ).persist()
+        n_lines_removed = int(
+            stripped.agg(F.sum("n_lines_removed")).collect()[0][0] or 0
+        )
+        docs = docs.drop("text").join(
+            stripped.select("conv_id", F.col("clean_text").alias("text")),
+            "conv_id",
+        )
     docs = textstats.with_lang_pred(textstats.with_quality(docs))
     docs = docs.filter(F.col("n_tokens") >= args.min_tokens).persist()
     n_docs = docs.count()
@@ -145,6 +169,7 @@ def main() -> None:
         "n_shards": n_shards,
         "total_tokens": int(tok_total),
         "budget": args.budget,
+        "n_lines_removed": n_lines_removed,
     }
     pc = partition_row_counts(shards)
     manifest.record(

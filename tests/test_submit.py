@@ -485,3 +485,29 @@ def test_submit_incremental_embed_job(pkg_zip, tmp_path):
     )
     assert out.returncode != 0
     assert "n_planes" in (out.stderr + out.stdout)
+
+
+def test_submit_transcript_corpus_line_strip(pkg_zip, tmp_path):
+    """--strip-line-frac on the transcripts->corpus job: with the
+    turn-level boilerplate strip loosened to 0.5, the line-level strip at
+    0.1 removes the sub-threshold recurring lines the turn strip left
+    (190 at sf0.001), shrinking total tokens vs the no-strip run of the
+    same config."""
+    base = [
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--budget", "1024",
+        "--boilerplate-frac", "0.5",
+    ]
+    loose = _submit(
+        pkg_zip, "run_transcript_corpus.py",
+        [*base, "--out", str(tmp_path / "loose")], cwd=tmp_path,
+    )
+    stripped = _submit(
+        pkg_zip, "run_transcript_corpus.py",
+        [*base, "--out", str(tmp_path / "strip"), "--strip-line-frac", "0.1"],
+        cwd=tmp_path,
+    )
+    assert loose["n_lines_removed"] is None
+    assert stripped["n_lines_removed"] > 0
+    assert stripped["total_tokens"] < loose["total_tokens"]
+    assert stripped["n_docs"] == loose["n_docs"]
