@@ -32,6 +32,7 @@ from log_analysis_spark.operators import (
     enrich,
     joins,
     multimodal,
+    retrieval,
     router,
     semdedup,
     similarity,
@@ -725,6 +726,54 @@ def q_doc_decontaminate(spark, sf_dir):
     return corpus.decontaminate(docs.filter(~is_bench), docs.filter(is_bench), n=5)
 
 
+def q_doc_decontaminate_bloom(spark, sf_dir):
+    """Bounded-memory decontamination twin: same benchmark split and 5-gram
+    semantics as q_doc_decontaminate, but membership goes through a
+    2^20-bit / 4-hash Bloom set, so the broadcast is bounded by m_bits no
+    matter how large the benchmark grows.  Deterministic given (m, k) —
+    the oracle replays md5-u32 positions, set-bit construction and the
+    all-positions-hit rule end to end (false positives and all)."""
+    docs = _docs(spark, sf_dir)
+    is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1")
+    return corpus.decontaminate_bloom(
+        docs.filter(~is_bench), docs.filter(is_bench), n=5, m_bits=1 << 20, n_hashes=4
+    )
+
+
+# BM25's one source of truth for the contract query set — the Spark query
+# and the DuckDB oracle both render from this list
+BM25_QUERIES = [
+    (1, "hash join table"),
+    (2, "slow scan filter"),
+    (3, "spark merge sort batch"),
+]
+
+
+def q_doc_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-5 per query over the documents corpus (k1=1.2,
+    b=0.75, Lucene idf): postings are broadcast-filtered to the query
+    vocabulary at the scan, tf/df are one aggregate each, scores accumulate
+    as integer micro-units (round-6 idf and per-term contributions), rank
+    ties break by doc id.  The oracle recomputes tokenization, df/tf,
+    corpus stats and the quantized scoring chain end to end."""
+    docs = _docs(spark, sf_dir)
+    queries = spark.createDataFrame(BM25_QUERIES, "query_id int, query_text string")
+    return retrieval.bm25_topk(docs, queries, k=5)
+
+
+def q_doc_lev_neardup(spark, sf_dir):
+    """Edit-distance-verified near-dup pairs: MinHash md5 band candidates
+    (threshold=0 → the raw banded candidate set, the same structure the
+    minhash oracle proves) re-verified by bounded Levenshtein <= 5 — the
+    right verifier for small in-place edits that k-gram Jaccard misjudges.
+    Texts re-attach to the narrow candidate pairs via two id equi-joins;
+    the oracle rebuilds candidates AND the edit-distance filter end to
+    end.  Non-trivial at sf0.01: 24 of 25 candidates pass, 1 rejected."""
+    docs = _docs(spark, sf_dir)
+    cands = dedup.minhash_lsh_pairs(docs, threshold=0.0, hash_impl="md5")
+    return dedup.levenshtein_verified_pairs(cands, docs, max_dist=5)
+
+
 def q_doc_pii_scrub(spark, sf_dir):
     """PII redaction: emails / IPv4s / long digit runs replaced by tokens,
     per-class match counts kept.  The corpus text is word salad with no PII,
@@ -1222,6 +1271,9 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_strip_common_lines": q_doc_strip_common_lines,
         "corpus_report": q_corpus_report,
         "embed_semantic_decontam": q_embed_semantic_decontam,
+        "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
+        "doc_bm25_topk": q_doc_bm25_topk,
+        "doc_lev_neardup": q_doc_lev_neardup,
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_simhash": q_doc_simhash,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1334,6 +1386,11 @@ def retired_oracle_sql() -> dict[str, str]:
         ),
         "corpus_report": _corpus_report_oracle(),
         "embed_semantic_decontam": _semantic_decontam_oracle(threshold=0.3),
+        "doc_decontaminate_bloom": _decontaminate_bloom_oracle(
+            n=5, m_bits=1 << 20, n_hashes=4
+        ),
+        "doc_bm25_topk": _bm25_oracle(k=5, k1=1.2, b=0.75),
+        "doc_lev_neardup": _lev_neardup_oracle(max_dist=5),
     }
 
 
@@ -2623,6 +2680,104 @@ WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) NOT IN ('0','1')
 """
 
 
+def _decontaminate_bloom_oracle(n: int, m_bits: int, n_hashes: int) -> str:
+    """Independent recompute of q_doc_decontaminate_bloom: same gram CTEs as
+    _decontaminate_oracle, then the Bloom chain from first principles —
+    md5-u32("<i>:" || gram) mod m positions, the benchmark's set-bit table,
+    and the all-positions-hit flagging rule.  Encodes none of the Spark
+    side's broadcast/gram-hash structure."""
+    s = n - 1
+
+    def poss(val: str) -> str:
+        parts = [
+            f"(({_u32_sql(repr(f'{i}:') + ' || ' + val)}) % {int(m_bits)})"
+            for i in range(n_hashes)
+        ]
+        return "list_distinct([" + ", ".join(parts) + "])"
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h,
+         list_filter({_DOC_TOKENS}, x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, h,
+         list_distinct([array_to_string(t[i:i+{s}], ' ')
+                        FOR i IN range(1, len(t) - {s - 1})]) AS g
+  FROM toks WHERE len(t) >= {n}
+),
+bench_g AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE h IN ('0','1')),
+bits AS (SELECT DISTINCT unnest({poss('gram')}) AS pos FROM bench_g),
+doc_g AS (SELECT doc_id, unnest(g) AS gram FROM grams WHERE h NOT IN ('0','1')),
+doc_pos AS (SELECT doc_id, gram, len({poss('gram')}) AS npos,
+                   unnest({poss('gram')}) AS pos
+            FROM doc_g),
+flag AS (
+  SELECT doc_id, gram FROM doc_pos JOIN bits USING (pos)
+  GROUP BY doc_id, gram, npos HAVING count(*) = npos),
+hits AS (SELECT doc_id, count(*) AS nf FROM flag GROUP BY doc_id)
+SELECT d.doc_id, CAST(COALESCE(nf, 0) AS BIGINT) AS n_flagged_grams,
+       COALESCE(nf, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits USING (doc_id)
+WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) NOT IN ('0','1')
+"""
+
+
+def _bm25_oracle(k: int, k1: float, b: float) -> str:
+    """Independent recompute of q_doc_bm25_topk: tokenization, query
+    vocabulary, tf/df, corpus stats and the round-6 / integer-micro BM25
+    scoring chain, ranked per query with the same (score desc, doc asc)
+    tie rule.  Decimal constants are emitted via repr() of the SAME Python
+    doubles the Spark side lits, so both engines compute over identical
+    IEEE values (ln is the accepted round-6-guarded libm call)."""
+    qvals = ", ".join(f"({qid}, '{qt}')" for qid, qt in BM25_QUERIES)
+    k1p1, one_minus_b = repr(float(k1) + 1.0), repr(1.0 - float(b))
+    k1r, br = repr(float(k1)), repr(float(b))
+    return f"""
+WITH qry AS (SELECT * FROM (VALUES {qvals}) t(query_id, query_text)),
+qterm AS (
+  SELECT DISTINCT query_id, lower(t) AS term
+  FROM (SELECT query_id,
+               unnest(list_filter(string_split_regex(trim(query_text), '[^\\w'']+'),
+                                  x -> x <> '')) AS t
+        FROM qry)),
+tok AS (
+  SELECT doc_id, lower(t) AS tok
+  FROM (SELECT doc_id, unnest(list_filter({_DOC_TOKENS}, x -> x <> '')) AS t
+        FROM documents)),
+lengths AS (
+  SELECT doc_id, CAST(len(list_filter({_DOC_TOKENS}, x -> x <> '')) AS BIGINT) AS dl
+  FROM documents),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(COALESCE(sum(dl), 0) AS BIGINT) AS total_len
+          FROM lengths),
+tf AS (SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+       FROM tok WHERE tok IN (SELECT term FROM qterm) GROUP BY 1, 2),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+    CAST(round(round(
+      round(ln((CAST(s.n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0), 6)
+      * (CAST(tf AS DOUBLE) * {k1p1}
+         / (CAST(tf AS DOUBLE)
+            + {k1r} * ({one_minus_b}
+                       + {br} * (CAST(dl AS DOUBLE) * CAST(s.n_docs AS DOUBLE)
+                                 / CAST(s.total_len AS DOUBLE)))))
+    , 6) * 1000000.0) AS BIGINT) AS cmicro
+  FROM tf JOIN dft USING (term) JOIN lengths USING (doc_id) CROSS JOIN stats s
+  JOIN qterm q ON q.term = tf.term),
+scored AS (SELECT query_id, doc_id, sum(cmicro) AS smicro FROM contrib GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id,
+         round(CAST(smicro AS DOUBLE) / 1000000.0, 6) AS score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY smicro DESC, doc_id) AS INTEGER) AS rank
+  FROM scored)
+SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= {int(k)}
+"""
+
+
 # the deterministic PII-bearing suffix q_doc_pii_scrub appends to half the
 # corpus (md5 leading nibble < 8) — mirrored verbatim from the Spark side
 _PII_AUG = (
@@ -2802,13 +2957,13 @@ SELECT sess.sess_key, sess.n_events FROM sess JOIN reps ON sess.sess_key = reps.
 """
 
 
-def _minhash_md5_oracle(
-    threshold: float = 0.2, n_hashes: int = 32, bands: int = 8
-) -> str:
-    """Mirror of dedup.minhash_lsh_pairs(hash_impl='md5'): 3-word shingles,
-    32 seeded min-md5 signature values, 8 band keys (md5 of the band's
-    comma-joined slice), candidates from band-bucket self-join, exact
-    Jaccard verify — every step verbatim-computable in DuckDB."""
+def _minhash_cand_ctes(n_hashes: int = 32, bands: int = 8) -> str:
+    """The shared WITH-chain rebuilding dedup.minhash_lsh_pairs'
+    (hash_impl='md5') candidate structure end to end — 3-word shingles, 32
+    seeded min-md5 signature values, 8 band keys, band-bucket self-join —
+    ending in ``cand(id_a, id_b, sh_a, sh_b)``.  Used by both the Jaccard
+    verify oracle and the Levenshtein verify oracle so the two recomputes
+    cannot drift."""
     rpb = n_hashes // bands
     band_arms = "\n  UNION ALL ".join(
         "SELECT id, sh, {b} AS band,"
@@ -2818,7 +2973,7 @@ def _minhash_md5_oracle(
         for b in range(bands)
     )
     return f"""
-WITH doc_sh3 AS (
+doc_sh3 AS (
   SELECT doc_id AS id,
          list_distinct([array_to_string(toks[i:i+2], ' ')
                         FOR i IN range(1, len(toks) - 1)]) AS sh
@@ -2838,7 +2993,17 @@ cand AS (
   SELECT DISTINCT a.id AS id_a, b2.id AS id_b, a.sh AS sh_a, b2.sh AS sh_b
   FROM banded a JOIN banded b2
     ON a.band = b2.band AND a.bkey = b2.bkey AND a.id < b2.id
-),
+)"""
+
+
+def _minhash_md5_oracle(
+    threshold: float = 0.2, n_hashes: int = 32, bands: int = 8
+) -> str:
+    """Mirror of dedup.minhash_lsh_pairs(hash_impl='md5'): the shared
+    candidate CTEs + exact Jaccard verify — every step verbatim-computable
+    in DuckDB."""
+    return f"""
+WITH {_minhash_cand_ctes(n_hashes, bands).strip()},
 scored AS (
   SELECT id_a, id_b,
          CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
@@ -2847,6 +3012,24 @@ scored AS (
 )
 SELECT id_a, id_b, round(jaccard, 6) AS jaccard
 FROM scored WHERE jaccard >= {threshold}
+"""
+
+
+def _lev_neardup_oracle(
+    max_dist: int, n_hashes: int = 32, bands: int = 8
+) -> str:
+    """Mirror of q_doc_lev_neardup: the SAME candidate CTEs as the minhash
+    oracle, verified by character edit distance instead of Jaccard —
+    DuckDB's unbounded levenshtein filtered to the bound replays Spark's
+    bounded-DP variant exactly (wherever Spark returns d <= max_dist, the
+    value is the true distance)."""
+    return f"""
+WITH {_minhash_cand_ctes(n_hashes, bands).strip()}
+SELECT id_a, id_b, CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev_dist
+FROM cand
+JOIN documents da ON da.doc_id = id_a
+JOIN documents db ON db.doc_id = id_b
+WHERE levenshtein(da.text, db.text) <= {int(max_dist)}
 """
 
 

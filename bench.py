@@ -258,6 +258,16 @@ def main() -> None:
             ).count(),
         )
 
+    # edit-distance verification of the minhash band candidates (bounded
+    # Levenshtein DP over the narrow candidate pairs, texts re-attached by
+    # two id equi-joins)
+    timed(
+        "doc_lev_neardup",
+        lambda: dedup.levenshtein_verified_pairs(
+            dedup.minhash_lsh_pairs(docs, threshold=0.0), docs, max_dist=50
+        ).count(),
+    )
+
     # span-level dedup: the corpus rebuilt without duplicated 3-gram spans;
     # sum(length) forces the rebuilt text column so pruning can't skip the
     # higher-order-filter reassembly
@@ -379,6 +389,43 @@ def main() -> None:
         lambda: textstats_ops.perplexity_buckets(docs, n_buckets=3)
         .groupBy("ppl_bucket")
         .count()
+        .collect(),
+    )
+
+    # BM25 keyword retrieval: postings broadcast-filtered to the query
+    # vocabulary at the scan, integer-micro scoring, per-query rank window
+    from log_analysis_spark.operators import retrieval as retrieval_ops
+
+    bm25_queries = spark.createDataFrame(
+        [
+            (1, "hash join table"),
+            (2, "slow scan filter"),
+            (3, "spark merge sort batch"),
+            (4, "key value part row"),
+        ],
+        "query_id int, query_text string",
+    )
+    timed(
+        "doc_bm25_topk",
+        lambda: retrieval_ops.bm25_topk(docs, bm25_queries, k=10).count(),
+    )
+
+    # Bloom-filter decontamination: bounded set-bit broadcast (<= m_bits
+    # rows), md5-keyed corpus grams — vs the exact operator's
+    # distinct-gram broadcast that grows with the benchmark
+    bench_split = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        "0", "1"
+    )
+    timed(
+        "doc_decontaminate_bloom",
+        lambda: corpus_ops.decontaminate_bloom(
+            docs.filter(~bench_split),
+            docs.filter(bench_split),
+            n=5,
+            m_bits=1 << 20,
+            n_hashes=4,
+        )
+        .agg(F.sum("n_flagged_grams"), F.count_if("contaminated"))
         .collect(),
     )
 

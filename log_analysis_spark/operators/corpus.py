@@ -26,6 +26,11 @@ training-shard materialization:
   (the GPT-3 appendix C / Gopher §A1.2 hygiene step): distinct benchmark
   grams broadcast against the exploded corpus grams, per-doc hit counts +
   contaminated flag.
+* ``decontaminate_bloom`` — the bounded-memory variant: benchmark grams
+  fold into a Bloom set-bit table (≤ ``m_bits`` rows by construction, no
+  matter how large the benchmark), no false negatives, deterministic
+  false-positive set — for eval suites whose distinct grams outgrow a
+  broadcast.
 * ``transcripts_to_docs`` — the transcripts→corpus bridge: one training
   document per conversation (ordered ``role: text`` rendering) with
   boilerplate turns (exact text recurring across ≥ frac of conversations)
@@ -53,6 +58,8 @@ __all__ = [
     "temperature_mix",
     "leakage_safe_split",
     "decontaminate",
+    "decontaminate_bloom",
+    "bloom_positions",
     "transcripts_to_docs",
     "corpus_report",
     "DEFAULT_REPETITION_THRESHOLDS",
@@ -308,6 +315,107 @@ def decontaminate(
         .join(hits, id_col, "left")
         .withColumn("n_hit_grams", F.coalesce(F.col("n_hit_grams"), F.lit(0)).cast("long"))
         .withColumn("contaminated", F.col("n_hit_grams") >= F.lit(int(min_hits)))
+    )
+
+
+def bloom_positions(col: F.Column, m_bits: int, n_hashes: int) -> F.Column:
+    """The DISTINCT Bloom bit positions of a value: for hash index i in
+    [0, n_hashes), position_i = md5-u32("<i>:" || value) mod m_bits.  The
+    md5-u32 draw is the repo's standard engine-portable uniform (see
+    textstats' feature hashing); distinct because two hash indexes may
+    collide on a position and membership is set-membership of bits."""
+    if m_bits < 2 or n_hashes < 1:
+        raise ValueError(f"need m_bits >= 2 and n_hashes >= 1, got {m_bits}/{n_hashes}")
+    return F.array_distinct(
+        F.array(
+            *[
+                F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}:"), col)), 1, 8), 16, 10)
+                .cast("long")
+                % F.lit(int(m_bits))
+                for i in range(n_hashes)
+            ]
+        )
+    )
+
+
+def decontaminate_bloom(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 5,
+    min_hits: int = 1,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination →
+    ``(id, n_flagged_grams, contaminated)`` — the bounded-memory variant of
+    :func:`decontaminate` for benchmark sets too large to broadcast as
+    distinct grams.
+
+    The benchmark's distinct word n-grams are folded into a Bloom bit set
+    (``n_hashes`` md5-derived positions in ``[0, m_bits)``); a corpus gram
+    is *flagged* iff ALL of its positions are set, and a document is
+    contaminated iff >= ``min_hits`` distinct grams flag.  Classic Bloom
+    semantics (Bloom 1970): NO false negatives — the flagged set is always
+    a superset of :func:`decontaminate`'s exact hit set (unit-asserted) —
+    and a deterministic false-positive set of rate roughly
+    ``(1 - exp(-n_hashes * n_grams / m_bits)) ** n_hashes``, which is the
+    right trade for a hygiene filter (over-dropping epsilon of clean docs
+    is harmless; missing contamination is not).
+
+    Scale shape: the broadcast side is the distinct SET-BIT table —
+    ``<= min(m_bits, n_hashes * |bench grams|)`` single-long rows, bounded
+    by ``m_bits`` BY CONSTRUCTION no matter how large the benchmark grows
+    (a 128 MB bit budget checks ~10^9 grams at 4 hashes / ~2% FP) — where
+    the exact operator's broadcast grows linearly with the benchmark's
+    distinct grams.  The corpus side explodes ``n_hashes`` positions per
+    distinct gram and probes the broadcast bit table; the per-doc
+    reduction groups on ``(id, md5(gram))`` so gram TEXT never enters an
+    exchange (the exact operator shuffles the gram strings themselves).
+    Everything is md5/conv/explode/groupBy JVM expressions — deterministic
+    given (m_bits, n_hashes), hence exactly mirrorable in a cross-engine
+    oracle, and no per-row Python.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    bench_grams = bench.select(
+        F.explode(
+            F.array_distinct(_word_ngrams(bench_text_col or text_col, n))
+        ).alias("gram")
+    ).distinct()
+    bits = F.broadcast(
+        bench_grams.select(
+            F.explode(bloom_positions(F.col("gram"), m_bits, n_hashes)).alias("_pos")
+        ).distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_word_ngrams(text_col, n))).alias("gram"),
+    ).select(
+        id_col,
+        F.md5(F.col("gram")).alias("_gid"),
+        bloom_positions(F.col("gram"), m_bits, n_hashes).alias("_poss"),
+    )
+    flagged = (
+        doc_grams.withColumn("_npos", F.size("_poss"))
+        .select(id_col, "_gid", "_npos", F.explode("_poss").alias("_pos"))
+        .join(bits, "_pos")
+        .groupBy(id_col, "_gid", "_npos")
+        .agg(F.count(F.lit(1)).alias("_nhit"))
+        .filter(F.col("_nhit") == F.col("_npos"))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_flagged_grams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(flagged, id_col, "left")
+        .withColumn(
+            "n_flagged_grams",
+            F.coalesce(F.col("n_flagged_grams"), F.lit(0)).cast("long"),
+        )
+        .withColumn("contaminated", F.col("n_flagged_grams") >= F.lit(int(min_hits)))
     )
 
 

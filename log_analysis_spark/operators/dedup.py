@@ -481,6 +481,54 @@ def drop_near_duplicates(
     return df.join(reps, id_col)
 
 
+def levenshtein_verified_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    max_dist: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Edit-distance verification of near-dup CANDIDATE pairs →
+    ``(id_a, id_b, lev_dist)`` with ``lev_dist <= max_dist``.
+
+    The fourth member of the engine's verify family (MinHash Jaccard
+    estimate, exact shingle Jaccard, embedding cosine, and now character
+    edit distance): edit distance is the right verifier when near-dups
+    differ by small in-place edits — version bumps, timestamps, typo
+    fixes — that k-gram Jaccard under- or over-counts depending on where
+    the edit lands.  ``pairs`` is any candidate frame with (id_a, id_b)
+    — MinHash/SimHash band candidates in practice, so the quadratic
+    verify only ever runs on the blocked candidate set, never all pairs.
+
+    Scale shape: candidates arrive as narrow id pairs; the two texts are
+    re-attached via two id equi-joins (the minhash re-attach pattern — the
+    band structure upstream never shuffles text); the verify itself is
+    Spark's BOUNDED ``levenshtein(l, r, threshold)`` — O(max_dist × len)
+    banded DP per pair instead of O(len²), and early-exits to -1 past the
+    bound.  No Python per row; DuckDB's unbounded ``levenshtein`` filtered
+    to the same bound replays it exactly for the oracle.
+    """
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    ta = docs.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("_text_a")
+    )
+    tb = docs.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("_text_b")
+    )
+    return (
+        pairs.select("id_a", "id_b")
+        .join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn(
+            "lev_dist",
+            F.levenshtein(F.col("_text_a"), F.col("_text_b"), int(max_dist)),
+        )
+        .filter((F.col("lev_dist") >= 0) & (F.col("lev_dist") <= F.lit(int(max_dist))))
+        .select("id_a", "id_b", F.col("lev_dist").cast("long").alias("lev_dist"))
+    )
+
+
 SIMHASH_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

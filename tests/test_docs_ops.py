@@ -908,3 +908,67 @@ def test_gopher_rules_fuzz_python_mirror(spark):
         for rule, want in exp.items():
             assert got[i][rule] == want, (i, rule, text[:80])
         assert got[i]["keep_gopher"] == all(exp.values()), i
+
+
+# ------------------------------------------------- levenshtein verify
+
+
+def _lev_frames(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),  # d=3 vs 1
+            (3, "the quick brown fox leaps over the lazy dog"),  # d=3 vs 1
+            (4, "a completely different sentence about databases"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4)], "id_a long, id_b long"
+    )
+    return docs, pairs
+
+
+def test_levenshtein_verify_filters_and_values(spark):
+    docs, pairs = _lev_frames(spark)
+    out = {
+        (r["id_a"], r["id_b"]): r["lev_dist"]
+        for r in dedup.levenshtein_verified_pairs(pairs, docs, max_dist=6).collect()
+    }
+    # hand-checked distances: cat/dog substitution = 3, jumps/leaps = 3,
+    # (2,3) differs in both spots = 6, (1,4) is far past the bound
+    assert out == {(1, 2): 3, (1, 3): 3, (2, 3): 6}
+
+
+def test_levenshtein_verify_bound_is_exact(spark):
+    docs, pairs = _lev_frames(spark)
+    tight = dedup.levenshtein_verified_pairs(pairs, docs, max_dist=3)
+    assert {(r["id_a"], r["id_b"]) for r in tight.collect()} == {(1, 2), (1, 3)}
+    zero = dedup.levenshtein_verified_pairs(pairs, docs, max_dist=0)
+    assert zero.count() == 0
+    with pytest.raises(ValueError):
+        dedup.levenshtein_verified_pairs(pairs, docs, max_dist=-1)
+
+
+def test_levenshtein_verify_composes_with_minhash_candidates(spark, docs):
+    cands = dedup.minhash_lsh_pairs(docs, threshold=0.0, hash_impl="md5")
+    verified = dedup.levenshtein_verified_pairs(cands, docs, max_dist=5)
+    vset = {(r["id_a"], r["id_b"]) for r in verified.collect()}
+    cset = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert vset <= cset and len(vset) > 0
+    # every surviving pair's distance really is <= 5 (python recompute)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    for r in verified.collect():
+        assert lev(texts[r["id_a"]], texts[r["id_b"]]) == r["lev_dist"] <= 5

@@ -803,6 +803,61 @@ def main() -> int:
     sections.append(("Cluster-balanced sampling (broadcast rates, narrow agg)",
                      cbal_plan, notes))
 
+    # BM25 retrieval: postings are broadcast-filtered to the query
+    # vocabulary at the scan; exchanges carry tokens/counts, never the
+    # document text; no Python anywhere
+    from log_analysis_spark.operators import retrieval as retrieval_ops
+
+    bm_queries = spark.createDataFrame(
+        [(1, "hash join table"), (2, "slow scan filter")],
+        "query_id int, query_text string",
+    )
+    bm = retrieval_ops.bm25_topk(docs, bm_queries, k=5)
+    bm_plan = executed(bm)
+    bm_shufs = shuffle_schemas(bm)
+    bm_wide = [
+        (p, cols) for p, cols in bm_shufs if any(c == "text" for c in cols)
+    ]
+    notes = [
+        check("bm25: no exchange carries the document text column",
+              not bm_wide, f"{len(bm_shufs)} shuffles; wide={bm_wide[:1]}"),
+        check("bm25: query vocabulary filters postings via broadcast join",
+              "BroadcastHashJoin" in bm_plan),
+        check("bm25: no Python in the plan",
+              "Python" not in bm_plan and "Arrow" not in bm_plan),
+    ]
+    sections.append(("BM25 retrieval (query-vocab broadcast, text-free shuffles)",
+                     bm_plan, notes))
+
+    # Bloom decontamination: the corpus-side reduction groups on the
+    # 16-byte gram md5 — no exchange may carry BOTH the doc id and raw
+    # gram/text strings (the bench side's tiny distinct-gram exchange is
+    # the one legitimate gram carrier); the set-bit probe is a broadcast
+    bm_bench = docs.limit(20)
+    bd = corpus.decontaminate_bloom(
+        docs, bm_bench, n=5, m_bits=1 << 20, n_hashes=4
+    )
+    bd_plan = executed(bd)
+    bd_shufs = shuffle_schemas(bd)
+    bd_wide = [
+        (p, cols)
+        for p, cols in bd_shufs
+        if any("doc_id" in c for c in cols)
+        and any(c in ("gram", "text") for c in cols)
+    ]
+    notes = [
+        check("bloom decontaminate: corpus-side exchanges never pair doc_id "
+              "with gram/text strings (gram rides as md5)",
+              len(bd_shufs) >= 1 and not bd_wide,
+              f"{len(bd_shufs)} shuffles; wide={bd_wide[:1]}"),
+        check("bloom decontaminate: set-bit probe is a broadcast join",
+              "BroadcastHashJoin" in bd_plan),
+        check("bloom decontaminate: no Python in the plan",
+              "Python" not in bd_plan and "Arrow" not in bd_plan),
+    ]
+    sections.append(("Bloom decontamination (bounded broadcast, md5-keyed grams)",
+                     bd_plan, notes))
+
     # ---- write EXPLAIN.md -------------------------------------------------
     md = ["# EXPLAIN audit — physical plans vs 100 TB design intents",
           "",
