@@ -27,6 +27,7 @@ from log_analysis_spark.datagen import (
 from log_analysis_spark.functions.parse import parse_turns
 from log_analysis_spark.operators import aggregate as agg
 from log_analysis_spark.operators import (
+    chunking,
     corpus,
     dedup,
     enrich,
@@ -774,6 +775,26 @@ def q_doc_lev_neardup(spark, sf_dir):
     return dedup.levenshtein_verified_pairs(cands, docs, max_dist=5)
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Token-window chunking: 24-token windows every 18 tokens (overlap 6),
+    trailing windows that add no new tokens dropped, chunk text re-joined
+    from the window's tokens.  At sf0.01's 10-99-token docs this yields
+    1-5 chunks per doc with real dropped tails.  The oracle replays
+    tokenization, window starts, the keep rules and the re-join."""
+    return chunking.chunk_documents(_docs(spark, sf_dir), max_tokens=24, overlap=6)
+
+
+def q_corpus_cap_group(spark, sf_dir):
+    """Per-group quota capping: at most 100 docs per language, survivors
+    the 100 smallest (md5(id), id) draws — en (218 docs at sf0.01) is
+    capped, the other four languages pass through the windowless
+    under-cap path, so both plan branches are exercised and the union is
+    verified as one result."""
+    return corpus.cap_per_group(_docs(spark, sf_dir), "lang", 100).select(
+        "doc_id", "lang", "source"
+    )
+
+
 def q_doc_pii_scrub(spark, sf_dir):
     """PII redaction: emails / IPv4s / long digit runs replaced by tokens,
     per-class match counts kept.  The corpus text is word salad with no PII,
@@ -1274,6 +1295,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
         "doc_bm25_topk": q_doc_bm25_topk,
         "doc_lev_neardup": q_doc_lev_neardup,
+        "doc_chunks": q_doc_chunks,
+        "corpus_cap_group": q_corpus_cap_group,
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_simhash": q_doc_simhash,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1391,6 +1414,8 @@ def retired_oracle_sql() -> dict[str, str]:
         ),
         "doc_bm25_topk": _bm25_oracle(k=5, k1=1.2, b=0.75),
         "doc_lev_neardup": _lev_neardup_oracle(max_dist=5),
+        "doc_chunks": _chunks_oracle(max_tokens=24, overlap=6, min_tokens=1),
+        "corpus_cap_group": _cap_group_oracle(group_col="lang", cap=100),
     }
 
 
@@ -3030,6 +3055,39 @@ FROM cand
 JOIN documents da ON da.doc_id = id_a
 JOIN documents db ON db.doc_id = id_b
 WHERE levenshtein(da.text, db.text) <= {int(max_dist)}
+"""
+
+
+def _chunks_oracle(max_tokens: int, overlap: int, min_tokens: int) -> str:
+    """Independent recompute of q_doc_chunks: tokenization, stride window
+    starts, the two keep rules (a trailing window adding no new tokens is
+    dropped; windows under min_tokens are dropped) and the single-space
+    re-join, from first principles in DuckDB list algebra."""
+    stride = max_tokens - overlap
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter({_DOC_TOKENS}, x -> x <> '') AS t FROM documents),
+st AS (
+  SELECT doc_id, t, len(t) AS n, unnest(range(0, len(t), {stride})) AS s
+  FROM toks WHERE len(t) > 0)
+SELECT doc_id, CAST(s // {stride} AS INT) AS chunk_id,
+       CAST(least({max_tokens}, n - s) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(t, s + 1, s + {max_tokens}), ' ') AS text
+FROM st
+WHERE (s = 0 OR n - s > {overlap}) AND least({max_tokens}, n - s) >= {min_tokens}
+"""
+
+
+def _cap_group_oracle(group_col: str, cap: int) -> str:
+    """Independent recompute of q_corpus_cap_group: one rank window per
+    group over (md5(id), id) with rank <= cap — the oracle need not mirror
+    the Spark side's under-cap broadcast bypass, only its semantics."""
+    return f"""
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY {group_col}
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents) WHERE rk <= {int(cap)}
 """
 
 

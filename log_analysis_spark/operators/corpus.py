@@ -55,6 +55,7 @@ __all__ = [
     "repetition_stats",
     "pack_shards",
     "stratified_sample",
+    "cap_per_group",
     "temperature_mix",
     "leakage_safe_split",
     "decontaminate",
@@ -523,6 +524,59 @@ def stratified_sample(
         rate = F.when(F.col(strata_col) == stratum, F.lit(float(r))).otherwise(rate)
     # integer threshold comparison (u16 < rate*65536) — no float equality
     return df.filter(u16 < F.round(rate * F.lit(65536.0)).cast("long"))
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, deterministically — the
+    CommonCrawl-style per-host / per-source quota (cap the dominant
+    domain so no single crawl seed swamps the mixture) that rate-based
+    :func:`stratified_sample` can't express (a rate halves a group; a cap
+    bounds it regardless of size).
+
+    Which rows survive an over-cap group is a deterministic uniform draw:
+    rank by ``(md5(id), id)`` within the group and keep rank <= cap — the
+    same engine-portable md5 ordering the sampler thresholds on, so the
+    kept set is reproducible anywhere and independent of physical row
+    order.
+
+    Scale shape: the decision runs entirely over the narrow ``(id,
+    group)`` projection — document text NEVER enters the rank shuffle.  A
+    first map-side-combinable count finds the over-cap groups (a tiny
+    frame — broadcast); under-cap groups pass through via a broadcast
+    anti-join with NO window at all (at 100 TB almost every host is
+    under-cap, so almost no row pays the rank); only over-cap groups'
+    (id, group) rows enter the rank window, and its shuffle carries
+    ~40 B/row.  Survivor ids re-attach to the full rows by id equi-join
+    (the dedup re-attach pattern).  A pathological single-host corpus
+    still ranks that host on one partition — the inherent cost of an
+    exact global rank; cap audits at that scale should pre-shard by a
+    salted approximate pass first.
+    """
+    if cap < 0:
+        raise ValueError(f"cap must be >= 0, got {cap}")
+    keys = df.select(id_col, group_col)
+    over = F.broadcast(
+        keys.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > F.lit(int(cap)))
+        .select(group_col)
+    )
+    under_ids = keys.join(over, group_col, "left_anti").select(id_col)
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    over_ids = (
+        keys.join(over, group_col)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.lit(int(cap)))
+        .select(id_col)
+    )
+    return df.join(under_ids.unionByName(over_ids), id_col)
 
 
 def temperature_mix(

@@ -1,0 +1,88 @@
+"""Unit tests for operators/chunking.py — token-window chunking against a
+pure-Python mirror of the window rules, plus edge cases (exact-multiple
+lengths, overlap-absorbed tails, empty docs, parameter validation)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from log_analysis_spark.operators import chunking
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _py_chunks(text, max_tokens, overlap, min_tokens=1):
+    """Independent mirror: same tokenization rule as textstats.tokens_col
+    (trim, split on runs of non-word chars, drop empty tokens)."""
+    t = [x for x in re.split(r"[^\w']+", text.strip()) if x != ""]
+    stride = max_tokens - overlap
+    out = []
+    for s in range(0, len(t), stride):
+        w = t[s : s + max_tokens]
+        if s > 0 and len(w) <= overlap:
+            continue  # adds no new tokens
+        if len(w) < min_tokens:
+            continue
+        out.append((s // stride, len(w), " ".join(w)))
+    return out
+
+
+def _collect(df):
+    return sorted(
+        (r.doc_id, r.chunk_id, r.n_tokens, r.text) for r in df.collect()
+    )
+
+
+def test_chunk_documents_matches_python_mirror(spark):
+    texts = {
+        1: "a b c d e f g h i j",          # 10 tokens
+        2: "one two three four",            # exactly max_tokens
+        3: "x",                              # single token
+        4: "",                               # empty -> no chunks
+        5: "  p  q,r.s   t  ",               # messy separators, 5 tokens
+        6: " ".join(f"w{i}" for i in range(23)),  # long, ragged tail
+    }
+    df = _docs_df(spark, list(texts.items()))
+    got = _collect(chunking.chunk_documents(df, max_tokens=4, overlap=1))
+    want = sorted(
+        (d, cid, n, tx)
+        for d, text in texts.items()
+        for cid, n, tx in _py_chunks(text, 4, 1)
+    )
+    assert got == want
+    assert not any(d == 4 for d, *_ in got)  # empty doc emits nothing
+
+
+def test_chunk_documents_no_overlap_and_min_tokens(spark):
+    df = _docs_df(spark, [(1, "a b c d e f g")])  # 7 tokens
+    got = _collect(chunking.chunk_documents(df, max_tokens=3, overlap=0))
+    assert got == [(1, 0, 3, "a b c"), (1, 1, 3, "d e f"), (1, 2, 1, "g")]
+    # min_tokens=2 drops the length-1 tail
+    got2 = _collect(
+        chunking.chunk_documents(df, max_tokens=3, overlap=0, min_tokens=2)
+    )
+    assert got2 == got[:2]
+
+
+def test_chunk_documents_tail_absorbed_by_overlap(spark):
+    # 5 tokens, max=4, overlap=2, stride=2: starts 0,2,4; start 4 has
+    # 1 token <= overlap -> dropped; start 2 has 3 tokens > overlap -> kept
+    df = _docs_df(spark, [(1, "a b c d e")])
+    got = _collect(chunking.chunk_documents(df, max_tokens=4, overlap=2))
+    assert got == [(1, 0, 4, "a b c d"), (1, 1, 3, "c d e")]
+
+
+def test_chunk_documents_validates_params(spark):
+    df = _docs_df(spark, [(1, "a")])
+    with pytest.raises(ValueError):
+        chunking.chunk_documents(df, max_tokens=0)
+    with pytest.raises(ValueError):
+        chunking.chunk_documents(df, max_tokens=4, overlap=4)
+    with pytest.raises(ValueError):
+        chunking.chunk_documents(df, max_tokens=4, overlap=-1)
+    with pytest.raises(ValueError):
+        chunking.chunk_documents(df, max_tokens=4, min_tokens=0)

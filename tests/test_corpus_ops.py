@@ -275,3 +275,40 @@ def test_corpus_report_totals_and_gates(spark):
     assert bk["n_chars"] == len("el gato grande")
     # one row per (source, lang): no cross-group leakage
     assert set(rows) == {("web", "en"), ("books", "es")}
+
+
+def _cap_docs(spark):
+    rows = [(i, f"text {i}", "web", "en" if i <= 30 else "fr") for i in range(1, 41)]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string"
+    )
+
+
+def test_cap_per_group_caps_and_passes_through(spark):
+    docs = _cap_docs(spark)  # en: 30 docs (over cap), fr: 10 (under)
+    out = corpus.cap_per_group(docs, "lang", 12).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    assert len(by_lang["en"]) == 12
+    assert by_lang["fr"] == set(range(31, 41))  # under-cap: untouched
+    # survivors of the over-cap group = the 12 smallest (md5(id), id) draws
+    want = set(
+        sorted(range(1, 31), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:12]
+    )
+    assert by_lang["en"] == want
+    # full rows (text/source) survive the re-attach join
+    assert all(r.text == f"text {r.doc_id}" and r.source == "web" for r in out)
+
+
+def test_cap_per_group_deterministic_and_edge_caps(spark):
+    docs = _cap_docs(spark)
+    a = {r.doc_id for r in corpus.cap_per_group(docs, "lang", 12).collect()}
+    b = {r.doc_id for r in corpus.cap_per_group(docs, "lang", 12).collect()}
+    assert a == b
+    # cap >= every group size: identity
+    assert corpus.cap_per_group(docs, "lang", 100).count() == 40
+    # cap 0: nothing survives
+    assert corpus.cap_per_group(docs, "lang", 0).count() == 0
+    with pytest.raises(ValueError):
+        corpus.cap_per_group(docs, "lang", -1)
