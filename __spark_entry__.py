@@ -784,6 +784,18 @@ def q_doc_chunks(spark, sf_dir):
     return chunking.chunk_documents(_docs(spark, sf_dir), max_tokens=24, overlap=6)
 
 
+def q_corpus_pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-split sequence packing: the corpus becomes one
+    deterministic md5(id)-ordered token stream cut into 64-token training
+    sequences; one row per (doc, sequence) segment with in-sequence slot,
+    in-doc token range and the segment text.  At sf0.01 (500 docs,
+    10-99 tokens each) most docs span a sequence boundary, so the
+    boundary-splitting arithmetic is exercised hundreds of times.  The
+    oracle replays the ENTIRE decomposition with ONE global cumsum window
+    — proving the 256-bucket two-phase offsets equal a true global order."""
+    return chunking.pack_sequences(_docs(spark, sf_dir), seq_len=64)
+
+
 def q_corpus_cap_group(spark, sf_dir):
     """Per-group quota capping: at most 100 docs per language, survivors
     the 100 smallest (md5(id), id) draws — en (218 docs at sf0.01) is
@@ -1296,6 +1308,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25_topk": q_doc_bm25_topk,
         "doc_lev_neardup": q_doc_lev_neardup,
         "doc_chunks": q_doc_chunks,
+        "corpus_pack_sequences": q_corpus_pack_sequences,
         "corpus_cap_group": q_corpus_cap_group,
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_simhash": q_doc_simhash,
@@ -1415,6 +1428,7 @@ def retired_oracle_sql() -> dict[str, str]:
         "doc_bm25_topk": _bm25_oracle(k=5, k1=1.2, b=0.75),
         "doc_lev_neardup": _lev_neardup_oracle(max_dist=5),
         "doc_chunks": _chunks_oracle(max_tokens=24, overlap=6, min_tokens=1),
+        "corpus_pack_sequences": _pack_sequences_oracle(seq_len=64),
         "corpus_cap_group": _cap_group_oracle(group_col="lang", cap=100),
     }
 
@@ -3075,6 +3089,42 @@ SELECT doc_id, CAST(s // {stride} AS INT) AS chunk_id,
        array_to_string(list_slice(t, s + 1, s + {max_tokens}), ' ') AS text
 FROM st
 WHERE (s = 0 OR n - s > {overlap}) AND least({max_tokens}, n - s) >= {min_tokens}
+"""
+
+
+def _pack_sequences_oracle(seq_len: int) -> str:
+    """Independent recompute of q_corpus_pack_sequences: tokenization, the
+    md5(id)-ordered EXCLUSIVE global cumsum (ONE true global window — the
+    Spark side's 256-bucket two-phase must equal it), the per-doc sequence
+    range and the boundary-splitting segment arithmetic, in DuckDB list
+    algebra with all-integer offsets."""
+    L = int(seq_len)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter({_DOC_TOKENS}, x -> x <> '') AS t FROM documents),
+o AS (
+  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
+         md5(CAST(doc_id AS VARCHAR)) AS pk
+  FROM toks WHERE len(t) > 0),
+c AS (
+  SELECT doc_id, t, n,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY pk, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS goff
+  FROM o),
+segs AS (
+  SELECT doc_id, t, n, goff,
+         unnest(range(goff // {L}, (goff + n - 1) // {L} + 1)) AS q
+  FROM c)
+SELECT doc_id,
+       CAST(q AS BIGINT) AS seq_id,
+       CAST(greatest(goff - q*{L}, 0) AS BIGINT) AS start_in_seq,
+       CAST(greatest(q*{L} - goff, 0) AS BIGINT) AS tok_start,
+       CAST((least((q+1)*{L}, goff+n) - goff) - greatest(q*{L} - goff, 0)
+            AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(t, greatest(q*{L} - goff, 0) + 1,
+                                  least((q+1)*{L}, goff+n) - goff), ' ') AS text
+FROM segs
 """
 
 

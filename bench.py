@@ -392,6 +392,32 @@ def main() -> None:
         .collect(),
     )
 
+    # token-window chunking: shuffle-free scan -> project -> generate
+    from log_analysis_spark.operators import chunking as chunking_ops
+
+    timed(
+        "doc_chunks",
+        lambda: chunking_ops.chunk_documents(docs, max_tokens=24, overlap=6)
+        .agg(F.count(F.lit(1)), F.sum("n_tokens"))
+        .collect(),
+    )
+
+    # per-group quota cap: narrow (id, group) rank over the over-cap
+    # groups only, broadcast re-attach
+    timed(
+        "corpus_cap_group",
+        lambda: corpus_ops.cap_per_group(docs, "lang", 1000).count(),
+    )
+
+    # concat-and-split sequence packing: narrow two-phase offsets + one
+    # id join + pre-sliced segment generate
+    timed(
+        "corpus_pack_sequences",
+        lambda: chunking_ops.pack_sequences(docs, seq_len=2048)
+        .agg(F.count(F.lit(1)), F.sum("n_tokens"))
+        .collect(),
+    )
+
     # BM25 keyword retrieval: postings broadcast-filtered to the query
     # vocabulary at the scan, integer-micro scoring, per-query rank window
     from log_analysis_spark.operators import retrieval as retrieval_ops

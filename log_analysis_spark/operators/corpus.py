@@ -54,6 +54,7 @@ from .textstats import tokens_col
 __all__ = [
     "repetition_stats",
     "pack_shards",
+    "global_token_offsets",
     "stratified_sample",
     "cap_per_group",
     "temperature_mix",
@@ -228,6 +229,37 @@ def pack_shards(
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    return (
+        global_token_offsets(df, id_col, token_count_col, text_col)
+        .withColumn("shard", F.floor(F.col("_goff") / F.lit(int(budget))))
+        .select(id_col, "n_tokens", "pack_key", "shard")
+    )
+
+
+def global_token_offsets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_count_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exclusive global running token offsets in deterministic
+    ``pack_key = md5(id)`` order → ``(id, n_tokens, pack_key, _goff)`` —
+    the shared first phase of greedy shard packing (:func:`pack_shards`)
+    and fixed-length sequence packing (``chunking.pack_sequences``): both
+    need every document's position in ONE deterministic concatenated
+    token stream.
+
+    Scale shape (two-phase, mirroring ``windows_ops.stable_order``): a
+    global ``Window.orderBy`` would funnel the corpus through ONE
+    partition, so docs are bucketed by the key's first hex byte (256
+    uniform buckets), the running sum runs per bucket (parallel, keyed
+    window), and per-bucket offsets come from a 256-row cumulative window
+    — the only single-partition stage, bounded at 256 rows for any corpus
+    size.  The plan scans the input twice (per-doc cumsum branch +
+    bucket-total branch); when tokenization is the expensive part, pass a
+    pre-materialized ``token_count_col`` so the second scan re-reads a
+    stored long instead of re-splitting text.
+    """
     n_tok = (
         F.col(token_count_col)
         if token_count_col
@@ -256,11 +288,8 @@ def pack_shards(
 
     return (
         with_local.join(F.broadcast(offsets), "_bucket")
-        .withColumn(
-            "shard",
-            F.floor((F.col("_local_excl") + F.col("_offset")) / F.lit(int(budget))),
-        )
-        .select(id_col, "n_tokens", "pack_key", "shard")
+        .withColumn("_goff", F.col("_local_excl") + F.col("_offset"))
+        .select(id_col, "n_tokens", "pack_key", "_goff")
     )
 
 

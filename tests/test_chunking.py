@@ -86,3 +86,79 @@ def test_chunk_documents_validates_params(spark):
         chunking.chunk_documents(df, max_tokens=4, overlap=-1)
     with pytest.raises(ValueError):
         chunking.chunk_documents(df, max_tokens=4, min_tokens=0)
+
+
+def _py_pack(texts, L):
+    import hashlib
+
+    def toks(s):
+        return [x for x in re.split(r"[^\w']+", s.strip()) if x != ""]
+
+    order = sorted(
+        (i for i in texts if toks(texts[i])),
+        key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+    )
+    pos, out = 0, []
+    for i in order:
+        t = toks(texts[i])
+        n = len(t)
+        for q in range(pos // L, (pos + n - 1) // L + 1):
+            ts = max(q * L - pos, 0)
+            te = min((q + 1) * L, pos + n) - pos
+            out.append((i, q, max(pos - q * L, 0), ts, te - ts, " ".join(t[ts:te])))
+        pos += n
+    return sorted(out)
+
+
+def test_pack_sequences_matches_python_mirror(spark):
+    texts = {
+        1: "a b c d e",
+        2: "",
+        3: "x y z",
+        4: "p q r s t u v w",
+        5: "m",
+        6: " ".join(f"w{i}" for i in range(11)),
+    }
+    df = _docs_df(spark, list(texts.items()))
+    got = sorted(
+        (r.doc_id, r.seq_id, r.start_in_seq, r.tok_start, r.n_tokens, r.text)
+        for r in chunking.pack_sequences(df, 4).collect()
+    )
+    assert got == _py_pack(texts, 4)
+    # narrow path: same map without text
+    narrow = sorted(
+        (r.doc_id, r.seq_id, r.start_in_seq, r.tok_start, r.n_tokens)
+        for r in chunking.pack_sequences(df, 4, emit_text=False).collect()
+    )
+    assert narrow == [row[:5] for row in _py_pack(texts, 4)]
+
+
+def test_pack_sequences_covers_every_token_exactly_once(spark):
+    texts = {i: " ".join(f"t{i}_{j}" for j in range(i % 7)) for i in range(1, 30)}
+    df = _docs_df(spark, list(texts.items()))
+    rows = chunking.pack_sequences(df, 5).collect()
+    total = sum(len(t.split()) for t in texts.values())
+    # token conservation: segments partition the stream
+    assert sum(r.n_tokens for r in rows) == total
+    # per-doc segments tile [0, n) without gaps or overlaps
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.tok_start, r.n_tokens))
+    for i, segs in by_doc.items():
+        segs.sort()
+        assert segs[0][0] == 0
+        for (a, na), (b, _) in zip(segs, segs[1:]):
+            assert a + na == b
+    # per-sequence slots tile [0, L) (last sequence may be short)
+    by_seq = {}
+    for r in rows:
+        by_seq.setdefault(r.seq_id, []).append((r.start_in_seq, r.n_tokens))
+    for q, segs in sorted(by_seq.items()):
+        segs.sort()
+        assert segs[0][0] == 0
+        filled = sum(n for _, n in segs)
+        assert filled == 5 or q == max(by_seq)
+        for (a, na), (b, _) in zip(segs, segs[1:]):
+            assert a + na == b
+    with pytest.raises(ValueError):
+        chunking.pack_sequences(df, 0)

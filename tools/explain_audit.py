@@ -858,6 +858,95 @@ def main() -> int:
     sections.append(("Bloom decontamination (bounded broadcast, md5-keyed grams)",
                      bd_plan, notes))
 
+    # token-window chunking: scan -> project -> generate, fully pipelined —
+    # zero exchanges, zero Python, and the explode emits already-sliced
+    # chunk structs (the token array is never duplicated per output row)
+    from log_analysis_spark.operators import chunking as chunking_ops
+
+    ch = chunking_ops.chunk_documents(docs, max_tokens=24, overlap=6)
+    ch_plan = executed(ch)
+    ch_shufs = shuffle_schemas(ch)
+    notes = [
+        check("chunking: zero shuffles (scan -> project -> generate)",
+              not ch_shufs, f"shuffles={ch_shufs[:2]}"),
+        check("chunking: no Python in the plan",
+              "Python" not in ch_plan and "Arrow" not in ch_plan),
+        check("chunking: generator emits pre-sliced chunk structs",
+              "Generate explode" in ch_plan),
+    ]
+    sections.append(("Token-window chunking (shuffle-free generate)",
+                     ch_plan, notes))
+
+    # per-group quota capping: the decision runs over the narrow (id,
+    # group) projection — the rank window's exchange must never carry the
+    # document text; over-cap detection and the under-cap bypass ride
+    # broadcasts
+    cap = corpus.cap_per_group(docs, "lang", 100)
+    cap_plan = executed(cap)
+    cap_shufs = shuffle_schemas(cap)
+    cap_wide = [
+        (p, cols) for p, cols in cap_shufs
+        if any(c == "text" or c.endswith(".text") for c in cols)
+    ]
+    notes = [
+        check("cap_per_group: no exchange carries the document text "
+              "(rank window sees only the (id, group) projection)",
+              not cap_wide, f"{len(cap_shufs)} shuffles; wide={cap_wide[:1]}"),
+        check("cap_per_group: over-cap set and survivor ids join by broadcast",
+              "BroadcastHashJoin" in cap_plan),
+        check("cap_per_group: no Python in the plan",
+              "Python" not in cap_plan and "Arrow" not in cap_plan),
+    ]
+    sections.append(("Per-group quota capping (narrow rank, broadcast re-attach)",
+                     cap_plan, notes))
+
+    # sequence packing: the placement decision is the narrow two-phase
+    # cumsum (pack_shards' shape) — with emit_text=False NO exchange may
+    # carry the document text at all, and the only SinglePartition stage
+    # is the 256-row bucket-offset window; the text path re-attaches by
+    # one id equi-join and explodes pre-sliced segment structs
+    ps_narrow = chunking_ops.pack_sequences(docs, seq_len=256, emit_text=False)
+    psn_plan = executed(ps_narrow)
+    psn_shufs = shuffle_schemas(ps_narrow)
+    psn_text = [
+        (p, cols) for p, cols in psn_shufs
+        if any(c == "text" or c.endswith(".text") for c in cols)
+    ]
+    psn_sp = psn_plan.count("Exchange SinglePartition")
+    ps_text = chunking_ops.pack_sequences(docs, seq_len=256)
+    pst_plan = executed(ps_text)
+    notes = [
+        check("pack_sequences (narrow): no exchange carries the document text",
+              not psn_text, f"{len(psn_shufs)} shuffles; text={psn_text[:1]}"),
+        check("pack_sequences (narrow): exactly one SinglePartition exchange "
+              "(the 256-row bucket offsets)", psn_sp == 1, f"found {psn_sp}"),
+        check("pack_sequences (text): generator emits pre-sliced segment structs",
+              "Generate explode" in pst_plan),
+        check("pack_sequences (text): no Python in the plan",
+              "Python" not in pst_plan and "Arrow" not in pst_plan),
+    ]
+    sections.append(("Sequence packing (narrow placement, one text attach)",
+                     pst_plan, notes))
+
+    # Levenshtein-verified near-dup pairs: candidates come from the banded
+    # LSH join (already audited); the edit-distance verify attaches the two
+    # texts by id equi-joins — never a cross product, never Python
+    lv_docs = docs.limit(300).select(F.col("doc_id").alias("id"), "text")
+    lv_cands = dedup.minhash_lsh_pairs(lv_docs, id_col="id", threshold=0.2)
+    lv = dedup.levenshtein_verified_pairs(
+        lv_cands.select("id_a", "id_b"), lv_docs, max_dist=8, id_col="id"
+    )
+    lv_plan = executed(lv)
+    notes = [
+        check("lev verify: no CartesianProduct", "CartesianProduct" not in lv_plan),
+        check("lev verify: no BroadcastNestedLoopJoin",
+              "BroadcastNestedLoopJoin" not in lv_plan),
+        check("lev verify: no Python (JVM levenshtein expression)",
+              "EvalPython" not in lv_plan and "InPandas" not in lv_plan),
+    ]
+    sections.append(("Levenshtein verify (equi-join text attach, JVM distance)",
+                     lv_plan, notes))
+
     # ---- write EXPLAIN.md -------------------------------------------------
     md = ["# EXPLAIN audit — physical plans vs 100 TB design intents",
           "",
