@@ -39,6 +39,7 @@ from log_analysis_spark.operators import (
     similarity,
     span_dedup,
     textstats,
+    timeseries,
     windows_ops,
 )
 
@@ -567,6 +568,43 @@ def q_events_sessionize(spark, sf_dir):
             F.count("*").alias("n_events"),
         )
     )
+
+
+FUNNEL_STEPS = ["signup", "view", "purchase"]
+
+
+def q_events_asof(spark, sf_dir):
+    """Backward as-of join on the raw events table: each error event gains
+    the most recent prior-or-equal purchase (value, id, ts) of its user —
+    the enrichment DuckDB spells ASOF JOIN and Spark has no operator for.
+    One shuffle on user_id (timeseries.asof_join union-tag + window carry)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.filter(F.col("event_type") == "error")
+    right = ev.filter(F.col("event_type") == "purchase")
+    return timeseries.asof_join(
+        left, right, "user_id", ["value", "event_id"], right_order="event_id"
+    ).select("event_id", "user_id", "ts", "asof_ts", "asof_value", "asof_event_id")
+
+
+def q_events_sliding(spark, sf_dir):
+    """Hopping-window counts (1h window / 15min slide) per event_type."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return timeseries.sliding_counts(ev, "ts", 3600, 900, group="event_type")
+
+
+def q_events_funnel(spark, sf_dir):
+    """Ordered-step funnel signup→view→purchase per user (greedy scan in
+    (ts, event_id) order, JVM aggregate lambda — zero Python)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return timeseries.funnel_steps(
+        ev, "user_id", "ts", "event_type", FUNNEL_STEPS, "event_id"
+    )
+
+
+def q_events_retention(spark, sf_dir):
+    """Weekly cohort retention matrix over the events table."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return timeseries.cohort_retention(ev, "user_id", "ts")
 
 
 def _sessions(spark, sf_dir, gap_sec: int = 86400) -> DataFrame:
@@ -1310,6 +1348,10 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "corpus_pack_sequences": q_corpus_pack_sequences,
         "corpus_cap_group": q_corpus_cap_group,
+        "events_asof": q_events_asof,
+        "events_sliding": q_events_sliding,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_simhash": q_doc_simhash,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1430,6 +1472,10 @@ def retired_oracle_sql() -> dict[str, str]:
         "doc_chunks": _chunks_oracle(max_tokens=24, overlap=6, min_tokens=1),
         "corpus_pack_sequences": _pack_sequences_oracle(seq_len=64),
         "corpus_cap_group": _cap_group_oracle(group_col="lang", cap=100),
+        "events_asof": _ASOF_ORACLE,
+        "events_sliding": _sliding_oracle(window_sec=3600, slide_sec=900),
+        "events_funnel": _funnel_oracle(FUNNEL_STEPS),
+        "events_retention": _RETENTION_ORACLE,
     }
 
 
@@ -3138,6 +3184,80 @@ SELECT doc_id, lang, source FROM (
          row_number() OVER (PARTITION BY {group_col}
                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
   FROM documents) WHERE rk <= {int(cap)}
+"""
+
+
+_ASOF_ORACLE = """
+SELECT l.event_id, l.user_id, l.ts,
+       r.ts AS asof_ts, r.value AS asof_value, r.event_id AS asof_event_id
+FROM (SELECT * FROM events WHERE event_type = 'error') l
+LEFT JOIN LATERAL (
+  SELECT ts, value, event_id FROM events r
+  WHERE r.event_type = 'purchase' AND r.user_id = l.user_id AND r.ts <= l.ts
+  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1
+) r ON true
+"""
+
+
+def _sliding_oracle(window_sec: int, slide_sec: int) -> str:
+    """Brute-force hopping-window replay: every event is exploded into all
+    window_sec/slide_sec epoch-aligned window starts covering it (the grid
+    Spark's F.window uses), then counted per (start, event_type)."""
+    n = window_sec // slide_sec
+    return f"""
+SELECT to_timestamp(start) AS window_start,
+       to_timestamp(start + {window_sec}) AS window_end,
+       event_type, count(*) AS n
+FROM (
+  SELECT event_type,
+         (CAST(floor(epoch(ts) / {slide_sec}) AS BIGINT) * {slide_sec})
+           - {slide_sec} * i AS start
+  FROM events, UNNEST(range(0, {n})) AS t(i)
+)
+GROUP BY 1, 2, 3
+"""
+
+
+def _funnel_oracle(steps: list[str]) -> str:
+    """Chained-min recompute of the greedy funnel scan: step i is matched at
+    the MIN (ts, event_id) of its type strictly after step i-1's match —
+    provably identical to the Spark side's single-pass aggregate lambda
+    (which advances at most one step per event in the same scan order)."""
+    ctes, prev = [], None
+    for i, s in enumerate(steps, start=1):
+        after = (
+            f" AND ROW(e.ts, e.event_id) > s{i-1}.m" if prev else ""
+        )
+        join = f" JOIN s{i-1} ON e.user_id = s{i-1}.user_id" if prev else ""
+        ctes.append(
+            f"""s{i} AS (
+  SELECT e.user_id, min(ROW(e.ts, e.event_id)) AS m
+  FROM events e{join}
+  WHERE e.event_type = '{s}'{after}
+  GROUP BY e.user_id
+)"""
+        )
+        prev = s
+    n = len(steps)
+    case = " ".join(
+        f"WHEN s{i}.user_id IS NOT NULL THEN {i}" for i in range(n, 0, -1)
+    )
+    left_joins = " ".join(f"LEFT JOIN s{i} USING (user_id)" for i in range(1, n + 1))
+    return f"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+{", ".join(ctes)}
+SELECT u.user_id, CAST(CASE {case} ELSE 0 END AS INT) AS steps_completed
+FROM u {left_joins}
+"""
+
+
+_RETENTION_ORACLE = """
+WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events),
+c AS (SELECT user_id, min(w) AS cohort_week FROM uw GROUP BY user_id)
+SELECT c.cohort_week,
+       CAST(date_diff('day', c.cohort_week, uw.w) / 7 AS INT) AS week_offset,
+       count(*) AS n_users
+FROM uw JOIN c USING (user_id) GROUP BY 1, 2
 """
 
 

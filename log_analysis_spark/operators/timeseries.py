@@ -1,0 +1,213 @@
+"""Time-series / product-analytics operators over event streams.
+
+The reference analyzes request logs as point events (timing pairs,
+sessionization, interval joins — SURVEY.md §2.3 J5, §2.6 W3); this module
+adds the event-stream operators a telemetry pipeline needs that Spark has
+no built-in for:
+
+  * ``asof_join`` — for every left event, the most recent right event at or
+    before it (per key), the enrichment join Pandas calls ``merge_asof`` and
+    DuckDB calls ``ASOF JOIN``.  Spark-first shape: NO range join and no
+    per-left-row probe — both sides are union-tagged and a single window
+    scan per key carries the latest right payload forward, so the whole
+    operator is ONE shuffle on the key (the same shuffle a plain equi-join
+    would pay) regardless of how many right rows precede each left row.
+  * ``sliding_counts`` — overlapping (hopping) time-window aggregates via
+    ``F.window(ts, length, slide)``; each event lands in length/slide
+    buckets map-side, the aggregate is algebraic (partial agg free).
+  * ``funnel_steps`` — ordered-step funnel matching (signup→view→purchase):
+    per user, the events are assembled once (one shuffle) and the greedy
+    sequential match runs as a JVM ``aggregate`` lambda over the sorted
+    struct array — zero Python, zero extra shuffles.
+  * ``cohort_retention`` — classic weekly cohort/retention matrix in ONE
+    shuffle: per-user distinct activity weeks are collected in the same
+    aggregate that determines the cohort week (``array_min``), then
+    exploded to (cohort, offset) counts.
+
+Scale notes: every operator here shuffles at most once, keyed by the
+entity key (user), never by time — so hot time ranges don't straggle; a
+hot *user* in asof_join is bounded by that user's own history length (the
+window is a linear scan, not a join fan-out).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    value_cols: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_order: str | None = None,
+    tolerance_sec: int | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Backward as-of join: each left row gains the ``value_cols`` of the
+    right row with the greatest ``(right_ts, right_order)`` such that
+    ``right_ts <= left_ts`` and the keys match (inclusive at equality —
+    DuckDB ``ASOF JOIN`` / pandas ``merge_asof`` semantics), NULLs when no
+    such row exists or it is older than ``tolerance_sec``.
+
+    Implementation: union-tag the two streams, one window per key ordered
+    by ``(ts, side, order)`` with right rows (side=0) sorting before left
+    rows (side=1) at equal timestamps, and carry the right payload forward
+    with ``last(..., ignorenulls=True)``.  The payload is packed into ONE
+    struct so a NULL inside a right value column can never make the carry
+    skip back to an older row — the match is atomic.
+
+    ``right_order`` must be a unique-per-row right column (e.g. an event
+    id); it makes the tie-break among equal right timestamps deterministic,
+    which the oracle (LATERAL ... ORDER BY ts DESC, ord DESC LIMIT 1)
+    mirrors exactly.
+
+    One shuffle on ``key``; no range explosion; a left row's cost is O(1)
+    beyond the per-key sort a plain windowed dedup would already pay.
+    """
+    if right_order is None:
+        raise ValueError("right_order is required for a deterministic tie-break")
+    lcols = left.columns
+    payload = F.struct(
+        F.col(right_ts).alias("_mts"), *[F.col(c) for c in value_cols]
+    )
+    rtag = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ats"),
+        F.col(right_order).cast("long").alias("_aord"),
+        F.lit(0).alias("_side"),
+        payload.alias("_rv"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+    )
+    ltag = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ats"),
+        F.lit(None).cast("long").alias("_aord"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(rtag.schema["_rv"].dataType).alias("_rv"),
+        *lcols,
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ats").asc(), F.col("_side").asc(), F.col("_aord").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = ltag.unionByName(rtag).withColumn(
+        "_match", F.last("_rv", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("_side") == 1)
+    if tolerance_sec is not None:
+        in_tol = (
+            F.unix_timestamp(F.col("_ats"))
+            - F.unix_timestamp(F.col("_match._mts"))
+        ) <= F.lit(tolerance_sec)
+        out = out.withColumn(
+            "_match", F.when(in_tol, F.col("_match")).otherwise(F.lit(None))
+        )
+    sel = [F.col(c) for c in lcols]
+    sel.append(F.col("_match._mts").alias(f"{prefix}ts"))
+    sel.extend(F.col(f"_match.{c}").alias(f"{prefix}{c}") for c in value_cols)
+    return out.select(*sel)
+
+
+def sliding_counts(
+    df: DataFrame,
+    ts_col: str,
+    window_sec: int,
+    slide_sec: int,
+    group: str | None = None,
+) -> DataFrame:
+    """Hopping-window counts: every event is counted in each of the
+    ``window_sec / slide_sec`` overlapping windows covering it (windows
+    aligned to the epoch, Spark ``F.window`` semantics).  The explode is
+    map-side and the count is algebraic, so partial aggregation absorbs the
+    ×(L/S) row multiplication before the shuffle."""
+    if window_sec % slide_sec != 0:
+        raise ValueError("window_sec must be a multiple of slide_sec")
+    win = F.window(
+        F.col(ts_col), f"{window_sec} seconds", f"{slide_sec} seconds"
+    )
+    keys = [win.alias("w")] + ([F.col(group)] if group else [])
+    out = df.groupBy(*keys).agg(F.count("*").alias("n"))
+    sel = [
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+    ] + ([F.col(group)] if group else []) + [F.col("n")]
+    return out.select(*sel)
+
+
+def funnel_steps(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    order_col: str,
+) -> DataFrame:
+    """Ordered-step funnel: per user, greedily scan events in
+    ``(ts, order_col)`` order and advance one step whenever the current
+    event's type equals the next unmatched step.  Returns one row per user
+    with ``steps_completed`` (0..len(steps)).
+
+    One shuffle (the per-user collect); the sequential match is a JVM
+    ``aggregate`` higher-order lambda over the sorted struct array — the
+    per-user cost is linear in that user's event count and no Python runs.
+    """
+    steps_lit = F.array(*[F.lit(s) for s in steps])
+    ev = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                F.col(order_col).alias("ord"),
+                F.col(type_col).alias("t"),
+            )
+        )
+    )
+    matched = F.aggregate(
+        F.col("_events"),
+        F.lit(0),
+        lambda acc, e: F.when(
+            (acc < F.lit(len(steps)))
+            & (e["t"] == F.element_at(steps_lit, acc + 1)),
+            acc + 1,
+        ).otherwise(acc),
+    )
+    return (
+        df.groupBy(user_col)
+        .agg(ev.alias("_events"))
+        .select(
+            user_col, matched.cast("int").alias("steps_completed")
+        )
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Weekly cohort retention: cohort = the Monday-truncated week of a
+    user's first event; one output row per (cohort_week, week_offset) with
+    the number of cohort users active in that offset week.
+
+    ONE shuffle: per-user distinct activity weeks are a ``collect_set`` in
+    the same aggregate that yields the cohort week (``array_min``); the
+    (cohort, offset) explode and final count are map-side + algebraic.
+    """
+    week = F.date_trunc("week", F.col(ts_col))
+    per_user = df.groupBy(user_col).agg(
+        F.collect_set(week).alias("_weeks")
+    )
+    cohort = F.array_min("_weeks")
+    exploded = per_user.select(
+        cohort.alias("cohort_week"), F.explode("_weeks").alias("_w")
+    )
+    offset = (F.datediff(F.col("_w"), F.col("cohort_week")) / 7).cast("int")
+    return (
+        exploded.select("cohort_week", offset.alias("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_users"))
+    )

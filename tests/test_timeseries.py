@@ -1,0 +1,175 @@
+"""Semantics tests for operators/timeseries.py (as-of join, hopping
+windows, funnel, cohort retention) — the properties the DuckDB oracles
+can't articulate: tolerance nulls, match atomicity under NULL payload
+values, greedy one-step-per-event funnel advance, window conservation."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from log_analysis_spark.operators import timeseries as T
+
+
+def _ts(minute: int, second: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+@pytest.fixture(scope="module")
+def asof_frames(spark):
+    left = spark.createDataFrame(
+        [
+            Row(k=1, lid=10, ts=_ts(5)),
+            Row(k=1, lid=11, ts=_ts(20)),
+            Row(k=1, lid=12, ts=_ts(2)),   # before any right row
+            Row(k=2, lid=20, ts=_ts(9)),   # key with no right rows at all
+            Row(k=3, lid=30, ts=_ts(7)),   # exactly equal ts → inclusive
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, rid=100, ts=_ts(4), v="a"),
+            Row(k=1, rid=101, ts=_ts(6), v=None),  # NULL payload value
+            Row(k=1, rid=102, ts=_ts(6), v="c"),   # same ts → rid tie-break
+            Row(k=3, rid=300, ts=_ts(7), v="e"),
+        ]
+    )
+    return left, right
+
+
+def _asof_map(left, right, **kw):
+    out = T.asof_join(left, right, "k", ["v", "rid"], right_order="rid", **kw)
+    return {r["lid"]: r.asDict() for r in out.collect()}
+
+
+def test_asof_basic_tiebreak_inclusive_and_misses(asof_frames):
+    left, right = asof_frames
+    m = _asof_map(left, right)
+    # ts=5: only rid=100 (ts=4) is at-or-before
+    assert m[10]["asof_rid"] == 100 and m[10]["asof_v"] == "a"
+    # ts=20: rids 101 and 102 share ts=6 → greatest rid wins deterministically
+    assert m[11]["asof_rid"] == 102 and m[11]["asof_v"] == "c"
+    # ts=2: no right row at-or-before → all-NULL match
+    assert m[12]["asof_rid"] is None and m[12]["asof_ts"] is None
+    # key 2 has no right rows at all
+    assert m[20]["asof_rid"] is None
+    # equal timestamps match (inclusive, ASOF JOIN semantics)
+    assert m[30]["asof_rid"] == 300
+
+
+def test_asof_null_payload_is_atomic(spark):
+    """A NULL inside a matched right row's payload must NOT make the carry
+    fall back to an older right row — the struct packing keeps the match
+    atomic (last(ignorenulls) skips whole rows, never single columns)."""
+    left = spark.createDataFrame([Row(k=1, lid=1, ts=_ts(10))])
+    right = spark.createDataFrame(
+        [
+            Row(k=1, rid=1, ts=_ts(1), v="old"),
+            Row(k=1, rid=2, ts=_ts(9), v=None),  # newest match, NULL value
+        ]
+    )
+    m = _asof_map(left, right)
+    assert m[1]["asof_rid"] == 2
+    assert m[1]["asof_v"] is None  # the NULL itself, not "old"
+
+
+def test_asof_tolerance_nulls_stale_matches(asof_frames):
+    left, right = asof_frames
+    m = _asof_map(left, right, tolerance_sec=120)
+    assert m[10]["asof_rid"] == 100        # 60s lag ≤ 120s
+    assert m[11]["asof_rid"] is None       # 14min lag > 120s → nulled
+    assert m[30]["asof_rid"] == 300        # 0s lag
+
+
+def test_asof_requires_order_col(asof_frames):
+    left, right = asof_frames
+    with pytest.raises(ValueError):
+        T.asof_join(left, right, "k", ["v"], right_order=None)
+
+
+def test_sliding_counts_conservation_and_multiplicity(spark):
+    rows = [Row(ts=_ts(m, s), t="x") for m, s in [(0, 1), (14, 59), (15, 0), (59, 59)]]
+    df = spark.createDataFrame(rows)
+    out = T.sliding_counts(df, "ts", 3600, 900, group="t").collect()
+    # each event appears in exactly window/slide = 4 windows
+    assert sum(r["n"] for r in out) == len(rows) * 4
+    # window bounds are slide-aligned and window-length apart
+    for r in out:
+        assert (r["window_end"] - r["window_start"]).total_seconds() == 3600
+        assert r["window_start"].minute % 15 == 0
+
+
+def test_sliding_rejects_non_divisible(spark):
+    df = spark.createDataFrame([Row(ts=_ts(0), t="x")])
+    with pytest.raises(ValueError):
+        T.sliding_counts(df, "ts", 3600, 700)
+
+
+def _funnel(spark, rows, steps):
+    df = spark.createDataFrame(rows)
+    out = T.funnel_steps(df, "u", "ts", "t", steps, "eid")
+    return {r["u"]: r["steps_completed"] for r in out.collect()}
+
+
+def test_funnel_requires_order(spark):
+    rows = [
+        # u=1 completes in order; u=2 has the steps out of order
+        Row(u=1, eid=1, ts=_ts(1), t="a"),
+        Row(u=1, eid=2, ts=_ts(2), t="b"),
+        Row(u=1, eid=3, ts=_ts(3), t="c"),
+        Row(u=2, eid=4, ts=_ts(1), t="c"),
+        Row(u=2, eid=5, ts=_ts(2), t="b"),
+        Row(u=2, eid=6, ts=_ts(3), t="a"),
+    ]
+    m = _funnel(spark, rows, ["a", "b", "c"])
+    assert m == {1: 3, 2: 1}
+
+
+def test_funnel_greedy_single_advance_per_event(spark):
+    """One event advances the funnel at most one step even when its type
+    equals several upcoming steps (a-a funnel needs TWO a events)."""
+    rows = [
+        Row(u=1, eid=1, ts=_ts(1), t="a"),
+        Row(u=2, eid=2, ts=_ts(1), t="a"),
+        Row(u=2, eid=3, ts=_ts(2), t="a"),
+    ]
+    m = _funnel(spark, rows, ["a", "a"])
+    assert m == {1: 1, 2: 2}
+
+
+def test_funnel_tie_break_on_order_col(spark):
+    """Equal timestamps: scan order is (ts, eid), so the 'b' with the lower
+    eid at the same ts as the 'a' does NOT count (it precedes the match)."""
+    rows = [
+        Row(u=1, eid=5, ts=_ts(1), t="a"),
+        Row(u=1, eid=3, ts=_ts(1), t="b"),  # before the a in scan order
+        Row(u=1, eid=7, ts=_ts(1), t="b"),  # after the a → matches
+    ]
+    m = _funnel(spark, rows, ["a", "b"])
+    assert m == {1: 2}
+
+
+def test_cohort_retention_offsets(spark):
+    wk = dt.datetime(2024, 1, 1)  # a Monday
+    rows = [
+        Row(u=1, ts=wk),
+        Row(u=1, ts=wk + dt.timedelta(days=7, hours=3)),
+        Row(u=1, ts=wk + dt.timedelta(days=21)),
+        Row(u=2, ts=wk + dt.timedelta(days=2)),  # same cohort week as u=1
+        Row(u=3, ts=wk + dt.timedelta(days=8)),  # next cohort
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in T.cohort_retention(df, "u", "ts").collect()
+    }
+    wk2 = wk + dt.timedelta(days=7)
+    assert out == {
+        (wk, 0): 2,
+        (wk, 1): 1,
+        (wk, 3): 1,
+        (wk2, 0): 1,
+    }
