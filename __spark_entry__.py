@@ -37,6 +37,7 @@ from log_analysis_spark.operators import (
     router,
     semdedup,
     similarity,
+    sketches,
     span_dedup,
     textstats,
     timeseries,
@@ -605,6 +606,18 @@ def q_events_retention(spark, sf_dir):
     """Weekly cohort retention matrix over the events table."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return timeseries.cohort_retention(ev, "user_id", "ts")
+
+
+KMV_K = 32
+
+
+def q_events_kmv(spark, sf_dir):
+    """KMV (bottom-k) distinct-user estimate per event_type — the mergeable
+    approximate-distinct sketch whose md5-integer estimator a DuckDB oracle
+    reproduces bit-exactly (unlike HLL registers).  k=32 < |users| at sf0.01
+    so the ESTIMATOR path (not the exact-below-k path) is what's checked."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sketches.kmv_distinct(ev, "user_id", k=KMV_K, group="event_type")
 
 
 def _sessions(spark, sf_dir, gap_sec: int = 86400) -> DataFrame:
@@ -1352,6 +1365,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": q_events_sliding,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
+        "events_kmv_distinct": q_events_kmv,
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_simhash": q_doc_simhash,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1476,6 +1490,7 @@ def retired_oracle_sql() -> dict[str, str]:
         "events_sliding": _sliding_oracle(window_sec=3600, slide_sec=900),
         "events_funnel": _funnel_oracle(FUNNEL_STEPS),
         "events_retention": _RETENTION_ORACLE,
+        "events_kmv_distinct": _kmv_oracle(k=KMV_K),
     }
 
 
@@ -3248,6 +3263,41 @@ WITH u AS (SELECT DISTINCT user_id FROM events),
 {", ".join(ctes)}
 SELECT u.user_id, CAST(CASE {case} ELSE 0 END AS INT) AS steps_completed
 FROM u {left_joins}
+"""
+
+
+def _u56_sql(expr: str) -> str:
+    """Leading 56 bits of md5(expr) as BIGINT — mirrors sketches.h56's
+    conv(substr(md5, 1, 14), 16, 10) via strpos nibble decoding."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1) * {16 ** (13 - i)}"
+        for i in range(14)
+    )
+
+
+def _kmv_oracle(k: int) -> str:
+    """Independent recompute of q_events_kmv: distinct md5-u56 hashes,
+    per-group bottom-k rank, and the exact integer estimator
+    (k-1)·2^56 // kth (or the sketch size when it never filled)."""
+    numer = (k - 1) * (1 << 56)
+    return f"""
+WITH h AS (
+  SELECT DISTINCT event_type, ({_u56_sql('CAST(user_id AS VARCHAR)')}) AS h
+  FROM events
+),
+r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+  FROM h
+),
+s AS (
+  SELECT event_type, count(*) AS m, max(h) AS kth
+  FROM r WHERE rk <= {k} GROUP BY event_type
+)
+SELECT event_type,
+       CAST(CASE WHEN m < {k} THEN m ELSE {numer} // kth END AS BIGINT)
+         AS est_distinct
+FROM s
 """
 
 
