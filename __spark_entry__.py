@@ -611,6 +611,34 @@ def q_events_retention(spark, sf_dir):
 KMV_K = 32
 
 
+def q_corpus_snapshot_diff(spark, sf_dir):
+    """Corpus version diff between two deterministically simulated
+    snapshots of the documents table: old drops doc_id%7==0, new drops
+    doc_id%5==0 and rewrites text for doc_id%11==0 — so all four statuses
+    (added/removed/changed/unchanged) occur.  The join carries only
+    (id, 16-byte fingerprint); text never shuffles."""
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return corpus.snapshot_diff(old, new, "doc_id", ["text", "lang", "source"])
+
+
+def q_embed_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (contrastive training): for every 50th vector
+    as anchor, the top-3 most cosine-similar corpus vectors with a
+    DIFFERENT label — expression twin whose round-6 arithmetic the oracle
+    replays; hard_negatives_matmul is the production path (row-identity
+    unit-tested)."""
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.hard_negatives(emb, queries, k=3)
+
+
 def q_events_kmv(spark, sf_dir):
     """KMV (bottom-k) distinct-user estimate per event_type — the mergeable
     approximate-distinct sketch whose md5-integer estimator a DuckDB oracle
@@ -1366,6 +1394,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "events_kmv_distinct": q_events_kmv,
+        "corpus_snapshot_diff": q_corpus_snapshot_diff,
+        "embed_hard_negatives": q_embed_hard_negatives,
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_simhash": q_doc_simhash,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1491,6 +1521,8 @@ def retired_oracle_sql() -> dict[str, str]:
         "events_funnel": _funnel_oracle(FUNNEL_STEPS),
         "events_retention": _RETENTION_ORACLE,
         "events_kmv_distinct": _kmv_oracle(k=KMV_K),
+        "corpus_snapshot_diff": _SNAPSHOT_DIFF_ORACLE,
+        "embed_hard_negatives": _hard_negatives_oracle(k=3),
     }
 
 
@@ -3263,6 +3295,55 @@ WITH u AS (SELECT DISTINCT user_id FROM events),
 {", ".join(ctes)}
 SELECT u.user_id, CAST(CASE {case} ELSE 0 END AS INT) AS steps_completed
 FROM u {left_joins}
+"""
+
+
+_SNAPSHOT_DIFF_ORACLE = """
+WITH o AS (
+  SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 7 <> 0
+),
+n AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text,
+         lang, source
+  FROM documents WHERE doc_id % 5 <> 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.text IS NOT DISTINCT FROM n.text
+             AND o.lang IS NOT DISTINCT FROM n.lang
+             AND o.source IS NOT DISTINCT FROM n.source THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+"""
+
+
+def _hard_negatives_oracle(k: int) -> str:
+    """Mirror of q_embed_hard_negatives: round-6 unit dot over all
+    (anchor, corpus) pairs with differing labels, (score desc, id asc)
+    rank window, top-k."""
+    return f"""
+WITH {_UNIT_VEC.strip()},
+lab AS (SELECT vec_id, label FROM embeddings),
+q AS (
+  SELECT u.vec_id AS query_id, l.label AS qlab, u.unit AS qvec
+  FROM unitv u JOIN lab l ON u.vec_id = l.vec_id
+  WHERE u.vec_id % 50 = 0
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS corpus_id,
+         round(list_inner_product(q.qvec, c.unit), 6) AS score
+  FROM q JOIN unitv c ON true
+  JOIN lab cl ON c.vec_id = cl.vec_id
+  WHERE cl.label <> q.qlab
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, corpus_id) AS rank
+  FROM scored
+)
+SELECT query_id, corpus_id, score, rank FROM ranked WHERE rank <= {k}
 """
 
 

@@ -777,3 +777,49 @@ def corpus_report(
             F.sum(has_pii).cast("long").alias("n_docs_with_pii"),
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Corpus version diff: classify every id present in either snapshot as
+    ``added`` / ``removed`` / ``changed`` / ``unchanged`` — the audit step
+    between two curation runs (what did yesterday's re-crawl actually
+    change?) and the input to incremental re-processing (only ``added`` +
+    ``changed`` need re-deduping against state).
+
+    Scale shape: each side is first projected to ``(id, md5(fingerprint))``
+    — 16 bytes per row — so the full-outer join co-partitions two NARROW
+    tables on the id; document text never enters the exchange.  The
+    fingerprint concatenates the compare columns with an unambiguous
+    field separator and a per-field null marker, so (NULL, 'a') can never
+    collide with ('a', NULL) and a value containing the separator cannot
+    forge a boundary (md5 of the length-prefixed field join).
+    """
+    def fp(df: DataFrame) -> DataFrame:
+        parts = []
+        for c in compare_cols:
+            s = F.col(c).cast("string")
+            # length-prefix each field; NULL gets a marker no value has
+            parts.append(
+                F.when(s.isNull(), F.lit("\x00N")).otherwise(
+                    F.concat(F.length(s).cast("string"), F.lit(":"), s)
+                )
+            )
+        return df.select(
+            F.col(id_col), F.md5(F.concat_ws("\x1e", *parts)).alias("_fp")
+        )
+
+    o = fp(old).withColumnRenamed("_fp", "_fp_old")
+    n = fp(new).withColumnRenamed("_fp", "_fp_new")
+    joined = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("_fp_old").isNull(), F.lit("added"))
+        .when(F.col("_fp_new").isNull(), F.lit("removed"))
+        .when(F.col("_fp_old") == F.col("_fp_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(F.col(id_col), status.alias("status"))

@@ -825,3 +825,123 @@ def semantic_decontaminate_matmul(
         batch_iter,
         f"{id_col} {id_field}, max_bench_cos double, contaminated boolean",
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    (query), the top-k most cosine-similar corpus vectors with a DIFFERENT
+    label — the near-misses a contrastive loss learns the most from
+    (self-exclusion is implied: the anchor shares its own label).
+
+    Expression/oracle twin of ``hard_negatives_matmul`` — a deliberate
+    broadcast |corpus|×|Q| baseline whose arithmetic (round-6 dot,
+    (score desc, id asc) rank) DuckDB replays exactly.  Reach for the
+    matmul path at scale."""
+    from pyspark.sql import Window
+
+    c = with_unit_vec(corpus, vec_col).select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(label_col).alias("_clab"),
+        F.col("unit").alias("cvec"),
+    )
+    q = with_unit_vec(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("_qlab"),
+        F.col("unit").alias("qvec"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("_qlab") != F.col("_clab"))
+        .withColumn("score", F.round(_dot(F.col("qvec"), F.col("cvec")), 6))
+        .select("query_id", "corpus_id", "score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "score", "rank")
+    )
+
+
+def hard_negatives_matmul(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """PRODUCTION hard-negative mining: anchors (|Q| × dim + labels) ride
+    in the UDF closure, each Arrow batch of the corpus is scored with ONE
+    numpy matmul, same-label scores are masked out, and only the batch's
+    top-k per anchor survive to the shuffle (~batches × |Q| × k candidate
+    rows — never the |corpus| × |Q| join product).  Output is identical to
+    ``hard_negatives`` (tests assert it): round-6 scores, (score desc,
+    corpus_id asc) total order carried through the per-batch lexsort."""
+    from pyspark.sql import Window
+
+    q_rows = (
+        with_unit_vec(queries, vec_col)
+        .filter(F.col("unit").isNotNull())
+        .select(F.col(id_col).alias("query_id"), F.col(label_col), "unit")
+        .collect()
+    )
+    if not q_rows:
+        raise ValueError("no non-null query vectors")
+    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    q_labs = np.array([r[label_col] for r in q_rows], dtype=np.int64)
+    Q = np.array([r["unit"] for r in q_rows], dtype=np.float64)
+    dim = Q.shape[1]
+
+    def batch_iter(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            labs = pdf[label_col].to_numpy()
+            E = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if E.shape[1] != dim:
+                raise ValueError(f"corpus dim {E.shape[1]} != query dim {dim}")
+            nrm = np.linalg.norm(E, axis=1)
+            keep = nrm > 0
+            if not keep.any():
+                continue
+            ids, labs = ids[keep], labs[keep]
+            U = E[keep] / nrm[keep, None]
+            S = np.round(U @ Q.T, 6)  # (n, q)
+            out_q, out_c, out_s = [], [], []
+            for j in range(Q.shape[0]):
+                mask = labs != q_labs[j]
+                if not mask.any():
+                    continue
+                cids, col = ids[mask], S[mask, j]
+                order = np.lexsort((cids, -col))
+                top = order[:k] if len(cids) > k else order
+                out_q.append(np.full(len(top), q_ids[j]))
+                out_c.append(cids[top])
+                out_s.append(col[top])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "corpus_id": np.concatenate(out_c),
+                    "score": np.concatenate(out_s),
+                }
+            )
+
+    cand = corpus.select(id_col, vec_col, label_col).mapInPandas(
+        batch_iter, "query_id long, corpus_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("corpus_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "score", "rank")
+    )

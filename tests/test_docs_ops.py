@@ -972,3 +972,63 @@ def test_levenshtein_verify_composes_with_minhash_candidates(spark, docs):
 
     for r in verified.collect():
         assert lev(texts[r["id_a"]], texts[r["id_b"]]) == r["lev_dist"] <= 5
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_statuses_and_fingerprint_safety(spark):
+    from pyspark.sql import Row
+
+    from log_analysis_spark.operators.corpus import snapshot_diff
+
+    old = spark.createDataFrame(
+        [
+            Row(id=1, a="x", b="y"),        # unchanged
+            Row(id=2, a="x", b="y"),        # changed (b)
+            Row(id=3, a="x", b="y"),        # removed
+            Row(id=5, a=None, b="a"),       # null field swap: (NULL,'a')…
+            Row(id=6, a="x\x1ey", b="z"),   # separator inside a value…
+        ]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(id=1, a="x", b="y"),
+            Row(id=2, a="x", b="Y"),
+            Row(id=4, a="n", b="n"),        # added
+            Row(id=5, a="a", b=None),       # …vs ('a',NULL) must be CHANGED
+            Row(id=6, a="x", b="y\x1ez"),   # …must not forge the boundary
+        ]
+    )
+    got = {
+        r["id"]: r["status"]
+        for r in snapshot_diff(old, new, "id", ["a", "b"]).collect()
+    }
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "removed",
+        4: "added",
+        5: "changed",
+        6: "changed",
+    }
+
+
+def test_snapshot_diff_join_shuffles_fingerprint_not_text(spark, sf_dir):
+    """The full-outer join's inputs are (id, md5) projections — the text
+    column must not appear in any exchange of the executed plan."""
+    from log_analysis_spark.operators.corpus import snapshot_diff
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = snapshot_diff(docs, docs, "doc_id", ["text"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1)
+    # and the exchange payload rows are (doc_id, _fp)-shaped: the word
+    # `text` may only occur inside scan/project nodes, before any exchange
+    first_exchange = plan.find("Exchange")
+    assert first_exchange != -1

@@ -182,3 +182,21 @@ def test_cluster_balanced_sample_validation(spark):
     emb = _emb(spark, _BUNDLES)
     with pytest.raises(ValueError, match="cap_per_cluster"):
         semdedup.cluster_balanced_sample(emb, cap_per_cluster=0)
+
+
+def test_hard_negatives_matmul_equals_expr_and_label_mismatch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from log_analysis_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    expr = similarity.hard_negatives(emb, queries, k=3)
+    prod = similarity.hard_negatives_matmul(emb, queries, k=3)
+    e = sorted(map(tuple, expr.collect()))
+    p = sorted(map(tuple, prod.collect()))
+    assert e == p and len(e) > 0
+    # every mined negative has a different label from its anchor
+    lab = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    for qid, cid, _score, _rank in e:
+        assert lab[qid] != lab[cid]
