@@ -611,6 +611,33 @@ def q_events_retention(spark, sf_dir):
 KMV_K = 32
 
 
+CMS_DEPTH, CMS_WIDTH = 4, 256
+QUANTILE_QS, QUANTILE_RES = [0.5, 0.9, 0.99], 0.25
+
+
+def q_events_cms(spark, sf_dir):
+    """Count-min sketch point queries: estimated per-user event counts from
+    a 4×256-counter sketch probed for every distinct user — the mergeable
+    bounded-memory count estimate (never undercounts; overcount bounded by
+    2n/width w.p. 1-2^-d), replayed bit-exactly by the oracle."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sk = sketches.cms_sketch(ev, "user_id", depth=CMS_DEPTH, width=CMS_WIDTH)
+    probes = ev.select("user_id").distinct()
+    return sketches.cms_estimate(
+        sk, probes, "user_id", depth=CMS_DEPTH, width=CMS_WIDTH
+    )
+
+
+def q_events_quantiles(spark, sf_dir):
+    """Histogram-CDF quantiles (p50/p90/p99 of value per event_type) —
+    fixed-size-state distributed quantiles with resolution-bounded error
+    and an EXACT cross-engine definition (vs opaque t-digest registers)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sketches.hist_quantiles(
+        ev, "value", QUANTILE_QS, resolution=QUANTILE_RES, group="event_type"
+    )
+
+
 def q_corpus_snapshot_diff(spark, sf_dir):
     """Corpus version diff between two deterministically simulated
     snapshots of the documents table: old drops doc_id%7==0, new drops
@@ -1394,6 +1421,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "events_kmv_distinct": q_events_kmv,
+        "events_cms_counts": q_events_cms,
+        "events_quantiles": q_events_quantiles,
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
         "embed_hard_negatives": q_embed_hard_negatives,
         "doc_minhash_lsh": q_doc_minhash_lsh,
@@ -1521,6 +1550,10 @@ def retired_oracle_sql() -> dict[str, str]:
         "events_funnel": _funnel_oracle(FUNNEL_STEPS),
         "events_retention": _RETENTION_ORACLE,
         "events_kmv_distinct": _kmv_oracle(k=KMV_K),
+        "events_cms_counts": _cms_oracle(depth=CMS_DEPTH, width=CMS_WIDTH),
+        "events_quantiles": _hist_quantiles_oracle(
+            qs=QUANTILE_QS, resolution=QUANTILE_RES
+        ),
         "corpus_snapshot_diff": _SNAPSHOT_DIFF_ORACLE,
         "embed_hard_negatives": _hard_negatives_oracle(k=3),
     }
@@ -3379,6 +3412,50 @@ SELECT event_type,
        CAST(CASE WHEN m < {k} THEN m ELSE {numer} // kth END AS BIGINT)
          AS est_distinct
 FROM s
+"""
+
+
+def _cms_oracle(depth: int, width: int) -> str:
+    """Independent recompute of q_events_cms: the row-salted md5-u32
+    bucket map, the depth×width counter table, and the min-over-rows
+    point query — false positives (hash collisions) and all."""
+    salt = "'cms' || CAST(r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)"
+    return f"""
+WITH rb AS (
+  SELECT user_id, r, ({_u32_sql(salt)}) % {width} AS bucket
+  FROM events, UNNEST(range(0, {depth})) AS t(r)
+),
+sk AS (SELECT r, bucket, count(*) AS cnt FROM rb GROUP BY r, bucket),
+prb AS (
+  SELECT DISTINCT user_id, r, ({_u32_sql(salt)}) % {width} AS bucket
+  FROM (SELECT DISTINCT user_id FROM events), UNNEST(range(0, {depth})) AS t(r)
+)
+SELECT prb.user_id, CAST(min(sk.cnt) AS BIGINT) AS est_count
+FROM prb JOIN sk ON prb.r = sk.r AND prb.bucket = sk.bucket
+GROUP BY prb.user_id
+"""
+
+
+def _hist_quantiles_oracle(qs: list[float], resolution: float) -> str:
+    """Replay of q_events_quantiles: floor-quantized cells, per-group CDF,
+    q read as the smallest cell whose cumulative count reaches ceil(q·n)."""
+    inv = 1.0 / resolution
+    values = ", ".join(f"({q})" for q in sorted(set(qs)))
+    return f"""
+WITH h AS (
+  SELECT event_type, CAST(floor(value * {inv}) AS BIGINT) AS cell,
+         count(*) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, cell,
+         sum(c) OVER (PARTITION BY event_type ORDER BY cell) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM h
+),
+qs(q) AS (VALUES {values})
+SELECT event_type, q, min(cell) * {resolution} AS value
+FROM cum, qs WHERE cum >= ceil(q * n) GROUP BY event_type, q
 """
 
 

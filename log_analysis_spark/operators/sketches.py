@@ -104,3 +104,178 @@ def kmv_distinct(
 ) -> DataFrame:
     """Sketch + estimate in one call: (group?, est_distinct)."""
     return kmv_estimate(kmv_sketch(df, col, k=k, group=group), k=k, group=group)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005) — mergeable approximate
+# per-value counts in d × w integers, whatever the value cardinality.
+# ---------------------------------------------------------------------------
+
+
+def _cms_bucket(col: F.Column, row: int, width: int) -> F.Column:
+    """Row-salted md5-u32 mod width — the same domain-separated md5 trick
+    as every deterministic draw in this repo, so DuckDB replays it."""
+    salted = F.concat(F.lit(f"cms{row}:"), col.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("long")
+        % width
+    ).cast("int")
+
+
+def cms_sketch(
+    df: DataFrame, col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-min sketch of the multiset ``col``: rows of
+    (row, bucket, cnt) — at most depth × width rows BY CONSTRUCTION,
+    whatever the input cardinality, and mergeable by summing counters
+    (``cms_merge``).  The aggregate is algebraic, so map-side combine
+    bounds the shuffle at depth × width rows per partition."""
+    exploded = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cms_bucket(F.col(col), r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb")
+    )
+    return exploded.groupBy("rb.row", "rb.bucket").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge CMS sketches built with the same (depth, width): counters add.
+    Distributive — merging per-split sketches equals sketching the whole."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-query the sketch for each probe value: est = min over the d
+    rows of the probed counter (never undercounts; overcount bounded by
+    2n/width with prob. 1-2^-d).  The sketch side is ≤ depth × width rows
+    and BROADCASTS — probing never shuffles the probe stream."""
+    probe_rb = probes.select(
+        F.col(col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cms_bucket(F.col(col), r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select(col, "rb.row", "rb.bucket")
+    joined = probe_rb.join(F.broadcast(sketch), ["row", "bucket"], "left").na.fill(
+        {"cnt": 0}
+    )
+    return joined.groupBy(col).agg(F.min("cnt").cast("long").alias("est_count"))
+
+
+def skewed_keys(
+    df: DataFrame,
+    col: str,
+    threshold_frac: float = 0.01,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Skew detection for join/groupBy planning: the distinct values of
+    ``col`` whose CMS-estimated multiplicity is ≥ ``threshold_frac`` of the
+    total row count — the keys that deserve salting (joins.interval_join
+    ``n_salts``) or a two-phase aggregate (aggregate.salted_group_count).
+
+    CMS never undercounts, so NO truly hot key is ever missed (the
+    guarantee that matters: a false positive salts a cold key harmlessly,
+    a false negative leaves a straggler).  Cost: one bounded-state sketch
+    pass + one distinct-values pass probed against the broadcast sketch —
+    the threshold count rides a 1-row cross join, nothing shuffles wide."""
+    sk = cms_sketch(df, col, depth=depth, width=width)
+    total = df.groupBy().agg(F.count("*").alias("_n"))
+    probes = df.select(col).distinct()
+    est = cms_estimate(sk, probes, col, depth=depth, width=width)
+    return (
+        est.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("est_count").cast("double")
+            >= F.lit(threshold_frac) * F.col("_n").cast("double")
+        )
+        .select(col, "est_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Histogram-CDF quantiles — fixed-size-state distributed quantiles with an
+# EXACT cross-engine definition (no t-digest/KLL register layouts).
+# ---------------------------------------------------------------------------
+
+
+def hist_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: list[float],
+    resolution: float = 0.01,
+    group: str | None = None,
+) -> DataFrame:
+    """Quantiles without a global sort: quantize values to a fixed
+    ``resolution`` grid (floor), histogram the grid cells (algebraic —
+    map-side combine bounds the shuffle at the number of occupied cells),
+    and read each quantile q as the smallest cell whose cumulative count
+    reaches ``ceil(q·n)`` (the classic lower-quantile definition).  Answer
+    error is bounded by ``resolution`` — a knob, not a property of opaque
+    sketch registers, which is what makes the DuckDB oracle EXACT.
+
+    The CDF window runs over occupied CELLS per group (≤ range/resolution
+    rows), not over data rows — the same trick as textstats.
+    perplexity_buckets' equal-mass cut."""
+    q_lits = sorted(set(qs))
+    if not q_lits or not all(0 < q <= 1 for q in q_lits):
+        raise ValueError("qs must be in (0, 1]")
+    inv = 1.0 / resolution
+    cell = F.floor(F.col(value_col) * F.lit(inv)).cast("long")
+    keys = [group] if group else []
+    hist = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*keys, cell.alias("_cell"))
+        .groupBy(*keys, "_cell")
+        .agg(F.count("*").alias("_c"))
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_cell")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy(*keys)
+    cum = hist.withColumn("_cum", F.sum("_c").over(w)).withColumn(
+        "_n", F.sum("_c").over(wn)
+    )
+    out = None
+    for q in q_lits:
+        need = F.ceil(F.lit(q) * F.col("_n"))
+        hit = (
+            cum.filter(F.col("_cum") >= need)
+            .groupBy(*keys)
+            .agg(F.min("_cell").alias("_qcell"))
+            .select(
+                *keys,
+                F.lit(q).alias("q"),
+                (F.col("_qcell") * F.lit(resolution)).alias("value"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out

@@ -65,3 +65,94 @@ def test_kmv_merge_equals_whole(values):
 def test_kmv_global_plan_is_take_ordered(values):
     plan = SK.kmv_sketch(values, "v", k=16)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # one hot value (600×), a warm one (60×), 200 cold singletons
+    rows = (
+        [Row(v="hot")] * 600 + [Row(v="warm")] * 60 + [Row(v=f"c{i}") for i in range(200)]
+    )
+    return spark.createDataFrame(rows)
+
+
+def test_cms_never_undercounts_and_is_tight_when_wide(skewed):
+    sk = SK.cms_sketch(skewed, "v", depth=4, width=2048)
+    probes = skewed.select("v").distinct()
+    est = {
+        r["v"]: r["est_count"]
+        for r in SK.cms_estimate(sk, probes, "v", depth=4, width=2048).collect()
+    }
+    true = {"hot": 600, "warm": 60}
+    for v, n in true.items():
+        assert est[v] >= n          # CMS guarantee: never undercounts
+        assert est[v] <= n + 5      # wide sketch: overcount ~0 here
+    assert all(est[f"c{i}"] >= 1 for i in range(200))
+
+
+def test_cms_bounded_size_and_merge(spark, skewed):
+    d, w = 4, 64
+    whole = SK.cms_sketch(skewed, "v", depth=d, width=w)
+    assert whole.count() <= d * w
+    rows = (
+        [Row(v="hot")] * 600 + [Row(v="warm")] * 60 + [Row(v=f"c{i}") for i in range(200)]
+    )
+    lo = spark.createDataFrame(rows[:300])
+    hi = spark.createDataFrame(rows[300:])
+    merged = SK.cms_merge(
+        SK.cms_sketch(lo, "v", depth=d, width=w),
+        SK.cms_sketch(hi, "v", depth=d, width=w),
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_skewed_keys_detects_planted_hot_key(skewed):
+    hot = SK.skewed_keys(skewed, "v", threshold_frac=0.2, depth=4, width=1024)
+    got = {r["v"] for r in hot.collect()}
+    assert got == {"hot"}  # 600/860 ≈ 70% ≥ 20%; warm is 7% — below
+    # no-false-negative guarantee at a lower threshold: warm must appear too
+    both = SK.skewed_keys(skewed, "v", threshold_frac=0.05, depth=4, width=1024)
+    assert {"hot", "warm"} <= {r["v"] for r in both.collect()}
+
+
+# ---------------------------------------------------------------------------
+# Histogram-CDF quantiles
+# ---------------------------------------------------------------------------
+
+
+def test_hist_quantiles_exact_at_fine_resolution(spark):
+    # values 0.01..10.00 in 0.01 steps — at resolution 0.01 the histogram
+    # is lossless, so quantiles equal the exact lower quantile
+    df = spark.createDataFrame([Row(g="a", v=i / 100) for i in range(1, 1001)])
+    out = {
+        r["q"]: r["value"]
+        for r in SK.hist_quantiles(df, "v", [0.5, 0.9], resolution=0.01, group="g").collect()
+    }
+    assert abs(out[0.5] - 5.00) < 1e-9
+    assert abs(out[0.9] - 9.00) < 1e-9
+
+
+def test_hist_quantiles_error_bounded_by_resolution(spark):
+    import random
+
+    rng = random.Random(7)
+    vals = [rng.uniform(0, 100) for _ in range(2000)]
+    df = spark.createDataFrame([Row(g="a", v=v) for v in vals])
+    [r] = SK.hist_quantiles(df, "v", [0.5], resolution=0.5, group="g").collect()
+    exact = sorted(vals)[999]  # lower median
+    assert abs(r["value"] - exact) <= 0.5 + 1e-9
+
+
+def test_hist_quantiles_rejects_bad_qs(spark):
+    df = spark.createDataFrame([Row(g="a", v=1.0)])
+    with pytest.raises(ValueError):
+        SK.hist_quantiles(df, "v", [0.0, 0.5])
+    with pytest.raises(ValueError):
+        SK.hist_quantiles(df, "v", [])
