@@ -947,6 +947,99 @@ def main() -> int:
     sections.append(("Levenshtein verify (equi-join text attach, JVM distance)",
                      lv_plan, notes))
 
+    # Event-stream analytics: the as-of join must be ONE shuffle on the key
+    # (union-tag + window carry), never a range/nested-loop join
+    from log_analysis_spark.operators import sketches as sk_ops
+    from log_analysis_spark.operators import timeseries as ts_ops
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ao = ts_ops.asof_join(
+        ev.filter(F.col("event_type") == "error"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "user_id",
+        ["value", "event_id"],
+        right_order="event_id",
+    )
+    ao_plan = executed(ao)
+    ao_shufs = shuffle_schemas(ao)
+    key_shufs = [s for s in ao_shufs if "_k" in s[1] or "user_id" in s[0]]
+    notes = [
+        check("asof: no CartesianProduct", "CartesianProduct" not in ao_plan),
+        check("asof: no BroadcastNestedLoopJoin",
+              "BroadcastNestedLoopJoin" not in ao_plan),
+        check("asof: no SortMergeJoin/ShuffledHashJoin (window carry, not a join)",
+              "SortMergeJoin" not in ao_plan and "ShuffledHashJoin" not in ao_plan),
+        check("asof: exactly one key-partitioned exchange",
+              len(key_shufs) == 1, f"shuffles={ao_shufs}"),
+        check("asof: zero Python",
+              "EvalPython" not in ao_plan and "InPandas" not in ao_plan),
+    ]
+    sections.append(("As-of join (single key shuffle, window carry)",
+                     ao_plan, notes))
+
+    # Snapshot diff: the full-outer join carries (id, 16 B fingerprint) —
+    # document text must not appear in ANY exchange
+    sd = corpus.snapshot_diff(docs, docs, "doc_id", ["text", "lang", "source"])
+    sd_shufs = shuffle_schemas(sd)
+    wide = [s for s in sd_shufs if any(c == "text" for c in s[1])]
+    notes = [
+        check("snapshot_diff: no exchange carries text",
+              not wide, f"shuffles={sd_shufs}"),
+        check("snapshot_diff: zero Python",
+              "EvalPython" not in executed(sd)),
+    ]
+    sections.append(("Snapshot diff (fingerprint-only join payload)",
+                     executed(sd), notes))
+
+    # Sketches: KMV global = TakeOrderedAndProject; KMV grouped shuffles
+    # only (group, 8 B hash); CMS probe = broadcast join
+    kmv_g = sk_ops.kmv_sketch(ev, "props", k=64)
+    kmv_grp = sk_ops.kmv_sketch(ev, "props", k=64, group="event_type")
+    grp_shufs = shuffle_schemas(kmv_grp)
+    cms = sk_ops.cms_estimate(
+        sk_ops.cms_sketch(ev, "user_id", depth=4, width=256),
+        ev.select("user_id").distinct(),
+        "user_id",
+        depth=4,
+        width=256,
+    )
+    cms_plan = executed(cms)
+    q = sk_ops.hist_quantiles(ev, "value", [0.5, 0.99], resolution=0.25,
+                              group="event_type")
+    q_shufs = shuffle_schemas(q)
+    notes = [
+        check("kmv global: TakeOrderedAndProject (no single-partition sort)",
+              "TakeOrderedAndProject" in executed(kmv_g)),
+        check("kmv grouped: every exchange carries only (group, hash)",
+              all(set(c for c in cols) <= {"event_type", "h", "_rk"}
+                  for _, cols in grp_shufs),
+              f"shuffles={grp_shufs}"),
+        check("cms probe: broadcast join (sketch side bounded at d*w rows)",
+              "BroadcastHashJoin" in cms_plan),
+        check("hist_quantiles: exchanges carry cells, not values",
+              all("value" not in cols for _, cols in q_shufs),
+              f"shuffles={q_shufs}"),
+    ]
+    sections.append(("Sketches (KMV bottom-k, CMS broadcast probe, "
+                     "histogram quantiles)", cms_plan, notes))
+
+    # Hard-negative mining (production path): whole-batch Arrow matmul over
+    # the corpus scan, candidates only in the shuffle — no |corpus|x|Q| join
+    hn = similarity.hard_negatives_matmul(
+        emb, emb.filter(F.col("vec_id") % 50 == 0), k=3
+    )
+    hn_plan = executed(hn)
+    notes = [
+        check("hard_negatives_matmul: no CartesianProduct",
+              "CartesianProduct" not in hn_plan),
+        check("hard_negatives_matmul: no BroadcastNestedLoopJoin",
+              "BroadcastNestedLoopJoin" not in hn_plan),
+        check("hard_negatives_matmul: whole-batch Arrow stage present",
+              "InPandas" in hn_plan or "ArrowEvalPython" in hn_plan),
+    ]
+    sections.append(("Hard-negative mining (batched matmul, candidate-only "
+                     "shuffle)", hn_plan, notes))
+
     # ---- write EXPLAIN.md -------------------------------------------------
     md = ["# EXPLAIN audit — physical plans vs 100 TB design intents",
           "",
