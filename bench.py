@@ -516,6 +516,36 @@ def main() -> None:
     eu_90.unpersist()
     eb_90.unpersist()
 
+    # hard-negative mining, production path: anchors + labels ride the UDF
+    # closure, one numpy matmul per Arrow batch, candidate-only shuffle
+    timed(
+        "embed_hard_negatives",
+        lambda: similarity.hard_negatives_matmul(
+            emb, emb.filter(F.col("vec_id") % 50 == 0), k=3
+        ).count(),
+    )
+
+    # as-of join over the full synthetic turns table (skewed: 10% of rows
+    # in 5 hot convs): each assistant turn gains its most recent prior user
+    # turn — ONE conv_id shuffle + window carry, never a range join.  The
+    # aggregate reads the carried match so column pruning can't skip it.
+    from log_analysis_spark.operators import timeseries as ts_ops
+
+    timed(
+        "asof_join_turns",
+        lambda: ts_ops.asof_join(
+            turns.filter(F.col("role") == "assistant"),
+            turns.filter(F.col("role") == "user").select(
+                "conv_id", "turn_idx", "ts"
+            ),
+            "conv_id",
+            ["turn_idx"],
+            right_order="turn_idx",
+        )
+        .agg(F.count("asof_turn_idx"), F.count("*"))
+        .collect(),
+    )
+
     # skewed interval join: HALF of a 2M-row others table in ONE (conv,
     # hour) cell, broadcast disabled so the join shuffles (the 100 TB
     # reality: the anchors side is ~25% of all turns, far past any
