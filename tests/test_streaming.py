@@ -297,3 +297,39 @@ def test_streaming_quality_gates_match_batch(spark, tmp_path):
         .collect()
     }
     assert stream_rows == batch_rows and len(stream_rows) == 500
+
+
+def test_streaming_sliding_counts_match_batch(spark, tmp_path):
+    """timeseries.sliding_counts is streaming-safe UNCHANGED: the same
+    F.window(length, slide) aggregate over a readStream source (complete
+    mode, availableNow) equals the batch result — hopping-window telemetry
+    needs no second implementation for the forward path."""
+    from log_analysis_spark.operators import timeseries
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        # watermarks require TIMESTAMP (with zone); the parquet is NTZ
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    src = str(tmp_path / "slide_src")
+    ev.write.mode("overwrite").parquet(src)
+    sdf = spark.readStream.schema(ev.schema).parquet(src).withWatermark(
+        "ts", "1 hour"
+    )
+    q = (
+        timeseries.sliding_counts(sdf, "ts", 3600, 900, group="event_type")
+        .writeStream.format("memory")
+        .queryName("t_slide")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.table("t_slide").collect()))
+    want = sorted(
+        map(
+            tuple,
+            timeseries.sliding_counts(ev, "ts", 3600, 900, group="event_type").collect(),
+        )
+    )
+    assert got == want and len(got) > 0
