@@ -638,6 +638,17 @@ def q_events_quantiles(spark, sf_dir):
     )
 
 
+def q_corpus_weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sample (k=100, weight = n_chars):
+    inclusion ∝ length — the per-row-weight draw stratified rates can't
+    express.  TakeOrderedAndProject selection; oracle replays the
+    md5-u16 uniform, u^(1/w) key, round-6 and the (key desc, id) cut."""
+    docs = _docs(spark, sf_dir)
+    return corpus.weighted_sample(docs, "n_chars", k=100).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 def q_corpus_snapshot_diff(spark, sf_dir):
     """Corpus version diff between two deterministically simulated
     snapshots of the documents table: old drops doc_id%7==0, new drops
@@ -1424,6 +1435,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cms_counts": q_events_cms,
         "events_quantiles": q_events_quantiles,
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
+        "corpus_weighted_sample": q_corpus_weighted_sample,
         "embed_hard_negatives": q_embed_hard_negatives,
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_simhash": q_doc_simhash,
@@ -1555,6 +1567,7 @@ def retired_oracle_sql() -> dict[str, str]:
             qs=QUANTILE_QS, resolution=QUANTILE_RES
         ),
         "corpus_snapshot_diff": _SNAPSHOT_DIFF_ORACLE,
+        "corpus_weighted_sample": _weighted_sample_oracle(k=100),
         "embed_hard_negatives": _hard_negatives_oracle(k=3),
     }
 
@@ -3328,6 +3341,22 @@ WITH u AS (SELECT DISTINCT user_id FROM events),
 {", ".join(ctes)}
 SELECT u.user_id, CAST(CASE {case} ELSE 0 END AS INT) AS steps_completed
 FROM u {left_joins}
+"""
+
+
+def _weighted_sample_oracle(k: int) -> str:
+    """Replay of corpus.weighted_sample (Efraimidis-Spirakis A-Res):
+    u = ('ws:'-domain md5-u16 + 0.5)/65536, key = round(u^(1/w), 6),
+    top-k by (key desc, id)."""
+    u16 = _u16_sql("'ws:' || CAST(doc_id AS STRING)")
+    return f"""
+SELECT doc_id, lang, source, n_chars FROM (
+  SELECT doc_id, lang, source, n_chars,
+         round(pow((({u16}) + 0.5) / 65536.0,
+                   1.0 / CAST(n_chars AS DOUBLE)), 6) AS wkey
+  FROM documents
+)
+ORDER BY wkey DESC, doc_id ASC LIMIT {k}
 """
 
 

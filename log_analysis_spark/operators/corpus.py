@@ -823,3 +823,48 @@ def snapshot_diff(
         .otherwise(F.lit("changed"))
     )
     return joined.select(F.col(id_col), status.alias("status"))
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    domain: str = "ws:",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006 A-Res): each row draws ``key = u^(1/w)`` from its
+    domain-separated md5-u16 uniform and the k largest keys win — inclusion
+    probability proportional to weight, exactly the sample a
+    token-weighted / quality-weighted corpus draw needs where a RATE
+    (stratified_sample) can't express per-row weights.
+
+    Cross-engine exactness: u = (u16 + 0.5) / 65536 (never 0, so pow is
+    finite), key rounded to 1e-6, ties broken by id — pow/round are
+    IEEE-double in both engines, the same discipline as the Pareto gate.
+    Selection is ``orderBy(key desc, id).limit(k)``, which Spark executes
+    as TakeOrderedAndProject: per-partition top-k + a k-row driver merge,
+    never a global sort.  Non-positive weights raise (their key would be
+    pow to a negative exponent — ill-defined sampling, not a silent drop).
+    """
+    u16 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(domain), F.col(id_col).cast("string"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (u16.cast("double") + F.lit(0.5)) / F.lit(65536.0)
+    w = F.col(weight_col).cast("double")
+    bad = df.filter(w.isNull() | (w <= 0)).limit(1).count()
+    if bad:
+        raise ValueError(
+            f"weighted_sample requires positive weights in {weight_col!r}"
+        )
+    key = F.round(F.pow(u, F.lit(1.0) / w), 6)
+    return (
+        df.withColumn("_wkey", key)
+        .orderBy(F.col("_wkey").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("_wkey")
+    )

@@ -312,3 +312,52 @@ def test_cap_per_group_deterministic_and_edge_caps(spark):
     assert corpus.cap_per_group(docs, "lang", 0).count() == 0
     with pytest.raises(ValueError):
         corpus.cap_per_group(docs, "lang", -1)
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample (Efraimidis–Spirakis A-Res)
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    from pyspark.sql import Row
+
+    from log_analysis_spark.operators.corpus import weighted_sample
+
+    # 500 heavy (w=10) + 500 light (w=1) rows; a 200-row sample should be
+    # dominated by heavy rows (E[heavy] ≈ 10/11 of the sample)
+    rows = [Row(doc_id=i, w=10 if i < 500 else 1) for i in range(1000)]
+    df = spark.createDataFrame(rows)
+    got = weighted_sample(df, "w", k=200, id_col="doc_id").collect()
+    n_heavy = sum(1 for r in got if r["w"] == 10)
+    assert len(got) == 200
+    assert n_heavy > 150  # statistically certain under the md5 draw
+
+
+def test_weighted_sample_deterministic_and_plan(spark):
+    from pyspark.sql import Row
+
+    from log_analysis_spark.operators.corpus import weighted_sample
+
+    df = spark.createDataFrame([Row(doc_id=i, w=i % 7 + 1) for i in range(300)])
+    a = sorted(r["doc_id"] for r in weighted_sample(df, "w", k=50).collect())
+    b = sorted(r["doc_id"] for r in weighted_sample(df, "w", k=50).collect())
+    assert a == b
+    plan = (
+        weighted_sample(df, "w", k=50)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_rejects_nonpositive_weights(spark):
+    import pytest
+    from pyspark.sql import Row
+
+    from log_analysis_spark.operators.corpus import weighted_sample
+
+    df = spark.createDataFrame([Row(doc_id=1, w=2.0), Row(doc_id=2, w=0.0)])
+    with pytest.raises(ValueError):
+        weighted_sample(df, "w", k=1)
