@@ -611,6 +611,19 @@ def q_events_retention(spark, sf_dir):
 KMV_K = 32
 
 
+ROLLING_N = 20
+
+
+def q_events_rolling(spark, sf_dir):
+    """Trailing-20-event per-user rolling stats of value — moving-aggregate
+    telemetry (rate limits, anomaly baselines) with the sum in integer
+    micro-units so it is exact cross-engine."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return timeseries.rolling_stats(
+        ev, "user_id", "ts", "value", n=ROLLING_N, order_col="event_id"
+    )
+
+
 CMS_DEPTH, CMS_WIDTH = 4, 256
 QUANTILE_QS, QUANTILE_RES = [0.5, 0.9, 0.99], 0.25
 
@@ -1434,6 +1447,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kmv_distinct": q_events_kmv,
         "events_cms_counts": q_events_cms,
         "events_quantiles": q_events_quantiles,
+        "events_rolling": q_events_rolling,
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
         "corpus_weighted_sample": q_corpus_weighted_sample,
         "embed_hard_negatives": q_embed_hard_negatives,
@@ -1566,6 +1580,7 @@ def retired_oracle_sql() -> dict[str, str]:
         "events_quantiles": _hist_quantiles_oracle(
             qs=QUANTILE_QS, resolution=QUANTILE_RES
         ),
+        "events_rolling": _rolling_oracle(n=ROLLING_N),
         "corpus_snapshot_diff": _SNAPSHOT_DIFF_ORACLE,
         "corpus_weighted_sample": _weighted_sample_oracle(k=100),
         "embed_hard_negatives": _hard_negatives_oracle(k=3),
@@ -3341,6 +3356,21 @@ WITH u AS (SELECT DISTINCT user_id FROM events),
 {", ".join(ctes)}
 SELECT u.user_id, CAST(CASE {case} ELSE 0 END AS INT) AS steps_completed
 FROM u {left_joins}
+"""
+
+
+def _rolling_oracle(n: int) -> str:
+    """Replay of timeseries.rolling_stats: trailing-n window per user in
+    (ts, event_id) order; sum over integer micro-units."""
+    return f"""
+SELECT user_id, ts, event_id,
+       count(micro) OVER w AS roll_n,
+       CAST(sum(micro) OVER w AS BIGINT) AS roll_sum_micro,
+       min(value) OVER w AS roll_min,
+       max(value) OVER w AS roll_max
+FROM (SELECT *, CAST(round(value * 1e6) AS BIGINT) AS micro FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)
 """
 
 

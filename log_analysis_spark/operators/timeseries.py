@@ -211,3 +211,40 @@ def cohort_retention(
         .groupBy("cohort_week", "week_offset")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+def rolling_stats(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    n: int,
+    order_col: str,
+) -> DataFrame:
+    """Per-entity trailing-window statistics: for every event, the count /
+    sum / min / max of ``value_col`` over that entity's last ``n`` events
+    (inclusive), in ``(ts, order_col)`` order — the per-user moving
+    aggregate behind rate limiting, anomaly baselines and burst detection.
+
+    ONE shuffle on the key; the frame is ROWS BETWEEN n-1 PRECEDING AND
+    CURRENT ROW, so per-row cost is O(1) amortized and a hot entity costs
+    its own history length, never a join fan-out.  The sum is computed over
+    integer micro-units (round(value·1e6)) so the trailing sum is exact
+    cross-engine — a float running sum would accumulate order-dependent
+    error.
+    """
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts_col).asc(), F.col(order_col).asc())
+        .rowsBetween(-(n - 1), Window.currentRow)
+    )
+    micro = F.round(F.col(value_col) * F.lit(1e6)).cast("long")
+    return df.select(
+        key,
+        ts_col,
+        order_col,
+        F.count(micro).over(w).alias("roll_n"),
+        F.sum(micro).over(w).alias("roll_sum_micro"),
+        F.min(F.col(value_col)).over(w).alias("roll_min"),
+        F.max(F.col(value_col)).over(w).alias("roll_max"),
+    )

@@ -173,3 +173,24 @@ def test_cohort_retention_offsets(spark):
         (wk, 3): 1,
         (wk2, 0): 1,
     }
+
+
+def test_rolling_stats_window_semantics(spark):
+    rows = [
+        Row(u=1, eid=i, ts=_ts(i), v=float(i)) for i in range(1, 6)
+    ] + [Row(u=2, eid=10, ts=_ts(1), v=100.0)]
+    df = spark.createDataFrame(rows)
+    out = {
+        (r["u"], r["eid"]): r.asDict()
+        for r in T.rolling_stats(df, "u", "ts", "v", n=3, order_col="eid").collect()
+    }
+    # u=1, eid=4 → trailing 3 of values [2, 3, 4]
+    r = out[(1, 4)]
+    assert r["roll_n"] == 3
+    assert r["roll_sum_micro"] == 9_000_000
+    assert r["roll_min"] == 2.0 and r["roll_max"] == 4.0
+    # first event sees only itself
+    r1 = out[(1, 1)]
+    assert r1["roll_n"] == 1 and r1["roll_sum_micro"] == 1_000_000
+    # entities never leak into each other
+    assert out[(2, 10)]["roll_n"] == 1
