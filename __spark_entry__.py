@@ -611,6 +611,16 @@ def q_events_retention(spark, sf_dir):
 KMV_K = 32
 
 
+BIGRAM_LAM = 0.7
+
+
+def q_doc_bigram_surprise(spark, sf_dir):
+    """Interpolated-bigram LM surprise per doc — the order-aware deepening
+    of doc_unigram_surprise: shuffled/stuffed text of individually common
+    tokens scores high here while passing the unigram gate."""
+    return textstats.bigram_surprise(_docs(spark, sf_dir), lam=BIGRAM_LAM)
+
+
 ROLLING_N = 20
 
 
@@ -1448,6 +1458,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cms_counts": q_events_cms,
         "events_quantiles": q_events_quantiles,
         "events_rolling": q_events_rolling,
+        "doc_bigram_surprise": q_doc_bigram_surprise,
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
         "corpus_weighted_sample": q_corpus_weighted_sample,
         "embed_hard_negatives": q_embed_hard_negatives,
@@ -1581,6 +1592,7 @@ def retired_oracle_sql() -> dict[str, str]:
             qs=QUANTILE_QS, resolution=QUANTILE_RES
         ),
         "events_rolling": _rolling_oracle(n=ROLLING_N),
+        "doc_bigram_surprise": _bigram_surprise_oracle(lam=BIGRAM_LAM),
         "corpus_snapshot_diff": _SNAPSHOT_DIFF_ORACLE,
         "corpus_weighted_sample": _weighted_sample_oracle(k=100),
         "embed_hard_negatives": _hard_negatives_oracle(k=3),
@@ -2334,6 +2346,50 @@ surtbl AS (
          CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
          COALESCE(s.surprise, 0.0) AS surprise
   FROM documents d LEFT JOIN scored s USING (doc_id))"""
+
+def _bigram_surprise_oracle(lam: float) -> str:
+    """Independent recompute of textstats.bigram_surprise: per-doc ordered
+    bigram occurrences, the interpolated probability from the SAME four
+    integers (lam·cb/cp + (1−lam)·cu/N — both interpolation weights emitted
+    via repr() so each engine parses the IDENTICAL double, including the
+    1-ulp 1−lam artifact), round-6 −ln, integer micro-nats, integer-sum
+    mean."""
+    one_minus = 1.0 - float(lam)
+    return f"""
+WITH {_TOK_OCC.strip()},
+tl AS (
+  SELECT doc_id,
+         list_transform(list_filter({_DOC_TOKENS}, x -> x <> ''),
+                        x -> lower(x)) AS toks
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, toks[i] AS prev, toks[i+1] AS cur
+  FROM tl, UNNEST(range(1, len(toks))) AS t(i)
+  WHERE len(toks) >= 2
+),
+uni AS (SELECT tok, count(*) AS cu FROM tok GROUP BY tok),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok),
+bcnt AS (SELECT prev, cur, count(*) AS cb FROM bg GROUP BY 1, 2),
+ctx AS (SELECT prev, CAST(sum(cb) AS DOUBLE) AS cp FROM bcnt GROUP BY 1),
+lp AS (
+  SELECT b.prev, b.cur,
+         CAST(round(-round(ln(CAST({float(lam)!r} AS DOUBLE) * b.cb / c.cp
+                              + CAST({one_minus!r} AS DOUBLE) * u.cu / n.n), 6)
+                    * 1000000.0) AS BIGINT) AS lpmicro
+  FROM bcnt b JOIN ctx c USING (prev) JOIN uni u ON b.cur = u.tok, n
+),
+scored AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         round(CAST(sum(lpmicro) AS DOUBLE) / count(*) / 1000000.0, 6)
+           AS bigram_surprise
+  FROM bg JOIN lp USING (prev, cur) GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       COALESCE(s.bigram_surprise, 0.0) AS bigram_surprise
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
 
 _UNIGRAM_SURPRISE_ORACLE = (
     _SURPRISE_CTES

@@ -842,3 +842,101 @@ def ngram_quality_classifier(
     return classifier_score(
         df, w, n_buckets, text_col, id_col, bigrams, lowercase
     )
+
+
+def bigram_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """One row per bigram OCCURRENCE: (id, prev, cur) — the order-aware
+    sibling of ``token_table``.  The pair is built in the projection
+    (let-bound token array, zip with its own tail) so text leaves the scan
+    as ~20-byte token pairs and never shuffles as documents."""
+    from .similarity import _let  # evaluate-once lambda binding
+
+    toks = F.filter(tokens_col(text_col), lambda x: x != "")
+    if lowercase:
+        toks = F.transform(toks, lambda x: F.lower(x))
+    pairs = _let(
+        toks,
+        lambda t: F.zip_with(
+            F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+            F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(pairs).alias("_bg")).select(
+        id_col, F.col("_bg.prev").alias("prev"), F.col("_bg.cur").alias("cur")
+    )
+
+
+def bigram_surprise(
+    df: DataFrame,
+    lam: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Interpolated-bigram LM quality signal — the order-aware deepening of
+    ``unigram_surprise`` (CCNet-shaped, Wenzek et al. 2020: there a 5-gram
+    KenLM; here the corpus's own Jelinek-Mercer-interpolated bigram model):
+
+        P(cur | prev) = lam · c(prev,cur)/c(prev,·) + (1-lam) · c(cur)/N
+
+    surprise = mean −ln P over the doc's bigram positions.  A doc of
+    individually common but incoherently ORDERED tokens (shuffled text,
+    keyword stuffing) scores high here while passing the unigram gate.
+    Output (id, n_bigrams, bigram_surprise); docs with < 2 tokens → 0.0.
+
+    Scale shape: the bigram LM is ONE pair-keyed shuffle with map-side
+    combine (payload (prev, cur, long)); context totals reuse the same
+    aggregate output; the corpus token total is a 1-row broadcast; scoring
+    joins the doc's exploded pairs to the (pair, micro-nat) table and one
+    per-doc aggregate reduces — text never shuffles.
+
+    Cross-engine exactness: the probability is computed from the SAME four
+    integers in both engines, −ln rounded to 6 decimals, quantized to
+    integer micro-nats; per-doc mean = integer sum / count (the
+    unigram_surprise discipline — a float mean is order-dependent)."""
+    if not (0.0 < lam < 1.0):
+        raise ValueError(f"lam must be in (0,1), got {lam}")
+    bg = bigram_table(df, text_col, id_col, lowercase)
+    tok = token_table(df, text_col, id_col, lowercase)
+    uni = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("_cu"))
+    n_total = tok.agg(F.count(F.lit(1)).alias("_n"))
+    bcnt = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("_cb"))
+    ctx = bcnt.groupBy("prev").agg(F.sum("_cb").alias("_cp"))
+    p = (
+        F.lit(float(lam)) * F.col("_cb") / F.col("_cp")
+        + F.lit(1.0 - float(lam)) * F.col("_cu") / F.col("_n")
+    )
+    lp = (
+        bcnt.join(ctx, "prev")
+        .join(uni, F.col("cur") == F.col("tok"))
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "prev",
+            "cur",
+            F.round(F.round(-F.log(p), 6) * F.lit(1e6), 0)
+            .cast("long")
+            .alias("_lpmicro"),
+        )
+    )
+    scored = (
+        bg.join(lp, ["prev", "cur"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum("_lpmicro").cast("double") / F.count(F.lit(1)) / F.lit(1e6),
+                6,
+            ).alias("bigram_surprise"),
+        )
+    )
+    return df.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+        F.coalesce("bigram_surprise", F.lit(0.0)).alias("bigram_surprise"),
+    )

@@ -292,3 +292,45 @@ def test_pareto_gate_extremes_and_validation(spark):
     assert all(r["keep_pareto"] for r in out.collect())
     with pytest.raises(ValueError, match="alpha"):
         pareto_classifier_gate(df, alpha=0.0)
+
+
+def test_bigram_surprise_detects_shuffled_order(spark):
+    """The property unigram_surprise is blind to: a doc with the SAME
+    tokens in incoherent order scores strictly higher under the bigram LM
+    (fluent bigrams are frequent in the corpus, shuffled ones are not)."""
+    from pyspark.sql import Row
+
+    from log_analysis_spark.operators.textstats import (
+        bigram_surprise,
+        unigram_surprise,
+    )
+
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    # same multiset of tokens, incoherent order
+    shuffled = "mat the on dog sat the and rug cat the on sat the"
+    # corpus context: many fluent sentences so fluent bigrams dominate
+    ctx = [Row(doc_id=i, text=f"the cat sat on the mat {i}") for i in range(20)]
+    docs = spark.createDataFrame(
+        ctx + [Row(doc_id=100, text=fluent), Row(doc_id=101, text=shuffled)]
+    )
+    bg = {r["doc_id"]: r["bigram_surprise"] for r in bigram_surprise(docs).collect()}
+    assert bg[101] > bg[100]
+    # and the unigram gate cannot separate them (same token multiset)
+    un = {r["doc_id"]: r["surprise"] for r in unigram_surprise(docs).collect()}
+    assert abs(un[101] - un[100]) < 1e-9
+
+
+def test_bigram_surprise_short_docs_and_lam_validation(spark):
+    import pytest
+    from pyspark.sql import Row
+
+    from log_analysis_spark.operators.textstats import bigram_surprise
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="hello"), Row(doc_id=2, text="hello world")]
+    )
+    out = {r["doc_id"]: r.asDict() for r in bigram_surprise(docs).collect()}
+    assert out[1]["n_bigrams"] == 0 and out[1]["bigram_surprise"] == 0.0
+    assert out[2]["n_bigrams"] == 1
+    with pytest.raises(ValueError):
+        bigram_surprise(docs, lam=1.0)
