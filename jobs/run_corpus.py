@@ -115,6 +115,11 @@ def main() -> None:
         help="drop docs whose unigram-LM surprise exceeds this (garbled text)",
     )
     ap.add_argument(
+        "--max-bigram-surprise", type=float, default=None,
+        help="drop docs whose interpolated-bigram-LM surprise exceeds this "
+        "(incoherent token ORDER the unigram gate can't see)",
+    )
+    ap.add_argument(
         "--temperature", type=float, default=None,
         help="temperature-flattened source mixing instead of --rates "
         "(requires --target-fraction; mutually exclusive with --rates)",
@@ -270,6 +275,16 @@ def main() -> None:
             docs.join(surp, "doc_id")
             .filter(F.col("surprise") <= args.max_surprise)
             .drop("surprise")
+        )
+
+    if args.max_bigram_surprise is not None:
+        bsurp = textstats.bigram_surprise(docs).select(
+            "doc_id", "bigram_surprise"
+        )
+        docs = (
+            docs.join(bsurp, "doc_id")
+            .filter(F.col("bigram_surprise") <= args.max_bigram_surprise)
+            .drop("bigram_surprise")
         )
 
     if args.ppl_keep is not None:

@@ -143,6 +143,7 @@ def test_submit_corpus_job_full_stage_chain(pkg_zip, tmp_path):
             "--span-action", "filter",
             "--span-max-coverage", "0.9",
             "--max-surprise", "20.0",
+            "--max-bigram-surprise", "20.0",
             "--classifier-min-mean", "-10.0",
             "--classifier-target", "lang = 'en'",
             "--classifier-buckets", "4096",
