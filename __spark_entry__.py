@@ -611,6 +611,19 @@ def q_events_retention(spark, sf_dir):
 KMV_K = 32
 
 
+def q_corpus_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (30 merges over the documents
+    corpus): per-round shuffles scale with |vocab|, never the corpus.
+    Rows-only by design — an argmax-per-round loop that rewrites symbol
+    lists is not SQL-expressible; the verification is the pure-Python
+    reference-BPE mirror equality in tests/test_bpe.py (classic + real
+    corpora), the same evidence class as the hash-seeded twins."""
+    from log_analysis_spark.operators import bpe
+
+    merges = bpe.train_bpe(_docs(spark, sf_dir), n_merges=30)
+    return bpe.merges_df(spark, merges)
+
+
 BIGRAM_LAM = 0.7
 
 
@@ -1459,6 +1472,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantiles": q_events_quantiles,
         "events_rolling": q_events_rolling,
         "doc_bigram_surprise": q_doc_bigram_surprise,
+        "corpus_bpe_merges": q_corpus_bpe_merges,
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
         "corpus_weighted_sample": q_corpus_weighted_sample,
         "embed_hard_negatives": q_embed_hard_negatives,
