@@ -634,6 +634,24 @@ def q_doc_bigram_surprise(spark, sf_dir):
     return textstats.bigram_surprise(_docs(spark, sf_dir), lam=BIGRAM_LAM)
 
 
+def q_events_bloom_join(spark, sf_dir):
+    """Bloom-prefiltered selective join: the dim side (every 17th user)
+    folds to a packed-bitmap broadcast and fact rows that miss any bit are
+    dropped BEFORE the shuffle.  The oracle is the PLAIN inner join — a
+    Bloom has no false negatives, so the identity is the correctness
+    gate (false positives are re-verified by the join itself)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dims = (
+        ev.select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % 17 == 0)
+        .withColumn("tag", F.concat(F.lit("u"), F.col("user_id").cast("string")))
+    )
+    return joins.bloom_prefiltered_join(
+        ev, dims, "user_id", m_bits=1 << 16, n_hashes=4
+    ).select("event_id", "user_id", "event_type", "tag")
+
+
 ROLLING_N = 20
 
 
@@ -1471,6 +1489,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cms_counts": q_events_cms,
         "events_quantiles": q_events_quantiles,
         "events_rolling": q_events_rolling,
+        "events_bloom_join": q_events_bloom_join,
         "doc_bigram_surprise": q_doc_bigram_surprise,
         "corpus_bpe_merges": q_corpus_bpe_merges,
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
@@ -1606,6 +1625,7 @@ def retired_oracle_sql() -> dict[str, str]:
             qs=QUANTILE_QS, resolution=QUANTILE_RES
         ),
         "events_rolling": _rolling_oracle(n=ROLLING_N),
+        "events_bloom_join": _BLOOM_JOIN_ORACLE,
         "doc_bigram_surprise": _bigram_surprise_oracle(lam=BIGRAM_LAM),
         "corpus_snapshot_diff": _SNAPSHOT_DIFF_ORACLE,
         "corpus_weighted_sample": _weighted_sample_oracle(k=100),
@@ -3426,6 +3446,16 @@ WITH u AS (SELECT DISTINCT user_id FROM events),
 {", ".join(ctes)}
 SELECT u.user_id, CAST(CASE {case} ELSE 0 END AS INT) AS steps_completed
 FROM u {left_joins}
+"""
+
+
+_BLOOM_JOIN_ORACLE = """
+WITH dims AS (
+  SELECT DISTINCT user_id, 'u' || CAST(user_id AS VARCHAR) AS tag
+  FROM events WHERE user_id % 17 = 0
+)
+SELECT e.event_id, e.user_id, e.event_type, d.tag
+FROM events e JOIN dims d USING (user_id)
 """
 
 

@@ -214,3 +214,84 @@ def interval_join(
     else:
         joined = anchors.join(o, on=eq, how="inner").filter(cond_range)
     return joined.drop(*[f"__o_{k}" for k in equi_keys])
+
+
+def bloom_prefiltered_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 4,
+    how: str = "inner",
+) -> DataFrame:
+    """Inner/semi equi-join with a Bloom pre-filter on the BIG (left) side:
+    the right side's join keys fold into an m_bits bitmap PACKED INTO
+    m_bits/64 longs (one broadcast row), and left rows whose key misses any
+    bit are dropped BEFORE the shuffle — at 100 TB this is the difference
+    between shuffling the whole fact table and shuffling only the
+    ~matching fraction when the join is selective (the manual form of
+    AQE's runtime bloom pruning, available on any plan shape).
+
+    Scale shape: the bitmap build is one narrow aggregate over the right
+    keys (bit_or per 64-bit word, ≤ m_bits/64 rows collected — bounded by
+    the m_bits KNOB, not by data); the probe is a broadcast crossJoin of
+    that single row plus pure JVM bit arithmetic per left row — zero
+    Python, no explode, no regroup, the left table is touched exactly
+    once.  No false negatives (a Bloom never drops a real match), so the
+    result EQUALS the plain join — that identity is the correctness gate.
+    False positives only cost shuffle bytes; the join re-verifies the key.
+
+    Bit positions are ``corpus.bloom_positions``' engine-portable md5-u32
+    draw, so the filter is deterministic and oracle-checkable.
+    """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(f"how must be inner or left_semi, got {how!r}")
+    from functools import reduce
+
+    from .corpus import bloom_positions
+
+    n_words = (int(m_bits) + 63) // 64
+    key_str = F.col(key).cast("string")
+    set_words = (
+        right.select(
+            F.explode(bloom_positions(key_str, m_bits, n_hashes)).alias("_p")
+        )
+        .distinct()
+        .groupBy((F.col("_p") / 64).cast("int").alias("_w"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_p % 64 AS INT))")
+            ).alias("_bits")
+        )
+        .collect()
+    )
+    bitmap = [0] * n_words
+    for r in set_words:
+        bitmap[r["_w"]] = r["_bits"]
+    spark = left.sparkSession
+    bdf = spark.createDataFrame([(bitmap,)], "_bloom array<bigint>")
+    probe = left.crossJoin(F.broadcast(bdf))
+    pos_cols = []
+    for i in range(n_hashes):
+        pc = f"_bp{i}"
+        probe = probe.withColumn(
+            pc,
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), key_str)), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(int(m_bits)),
+        )
+        pos_cols.append(pc)
+    tests = [
+        F.expr(
+            f"(element_at(_bloom, CAST({pc} div 64 AS INT) + 1)"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST({pc} % 64 AS INT))) != 0"
+        )
+        for pc in pos_cols
+    ]
+    pruned = probe.filter(reduce(lambda a, b: a & b, tests)).drop(
+        "_bloom", *pos_cols
+    )
+    return pruned.join(right, key, how)
