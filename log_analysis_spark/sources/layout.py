@@ -1,0 +1,107 @@
+"""Multi-dimensional file layout (Z-order clustering) for data skipping.
+
+At 100 TB the cheapest predicate is the one that never reads the file:
+parquet footers carry per-column min/max, and engines (Spark, Trino,
+DuckDB) skip files/row-groups whose ranges miss the filter.  A layout
+clustered on ONE column gives skipping on that column only; Z-ORDERING
+interleaves the bits of several columns' normalized ranks so every file
+covers a small HYPER-RECTANGLE of the key space — box predicates on any
+subset of the z-columns skip most files.
+
+Shape: one tiny min/max aggregate per column (1 broadcast row), a pure
+JVM bit-interleave projection (no Python), then
+``repartitionByRange(_z)`` + ``sortWithinPartitions(_z)`` — exactly one
+range shuffle, the same cost any clustered write already pays.
+
+Normalization here is min-max to a ``bits``-bit grid (right for roughly
+uniform columns like ids and timestamps); heavily skewed columns should
+be rank-normalized first (the histogram-CDF machinery in
+``operators.sketches.hist_quantiles`` provides the cuts) — documented
+rather than hidden, since a wrong normalization silently degrades to
+one-column clustering.
+
+The win is MEASURED, not asserted from theory: tests/test_layout.py
+computes the per-file bounding boxes of both a z-ordered and a
+single-column layout from the written files and asserts the z-order's
+total box area is a fraction of the control's.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _normalized(col: F.Column, lo: float, hi: float, bits: int) -> F.Column:
+    """min-max rank of ``col`` quantized to [0, 2^bits): constant-span
+    columns map to 0."""
+    grid = (1 << bits) - 1
+    if hi <= lo:
+        return F.lit(0).cast("long")
+    scaled = (col.cast("double") - F.lit(float(lo))) / F.lit(float(hi - lo))
+    q = F.floor(scaled * F.lit(float(grid))).cast("long")
+    return F.greatest(F.lit(0), F.least(F.lit(grid), q))
+
+
+def zorder_key(norm_cols: list[F.Column], bits: int = 16) -> F.Column:
+    """Interleave the low ``bits`` bits of each (already normalized)
+    column: result bit (i*len + j) = bit i of column j — pure JVM
+    shift/or expressions, 2^bits grid per dimension."""
+    n = len(norm_cols)
+    terms = []
+    for j, c in enumerate(norm_cols):
+        for i in range(bits):
+            terms.append(
+                F.shiftleft(
+                    F.shiftrightunsigned(c, i).bitwiseAND(F.lit(1)),
+                    i * n + j,
+                )
+            )
+    return reduce(lambda a, b: a.bitwiseOR(b), terms).cast("long")
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` as parquet z-ordered on ``cols``: one min/max
+    aggregate, one bit-interleave projection, one range shuffle."""
+    if len(cols) < 2:
+        raise ValueError("z-ordering needs >= 2 columns (use a plain sort for 1)")
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"_lo_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"_hi_{c}"),
+        ]
+    stats = df.agg(*aggs).first()
+    norm = [
+        _normalized(F.col(c), stats[f"_lo_{c}"], stats[f"_hi_{c}"], bits)
+        for c in cols
+    ]
+    (
+        df.withColumn("_z", zorder_key(norm, bits))
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def write_range_clustered(
+    df: DataFrame, path: str, col: str, n_files: int = 8
+) -> None:
+    """Single-column range clustering (the control / the right layout when
+    only one column is ever filtered)."""
+    (
+        df.repartitionByRange(n_files, F.col(col))
+        .sortWithinPartitions(col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
