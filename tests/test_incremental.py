@@ -397,3 +397,54 @@ def test_md5_state_schemas(spark):
     assert all(isinstance(r["bkey"], str) for r in bands_)
     # and the union with the canonical empty frame type-checks
     assert sig.unionByName(res.new_sig_rows).count() == 2
+
+
+def test_snapshot_diff_drives_incremental_reprocessing(spark):
+    """Composition: corpus.snapshot_diff tells the incremental path what a
+    re-crawl actually changed — only ADDED + CHANGED docs enter
+    ingest_batch, and the state already holds the old corpus, so the
+    changed doc's old twin rejects a near-identical rewrite while the new
+    doc is admitted.  This is the maintenance loop of a living 100 TB
+    corpus: diff (narrow fingerprint join) → increment-sized ingest, no
+    full re-dedup anywhere."""
+    from log_analysis_spark.operators.corpus import snapshot_diff
+
+    v1 = _mk_batch(
+        spark,
+        [("a", LOREM), ("b", OTHER), ("c", LOREM + " extra trailing words")],
+    )
+    # v2: 'b' unchanged, 'c' lightly edited (near-dup of its v1 self),
+    # 'd' genuinely new, 'a' removed
+    v2 = _mk_batch(
+        spark,
+        [
+            ("b", OTHER),
+            ("c", LOREM + " extra trailing words edited"),
+            ("d", "an entirely new document about violin maintenance and "
+                  "the correct humidity for storing instruments in winter"),
+        ],
+    )
+    diff = {
+        r["doc_id"]: r["status"]
+        for r in snapshot_diff(v1, v2, "doc_id", ["text"]).collect()
+    }
+    assert diff == {"a": "removed", "b": "unchanged", "c": "changed", "d": "added"}
+
+    # state = v1 ingested from empty
+    sig, band = _empty_state(spark)
+    st1 = incremental.ingest_batch(v1, sig, band, threshold=0.5)
+    sig1, band1 = st1.new_sig_rows, st1.new_band_rows
+
+    # reprocess ONLY added+changed (what the diff says), not the corpus
+    todo = v2.join(
+        snapshot_diff(v1, v2, "doc_id", ["text"]).filter(
+            F.col("status").isin("added", "changed")
+        ),
+        "doc_id",
+    ).select("doc_id", "text")
+    assert todo.count() == 2
+    st2 = incremental.ingest_batch(todo, sig1, band1, threshold=0.5)
+    accepted = {r["id"] for r in st2.accepted.collect()}
+    # the edited 'c' is a near-dup of its own v1 state row → rejected;
+    # the new 'd' is admitted
+    assert accepted == {"d"}
