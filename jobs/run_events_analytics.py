@@ -1,0 +1,168 @@
+"""spark-submit entrypoint for the event-stream analytics surface — the
+telemetry job next to the corpus jobs: as-of enrichment, hopping-window
+counts, funnel, cohort retention, and the sketch-based health report
+(approximate distincts, CMS skew scan, quantiles) in one pass over an
+events table.
+
+Cluster usage (same --py-files launch shape as jobs/run_pipeline.py):
+
+    spark-submit --py-files log_analysis_spark.zip jobs/run_events_analytics.py \
+        --input /path/events --out /path/analytics
+
+Sandbox usage:
+
+    python jobs/run_events_analytics.py --sf-dir /root/testdata/sf0.001 --out /tmp/ea
+
+Outputs (each a parquet dir under --out): ``asof/`` (left events enriched
+with the most recent right event), ``sliding/`` (hopping-window counts per
+type), ``funnel/`` (per-user steps completed), ``retention/`` (cohort
+matrix), ``report/`` (per-type KMV distinct users + value quantiles).  The
+summary JSON line carries per-output row counts plus the CMS-detected hot
+keys — the skew advisory that feeds salting knobs downstream.
+
+Resume: manifest-checkpointed like every job here — a rerun with the same
+input fingerprint + knobs reprints the recorded summary without
+recomputation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="events table path (parquet)")
+    src.add_argument("--sf-dir", help="testdata dir holding events.parquet")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--asof-left-type", default="error")
+    ap.add_argument("--asof-right-type", default="purchase")
+    ap.add_argument("--asof-tolerance-sec", type=int, default=None)
+    ap.add_argument("--window-sec", type=int, default=3600)
+    ap.add_argument("--slide-sec", type=int, default=900)
+    ap.add_argument(
+        "--funnel", default="signup,view,purchase",
+        help="comma-separated ordered step event types",
+    )
+    ap.add_argument("--kmv-k", type=int, default=64)
+    ap.add_argument("--quantiles", default="0.5,0.9,0.99")
+    ap.add_argument("--quantile-resolution", type=float, default=0.25)
+    ap.add_argument(
+        "--skew-frac", type=float, default=0.01,
+        help="flag keys holding >= this fraction of all events (CMS scan)",
+    )
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    import os
+
+    from pyspark.sql import functions as F
+
+    from log_analysis_spark.operators import sketches, timeseries
+    from log_analysis_spark.plans.manifest import (
+        Manifest,
+        StageRecord,
+        fingerprint_input,
+        fingerprint_source,
+    )
+    from log_analysis_spark.session import get_spark
+
+    spark = get_spark("run_events_analytics", master=args.master)
+    path = args.input or f"{args.sf_dir}/events.parquet"
+    ev = spark.read.parquet(path).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+    manifest = Manifest(f"{args.out}/_manifest.jsonl")
+    fp = fingerprint_input(
+        args.out, args.asof_left_type, args.asof_right_type,
+        args.asof_tolerance_sec, args.window_sec, args.slide_sec,
+        args.funnel, args.kmv_k, args.quantiles, args.quantile_resolution,
+        args.skew_frac, fingerprint_source(ev),
+    )
+    prior = manifest.lookup("events_analytics", fp)
+    if prior is not None and os.path.exists(f"{args.out}/report"):
+        print(json.dumps({**prior["metrics"], "resumed": True}))
+        return
+
+    counts: dict[str, int] = {}
+
+    asof = timeseries.asof_join(
+        ev.filter(F.col("event_type") == args.asof_left_type),
+        ev.filter(F.col("event_type") == args.asof_right_type),
+        "user_id",
+        ["value", "event_id"],
+        right_order="event_id",
+        tolerance_sec=args.asof_tolerance_sec,
+    )
+    asof.write.mode("overwrite").parquet(f"{args.out}/asof")
+    counts["n_asof"] = spark.read.parquet(f"{args.out}/asof").count()
+
+    sliding = timeseries.sliding_counts(
+        ev, "ts", args.window_sec, args.slide_sec, group="event_type"
+    )
+    sliding.write.mode("overwrite").parquet(f"{args.out}/sliding")
+    counts["n_sliding"] = spark.read.parquet(f"{args.out}/sliding").count()
+
+    steps = [s for s in args.funnel.split(",") if s]
+    funnel = timeseries.funnel_steps(
+        ev, "user_id", "ts", "event_type", steps, "event_id"
+    )
+    funnel.write.mode("overwrite").parquet(f"{args.out}/funnel")
+    fc = {
+        int(r["steps_completed"]): r["n"]
+        for r in spark.read.parquet(f"{args.out}/funnel")
+        .groupBy("steps_completed")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    counts["n_funnel_users"] = sum(fc.values())
+    counts["n_funnel_completed"] = fc.get(len(steps), 0)
+
+    retention = timeseries.cohort_retention(ev, "user_id", "ts")
+    retention.write.mode("overwrite").parquet(f"{args.out}/retention")
+    counts["n_retention_cells"] = spark.read.parquet(
+        f"{args.out}/retention"
+    ).count()
+
+    qs = [float(x) for x in args.quantiles.split(",") if x]
+    report = sketches.kmv_distinct(
+        ev, "user_id", k=args.kmv_k, group="event_type"
+    ).join(
+        sketches.hist_quantiles(
+            ev, "value", qs, resolution=args.quantile_resolution,
+            group="event_type",
+        ),
+        "event_type",
+    )
+    report.write.mode("overwrite").parquet(f"{args.out}/report")
+    counts["n_report_rows"] = spark.read.parquet(f"{args.out}/report").count()
+
+    hot = sketches.skewed_keys(ev, "user_id", threshold_frac=args.skew_frac)
+    counts["hot_user_ids"] = sorted(
+        int(r["user_id"]) for r in hot.collect()
+    )
+
+    summary = {"events_path": path, "n_events": ev.count(), **counts}
+    manifest.record(
+        StageRecord(
+            stage="events_analytics",
+            input_fingerprint=fp,
+            output_path=args.out,
+            rows=summary["n_events"],
+            n_partitions=0,
+            partition_rows={},
+            metrics=summary,
+        )
+    )
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

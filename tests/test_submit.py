@@ -512,3 +512,33 @@ def test_submit_transcript_corpus_line_strip(pkg_zip, tmp_path):
     assert stripped["n_lines_removed"] > 0
     assert stripped["total_tokens"] < loose["total_tokens"]
     assert stripped["n_docs"] == loose["n_docs"]
+
+
+def test_submit_events_analytics_job(pkg_zip, tmp_path):
+    res = _submit(
+        pkg_zip,
+        "run_events_analytics.py",
+        [
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--out", str(tmp_path / "ea"),
+            "--skew-frac", "0.05",
+        ],
+        cwd=tmp_path,
+    )
+    assert res["n_events"] == 1000
+    assert res["n_asof"] > 0 and res["n_sliding"] > 0
+    assert res["n_funnel_users"] == 15
+    assert 0 < res["n_funnel_completed"] <= res["n_funnel_users"]
+    assert res["n_report_rows"] == 15  # 5 event types x 3 quantiles
+    # resume: same knobs reprint the summary without recompute
+    res2 = _submit(
+        pkg_zip,
+        "run_events_analytics.py",
+        [
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--out", str(tmp_path / "ea"),
+            "--skew-frac", "0.05",
+        ],
+        cwd=tmp_path,
+    )
+    assert res2.get("resumed") is True and res2["n_asof"] == res["n_asof"]
