@@ -608,6 +608,24 @@ def q_events_retention(spark, sf_dir):
     return timeseries.cohort_retention(ev, "user_id", "ts")
 
 
+def q_events_funnel_times(spark, sf_dir):
+    """Funnel with per-step match timestamps (time-to-convert input):
+    steps_completed + t1..t3, NULL beyond the reached step."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return timeseries.funnel_times(
+        ev, "user_id", "ts", "event_type", FUNNEL_STEPS, "event_id"
+    )
+
+
+def q_turn_transitions(spark, sf_dir):
+    """Markov transition matrix over per-conversation turn_class sequences
+    — the generalization of W3's error-follows-tool pairing to every
+    adjacent transition."""
+    return windows_ops.transition_counts(
+        _parsed(spark, sf_dir), "conv_id", ["turn_idx"], "turn_class"
+    )
+
+
 KMV_K = 32
 
 
@@ -1490,6 +1508,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantiles": q_events_quantiles,
         "events_rolling": q_events_rolling,
         "events_bloom_join": q_events_bloom_join,
+        "events_funnel_times": q_events_funnel_times,
+        "turn_transitions": q_turn_transitions,
         "doc_bigram_surprise": q_doc_bigram_surprise,
         "corpus_bpe_merges": q_corpus_bpe_merges,
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
@@ -1626,6 +1646,15 @@ def retired_oracle_sql() -> dict[str, str]:
         ),
         "events_rolling": _rolling_oracle(n=ROLLING_N),
         "events_bloom_join": _BLOOM_JOIN_ORACLE,
+        "events_funnel_times": _funnel_times_oracle(FUNNEL_STEPS),
+        "turn_transitions": P(
+            """SELECT from_state, to_state, count(*) AS n FROM (
+                 SELECT lag(turn_class) OVER (PARTITION BY conv_id
+                                              ORDER BY turn_idx) AS from_state,
+                        turn_class AS to_state
+                 FROM parsed
+               ) WHERE from_state IS NOT NULL GROUP BY from_state, to_state"""
+        ),
         "doc_bigram_surprise": _bigram_surprise_oracle(lam=BIGRAM_LAM),
         "corpus_snapshot_diff": _SNAPSHOT_DIFF_ORACLE,
         "corpus_weighted_sample": _weighted_sample_oracle(k=100),
@@ -3615,6 +3644,39 @@ cum AS (
 qs(q) AS (VALUES {values})
 SELECT event_type, q, min(cell) * {resolution} AS value
 FROM cum, qs WHERE cum >= ceil(q * n) GROUP BY event_type, q
+"""
+
+
+def _funnel_times_oracle(steps: list[str]) -> str:
+    """q_events_funnel_times replay: the chained-min CTEs (identical to
+    _funnel_oracle) also yield each step's match TIMESTAMP via
+    struct_extract(min(ROW(ts, event_id)), 1)."""
+    ctes, prev = [], None
+    for i, s in enumerate(steps, start=1):
+        after = f" AND ROW(e.ts, e.event_id) > s{i-1}.m" if prev else ""
+        join = f" JOIN s{i-1} ON e.user_id = s{i-1}.user_id" if prev else ""
+        ctes.append(
+            f"""s{i} AS (
+  SELECT e.user_id, min(ROW(e.ts, e.event_id)) AS m,
+         struct_extract(min(ROW(e.ts, e.event_id)), 1) AS t
+  FROM events e{join}
+  WHERE e.event_type = '{s}'{after}
+  GROUP BY e.user_id
+)"""
+        )
+        prev = s
+    n = len(steps)
+    case = " ".join(
+        f"WHEN s{i}.user_id IS NOT NULL THEN {i}" for i in range(n, 0, -1)
+    )
+    left_joins = " ".join(f"LEFT JOIN s{i} USING (user_id)" for i in range(1, n + 1))
+    t_cols = ", ".join(f"s{i}.t AS t{i}" for i in range(1, n + 1))
+    return f"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+{", ".join(ctes)}
+SELECT u.user_id, CAST(CASE {case} ELSE 0 END AS INT) AS steps_completed,
+       {t_cols}
+FROM u {left_joins}
 """
 
 

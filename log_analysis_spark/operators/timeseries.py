@@ -248,3 +248,58 @@ def rolling_stats(
         F.min(F.col(value_col)).over(w).alias("roll_min"),
         F.max(F.col(value_col)).over(w).alias("roll_max"),
     )
+
+
+def funnel_times(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    order_col: str,
+) -> DataFrame:
+    """``funnel_steps`` plus WHEN: one row per user with steps_completed
+    and ``t1..tn`` — the timestamp at which each step was greedily matched
+    (NULL beyond the reached step) — the input to time-to-convert and
+    drop-off-latency analyses.  Same single-shuffle shape: the accumulator
+    struct carries (n, matched timestamps) through one JVM aggregate fold."""
+    steps_lit = F.array(*[F.lit(s) for s in steps])
+    ev = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                F.col(order_col).alias("ord"),
+                F.col(type_col).alias("t"),
+            )
+        )
+    )
+    init = F.struct(
+        F.lit(0).alias("n"), F.array().cast("array<timestamp>").alias("hits")
+    )
+    acc = F.aggregate(
+        F.col("_events"),
+        init,
+        lambda a, e: F.when(
+            (a["n"] < F.lit(len(steps)))
+            & (e["t"] == F.element_at(steps_lit, a["n"] + 1)),
+            F.struct(
+                (a["n"] + 1).alias("n"),
+                F.concat(a["hits"], F.array(e["ts"])).alias("hits"),
+            ),
+        ).otherwise(a),
+    )
+    sel = [
+        F.col(user_col),
+        F.col("_acc.n").cast("int").alias("steps_completed"),
+    ] + [
+        # try_: ANSI mode throws on out-of-range element_at, and hits is
+        # legitimately shorter than steps for users who dropped off
+        F.try_element_at(F.col("_acc.hits"), F.lit(i + 1)).alias(f"t{i + 1}")
+        for i in range(len(steps))
+    ]
+    return (
+        df.groupBy(user_col)
+        .agg(ev.alias("_events"))
+        .withColumn("_acc", acc)
+        .select(*sel)
+    )

@@ -136,3 +136,26 @@ def pair_math(
             (F.col("last_val") - F.col("first_val")).alias("span"),
         )
     )
+
+
+def transition_counts(
+    df: DataFrame,
+    key: str,
+    order_cols: list[str],
+    state_col: str,
+) -> DataFrame:
+    """Markov transition matrix over per-entity ordered state sequences:
+    (from_state, to_state, n) for every adjacent pair within a key — the
+    generalization of W3's error-follows-tool pairing to ALL transitions
+    (which states feed errors? what follows a tool call?).  ONE shuffle on
+    the key for the lag window; the count is algebraic."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    prev = F.lag(F.col(state_col)).over(w)
+    return (
+        df.select(prev.alias("from_state"), F.col(state_col).alias("to_state"))
+        .filter(F.col("from_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -194,3 +194,39 @@ def test_rolling_stats_window_semantics(spark):
     assert r1["roll_n"] == 1 and r1["roll_sum_micro"] == 1_000_000
     # entities never leak into each other
     assert out[(2, 10)]["roll_n"] == 1
+
+
+def test_funnel_times_match_points(spark):
+    rows = [
+        Row(u=1, eid=1, ts=_ts(1), t="a"),
+        Row(u=1, eid=2, ts=_ts(2), t="x"),
+        Row(u=1, eid=3, ts=_ts(5), t="b"),
+        Row(u=2, eid=4, ts=_ts(3), t="b"),  # b before any a → no match
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r["u"]: r.asDict()
+        for r in T.funnel_times(df, "u", "ts", "t", ["a", "b"], "eid").collect()
+    }
+    assert out[1]["steps_completed"] == 2
+    assert out[1]["t1"] == _ts(1) and out[1]["t2"] == _ts(5)
+    assert out[2]["steps_completed"] == 0
+    assert out[2]["t1"] is None and out[2]["t2"] is None
+
+
+def test_transition_counts(spark):
+    from log_analysis_spark.operators import windows_ops
+
+    rows = [
+        Row(k=1, i=1, s="a"),
+        Row(k=1, i=2, s="b"),
+        Row(k=1, i=3, s="b"),
+        Row(k=2, i=1, s="b"),  # first row of a key is never a to-transition
+        Row(k=2, i=2, s="a"),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["from_state"], r["to_state"]): r["n"]
+        for r in windows_ops.transition_counts(df, "k", ["i"], "s").collect()
+    }
+    assert got == {("a", "b"): 1, ("b", "b"): 1, ("b", "a"): 1}
