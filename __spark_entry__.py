@@ -626,6 +626,26 @@ def q_turn_transitions(spark, sf_dir):
     )
 
 
+def q_events_expectations(spark, sf_dir):
+    """Declarative data-quality gate (deequ-shaped): six expectations over
+    the events table in one report — two deliberately failing
+    (accepted_values misses 'error'; in_range caps value at 100) so both
+    report branches are exercised."""
+    from log_analysis_spark.operators import expectations as E
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id")
+    rules = [
+        E.not_null("value"),
+        E.accepted_values("event_type", ["click", "view", "purchase", "signup"]),
+        E.in_range("value", 0.0, 100.0),
+        E.unique("event_id"),
+        E.min_rows(1_000_000_000),
+        E.referential("user_id", "signup_users"),
+    ]
+    return E.check_expectations(ev, rules, refs={"signup_users": signups})
+
+
 KMV_K = 32
 
 
@@ -1509,6 +1529,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling": q_events_rolling,
         "events_bloom_join": q_events_bloom_join,
         "events_funnel_times": q_events_funnel_times,
+        "events_expectations": q_events_expectations,
         "turn_transitions": q_turn_transitions,
         "doc_bigram_surprise": q_doc_bigram_surprise,
         "corpus_bpe_merges": q_corpus_bpe_merges,
@@ -1647,6 +1668,7 @@ def retired_oracle_sql() -> dict[str, str]:
         "events_rolling": _rolling_oracle(n=ROLLING_N),
         "events_bloom_join": _BLOOM_JOIN_ORACLE,
         "events_funnel_times": _funnel_times_oracle(FUNNEL_STEPS),
+        "events_expectations": _EXPECTATIONS_ORACLE,
         "turn_transitions": P(
             """SELECT from_state, to_state, count(*) AS n FROM (
                  SELECT lag(turn_class) OVER (PARTITION BY conv_id
@@ -3677,6 +3699,39 @@ WITH u AS (SELECT DISTINCT user_id FROM events),
 SELECT u.user_id, CAST(CASE {case} ELSE 0 END AS INT) AS steps_completed,
        {t_cols}
 FROM u {left_joins}
+"""
+
+
+_EXPECTATIONS_ORACLE = """
+WITH scan AS (
+  SELECT
+    count(*) FILTER (value IS NULL) AS nn,
+    count(*) FILTER (event_type IS NULL
+      OR event_type NOT IN ('click','view','purchase','signup')) AS av,
+    count(*) FILTER (value IS NULL OR value < 0.0 OR value > 100.0) AS ir,
+    greatest(0, 1000000000 - count(*)) AS mr
+  FROM events
+),
+uq AS (
+  SELECT COALESCE(sum(c - 1), 0) AS v FROM (
+    SELECT event_id, count(*) AS c FROM events GROUP BY event_id
+  ) WHERE c > 1
+),
+refv AS (
+  SELECT count(*) AS v FROM events e
+  WHERE e.user_id NOT IN (
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+  )
+),
+rep(rule, violations) AS (
+  SELECT 'not_null(value)', CAST(nn AS BIGINT) FROM scan
+  UNION ALL SELECT 'accepted_values(event_type)', CAST(av AS BIGINT) FROM scan
+  UNION ALL SELECT 'in_range(value)', CAST(ir AS BIGINT) FROM scan
+  UNION ALL SELECT 'min_rows(1000000000)', CAST(mr AS BIGINT) FROM scan
+  UNION ALL SELECT 'unique(event_id)', CAST(v AS BIGINT) FROM uq
+  UNION ALL SELECT 'referential(user_id->signup_users)', CAST(v AS BIGINT) FROM refv
+)
+SELECT rule, violations, violations = 0 AS passed FROM rep
 """
 
 

@@ -1,0 +1,157 @@
+"""Declarative data-quality expectations — the deequ/Great-Expectations
+shape as plain DataFrame algebra: a rule list in, a (rule, violations,
+passed) report out.  The gate every production table write should run
+BEFORE downstream jobs read garbage (schema drifted, an enum grew a value,
+a dedup key stopped being unique).
+
+Scale shape: every row-local rule (not_null / accepted_values / in_range /
+min_rows) folds into ONE conditional-count aggregate — a single scan, one
+1-row result, no shuffle of data rows.  ``unique`` pays one narrow shuffle
+on its key columns (count>1 groups); ``referential`` is a left-anti probe
+against the (usually broadcastable) distinct reference keys.  The report
+is a driver-sized union of 1-row frames.
+
+Every violation count is an exact integer — a DuckDB oracle replays the
+whole report bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Expect:
+    """One expectation.  ``kind`` ∈ not_null | accepted_values | in_range |
+    unique | min_rows | referential.  ``passed`` is violations == 0 (for
+    min_rows: rows >= n)."""
+
+    name: str
+    kind: str
+    col: str | None = None
+    cols: tuple[str, ...] = ()
+    values: tuple = ()
+    lo: float | None = None
+    hi: float | None = None
+    n: int | None = None
+
+
+def not_null(col: str) -> Expect:
+    return Expect(f"not_null({col})", "not_null", col=col)
+
+
+def accepted_values(col: str, values: list) -> Expect:
+    return Expect(
+        f"accepted_values({col})", "accepted_values", col=col, values=tuple(values)
+    )
+
+
+def in_range(col: str, lo: float, hi: float) -> Expect:
+    return Expect(f"in_range({col})", "in_range", col=col, lo=lo, hi=hi)
+
+
+def unique(*cols: str) -> Expect:
+    return Expect(f"unique({','.join(cols)})", "unique", cols=tuple(cols))
+
+
+def min_rows(n: int) -> Expect:
+    return Expect(f"min_rows({n})", "min_rows", n=n)
+
+
+def referential(col: str, ref_name: str) -> Expect:
+    """Violations = rows whose ``col`` is absent from the reference keys
+    (pass the reference frame via ``refs={ref_name: df_of_keys}``)."""
+    return Expect(f"referential({col}->{ref_name})", "referential", col=col,
+                  cols=(ref_name,))
+
+
+def check_expectations(
+    df: DataFrame,
+    rules: list[Expect],
+    refs: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Evaluate every rule; returns (rule, violations, passed) — violations
+    is rows breaking the rule (for min_rows: the shortfall)."""
+    refs = refs or {}
+    spark = df.sparkSession
+    scan_aggs, scan_rules = [], []
+    reports: list[DataFrame] = []
+    for r in rules:
+        if r.kind == "not_null":
+            scan_aggs.append(
+                F.count_if(F.col(r.col).isNull()).alias(r.name)
+            )
+            scan_rules.append(r)
+        elif r.kind == "accepted_values":
+            ok = F.col(r.col).isin(list(r.values))
+            scan_aggs.append(
+                F.count_if(F.col(r.col).isNull() | ~ok).alias(r.name)
+            )
+            scan_rules.append(r)
+        elif r.kind == "in_range":
+            c = F.col(r.col)
+            bad = c.isNull() | (c < F.lit(r.lo)) | (c > F.lit(r.hi))
+            scan_aggs.append(F.count_if(bad).alias(r.name))
+            scan_rules.append(r)
+        elif r.kind == "min_rows":
+            scan_aggs.append(
+                F.greatest(F.lit(0), F.lit(r.n) - F.count(F.lit(1)))
+                .cast("long")
+                .alias(r.name)
+            )
+            scan_rules.append(r)
+        elif r.kind == "unique":
+            dup = (
+                df.groupBy(*[F.col(c) for c in r.cols])
+                .agg(F.count(F.lit(1)).alias("_c"))
+                .filter(F.col("_c") > 1)
+                .agg(
+                    F.coalesce(F.sum(F.col("_c") - 1), F.lit(0))
+                    .cast("long")
+                    .alias("violations")
+                )
+                .select(F.lit(r.name).alias("rule"), "violations")
+            )
+            reports.append(dup)
+        elif r.kind == "referential":
+            ref_name = r.cols[0]
+            if ref_name not in refs:
+                raise ValueError(f"missing reference frame {ref_name!r}")
+            keys = refs[ref_name].toDF("_refk").distinct()
+            miss = (
+                df.join(
+                    F.broadcast(keys),
+                    df[r.col] == F.col("_refk"),
+                    "left_anti",
+                )
+                .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+                .select(F.lit(r.name).alias("rule"), "violations")
+            )
+            reports.append(miss)
+        else:
+            raise ValueError(f"unknown expectation kind {r.kind!r}")
+    if scan_aggs:
+        one = df.agg(*scan_aggs)
+        melted = one.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r.name).alias("rule"),
+                            F.col(r.name).cast("long").alias("violations"),
+                        )
+                        for r in scan_rules
+                    ]
+                )
+            ).alias("kv")
+        ).select("kv.rule", "kv.violations")
+        reports.append(melted)
+    out = reports[0]
+    for rep in reports[1:]:
+        out = out.unionByName(rep)
+    return out.select(
+        "rule", "violations", (F.col("violations") == 0).alias("passed")
+    )

@@ -326,3 +326,63 @@ def test_bloom_join_plan_is_jvm_broadcast(spark):
     )
     assert "EvalPython" not in plan and "InPandas" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# expectations
+# ---------------------------------------------------------------------------
+
+
+def test_expectations_each_kind(spark):
+    from pyspark.sql import Row
+
+    from log_analysis_spark.operators import expectations as E
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, t="a", v=5.0),
+            Row(id=2, t="a", v=None),     # not_null violation
+            Row(id=2, t="z", v=200.0),    # dup id + bad enum + out of range
+            Row(id=3, t="b", v=-1.0),     # out of range
+            Row(id=3, t="b", v=1.0),      # dup id
+            Row(id=3, t="b", v=2.0),      # triple: unique counts n-1 = 2
+        ]
+    )
+    ref = spark.createDataFrame([Row(k=1), Row(k=2)])
+    rules = [
+        E.not_null("v"),
+        E.accepted_values("t", ["a", "b"]),
+        E.in_range("v", 0.0, 100.0),
+        E.unique("id"),
+        E.min_rows(10),
+        E.referential("id", "ids"),
+    ]
+    got = {
+        r["rule"]: (r["violations"], r["passed"])
+        for r in E.check_expectations(df, rules, refs={"ids": ref}).collect()
+    }
+    assert got["not_null(v)"] == (1, False)
+    assert got["accepted_values(t)"] == (1, False)
+    # in_range counts NULL as violation too: 200.0, -1.0 and the NULL
+    assert got["in_range(v)"] == (3, False)
+    # dup groups: id=2 (2 rows -> 1), id=3 (3 rows -> 2)
+    assert got["unique(id)"] == (3, False)
+    assert got["min_rows(10)"] == (4, False)  # shortfall 10-6
+    assert got["referential(id->ids)"] == (3, False)  # the three id=3 rows
+
+
+def test_expectations_all_green_and_validation(spark):
+    import pytest
+    from pyspark.sql import Row
+
+    from log_analysis_spark.operators import expectations as E
+
+    df = spark.createDataFrame([Row(id=1, v=1.0), Row(id=2, v=2.0)])
+    rep = E.check_expectations(
+        df, [E.not_null("v"), E.unique("id"), E.min_rows(2)]
+    ).collect()
+    assert all(r["passed"] and r["violations"] == 0 for r in rep)
+    with pytest.raises(ValueError):
+        E.check_expectations(df, [E.referential("id", "missing")])
+    with pytest.raises(ValueError):
+        E.check_expectations(df, [E.Expect("x", "bogus_kind")])
