@@ -105,3 +105,41 @@ def write_range_clustered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    out_path: str,
+    target_files: int,
+    sort_within: list[str] | None = None,
+) -> dict:
+    """Small-file compaction: rewrite a parquet dir as ``target_files``
+    files (optionally re-sorted within files to restore clustering) — the
+    maintenance pass every append-accumulating table needs before its file
+    count, not its byte count, becomes the read bottleneck (each file is a
+    task + a footer fetch at plan time).
+
+    Returns {n_files_before, n_files_after, rows} and verifies row
+    preservation itself — a compaction that loses rows must never return.
+    """
+    import glob as _glob
+
+    df = spark.read.parquet(path)
+    n_before = len(_glob.glob(f"{path}/*.parquet"))
+    rows_before = df.count()
+    out = df.repartition(target_files)
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+    out.write.mode("overwrite").parquet(out_path)
+    back = spark.read.parquet(out_path)
+    rows_after = back.count()
+    if rows_after != rows_before:
+        raise RuntimeError(
+            f"compaction row mismatch: {rows_before} -> {rows_after}"
+        )
+    return {
+        "n_files_before": n_before,
+        "n_files_after": len(_glob.glob(f"{out_path}/*.parquet")),
+        "rows": rows_after,
+    }

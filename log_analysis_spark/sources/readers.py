@@ -61,3 +61,18 @@ def unwrap_envelope(
     return out.select(
         F.from_json(F.col(message_col), inner_schema).alias("_rec")
     ).select("_rec.*")
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan (vectorized, pushdown-capable — asserted in tests)."""
+    return spark.read.orc(path)
+
+
+def read_parquet_evolved(spark: SparkSession, *paths: str) -> DataFrame:
+    """Schema-evolution read: union the schemas of every file
+    (``mergeSchema``), so a table whose later partitions grew columns reads
+    as ONE frame with NULLs where old files lack them — the read-side half
+    of additive schema evolution (the write side just writes the wider
+    schema).  Columns REMOVED later also survive (NULL in new files);
+    a column changing TYPE is a loud AnalysisException, not a coercion."""
+    return spark.read.option("mergeSchema", True).parquet(*paths)

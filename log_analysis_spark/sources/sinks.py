@@ -25,3 +25,10 @@ def write_partitioned(
     mode: str = "overwrite",
 ) -> None:
     df.write.mode(mode).format(fmt).partitionBy(*partition_cols).save(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the other columnar format warehouses standardize on;
+    native in Spark (vectorized reader, predicate pushdown) so the engine
+    round-trips either column store without extra packages."""
+    df.write.mode(mode).orc(path)

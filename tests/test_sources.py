@@ -140,3 +140,53 @@ def test_bucketed_join_no_shuffle_vs_flat(spark, bucketed_turns):
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from log_analysis_spark.sources.readers import read_orc
+    from log_analysis_spark.sources.sinks import write_orc
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    p = str(tmp_path / "ev_orc")
+    write_orc(ev, p)
+    back = read_orc(spark, p)
+    assert back.count() == ev.count()
+    assert sorted(back.columns) == sorted(ev.columns)
+    # predicate pushdown reaches the ORC scan
+    plan = (
+        back.filter(F.col("event_type") == "error")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,error)" in plan
+
+
+def test_parquet_schema_evolution_read(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from log_analysis_spark.sources.readers import read_parquet_evolved
+
+    old = spark.createDataFrame([Row(id=1, a="x")])
+    new = spark.createDataFrame([Row(id=2, a="y", b=7)])  # grew column b
+    old.write.parquet(str(tmp_path / "t" / "p1"))
+    new.write.parquet(str(tmp_path / "t" / "p2"))
+    got = read_parquet_evolved(
+        spark, str(tmp_path / "t" / "p1"), str(tmp_path / "t" / "p2")
+    )
+    rows = {r["id"]: (r["a"], r["b"]) for r in got.collect()}
+    assert rows == {1: ("x", None), 2: ("y", 7)}
+
+
+def test_compact_parquet_preserves_rows(spark, tmp_path):
+    from log_analysis_spark.sources.layout import compact_parquet
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "many")
+    ev.repartition(32).write.parquet(src)  # 32 small files
+    res = compact_parquet(spark, src, str(tmp_path / "few"), target_files=2)
+    assert res["n_files_before"] >= 30
+    assert res["n_files_after"] <= 2
+    assert res["rows"] == ev.count()
