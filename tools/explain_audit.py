@@ -1040,6 +1040,55 @@ def main() -> int:
     sections.append(("Hard-negative mining (batched matmul, candidate-only "
                      "shuffle)", hn_plan, notes))
 
+    # Session-9 batch 2: expectations (row-local rules = ONE scan), bigram
+    # LM (pair-keyed shuffles, never text), funnel + transitions (one key
+    # shuffle each), weighted sample (TakeOrderedAndProject)
+    from log_analysis_spark.operators import expectations as exp_ops
+    from log_analysis_spark.operators import textstats as ts2
+    from log_analysis_spark.operators import windows_ops as wops
+
+    scan_rep = exp_ops.check_expectations(
+        ev,
+        [
+            exp_ops.not_null("value"),
+            exp_ops.accepted_values("event_type", ["click", "view"]),
+            exp_ops.in_range("value", 0.0, 100.0),
+            exp_ops.min_rows(10),
+        ],
+    )
+    scan_plan = executed(scan_rep)
+    bg = ts2.bigram_surprise(docs)
+    bg_shufs = shuffle_schemas(bg)
+    fnl = ts_ops.funnel_steps(
+        ev, "user_id", "ts", "event_type", ["signup", "view"], "event_id"
+    )
+    fnl_shufs = shuffle_schemas(fnl)
+    trans = wops.transition_counts(ev, "user_id", ["ts", "event_id"], "event_type")
+    trans_shufs = shuffle_schemas(trans)
+    ws = corpus.weighted_sample(docs, "n_chars", k=50)
+    notes = [
+        check("expectations (row-local rules): zero hashpartitioning exchanges"
+              " — one scan, one 1-row aggregate",
+              not [s for s in shuffle_schemas(scan_rep)
+                   if "hashpartitioning" in s[0]],
+              f"shuffles={shuffle_schemas(scan_rep)}"),
+        check("expectations: zero Python", "EvalPython" not in scan_plan),
+        check("bigram LM: no exchange carries document text",
+              all("text" not in cols for _, cols in bg_shufs),
+              f"shuffles={[c for _, c in bg_shufs]}"),
+        check("funnel: exactly one key shuffle",
+              len([s for s in fnl_shufs if "hashpartitioning" in s[0]]) == 1
+              and "InPandas" not in executed(fnl),
+              f"shuffles={fnl_shufs}"),
+        check("transitions: exactly one key shuffle (lag window)",
+              len([s for s in trans_shufs if "hashpartitioning(user_id" in s[0]]) == 1,
+              f"shuffles={trans_shufs}"),
+        check("weighted sample: TakeOrderedAndProject (no global sort)",
+              "TakeOrderedAndProject" in executed(ws)),
+    ]
+    sections.append(("Session-9 ops (expectations, bigram LM, funnel, "
+                     "transitions, weighted sample)", scan_plan, notes))
+
     # ---- write EXPLAIN.md -------------------------------------------------
     md = ["# EXPLAIN audit — physical plans vs 100 TB design intents",
           "",
