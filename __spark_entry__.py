@@ -703,6 +703,20 @@ def q_events_rolling(spark, sf_dir):
     )
 
 
+KMV_SETOPS_K = 128
+
+
+def q_events_kmv_setops(spark, sf_dir):
+    """KMV set-relationship estimates between two large event-id sets
+    (clicks vs high-value events) from their sketches alone — 'how many
+    did BOTH' at 100 TB without joining the raw sets.  k=128 < both set
+    sizes at sf0.01, so the ESTIMATOR (not exact-small) path is checked."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = ev.filter(F.col("event_type") == "click").select("event_id")
+    b = ev.filter(F.col("value") > 30).select("event_id")
+    return sketches.kmv_set_estimates(a, b, k=KMV_SETOPS_K)
+
+
 CMS_DEPTH, CMS_WIDTH = 4, 256
 QUANTILE_QS, QUANTILE_RES = [0.5, 0.9, 0.99], 0.25
 
@@ -1524,6 +1538,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "events_kmv_distinct": q_events_kmv,
+        "events_kmv_setops": q_events_kmv_setops,
         "events_cms_counts": q_events_cms,
         "events_quantiles": q_events_quantiles,
         "events_rolling": q_events_rolling,
@@ -1661,6 +1676,7 @@ def retired_oracle_sql() -> dict[str, str]:
         "events_funnel": _funnel_oracle(FUNNEL_STEPS),
         "events_retention": _RETENTION_ORACLE,
         "events_kmv_distinct": _kmv_oracle(k=KMV_K),
+        "events_kmv_setops": _kmv_setops_oracle(k=KMV_SETOPS_K),
         "events_cms_counts": _cms_oracle(depth=CMS_DEPTH, width=CMS_WIDTH),
         "events_quantiles": _hist_quantiles_oracle(
             qs=QUANTILE_QS, resolution=QUANTILE_RES
@@ -3622,6 +3638,45 @@ SELECT event_type,
        CAST(CASE WHEN m < {k} THEN m ELSE {numer} // kth END AS BIGINT)
          AS est_distinct
 FROM s
+"""
+
+
+def _kmv_setops_oracle(k: int) -> str:
+    """Replay of q_events_kmv_setops: per-set u56 bottom-k, bottom-k of the
+    union, m = union-k hashes present in both sketches, kk = |union
+    sketch|, union_est via HUGEINT //, jaccard micro-units, intersection =
+    round((m/kk) * union_est)."""
+    numer = (k - 1) * (1 << 56)
+    u56 = _u56_sql("CAST(event_id AS VARCHAR)")
+    return f"""
+WITH ha AS (
+  SELECT DISTINCT ({u56}) AS h FROM events WHERE event_type = 'click'
+),
+hb AS (
+  SELECT DISTINCT ({u56}) AS h FROM events WHERE value > 30
+),
+sa AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) rk FROM ha) WHERE rk <= {k}),
+sb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) rk FROM hb) WHERE rk <= {k}),
+uk AS (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) rk
+    FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+  ) WHERE rk <= {k}
+),
+stats AS (
+  SELECT
+    (SELECT count(*) FROM uk WHERE h IN (SELECT h FROM sa)
+                               AND h IN (SELECT h FROM sb)) AS m,
+    (SELECT count(*) FROM uk) AS kk,
+    (SELECT max(h) FROM uk) AS kth
+)
+SELECT
+  CAST(CASE WHEN kk < {k} THEN kk ELSE {numer} // kth END AS BIGINT) AS union_est,
+  CAST(round((CAST(m AS DOUBLE) / CAST(kk AS DOUBLE))
+       * CAST(CASE WHEN kk < {k} THEN kk ELSE {numer} // kth END AS DOUBLE))
+       AS BIGINT) AS intersection_est,
+  CAST((m * 1000000) // kk AS BIGINT) AS jaccard_micro
+FROM stats
 """
 
 

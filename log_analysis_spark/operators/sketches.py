@@ -92,9 +92,11 @@ def kmv_estimate(
     aggd = sketch.groupBy(*keys).agg(
         F.count("*").alias("_m"), F.max("h").alias("_kth")
     )
+    # (k-1)·2^56 exceeds BIGINT for k > 128 — integral-divide as
+    # DECIMAL(38,0) (exact; DuckDB mirrors with native HUGEINT //)
     numer = (k - 1) * _HASH_SPACE
     est = F.when(F.col("_m") < k, F.col("_m")).otherwise(
-        F.expr(f"CAST({numer} AS BIGINT) div _kth")
+        F.expr(f"CAST(CAST({numer} AS DECIMAL(38,0)) div _kth AS BIGINT)")
     )
     return aggd.select(*keys, est.cast("long").alias("est_distinct"))
 
@@ -279,3 +281,46 @@ def hist_quantiles(
         )
         out = hit if out is None else out.unionByName(hit)
     return out
+
+
+def kmv_set_estimates(
+    a: DataFrame, b: DataFrame, k: int = 256
+) -> DataFrame:
+    """Set-relationship estimates between two LARGE sets from their KMV
+    sketches alone (Beyer et al. 2007): given the bottom-k hashes of A and
+    of B,
+
+      * take K = the k smallest hashes of A ∪ B (merge of the sketches);
+      * m = |K ∩ A_sketch ∩ B_sketch| estimates the Jaccard as m / k;
+      * union_est = the plain KMV estimator over K;
+      * intersection_est = round(jaccard · union_est).
+
+    Everything after the two sketch builds is driver-free DataFrame algebra
+    over ≤ 3k rows of 8-byte hashes, and every number is integer / exact —
+    the oracle replays it bit-for-bit.  This is how "how many users did
+    BOTH X and Y" is answered at 100 TB without ever joining the raw sets.
+
+    Inputs are one-column frames of values (e.g. user ids); returns one row
+    (union_est, intersection_est, jaccard_micro) with jaccard quantized to
+    integer micro-units (m * 1e6 div k — exact cross-engine).
+    """
+    sa = kmv_sketch(a, a.columns[0], k=k)
+    sb = kmv_sketch(b, b.columns[0], k=k)
+    union_k = kmv_merge(sa, sb, k=k)
+    both = union_k.join(sa, "h", "left_semi").join(sb, "h", "left_semi")
+    m = both.agg(F.count("*").alias("m"))
+    kk = union_k.agg(F.count("*").alias("kk"))  # < k when |A∪B| < k (then exact)
+    u = kmv_estimate(union_k, k=k).select(
+        F.col("est_distinct").alias("union_est")
+    )
+    out = u.crossJoin(m).crossJoin(kk)
+    jac_micro = F.expr("CAST(m * 1000000 AS BIGINT) div kk")
+    inter = F.round(
+        (F.col("m").cast("double") / F.col("kk").cast("double"))
+        * F.col("union_est").cast("double")
+    ).cast("long")
+    return out.select(
+        "union_est",
+        inter.alias("intersection_est"),
+        jac_micro.alias("jaccard_micro"),
+    )

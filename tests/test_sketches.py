@@ -156,3 +156,26 @@ def test_hist_quantiles_rejects_bad_qs(spark):
         SK.hist_quantiles(df, "v", [0.0, 0.5])
     with pytest.raises(ValueError):
         SK.hist_quantiles(df, "v", [])
+
+
+def test_kmv_set_estimates_accuracy_and_exact_small(spark):
+    A = spark.createDataFrame([Row(v=i) for i in range(0, 2000)])
+    B = spark.createDataFrame([Row(v=i) for i in range(1000, 4000)])
+    [r] = SK.kmv_set_estimates(A, B, k=256).collect()
+    # true: union 4000, intersection 1000, J = 0.25; k=256 → ~6% std err
+    assert abs(r["union_est"] - 4000) / 4000 < 0.25
+    assert abs(r["intersection_est"] - 1000) / 1000 < 0.35
+    assert abs(r["jaccard_micro"] - 250000) < 100000
+    # below-k regime: everything exact
+    A2 = spark.createDataFrame([Row(v=i) for i in range(10)])
+    B2 = spark.createDataFrame([Row(v=i) for i in range(5, 15)])
+    [r2] = SK.kmv_set_estimates(A2, B2, k=256).collect()
+    assert (r2["union_est"], r2["intersection_est"]) == (15, 5)
+    assert r2["jaccard_micro"] == 333333
+
+
+def test_kmv_estimate_no_overflow_at_large_k(spark):
+    # (k-1)*2^56 > BIGINT for k > 128 — the decimal-div path must hold
+    df = spark.createDataFrame([Row(v=i) for i in range(5000)])
+    [r] = SK.kmv_distinct(df, "v", k=512).collect()
+    assert abs(r["est_distinct"] - 5000) / 5000 < 0.2
