@@ -33,6 +33,13 @@ def main() -> None:
     ap.add_argument(
         "--parse-impl", default="native", choices=["native", "arrow", "pandas"]
     )
+    ap.add_argument(
+        "--expect", action="store_true",
+        help="run the structural data-quality gate on the input BEFORE the "
+        "pipeline (not_null conv_id/turn_idx/ts, unique (conv_id, turn_idx),"
+        " non-empty) and FAIL LOUDLY with the report on any violation — "
+        "routed-row equality downstream is meaningless over corrupt input",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -46,6 +53,27 @@ def main() -> None:
     else:
         turns = transcripts_from_events(spark, args.sf_dir)
 
+    expect_report = None
+    if args.expect:
+        from log_analysis_spark.operators import expectations as E
+
+        report = E.check_expectations(
+            turns,
+            [
+                E.not_null("conv_id"),
+                E.not_null("turn_idx"),
+                E.not_null("ts"),
+                E.unique("conv_id", "turn_idx"),
+                E.min_rows(1),
+            ],
+        ).collect()
+        expect_report = {r["rule"]: int(r["violations"]) for r in report}
+        bad = {k: v for k, v in expect_report.items() if v > 0}
+        if bad:
+            raise SystemExit(
+                f"input failed the structural gate: {json.dumps(bad)}"
+            )
+
     res = run_pipeline(spark, turns, args.out, parse_impl=args.parse_impl)
     print(
         json.dumps(
@@ -55,6 +83,7 @@ def main() -> None:
                 "wall_sec": round(res.wall_sec, 3),
                 "stages_skipped": res.stages_skipped,
                 "routed_path": res.routed_path,
+                "expectations": expect_report,
             }
         )
     )

@@ -542,3 +542,39 @@ def test_submit_events_analytics_job(pkg_zip, tmp_path):
         cwd=tmp_path,
     )
     assert res2.get("resumed") is True and res2["n_asof"] == res["n_asof"]
+
+
+def test_pipeline_expect_gate(pkg_zip, tmp_path):
+    """--expect: clean input passes and the report lands in the summary;
+    corrupt input (duplicated (conv_id, turn_idx)) fails LOUDLY with the
+    violating rule before any pipeline stage writes."""
+    res = _submit(
+        pkg_zip,
+        "run_pipeline.py",
+        ["--sf-dir", "/root/testdata/sf0.001",
+         "--out", str(tmp_path / "p1"), "--expect"],
+        cwd=tmp_path,
+    )
+    assert res["expectations"] == {
+        "not_null(conv_id)": 0, "not_null(turn_idx)": 0, "not_null(ts)": 0,
+        "unique(conv_id,turn_idx)": 0, "min_rows(1)": 0,
+    }
+    # corrupt: duplicate a turn key
+    import duckdb
+
+    bad = tmp_path / "bad_turns"
+    duckdb.connect().execute(
+        "COPY (WITH t AS (SELECT conv_id, turn_idx, role, text, tool, ts FROM ("
+        " SELECT 'conv-0' AS conv_id, 1 AS turn_idx, 'user' AS role,"
+        " 'x' AS text, '-' AS tool, TIMESTAMP '2024-01-01' AS ts))"
+        " SELECT * FROM t UNION ALL SELECT * FROM t)"
+        f" TO '{bad}' (FORMAT PARQUET)"
+    )
+    env = dict(os.environ)
+    out = subprocess.run(
+        ["python", str(REPO / "jobs" / "run_pipeline.py"),
+         "--input", str(bad), "--out", str(tmp_path / "p2"), "--expect"],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode != 0
+    assert "unique(conv_id,turn_idx)" in (out.stderr + out.stdout)
