@@ -608,6 +608,22 @@ def q_events_retention(spark, sf_dir):
     return timeseries.cohort_retention(ev, "user_id", "ts")
 
 
+def q_events_skew_join(spark, sf_dir):
+    """Skew-aware join (CMS-detected hot keys → broadcast path, cold keys →
+    shuffle join, union): threshold 0.0067 splits the 150 users ~half/half
+    at sf0.01 so BOTH paths execute.  The oracle is the PLAIN join — the
+    differential plan must be output-invisible."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dims = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("utag", F.concat(F.lit("u"), F.col("user_id").cast("string")))
+    )
+    return joins.skew_aware_join(
+        ev, dims, "user_id", threshold_frac=0.0067
+    ).select("event_id", "user_id", "event_type", "utag")
+
+
 def q_events_funnel_times(spark, sf_dir):
     """Funnel with per-step match timestamps (time-to-convert input):
     steps_completed + t1..t3, NULL beyond the reached step."""
@@ -1544,6 +1560,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling": q_events_rolling,
         "events_bloom_join": q_events_bloom_join,
         "events_funnel_times": q_events_funnel_times,
+        "events_skew_join": q_events_skew_join,
         "events_expectations": q_events_expectations,
         "turn_transitions": q_turn_transitions,
         "doc_bigram_surprise": q_doc_bigram_surprise,
@@ -1684,6 +1701,11 @@ def retired_oracle_sql() -> dict[str, str]:
         "events_rolling": _rolling_oracle(n=ROLLING_N),
         "events_bloom_join": _BLOOM_JOIN_ORACLE,
         "events_funnel_times": _funnel_times_oracle(FUNNEL_STEPS),
+        "events_skew_join": """
+SELECT e.event_id, e.user_id, e.event_type,
+       'u' || CAST(e.user_id AS VARCHAR) AS utag
+FROM events e JOIN (SELECT DISTINCT user_id FROM events) d USING (user_id)
+""",
         "events_expectations": _EXPECTATIONS_ORACLE,
         "turn_transitions": P(
             """SELECT from_state, to_state, count(*) AS n FROM (

@@ -295,3 +295,44 @@ def bloom_prefiltered_join(
         "_bloom", *pos_cols
     )
     return pruned.join(right, key, how)
+
+
+def skew_aware_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    how: str = "inner",
+    threshold_frac: float = 0.01,
+    depth: int = 4,
+    width: int = 4096,
+) -> DataFrame:
+    """Equi-join with DIFFERENTIAL hot-key handling: keys holding ≥
+    ``threshold_frac`` of the left side (found by the bounded-state CMS
+    scan, ``sketches.skewed_keys``) are joined via a BROADCAST of their
+    right-side rows, everything else takes the ordinary shuffle join; the
+    two halves union.  This is AQE's skew-join split done explicitly — it
+    works on any plan shape, survives disabled AQE, and the decision is
+    deterministic (md5 CMS), not a runtime size sample.
+
+    Why it's safe: at most ``1/threshold_frac`` keys can exceed the
+    threshold (plus CMS false positives, which only over-broadcast a cold
+    key harmlessly), so the driver-side hot-key list and the broadcast are
+    bounded by the KNOB; CMS never undercounts, so no truly hot key ever
+    reaches the shuffle side to straggle.  Output EQUALS the plain join —
+    that identity is the correctness gate.
+    """
+    if how not in ("inner", "left_outer", "left_semi"):
+        raise ValueError(f"unsupported how: {how!r}")
+    from .sketches import skewed_keys
+
+    hot_rows = skewed_keys(
+        left, key, threshold_frac=threshold_frac, depth=depth, width=width
+    ).collect()
+    hot = [r[key] for r in hot_rows]
+    if not hot:
+        return left.join(right, key, how)
+    cold = left.filter(~F.col(key).isin(hot)).join(right, key, how)
+    hot_j = left.filter(F.col(key).isin(hot)).join(
+        F.broadcast(right.filter(F.col(key).isin(hot))), key, how
+    )
+    return cold.unionByName(hot_j)

@@ -386,3 +386,54 @@ def test_expectations_all_green_and_validation(spark):
         E.check_expectations(df, [E.referential("id", "missing")])
     with pytest.raises(ValueError):
         E.check_expectations(df, [E.Expect("x", "bogus_kind")])
+
+
+def test_skew_aware_join_equals_plain_under_planted_skew(spark):
+    """One key holds 60% of the left side: the skew-aware plan must split
+    it to the broadcast path and still EQUAL the plain join for inner,
+    left_outer (incl. unmatched rows) and left_semi."""
+    from pyspark.sql import Row
+
+    from log_analysis_spark.operators import joins as J
+
+    left = spark.createDataFrame(
+        [Row(k=0, v=i) for i in range(600)]
+        + [Row(k=i % 50 + 1, v=i) for i in range(400)]
+        + [Row(k=999, v=-1)]  # key with no right match
+    )
+    right = spark.createDataFrame(
+        [Row(k=i, tag=f"t{i}") for i in range(0, 51)]
+    )
+    for how in ("inner", "left_outer", "left_semi"):
+        plain = sorted(map(tuple, left.join(right, "k", how).collect()))
+        skewed = sorted(
+            map(
+                tuple,
+                J.skew_aware_join(
+                    left, right, "k", how=how, threshold_frac=0.2
+                ).collect(),
+            )
+        )
+        assert skewed == plain, how
+    # and the hot key actually took the broadcast path: the plan of the
+    # hot half contains a BroadcastHashJoin keyed on k
+    out = J.skew_aware_join(left, right, "k", threshold_frac=0.2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "Union" in plan
+
+
+def test_skew_aware_join_no_hot_keys_is_plain(spark):
+    from pyspark.sql import Row
+
+    from log_analysis_spark.operators import joins as J
+
+    left = spark.createDataFrame([Row(k=i, v=i) for i in range(200)])
+    right = spark.createDataFrame([Row(k=i, tag="t") for i in range(0, 200, 3)])
+    out = J.skew_aware_join(left, right, "k", threshold_frac=0.1)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, left.join(right, "k").collect())
+    )
+    import pytest
+
+    with pytest.raises(ValueError):
+        J.skew_aware_join(left, right, "k", how="full_outer")
