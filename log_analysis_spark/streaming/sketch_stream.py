@@ -1,0 +1,107 @@
+"""Streaming sketch maintenance: cardinality (KMV) and per-value counts
+(CMS) tracked over an unbounded stream in BOUNDED state.
+
+The point of mergeable sketches at 100 TB is exactly this: each
+micro-batch folds into k rows (KMV) / d×w counters (CMS) per group, the
+persisted state never grows past that bound however much data flows, and
+the maintained sketch is IDENTICAL to sketching the concatenated history
+(distributivity — the property the batch tests already pin).
+
+Exactly-once: each micro-batch writes the MERGED state under
+``version=<batch_id>`` and the handler reads only the latest version
+strictly below the current batch id — a replayed batch overwrites its own
+output and re-reads exactly the state its first attempt saw (the same
+idempotence rule as the incremental-LSH stream).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from log_analysis_spark.operators import sketches
+
+
+def _latest_version(state_dir: str, below: int) -> int | None:
+    vs = [
+        int(p.rsplit("=", 1)[1])
+        for p in glob.glob(f"{state_dir}/version=*")
+        if p.rsplit("=", 1)[1].isdigit() and int(p.rsplit("=", 1)[1]) < below
+    ]
+    return max(vs) if vs else None
+
+
+def run_stream_kmv(
+    spark: SparkSession,
+    src_path: str,
+    state_dir: str,
+    col: str,
+    schema: str,
+    k: int = 64,
+    group: str | None = None,
+) -> DataFrame:
+    """Drain ``src_path``, maintaining a per-group KMV sketch under
+    ``state_dir``; returns the final distinct-count estimates (the same
+    frame ``sketches.kmv_estimate`` gives a batch run over the full
+    history)."""
+    stream = spark.readStream.schema(schema).parquet(src_path)
+    sk_dir = f"{state_dir}/kmv"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        new = sketches.kmv_sketch(batch_df, col, k=k, group=group)
+        prev_v = _latest_version(sk_dir, batch_id)
+        if prev_v is not None:
+            prev = spark.read.parquet(f"{sk_dir}/version={prev_v}")
+            new = sketches.kmv_merge(prev, new, k=k, group=group)
+        new.write.mode("overwrite").parquet(f"{sk_dir}/version={batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{state_dir}/ckpt_kmv")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    v = _latest_version(sk_dir, 1 << 62)
+    if v is None:
+        raise RuntimeError("no micro-batch produced state")
+    final = spark.read.parquet(f"{sk_dir}/version={v}")
+    return sketches.kmv_estimate(final, k=k, group=group)
+
+
+def run_stream_cms(
+    spark: SparkSession,
+    src_path: str,
+    state_dir: str,
+    col: str,
+    schema: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Same shape for the count-min sketch (counters add across batches);
+    returns the final (row, bucket, cnt) counter table."""
+    stream = spark.readStream.schema(schema).parquet(src_path)
+    sk_dir = f"{state_dir}/cms"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        new = sketches.cms_sketch(batch_df, col, depth=depth, width=width)
+        prev_v = _latest_version(sk_dir, batch_id)
+        if prev_v is not None:
+            prev = spark.read.parquet(f"{sk_dir}/version={prev_v}")
+            new = sketches.cms_merge(prev, new)
+        new.write.mode("overwrite").parquet(f"{sk_dir}/version={batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{state_dir}/ckpt_cms")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    v = _latest_version(sk_dir, 1 << 62)
+    if v is None:
+        raise RuntimeError("no micro-batch produced state")
+    return spark.read.parquet(f"{sk_dir}/version={v}")

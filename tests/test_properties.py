@@ -140,6 +140,6 @@ def test_kmv_merge_distributive(spark, data):
 def test_hist_quantile_error_bound(spark, vals):
     df = spark.createDataFrame([Row(g="a", v=float(v)) for v in vals])
     res = 0.5
-    [r] = SK.hist_quantiles(df, "v", [0.5], resolution=res, group="a" and "g").collect()
+    [r] = SK.hist_quantiles(df, "v", [0.5], resolution=res, group="g").collect()
     exact = sorted(vals)[-(-len(vals) // 2) - 1]  # lower median, ceil(n/2)th
     assert abs(r["value"] - exact) <= res + 1e-9

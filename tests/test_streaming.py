@@ -333,3 +333,41 @@ def test_streaming_sliding_counts_match_batch(spark, tmp_path):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_kmv_equals_batch_over_full_history(spark, tmp_path):
+    """The maintained streaming KMV sketch equals sketching the whole
+    history in one batch pass — distributivity carried across micro-batch
+    state versions; state stays ≤ k rows per group however many batches."""
+    from log_analysis_spark.operators import sketches
+    from log_analysis_spark.streaming.sketch_stream import run_stream_kmv
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "kmv_src")
+    # two file drops → the availableNow drain sees them as input files
+    ev.filter("event_id % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+    ev.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    schema = "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    got = run_stream_kmv(
+        spark, src, str(tmp_path / "st"), "user_id", schema, k=32,
+        group="event_type",
+    )
+    want = sketches.kmv_distinct(ev, "user_id", k=32, group="event_type")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_streaming_cms_counters_equal_batch(spark, tmp_path):
+    from log_analysis_spark.operators import sketches
+    from log_analysis_spark.streaming.sketch_stream import run_stream_cms
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "cms_src")
+    ev.filter("event_id < 300").coalesce(1).write.mode("append").parquet(src)
+    ev.filter("event_id >= 300").coalesce(1).write.mode("append").parquet(src)
+    schema = "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    got = run_stream_cms(
+        spark, src, str(tmp_path / "st"), "user_id", schema, depth=4, width=128
+    )
+    want = sketches.cms_sketch(ev, "user_id", depth=4, width=128)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() <= 4 * 128  # bounded state, whatever the history
