@@ -143,3 +143,93 @@ def compact_parquet(
         "n_files_after": len(_glob.glob(f"{out_path}/*.parquet")),
         "rows": rows_after,
     }
+
+
+def _rank_bucket_table(
+    df: DataFrame, col: str, bits: int, resolution: float
+) -> DataFrame:
+    """(cell → rank bucket) map for one column: quantize to a fine grid,
+    histogram, cumulative-below CDF over CELLS, bucket = (cum_below · 2^bits)
+    div n — the perplexity_buckets integer math generalized to numerics.
+    Bounded by occupied cells, so it BROADCASTS."""
+    from pyspark.sql import Window
+
+    inv = 1.0 / resolution
+    cell = F.floor(F.col(col).cast("double") * F.lit(inv)).cast("long")
+    hist = (
+        df.filter(F.col(col).isNotNull())
+        .select(cell.alias("_cell"))
+        .groupBy("_cell")
+        .agg(F.count("*").alias("_c"))
+    )
+    wn = Window.partitionBy()
+    grid = 1 << bits
+    return hist.select(
+        "_cell",
+        F.expr(
+            f"CAST({grid} AS BIGINT) * "
+            "COALESCE(sum(_c) OVER (ORDER BY _cell ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND 1 PRECEDING), 0)"
+        ).alias("_below"),
+        F.sum("_c").over(wn).alias("_n"),
+    ).select(
+        "_cell",
+        F.least(
+            F.lit(grid - 1), F.expr("_below div _n").cast("long")
+        ).alias("_bucket"),
+    )
+
+
+def write_zordered_ranked(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 8,
+    bits: int = 12,
+    resolution: float | dict[str, float] = 0.01,
+) -> None:
+    """Z-ordered write with RANK normalization — the skew-proof variant the
+    min-max docstring points to: each column's coordinate is its equal-mass
+    CDF bucket (broadcast cell→bucket map per column), so a heavy-tailed
+    column still spreads across the full grid and the per-file
+    hyper-rectangles stay small in QUANTILE space (what box predicates over
+    observed data actually hit).  Costs one histogram aggregate + one
+    broadcast join per column on top of the min-max path's range shuffle.
+
+    The CDF window runs over occupied CELLS (≤ range/resolution rows), the
+    same trick as hist_quantiles — no data-row rank window anywhere."""
+    if len(cols) < 2:
+        raise ValueError("z-ordering needs >= 2 columns")
+    out = df
+    norm_cols = []
+    res = (
+        resolution
+        if isinstance(resolution, dict)
+        else {c: float(resolution) for c in cols}
+    )
+    missing = [c for c in cols if c not in res]
+    if missing:
+        raise ValueError(f"no resolution for columns {missing} — a single "
+                         "float applies to all, or pass a per-column dict "
+                         "(one grid cannot fit columns of different scales)")
+    for c in cols:
+        table = _rank_bucket_table(df, c, bits, res[c])
+        bname = f"_zb_{c}"
+        cell = F.floor(F.col(c).cast("double") * F.lit(1.0 / res[c])).cast("long")
+        out = (
+            out.withColumn("_cell", cell)
+            .join(F.broadcast(table), "_cell", "left")
+            .na.fill({"_bucket": 0})
+            .withColumnRenamed("_bucket", bname)
+            .drop("_cell")
+        )
+        norm_cols.append(F.col(bname))
+    z = zorder_key(norm_cols, bits)
+    (
+        out.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z", *[f"_zb_{c}" for c in cols])
+        .write.mode("overwrite")
+        .parquet(path)
+    )
