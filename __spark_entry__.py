@@ -608,6 +608,15 @@ def q_events_retention(spark, sf_dir):
     return timeseries.cohort_retention(ev, "user_id", "ts")
 
 
+def q_events_ohlc(spark, sf_dir):
+    """Daily OHLC downsampling of value per event_type — first/last via
+    lexicographic struct min/max (no window, one algebraic aggregate)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return timeseries.downsample_ohlc(
+        ev, "event_type", "ts", "value", "event_id", 86400
+    )
+
+
 def q_events_skew_join(spark, sf_dir):
     """Skew-aware join (CMS-detected hot keys → broadcast path, cold keys →
     shuffle join, union): threshold 0.0067 splits the 150 users ~half/half
@@ -1561,6 +1570,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_bloom_join": q_events_bloom_join,
         "events_funnel_times": q_events_funnel_times,
         "events_skew_join": q_events_skew_join,
+        "events_ohlc": q_events_ohlc,
         "events_expectations": q_events_expectations,
         "turn_transitions": q_turn_transitions,
         "doc_bigram_surprise": q_doc_bigram_surprise,
@@ -1705,6 +1715,18 @@ def retired_oracle_sql() -> dict[str, str]:
 SELECT e.event_id, e.user_id, e.event_type,
        'u' || CAST(e.user_id AS VARCHAR) AS utag
 FROM events e JOIN (SELECT DISTINCT user_id FROM events) d USING (user_id)
+""",
+        "events_ohlc": """
+SELECT event_type,
+       to_timestamp((CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400))
+         AS bucket_start,
+       struct_extract(min(ROW(ts, event_id, value)), 3) AS open,
+       max(value) AS high, min(value) AS low,
+       struct_extract(max(ROW(ts, event_id, value)), 3) AS close,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_micro
+FROM events WHERE value IS NOT NULL
+GROUP BY 1, 2
 """,
         "events_expectations": _EXPECTATIONS_ORACLE,
         "turn_transitions": P(

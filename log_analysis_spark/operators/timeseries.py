@@ -46,12 +46,15 @@ def asof_join(
     right_order: str | None = None,
     tolerance_sec: int | None = None,
     prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: each left row gains the ``value_cols`` of the
-    right row with the greatest ``(right_ts, right_order)`` such that
-    ``right_ts <= left_ts`` and the keys match (inclusive at equality —
-    DuckDB ``ASOF JOIN`` / pandas ``merge_asof`` semantics), NULLs when no
-    such row exists or it is older than ``tolerance_sec``.
+    """As-of join: each left row gains the ``value_cols`` of the NEAREST
+    right row at-or-before it (``direction="backward"``, the default —
+    greatest ``(right_ts, right_order)`` with ``right_ts <= left_ts``,
+    DuckDB ``ASOF JOIN`` / pandas ``merge_asof`` semantics) or at-or-after
+    it (``direction="forward"`` — smallest ``(right_ts, right_order)``
+    with ``right_ts >= left_ts``); NULLs when no such row exists or it is
+    further away than ``tolerance_sec``.
 
     Implementation: union-tag the two streams, one window per key ordered
     by ``(ts, side, order)`` with right rows (side=0) sorting before left
@@ -70,6 +73,8 @@ def asof_join(
     """
     if right_order is None:
         raise ValueError("right_order is required for a deterministic tie-break")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward or forward, got {direction!r}")
     lcols = left.columns
     payload = F.struct(
         F.col(right_ts).alias("_mts"), *[F.col(c) for c in value_cols]
@@ -90,9 +95,16 @@ def asof_join(
         F.lit(None).cast(rtag.schema["_rv"].dataType).alias("_rv"),
         *lcols,
     )
+    # forward = the same scan run in reverse time: right rows still sort
+    # before left rows at equal timestamps (inclusive), and the DESC order
+    # on _aord makes the carried match the SMALLEST (ts, order) at-or-after
+    if direction == "backward":
+        order = [F.col("_ats").asc(), F.col("_side").asc(), F.col("_aord").asc()]
+    else:
+        order = [F.col("_ats").desc(), F.col("_side").asc(), F.col("_aord").desc()]
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_ats").asc(), F.col("_side").asc(), F.col("_aord").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = ltag.unionByName(rtag).withColumn(
@@ -100,10 +112,12 @@ def asof_join(
     )
     out = carried.filter(F.col("_side") == 1)
     if tolerance_sec is not None:
-        in_tol = (
-            F.unix_timestamp(F.col("_ats"))
-            - F.unix_timestamp(F.col("_match._mts"))
-        ) <= F.lit(tolerance_sec)
+        gap = F.unix_timestamp(F.col("_ats")) - F.unix_timestamp(
+            F.col("_match._mts")
+        )
+        if direction == "forward":
+            gap = -gap
+        in_tol = gap <= F.lit(tolerance_sec)
         out = out.withColumn(
             "_match", F.when(in_tol, F.col("_match")).otherwise(F.lit(None))
         )
@@ -302,4 +316,52 @@ def funnel_times(
         .agg(ev.alias("_events"))
         .withColumn("_acc", acc)
         .select(*sel)
+    )
+
+
+def downsample_ohlc(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    order_col: str,
+    bucket_sec: int,
+) -> DataFrame:
+    """Time-series downsampling to per-(key, bucket) OHLC bars — the
+    metrics-store resolution reducer (Gorilla/TSDB style): open/close are
+    the first/last values in ``(ts, order)`` scan order, high/low the
+    extrema, plus count and an integer-micro sum for exact means.
+
+    ONE algebraic aggregate (map-side combine absorbs the bucket fan-in):
+    open/close ride ``min``/``max`` over a (ts, order, value) struct —
+    lexicographic struct comparison IS the scan order, so no window and no
+    second pass."""
+    bucket = F.window(F.col(ts_col), f"{bucket_sec} seconds")
+    probe = F.struct(
+        F.col(ts_col).alias("ts"),
+        F.col(order_col).alias("ord"),
+        F.col(value_col).alias("v"),
+    )
+    micro = F.round(F.col(value_col) * F.lit(1e6)).cast("long")
+    out = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(key), bucket.alias("w"))
+        .agg(
+            F.min(probe).alias("_first"),
+            F.max(probe).alias("_last"),
+            F.min(value_col).alias("low"),
+            F.max(value_col).alias("high"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(micro).alias("sum_micro"),
+        )
+    )
+    return out.select(
+        key,
+        F.col("w.start").alias("bucket_start"),
+        F.col("_first.v").alias("open"),
+        F.col("high"),
+        F.col("low"),
+        F.col("_last.v").alias("close"),
+        "n",
+        "sum_micro",
     )

@@ -230,3 +230,45 @@ def test_transition_counts(spark):
         for r in windows_ops.transition_counts(df, "k", ["i"], "s").collect()
     }
     assert got == {("a", "b"): 1, ("b", "b"): 1, ("b", "a"): 1}
+
+
+def test_asof_forward_direction(asof_frames):
+    left, right = asof_frames
+    m = _asof_map(left, right, direction="forward")
+    # lid=12 at ts=2: nearest at-or-after is rid=100 (ts=4)
+    assert m[12]["asof_rid"] == 100
+    # lid=10 at ts=5: rids 101/102 share ts=6 → SMALLEST rid wins forward
+    assert m[10]["asof_rid"] == 101
+    # lid=11 at ts=20: nothing at-or-after
+    assert m[11]["asof_rid"] is None
+    # equal ts inclusive both directions
+    assert m[30]["asof_rid"] == 300
+    # forward tolerance: rid=100 is 120s ahead of lid=12 → kept at 120, cut at 60
+    t = _asof_map(left, right, direction="forward", tolerance_sec=120)
+    assert t[12]["asof_rid"] == 100
+    t2 = _asof_map(left, right, direction="forward", tolerance_sec=60)
+    assert t2[12]["asof_rid"] is None
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        _asof_map(left, right, direction="sideways")
+
+
+def test_downsample_ohlc_semantics(spark):
+    rows = [
+        Row(k="a", eid=1, ts=_ts(0, 10), v=5.0),   # open of bucket 0
+        Row(k="a", eid=2, ts=_ts(0, 10), v=9.0),   # same ts → eid orders it
+        Row(k="a", eid=3, ts=_ts(10), v=1.0),      # low
+        Row(k="a", eid=4, ts=_ts(14, 59), v=7.0),  # close of bucket 0
+        Row(k="a", eid=5, ts=_ts(15), v=2.0),      # next 15-min bucket
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r["bucket_start"].minute: r.asDict()
+        for r in T.downsample_ohlc(df, "k", "ts", "v", "eid", 900).collect()
+    }
+    b0 = out[0]
+    assert (b0["open"], b0["close"]) == (5.0, 7.0)  # scan order, not extrema
+    assert (b0["low"], b0["high"]) == (1.0, 9.0)
+    assert b0["n"] == 4 and b0["sum_micro"] == 22_000_000
+    assert out[15]["open"] == out[15]["close"] == 2.0
