@@ -608,6 +608,16 @@ def q_events_retention(spark, sf_dir):
     return timeseries.cohort_retention(ev, "user_id", "ts")
 
 
+def q_events_profile(spark, sf_dir):
+    """Column profiling report over (value, user_id): n / nulls / KMV
+    distinct / min / max / histogram-CDF p50 — the deequ-profile analog
+    composed from the exact-oracle sketch family."""
+    from log_analysis_spark.operators import expectations as E
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return E.profile_columns(ev, ["value", "user_id"])
+
+
 def q_events_ohlc(spark, sf_dir):
     """Daily OHLC downsampling of value per event_type — first/last via
     lexicographic struct min/max (no window, one algebraic aggregate)."""
@@ -1571,6 +1581,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel_times": q_events_funnel_times,
         "events_skew_join": q_events_skew_join,
         "events_ohlc": q_events_ohlc,
+        "events_profile": q_events_profile,
         "events_expectations": q_events_expectations,
         "turn_transitions": q_turn_transitions,
         "doc_bigram_surprise": q_doc_bigram_surprise,
@@ -1728,6 +1739,7 @@ SELECT event_type,
 FROM events WHERE value IS NOT NULL
 GROUP BY 1, 2
 """,
+        "events_profile": _PROFILE_ORACLE,
         "events_expectations": _EXPECTATIONS_ORACLE,
         "turn_transitions": P(
             """SELECT from_state, to_state, count(*) AS n FROM (
@@ -3683,6 +3695,36 @@ SELECT event_type,
          AS est_distinct
 FROM s
 """
+
+
+def _profile_col_sql(c: str) -> str:
+    """One column's profile row: the KMV distinct and histogram-CDF p50
+    replayed inline as scalar subqueries."""
+    numer = 63 * (1 << 56)
+    u56 = _u56_sql(f"CAST({c} AS VARCHAR)")
+    return f"""
+SELECT '{c}' AS column, count(*) AS n,
+       count(*) FILTER ({c} IS NULL) AS n_null,
+       min(CAST({c} AS DOUBLE)) AS min, max(CAST({c} AS DOUBLE)) AS max,
+       (WITH h AS (SELECT DISTINCT ({u56}) AS h FROM events
+                   WHERE {c} IS NOT NULL),
+             r AS (SELECT h, row_number() OVER (ORDER BY h) rk FROM h),
+             s AS (SELECT count(*) AS m, max(h) AS kth FROM r WHERE rk <= 64)
+        SELECT CAST(CASE WHEN m < 64 THEN m ELSE {numer} // kth END AS BIGINT)
+        FROM s) AS est_distinct,
+       (WITH hh AS (SELECT CAST(floor(CAST({c} AS DOUBLE) * 4.0) AS BIGINT)
+                           AS cell, count(*) AS cc
+                    FROM events WHERE {c} IS NOT NULL GROUP BY 1),
+             cum AS (SELECT cell, sum(cc) OVER (ORDER BY cell) AS cum,
+                            sum(cc) OVER () AS nn FROM hh)
+        SELECT min(cell) * 0.25 FROM cum WHERE cum >= ceil(0.5 * nn)) AS p50
+FROM events
+"""
+
+
+_PROFILE_ORACLE = (
+    _profile_col_sql("value") + " UNION ALL " + _profile_col_sql("user_id")
+)
 
 
 def _kmv_setops_oracle(k: int) -> str:

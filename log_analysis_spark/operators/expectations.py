@@ -155,3 +155,56 @@ def check_expectations(
     return out.select(
         "rule", "violations", (F.col("violations") == 0).alias("passed")
     )
+
+
+def profile_columns(df: DataFrame, numeric_cols: list[str]) -> DataFrame:
+    """Column profiling report (the deequ-profile analog): one row per
+    column with n / n_null / est_distinct (KMV, k=64) / min / max / p50
+    (histogram-CDF, resolution 0.25) — the first look every new table
+    gets, composed entirely from this repo's exact-oracle sketch family.
+
+    Cost: ONE conditional-count scan for n/null/min/max of every column
+    (single aggregate), plus per column the KMV distinct (narrow) and the
+    quantile histogram — all bounded-state."""
+    from .sketches import hist_quantiles, kmv_distinct
+
+    aggs = []
+    for c in numeric_cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"_n_{c}"),
+            F.count_if(F.col(c).isNull()).alias(f"_nn_{c}"),
+            F.min(F.col(c).cast("double")).alias(f"_min_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"_max_{c}"),
+        ]
+    scan = df.agg(*aggs)
+    base = scan.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(f"_n_{c}").cast("long").alias("n"),
+                        F.col(f"_nn_{c}").cast("long").alias("n_null"),
+                        F.col(f"_min_{c}").alias("min"),
+                        F.col(f"_max_{c}").alias("max"),
+                    )
+                    for c in numeric_cols
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.*")
+    out = base
+    parts = []
+    for c in numeric_cols:
+        d = kmv_distinct(df.filter(F.col(c).isNotNull()), c, k=64).select(
+            F.lit(c).alias("column"), "est_distinct"
+        )
+        q = hist_quantiles(
+            df.select(F.col(c).cast("double").alias("_v")), "_v", [0.5],
+            resolution=0.25,
+        ).select(F.lit(c).alias("column"), F.col("value").alias("p50"))
+        parts.append(d.join(q, "column"))
+    extras = parts[0]
+    for p in parts[1:]:
+        extras = extras.unionByName(p)
+    return out.join(extras, "column")

@@ -437,3 +437,19 @@ def test_skew_aware_join_no_hot_keys_is_plain(spark):
 
     with pytest.raises(ValueError):
         J.skew_aware_join(left, right, "k", how="full_outer")
+
+
+def test_profile_columns_null_handling(spark):
+    from pyspark.sql import Row
+
+    from log_analysis_spark.operators import expectations as E
+
+    df = spark.createDataFrame(
+        [Row(a=1.0, b=10), Row(a=None, b=20), Row(a=3.0, b=20)]
+    )
+    got = {r["column"]: r.asDict() for r in E.profile_columns(df, ["a", "b"]).collect()}
+    assert got["a"]["n"] == 3 and got["a"]["n_null"] == 1
+    assert got["a"]["est_distinct"] == 2  # nulls excluded, below k → exact
+    assert (got["a"]["min"], got["a"]["max"]) == (1.0, 3.0)
+    assert got["b"]["est_distinct"] == 2 and got["b"]["n_null"] == 0
+    assert got["b"]["p50"] == 20.0  # ceil(n/2)th of [10, 20, 20]
