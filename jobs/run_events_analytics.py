@@ -57,6 +57,10 @@ def main() -> None:
         "--skew-frac", type=float, default=0.01,
         help="flag keys holding >= this fraction of all events (CMS scan)",
     )
+    ap.add_argument(
+        "--ohlc-bucket-sec", type=int, default=86400,
+        help="OHLC downsampling bucket (0 disables the ohlc/ output)",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -84,7 +88,7 @@ def main() -> None:
         args.out, args.asof_left_type, args.asof_right_type,
         args.asof_tolerance_sec, args.window_sec, args.slide_sec,
         args.funnel, args.kmv_k, args.quantiles, args.quantile_resolution,
-        args.skew_frac, fingerprint_source(ev),
+        args.skew_frac, args.ohlc_bucket_sec, fingerprint_source(ev),
     )
     prior = manifest.lookup("events_analytics", fp)
     if prior is not None and os.path.exists(f"{args.out}/report"):
@@ -143,6 +147,19 @@ def main() -> None:
     )
     report.write.mode("overwrite").parquet(f"{args.out}/report")
     counts["n_report_rows"] = spark.read.parquet(f"{args.out}/report").count()
+
+    if args.ohlc_bucket_sec:
+        ohlc = timeseries.downsample_ohlc(
+            ev, "event_type", "ts", "value", "event_id", args.ohlc_bucket_sec
+        )
+        ohlc.write.mode("overwrite").parquet(f"{args.out}/ohlc")
+        counts["n_ohlc_bars"] = spark.read.parquet(f"{args.out}/ohlc").count()
+
+    from log_analysis_spark.operators import expectations as expect_ops
+
+    profile = expect_ops.profile_columns(ev, ["value", "user_id"])
+    profile.write.mode("overwrite").parquet(f"{args.out}/profile")
+    counts["n_profile_rows"] = spark.read.parquet(f"{args.out}/profile").count()
 
     hot = sketches.skewed_keys(ev, "user_id", threshold_frac=args.skew_frac)
     counts["hot_user_ids"] = sorted(

@@ -530,6 +530,7 @@ def test_submit_events_analytics_job(pkg_zip, tmp_path):
     assert res["n_funnel_users"] == 15
     assert 0 < res["n_funnel_completed"] <= res["n_funnel_users"]
     assert res["n_report_rows"] == 15  # 5 event types x 3 quantiles
+    assert res["n_ohlc_bars"] > 0 and res["n_profile_rows"] == 2
     # resume: same knobs reprint the summary without recompute
     res2 = _submit(
         pkg_zip,
