@@ -1089,6 +1089,43 @@ def main() -> int:
     sections.append(("Session-9 ops (expectations, bigram LM, funnel, "
                      "transitions, weighted sample)", scan_plan, notes))
 
+    # Joins batch 3: bloom prefilter (JVM bit tests, 1-row bitmap
+    # broadcast), skew-aware split (broadcast hot half + shuffle cold
+    # half), OHLC (one algebraic aggregate, no window)
+    bdims = (
+        ev.select("user_id").distinct()
+        .filter(F.col("user_id") % 17 == 0)
+        .withColumn("tag", F.lit("x"))
+    )
+    bj = joins_ops.bloom_prefiltered_join(ev, bdims, "user_id", m_bits=1 << 16)
+    bj_plan = executed(bj)
+    sj = joins_ops.skew_aware_join(
+        ev,
+        ev.select("user_id").distinct().withColumn("tag", F.lit("y")),
+        "user_id",
+        threshold_frac=0.0067,
+    )
+    sj_plan = executed(sj)
+    oh = ts_ops.downsample_ohlc(ev, "event_type", "ts", "value", "event_id", 86400)
+    oh_shufs = shuffle_schemas(oh)
+    notes = [
+        check("bloom join: zero Python (bit tests are JVM expressions)",
+              "EvalPython" not in bj_plan and "InPandas" not in bj_plan),
+        check("bloom join: prefilter precedes the equi-join "
+              "(bitmap element_at in a Filter above the scan)",
+              "element_at" in bj_plan and "Filter" in bj_plan),
+        check("skew join: broadcast hot half + union with shuffle cold half",
+              "BroadcastHashJoin" in sj_plan and "Union" in sj_plan),
+        check("ohlc: single narrow aggregate, no window",
+              "Window" not in executed(oh)
+              and all("value" not in cols or "_first" not in cols
+                      for _, cols in oh_shufs)
+              and len(oh_shufs) == 1,
+              f"shuffles={[(p.split(',')[0], c) for p, c in oh_shufs]}"),
+    ]
+    sections.append(("Joins batch 3 (bloom prefilter, skew split) + OHLC",
+                     bj_plan, notes))
+
     # ---- write EXPLAIN.md -------------------------------------------------
     md = ["# EXPLAIN audit — physical plans vs 100 TB design intents",
           "",
