@@ -608,6 +608,16 @@ def q_events_retention(spark, sf_dir):
     return timeseries.cohort_retention(ev, "user_id", "ts")
 
 
+def q_events_anomalies(spark, sf_dir):
+    """Per-type p99 spike filter: events whose value exceeds their
+    event_type's histogram-CDF 0.99 quantile — the quantile table
+    broadcasts, detection is a pure filter over the scan."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return timeseries.quantile_anomalies(
+        ev, "value", "event_type", q=0.99, resolution=QUANTILE_RES
+    ).select("event_id", "event_type", "value")
+
+
 def q_events_profile(spark, sf_dir):
     """Column profiling report over (value, user_id): n / nulls / KMV
     distinct / min / max / histogram-CDF p50 — the deequ-profile analog
@@ -1582,6 +1592,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_skew_join": q_events_skew_join,
         "events_ohlc": q_events_ohlc,
         "events_profile": q_events_profile,
+        "events_anomalies": q_events_anomalies,
         "events_expectations": q_events_expectations,
         "turn_transitions": q_turn_transitions,
         "doc_bigram_surprise": q_doc_bigram_surprise,
@@ -1740,6 +1751,26 @@ FROM events WHERE value IS NOT NULL
 GROUP BY 1, 2
 """,
         "events_profile": _PROFILE_ORACLE,
+        "events_anomalies": f"""
+WITH h AS (
+  SELECT event_type, CAST(floor(value * {1.0 / QUANTILE_RES}) AS BIGINT)
+           AS cell, count(*) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, cell,
+         sum(c) OVER (PARTITION BY event_type ORDER BY cell) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM h
+),
+thr AS (
+  SELECT event_type, min(cell) * {QUANTILE_RES} AS t
+  FROM cum WHERE cum >= ceil(0.99 * n) GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value
+FROM events e JOIN thr USING (event_type)
+WHERE e.value > thr.t
+""",
         "events_expectations": _EXPECTATIONS_ORACLE,
         "turn_transitions": P(
             """SELECT from_state, to_state, count(*) AS n FROM (

@@ -365,3 +365,26 @@ def downsample_ohlc(
         "n",
         "sum_micro",
     )
+
+
+def quantile_anomalies(
+    df: DataFrame,
+    value_col: str,
+    group: str,
+    q: float = 0.99,
+    resolution: float = 0.25,
+) -> DataFrame:
+    """Rows whose value exceeds their group's q-quantile (histogram-CDF —
+    fixed-state, resolution-bounded): the per-type p99 spike filter.  The
+    k-row quantile table broadcasts; detection is a pure filter over the
+    scan — no window touches the event stream."""
+    from .sketches import hist_quantiles
+
+    thr = hist_quantiles(
+        df, value_col, [q], resolution=resolution, group=group
+    ).select(group, F.col("value").alias("_thr"))
+    return (
+        df.join(F.broadcast(thr), group)
+        .filter(F.col(value_col) > F.col("_thr"))
+        .drop("_thr")
+    )

@@ -272,3 +272,16 @@ def test_downsample_ohlc_semantics(spark):
     assert (b0["low"], b0["high"]) == (1.0, 9.0)
     assert b0["n"] == 4 and b0["sum_micro"] == 22_000_000
     assert out[15]["open"] == out[15]["close"] == 2.0
+
+
+def test_quantile_anomalies_flags_only_tail(spark):
+    rows = [Row(g="a", eid=i, v=float(i)) for i in range(1, 101)] + [
+        Row(g="b", eid=200, v=5.0)
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["eid"]
+        for r in T.quantile_anomalies(df, "v", "g", q=0.9, resolution=1.0).collect()
+    }
+    # group a: p90 cell = 90 → values strictly above 90 flagged
+    assert got == set(range(91, 101))
