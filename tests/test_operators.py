@@ -453,3 +453,20 @@ def test_profile_columns_null_handling(spark):
     assert (got["a"]["min"], got["a"]["max"]) == (1.0, 3.0)
     assert got["b"]["est_distinct"] == 2 and got["b"]["n_null"] == 0
     assert got["b"]["p50"] == 20.0  # ceil(n/2)th of [10, 20, 20]
+
+
+def test_bloom_and_skew_joins_empty_right(spark):
+    """Empty dim side: bloom's bitmap is all zeros (every fact row pruned
+    pre-join) and the skew split degrades to the plain join — both must
+    equal the plain join's empty result, not error."""
+    from pyspark.sql import Row
+
+    from log_analysis_spark.operators import joins as J
+
+    facts = spark.createDataFrame([Row(k=i, v=i) for i in range(50)])
+    empty = spark.createDataFrame([], "k bigint, tag string")
+    assert J.bloom_prefiltered_join(facts, empty, "k", m_bits=1 << 10).count() == 0
+    assert J.skew_aware_join(facts, empty, "k", threshold_frac=0.01).count() == 0
+    # left_outer through the skew path keeps every left row
+    lo = J.skew_aware_join(facts, empty, "k", how="left_outer", threshold_frac=0.01)
+    assert lo.count() == 50 and all(r["tag"] is None for r in lo.collect())
