@@ -31,6 +31,7 @@ from log_analysis_spark.operators import (
     corpus,
     dedup,
     enrich,
+    graph,
     joins,
     multimodal,
     retrieval,
@@ -671,6 +672,21 @@ def q_turn_transitions(spark, sf_dir):
     )
 
 
+def q_graph_pagerank(spark, sf_dir):
+    """Weighted integer PageRank over the tool→tool transition graph the
+    transcripts induce (edges = `transition_counts` over tool-bearing
+    turns): which tools sit at the center of agent workflows.  The whole
+    5-iteration recurrence is integer arithmetic (parts-per-1e9 ranks,
+    DECIMAL(38,0) for the one >63-bit product), so the oracle replays it
+    as unrolled CTEs with zero tolerance."""
+    seq = _parsed(spark, sf_dir).filter(F.col("tool") != "-")
+    edges = windows_ops.transition_counts(seq, "conv_id", ["turn_idx"], "tool")
+    return graph.pagerank(
+        edges.selectExpr("from_state AS src", "to_state AS dst", "n AS w"),
+        n_iters=5,
+    )
+
+
 def q_events_expectations(spark, sf_dir):
     """Declarative data-quality gate (deequ-shaped): six expectations over
     the events table in one report — two deliberately failing
@@ -1228,6 +1244,17 @@ def q_embed_neardup(spark, sf_dir):
     )
 
 
+def q_embed_quantized_topk(spark, sf_dir):
+    """Approximate top-3 over int8-quantized vectors (every 50th vector as
+    query) — the vector-compression path: 1 byte/dim codes, EXACT integer
+    scores, so past the shared round-6 quantizer the cross-engine check has
+    no float arithmetic at all.  The matmul production twin's row identity
+    and the recall floor vs exact float top-k are unit-tested."""
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.quantized_topk(emb, queries, k=3)
+
+
 def q_corpus_vocabulary(spark, sf_dir):
     """Tokenizer-build first artifact: top-200 corpus tokens by frequency
     (count desc, token asc), one token-keyed shuffle + TakeOrdered cut."""
@@ -1595,11 +1622,13 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomalies": q_events_anomalies,
         "events_expectations": q_events_expectations,
         "turn_transitions": q_turn_transitions,
+        "graph_tool_pagerank": q_graph_pagerank,
         "doc_bigram_surprise": q_doc_bigram_surprise,
         "corpus_bpe_merges": q_corpus_bpe_merges,
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
         "corpus_weighted_sample": q_corpus_weighted_sample,
         "embed_hard_negatives": q_embed_hard_negatives,
+        "embed_quantized_topk": q_embed_quantized_topk,
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_simhash": q_doc_simhash,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1780,10 +1809,12 @@ WHERE e.value > thr.t
                  FROM parsed
                ) WHERE from_state IS NOT NULL GROUP BY from_state, to_state"""
         ),
+        "graph_tool_pagerank": _pagerank_oracle(),
         "doc_bigram_surprise": _bigram_surprise_oracle(lam=BIGRAM_LAM),
         "corpus_snapshot_diff": _SNAPSHOT_DIFF_ORACLE,
         "corpus_weighted_sample": _weighted_sample_oracle(k=100),
         "embed_hard_negatives": _hard_negatives_oracle(k=3),
+        "embed_quantized_topk": _quantized_topk_oracle(k=3),
     }
 
 
@@ -3914,6 +3945,78 @@ SELECT c.cohort_week,
        CAST(date_diff('day', c.cohort_week, uw.w) / 7 AS INT) AS week_offset,
        count(*) AS n_users
 FROM uw JOIN c USING (user_id) GROUP BY 1, 2
+"""
+
+
+def _pagerank_oracle(
+    n_iters: int = 5, damping_pct: int = 85, scale: int = 10**9
+) -> str:
+    """Unrolled replay of q_graph_pagerank's integer recurrence: edges from
+    the lag window over tool-bearing turns, N and the teleport term derived
+    in SQL (nothing precomputed on faith), each iteration one CTE with the
+    HUGEINT (rank·w)//out_j contribution sum — bit-identical to Spark's
+    DECIMAL(38,0) div at every step."""
+    d = damping_pct
+    iters = []
+    for i in range(1, n_iters + 1):
+        iters.append(f"""
+r{i} AS (
+  SELECT n.node,
+         CAST((SELECT CAST({(100 - d) * scale} AS BIGINT)
+                      // (100 * count(*)) FROM nodes)
+              + ({d} * COALESCE(s.s, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(sum((CAST(r.rank AS HUGEINT) * e.w) // o.out_w) AS BIGINT) AS s
+    FROM edges e JOIN r{i - 1} r ON r.node = e.src
+                 JOIN outw o ON o.src = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+)""")
+    chain = ",".join(iters)
+    return oracles.on_parsed(f""", seq AS (
+  SELECT conv_id, turn_idx, tool FROM parsed WHERE tool <> '-'
+),
+edges AS (
+  SELECT prev AS src, tool AS dst, count(*) AS w FROM (
+    SELECT lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev,
+           tool
+    FROM seq)
+  WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+outw AS (SELECT src, sum(w) AS out_w FROM edges GROUP BY src),
+r0 AS (
+  SELECT node,
+         CAST({scale} // (SELECT count(*) FROM nodes) AS BIGINT) AS rank
+  FROM nodes
+),{chain}
+SELECT node, rank FROM r{n_iters}""")
+
+
+def _quantized_topk_oracle(k: int = 3) -> str:
+    """Mirror of q_embed_quantized_topk, recomputed end to end: the shared
+    unit CTE, the int8 quantizer floor(round6(u)·127 + 0.5) per component,
+    integer dot scores (list_inner_product of small-integer doubles is
+    exact far below 2^53), (qscore desc, corpus_id asc) top-k."""
+    return f"""
+WITH {_UNIT_VEC.strip()},
+qz AS (
+  SELECT vec_id,
+         list_transform(unit, x -> floor(round(x, 6) * 127.0 + 0.5)) AS q
+  FROM unitv
+),
+scored AS (
+  SELECT qq.vec_id AS query_id, c.vec_id AS corpus_id,
+         CAST(list_inner_product(qq.q, c.q) AS BIGINT) AS qscore
+  FROM (SELECT * FROM qz WHERE vec_id % 50 = 0) qq
+  JOIN qz c ON qq.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qscore DESC, corpus_id) AS rank
+  FROM scored
+)
+SELECT query_id, corpus_id, qscore, rank FROM ranked WHERE rank <= {k}
 """
 
 

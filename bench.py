@@ -302,6 +302,14 @@ def main() -> None:
             emb, emb.filter(F.col("vec_id") % 50 == 0), k=3
         ).count(),
     )
+    # same query set over int8 codes (1 byte/dim, exact int32 matmul) —
+    # the delta vs the float row is the vector-compression win
+    timed(
+        "embed_quantized_topk_matmul",
+        lambda: similarity.quantized_topk_matmul(
+            emb, emb.filter(F.col("vec_id") % 50 == 0), k=3
+        ).count(),
+    )
 
     # SemDeDup: deterministic-index semantic dedup (assignment is
     # projection-only; within-cluster pairs + CC keep-first)

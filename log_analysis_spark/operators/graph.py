@@ -1,0 +1,99 @@
+"""Iterative graph analytics over edge tables — PageRank.
+
+The near-dup family already covers one graph algorithm (connected
+components via log-round min-label propagation, `dedup.neardup_groups`);
+this module adds the other workhorse: weighted PageRank over an edge-count
+table, e.g. the tool→tool transition graph a transcript corpus induces
+(`windows_ops.transition_counts` output plugs in directly).
+
+Cross-engine exactness: the whole recurrence is INTEGER arithmetic —
+ranks live in parts-per-``scale`` units, every division is an integral
+``div``, and the one product that can exceed 63 bits (rank × edge-weight)
+is computed in DECIMAL(38,0) (DuckDB mirrors with HUGEINT ``//``), the
+same overflow discipline as the KMV estimator (`sketches.py`).  Given the
+same edges both engines produce bit-identical ranks at every iteration,
+so the DuckDB oracle replays the full n-iteration recurrence as unrolled
+CTEs with zero tolerance.
+
+Semantics (documented, deterministic):
+* init        r₀(i) = scale div N
+* teleport    T = ((100−d_pct)·scale) div (100·N)
+* iterate     r_{t+1}(i) = T + (d_pct · Σ_{j→i} ((r_t(j)·w_ji) div out_j)) div 100
+* dangling nodes (no out-edges) leak their mass — the classic "sink drop"
+  variant; totals therefore decay slightly instead of being redistributed,
+  identically in both engines.
+
+Scale shape: each iteration is one equi-join of the edge table with the
+|V|-row rank table plus one groupBy(dst) — the canonical distributed
+PageRank step.  Ranks are broadcast when ``broadcast_ranks`` (default:
+|V| is the node vocabulary — tools, hosts, repos — small by construction);
+set it False for web-scale node sets and the join shuffles on src, which
+AQE co-partitions across iterations.  ``checkpoint_every`` truncates the
+growing lineage for deep iteration counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iters: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**9,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    broadcast_ranks: bool = True,
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """Weighted integer PageRank; returns (node, rank) with rank in
+    parts-per-``scale``.  ``damping_pct`` is the damping factor as an
+    integer percentage (85 = the classic 0.85)."""
+    if not 0 <= damping_pct <= 100:
+        raise ValueError("damping_pct must be in [0, 100]")
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()  # one |V|-scalar — the only driver-side value
+    if n_nodes == 0:
+        raise ValueError("pagerank over an empty edge table")
+    teleport = ((100 - damping_pct) * scale) // (100 * n_nodes)
+
+    outw = edges.groupBy(src).agg(F.sum(weight).alias("_out_w"))
+    e = (
+        edges.join(outw, src)
+        .select(
+            F.col(src).alias("_esrc"),
+            F.col(dst).alias("_edst"),
+            F.col(weight).cast("long").alias("_w"),
+            F.col("_out_w").cast("long"),
+        )
+    )
+
+    ranks = nodes.withColumn("rank", F.lit(scale // n_nodes).cast("long"))
+    contrib = F.expr(
+        "CAST((CAST(rank AS DECIMAL(38,0)) * _w) div _out_w AS LONG)"
+    )
+    for i in range(n_iters):
+        r = F.broadcast(ranks) if broadcast_ranks else ranks
+        s = (
+            e.join(r, e["_esrc"] == r["node"])
+            .select(F.col("_edst").alias("node"), contrib.alias("_c"))
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        ranks = nodes.join(s, "node", "left").select(
+            "node",
+            F.expr(
+                f"CAST({teleport} + ({damping_pct} * coalesce(_s, 0))"
+                f" div 100 AS LONG)"
+            ).alias("rank"),
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks

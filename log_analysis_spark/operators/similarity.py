@@ -945,3 +945,147 @@ def hard_negatives_matmul(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "score", "rank")
     )
+
+
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out: str = "qvec",
+) -> DataFrame:
+    """Scalar int8 quantization of the unit vector — the vector-compression
+    step a 100 TB embedding store runs before anything else: each round-6
+    unit component maps to ``floor(round6(u)·127 + 0.5)`` ∈ [-127, 127],
+    stored as ``array<tinyint>`` (1 byte/dim vs 8 for the double unit —
+    an 8× cut in scan bytes, shuffle payload, and ANN-index residency).
+
+    The quantizer is INTEGER-DETERMINED: half-up on the already-rounded
+    6-decimal component, so both engines floor the identical double and the
+    DuckDB oracle reproduces every code exactly (cross-engine float-boundary
+    risk is confined to the same round-6 step every score here relies on).
+    Zero-norm vectors quantize to NULL (same contract as ``with_unit_vec``).
+    """
+    u = with_unit_vec(df, vec_col)
+    q = F.transform(
+        F.col("unit"),
+        lambda x: F.floor(F.round(x, 6) * 127.0 + F.lit(0.5)).cast("tinyint"),
+    )
+    return u.withColumn(out, q).drop("unit")
+
+
+def _qdot(a: F.Column, b: F.Column) -> F.Column:
+    """Exact integer dot of two int8 code arrays (widened per element —
+    tinyint·tinyint would wrap)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k over int8-quantized vectors — the
+    expression/oracle twin: scores are EXACT INTEGERS (sum of widened
+    int8 products, |score| ≤ 127²·dim), so the cross-engine comparison has
+    no float arithmetic at all past the shared quantizer.  Ranking is
+    (qscore desc, corpus_id asc).  Reach for ``quantized_topk_matmul`` at
+    scale; recall vs the exact float top-k is asserted in tests."""
+    from pyspark.sql import Window
+
+    c = quantize_int8(corpus, id_col, vec_col).filter(F.col("qvec").isNotNull())
+    cq = c.select(F.col(id_col).alias("corpus_id"), F.col("qvec").alias("cq"))
+    qq = (
+        quantize_int8(queries, id_col, vec_col)
+        .filter(F.col("qvec").isNotNull())
+        .select(F.col(id_col).alias("query_id"), F.col("qvec").alias("qq"))
+    )
+    scored = (
+        cq.join(F.broadcast(qq), F.col("query_id") != F.col("corpus_id"))
+        .withColumn("qscore", _qdot(F.col("qq"), F.col("cq")))
+        .select("query_id", "corpus_id", "qscore")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qscore"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "qscore", "rank")
+    )
+
+
+def quantized_topk_matmul(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PRODUCTION form of the quantized top-k: the int8 query matrix rides
+    in the UDF closure and each Arrow batch is scored with ONE int32 matmul
+    (exact — |score| ≤ 127²·dim < 2³¹), keeping the batch's top-(k+1) per
+    query under the final (qscore desc, corpus_id asc) order, so the
+    shuffle carries ~batches × |Q| × (k+1) candidate rows.  Output is
+    identical to ``quantized_topk`` (tests assert it)."""
+    from pyspark.sql import Window
+
+    q_rows = (
+        quantize_int8(queries, id_col, vec_col)
+        .filter(F.col("qvec").isNotNull())
+        .select(F.col(id_col).alias("query_id"), "qvec")
+        .collect()
+    )
+    if not q_rows:
+        raise ValueError("no non-null query vectors")
+    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([r["qvec"] for r in q_rows], dtype=np.int32)  # (q, dim)
+    dim = Q.shape[1]
+    take = k + 1
+
+    def batch_iter(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            E = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if E.shape[1] != dim:
+                raise ValueError(f"corpus dim {E.shape[1]} != query dim {dim}")
+            nrm = np.linalg.norm(E, axis=1)
+            keep = nrm > 0
+            if not keep.any():
+                continue
+            ids = ids[keep]
+            U = np.round(E[keep] / nrm[keep, None], 6)
+            C = np.floor(U * 127.0 + 0.5).astype(np.int32)
+            S = C @ Q.T  # (n, q) exact int32
+            n = len(ids)
+            out_q, out_c, out_s = [], [], []
+            for j in range(Q.shape[0]):
+                col = S[:, j]
+                order = np.lexsort((ids, -col))
+                top = order[:take] if n > take else order
+                out_q.append(np.full(len(top), q_ids[j]))
+                out_c.append(ids[top])
+                out_s.append(col[top].astype(np.int64))
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "corpus_id": np.concatenate(out_c),
+                    "qscore": np.concatenate(out_s),
+                }
+            )
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        batch_iter, "query_id long, corpus_id long, qscore long"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qscore"), F.asc("corpus_id"))
+    return (
+        cand.filter(F.col("query_id") != F.col("corpus_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "qscore", "rank")
+    )

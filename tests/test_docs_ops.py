@@ -458,6 +458,42 @@ def test_cosine_topk_matmul_batch_boundary_exact(spark, embeddings):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_quantized_topk_matmul_equals_expr(spark, embeddings):
+    """The int32-matmul production path must return the exact expression-path
+    result — integer scores make this equality bit-for-bit, no round slack."""
+    queries = embeddings.filter(F.col("vec_id") % 50 == 0)
+    a = similarity.quantized_topk(embeddings, queries, k=3).collect()
+    b = similarity.quantized_topk_matmul(
+        embeddings.repartition(16), queries, k=3
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) > 0
+
+
+def test_quantized_topk_recall_vs_float(spark, embeddings):
+    """int8 codes on 64-dim unit vectors should preserve most of the exact
+    float top-3 — the compression is 8×, the ranking nearly unchanged."""
+    queries = embeddings.filter(F.col("vec_id") % 50 == 0)
+    brute = similarity.cosine_topk(embeddings, queries, k=3)
+    quant = similarity.quantized_topk(embeddings, queries, k=3)
+    b = {(r["query_id"], r["corpus_id"]) for r in brute.collect()}
+    a = {(r["query_id"], r["corpus_id"]) for r in quant.collect()}
+    recall = len(a & b) / len(b)
+    assert recall >= 0.7, f"quantized recall too low: {recall}"
+
+
+def test_quantize_int8_codes_bounded_tinyint(spark, embeddings):
+    """Stored codes are array<tinyint> (the 8× byte cut is real, not a
+    claimed cast) and every code is in [-127, 127]."""
+    q = similarity.quantize_int8(embeddings)
+    assert dict(q.dtypes)["qvec"] == "array<tinyint>"
+    mx = q.select(
+        F.max(F.array_max("qvec")).alias("hi"),
+        F.min(F.array_min("qvec")).alias("lo"),
+    ).first()
+    assert mx["hi"] <= 127 and mx["lo"] >= -127
+
+
 def test_ivf_matmul_scoring_equals_expr(spark, embeddings):
     """IVF probe scoring via the batched einsum UDF returns the identical
     result to the JVM HOF dot (same round-6 values, same ranking)."""

@@ -1,0 +1,87 @@
+"""PageRank: integer recurrence vs a pure-Python mirror, structural
+properties, and the broadcast/shuffle path equivalence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from log_analysis_spark.operators import graph
+
+
+def _py_pagerank(edges, n_iters=5, d=85, scale=10**9):
+    """Driver-side mirror of the documented integer recurrence."""
+    nodes = sorted({s for s, _, _ in edges} | {t for _, t, _ in edges})
+    n = len(nodes)
+    teleport = ((100 - d) * scale) // (100 * n)
+    out: dict = {}
+    for s, _, w in edges:
+        out[s] = out.get(s, 0) + w
+    r = {v: scale // n for v in nodes}
+    for _ in range(n_iters):
+        sums = {v: 0 for v in nodes}
+        for s, t, w in edges:
+            sums[t] += (r[s] * w) // out[s]
+        r = {v: teleport + (d * sums[v]) // 100 for v in nodes}
+    return r
+
+
+EDGES = [
+    ("a", "b", 3),
+    ("a", "c", 1),
+    ("b", "c", 2),
+    ("c", "a", 1),
+    ("c", "d", 5),
+    ("d", "a", 2),
+    ("e", "a", 1),  # e has in-degree 0: rank = teleport only
+]
+
+
+def _edge_df(spark):
+    return spark.createDataFrame(EDGES, "src string, dst string, w long")
+
+
+def test_pagerank_matches_python_mirror(spark):
+    got = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(_edge_df(spark), n_iters=5).collect()
+    }
+    assert got == _py_pagerank(EDGES, n_iters=5)
+
+
+def test_pagerank_shuffle_path_equals_broadcast_path(spark):
+    a = graph.pagerank(_edge_df(spark), n_iters=3).collect()
+    b = graph.pagerank(
+        _edge_df(spark), n_iters=3, broadcast_ranks=False
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pagerank_uniform_cycle_is_uniform(spark):
+    cyc = [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)]
+    df = spark.createDataFrame(cyc, "src string, dst string, w long")
+    ranks = {r["node"]: r["rank"] for r in graph.pagerank(df, n_iters=8).collect()}
+    assert len(set(ranks.values())) == 1  # symmetry ⇒ identical ranks
+
+
+def test_pagerank_source_only_node_gets_teleport(spark):
+    ranks = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(_edge_df(spark), n_iters=5).collect()
+    }
+    n = 5
+    teleport = (15 * 10**9) // (100 * n)
+    assert ranks["e"] == teleport
+    # heavier in-link mass outranks the teleport floor
+    assert ranks["a"] > ranks["e"]
+
+
+def test_pagerank_mass_conserved_upper_bound(spark):
+    """Sink-drop semantics: total rank never exceeds scale (+N rounding)."""
+    out = graph.pagerank(_edge_df(spark), n_iters=5).agg(F.sum("rank")).first()[0]
+    assert 0 < out <= 10**9
+
+
+def test_pagerank_checkpoint_every_preserves_result(spark):
+    a = graph.pagerank(_edge_df(spark), n_iters=4).collect()
+    b = graph.pagerank(_edge_df(spark), n_iters=4, checkpoint_every=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
