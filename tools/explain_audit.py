@@ -1126,6 +1126,41 @@ def main() -> int:
     sections.append(("Joins batch 3 (bloom prefilter, skew split) + OHLC",
                      bj_plan, notes))
 
+    # Round-4 batch 4: int8 quantized ANN (candidate shuffle carries only
+    # (ids, integer score) — never a vector column) + integer PageRank
+    # (per-iteration broadcast rank join, no cross product)
+    from log_analysis_spark.operators import graph as graph_ops
+
+    qq = emb.filter(F.col("vec_id") % 50 == 0)
+    qt_mm = similarity.quantized_topk_matmul(emb, qq, k=3)
+    qt_shufs = shuffle_schemas(qt_mm)
+    qt_plan = executed(qt_mm)
+    pr_edges = (
+        ev.groupBy(
+            F.col("event_type").alias("src"),
+            (F.col("user_id") % 7).cast("string").alias("dst"),
+        ).agg(F.count("*").alias("w"))
+    )
+    pr = graph_ops.pagerank(pr_edges, n_iters=3)
+    pr_plan = executed(pr)
+    notes = [
+        check("quantized topk: no embedding/vector column in any exchange",
+              all("embedding" not in c and "qvec" not in c and "unit" not in c
+                  for _, cols in qt_shufs for c in cols),
+              f"shuffles={[(p.split(',')[0], c) for p, c in qt_shufs]}"),
+        check("quantized topk: corpus codes never collected "
+              "(one mapInPandas scan feeds the rank window)",
+              "InPandas" in qt_plan and "CartesianProduct" not in qt_plan),
+        check("pagerank: every iteration joins ranks by broadcast "
+              "(3 iters -> >=3 BroadcastHashJoins)",
+              pr_plan.count("BroadcastHashJoin") >= 3),
+        check("pagerank: no cross product at any iteration",
+              "CartesianProduct" not in pr_plan
+              and "BroadcastNestedLoopJoin" not in pr_plan),
+    ]
+    sections.append(("Quantized ANN (narrow candidates) + integer PageRank",
+                     qt_plan, notes))
+
     # ---- write EXPLAIN.md -------------------------------------------------
     md = ["# EXPLAIN audit — physical plans vs 100 TB design intents",
           "",
