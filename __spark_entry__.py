@@ -1268,6 +1268,27 @@ def q_doc_unigram_surprise(spark, sf_dir):
     return textstats.unigram_surprise(_docs(spark, sf_dir))
 
 
+def q_doc_tfidf_top(spark, sf_dir):
+    """Per-doc keyword extraction: top-3 tokens by TF-IDF (smoothed idf in
+    integer micro-nats, score = exact integer tf·idf_micro; score desc,
+    token asc).  Distinct from BM25 (docs-vs-query): this ranks TOKENS
+    within each doc against the corpus."""
+    return textstats.tfidf_top_terms(_docs(spark, sf_dir), m=3)
+
+
+def q_graph_communities(spark, sf_dir):
+    """Tool communities by deterministic synchronous weighted label
+    propagation over the same transition graph as the PageRank query —
+    which tools co-occur in workflow clusters.  All-integer votes with
+    (votes desc, label asc) ties, so the oracle replays every round."""
+    seq = _parsed(spark, sf_dir).filter(F.col("tool") != "-")
+    edges = windows_ops.transition_counts(seq, "conv_id", ["turn_idx"], "tool")
+    return graph.label_propagation(
+        edges.selectExpr("from_state AS src", "to_state AS dst", "n AS w"),
+        n_iters=4,
+    )
+
+
 def q_embed_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): cluster embeddings to the 8 md5-seeded
     deterministic centroids, prune within-cluster pairs at cosine >= 0.3 to
@@ -1623,6 +1644,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_expectations": q_events_expectations,
         "turn_transitions": q_turn_transitions,
         "graph_tool_pagerank": q_graph_pagerank,
+        "graph_tool_communities": q_graph_communities,
+        "doc_tfidf_top": q_doc_tfidf_top,
         "doc_bigram_surprise": q_doc_bigram_surprise,
         "corpus_bpe_merges": q_corpus_bpe_merges,
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
@@ -1810,6 +1833,8 @@ WHERE e.value > thr.t
                ) WHERE from_state IS NOT NULL GROUP BY from_state, to_state"""
         ),
         "graph_tool_pagerank": _pagerank_oracle(),
+        "graph_tool_communities": _lpa_oracle(n_iters=4),
+        "doc_tfidf_top": _tfidf_oracle(m=3),
         "doc_bigram_surprise": _bigram_surprise_oracle(lam=BIGRAM_LAM),
         "corpus_snapshot_diff": _SNAPSHOT_DIFF_ORACLE,
         "corpus_weighted_sample": _weighted_sample_oracle(k=100),
@@ -3992,6 +4017,75 @@ r0 AS (
   FROM nodes
 ),{chain}
 SELECT node, rank FROM r{n_iters}""")
+
+
+def _lpa_oracle(n_iters: int = 4) -> str:
+    """Unrolled replay of q_graph_communities: the same transition edges as
+    the PageRank oracle, symmetrized with summed parallel weights, then
+    each synchronous round as one CTE — integer vote sums, argmax by
+    (votes desc, label asc) via row_number."""
+    rounds = []
+    for i in range(1, n_iters + 1):
+        rounds.append(f"""
+l{i} AS (
+  SELECT a AS node, label FROM (
+    SELECT s.a, l.label, sum(s.w) AS v,
+           row_number() OVER (
+             PARTITION BY s.a ORDER BY sum(s.w) DESC, l.label) AS rn
+    FROM sym s JOIN l{i - 1} l ON l.node = s.b
+    GROUP BY s.a, l.label
+  ) WHERE rn = 1
+)""")
+    chain = ",".join(rounds)
+    return oracles.on_parsed(f""", seq AS (
+  SELECT conv_id, turn_idx, tool FROM parsed WHERE tool <> '-'
+),
+edges AS (
+  SELECT prev AS src, tool AS dst, count(*) AS w FROM (
+    SELECT lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev,
+           tool
+    FROM seq)
+  WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+sym AS (
+  SELECT a, b, sum(w) AS w FROM (
+    SELECT src AS a, dst AS b, w FROM edges
+    UNION ALL
+    SELECT dst AS a, src AS b, w FROM edges
+  ) GROUP BY 1, 2
+),
+l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),{chain}
+SELECT node, label FROM l{n_iters}""")
+
+
+def _tfidf_oracle(m: int = 3) -> str:
+    """Mirror of q_doc_tfidf_top recomputed end to end: lowercased
+    non-empty tokens, per-(doc, token) tf, smoothed idf quantized to
+    integer micro-nats from the round-6 log, exact-integer tf·idf score,
+    (score desc, token asc) top-m per doc."""
+    return f"""
+WITH {_TOK_OCC.strip()},
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+nd AS (SELECT count(*) AS n FROM documents),
+dfq AS (SELECT tok, count(*) AS dft FROM tf GROUP BY tok),
+idf AS (
+  SELECT tok,
+         CAST(round(round(ln((n + 1.0) / (dft + 1.0)), 6) * 1000000.0)
+              AS BIGINT) AS idfm
+  FROM dfq, nd
+),
+scored AS (
+  SELECT tf.doc_id, tf.tok AS token, CAST(tf.tf AS BIGINT) AS tf,
+         CAST(tf.tf * idf.idfm AS BIGINT) AS score_micro
+  FROM tf JOIN idf USING (tok)
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY doc_id ORDER BY score_micro DESC, token) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT doc_id, token, tf, score_micro, rank FROM ranked WHERE rank <= {m}
+"""
 
 
 def _quantized_topk_oracle(k: int = 3) -> str:

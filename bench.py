@@ -400,6 +400,13 @@ def main() -> None:
         .collect(),
     )
 
+    # TF-IDF keyword extraction: (id, token) tf shuffle + narrow df/idf
+    # joins + per-doc rank window
+    timed(
+        "doc_tfidf_top",
+        lambda: textstats_ops.tfidf_top_terms(docs, m=3).count(),
+    )
+
     # token-window chunking: shuffle-free scan -> project -> generate
     from log_analysis_spark.operators import chunking as chunking_ops
 

@@ -97,3 +97,65 @@ def pagerank(
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iters: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    broadcast_labels: bool = True,
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS weighted label propagation
+    (Raghavan et al. 2007, made deterministic): returns (node, label) after
+    ``n_iters`` rounds, where nodes sharing a label form a community.
+
+    Semantics (all deterministic — no random visit order, no coin-flip
+    ties, so the DuckDB oracle replays every round exactly):
+    * the graph is treated as UNDIRECTED: each edge contributes its weight
+      to both endpoints' views (parallel edges sum; a self-loop votes for
+      the node's own current label at 2× its weight);
+    * init: label(v) = v;
+    * each round, EVERY node simultaneously adopts the label carrying the
+      largest total incident weight among its neighbors' current labels;
+      ties break to the lexicographically smallest label.
+    Synchronous LPA can oscillate on bipartite structures — a fixed
+    ``n_iters`` makes the output well-defined regardless (the classic
+    async variant is order-dependent, which would be un-oracle-able).
+
+    Scale shape: one symmetrize-and-sum shuffle up front, then per round
+    one equi-join of the |E|-row symmetric edge table with the |V|-row
+    label table (broadcast when ``broadcast_labels``) and ONE aggregate:
+    the argmax is min(struct(-votes, label)) — no per-node window, no
+    SinglePartition stage."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"),
+                     F.col(weight).cast("long").alias("_w"))
+        .union(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"),
+                         F.col(weight).cast("long").alias("_w"))
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("_w").alias("_w"))
+    )
+    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for i in range(n_iters):
+        lbl = F.broadcast(labels) if broadcast_labels else labels
+        votes = (
+            sym.join(lbl, sym["b"] == lbl["node"])
+            .groupBy("a", "label")
+            .agg(F.sum("_w").alias("_v"))
+        )
+        labels = (
+            votes.groupBy("a")
+            .agg(F.min(F.struct((-F.col("_v")).alias("_nv"),
+                                F.col("label"))).alias("_best"))
+            .select(F.col("a").alias("node"), F.col("_best.label").alias("label"))
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=False)
+    return labels

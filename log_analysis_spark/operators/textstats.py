@@ -603,6 +603,56 @@ def dsir_select(
     return w.orderBy(F.desc("logw_micro"), F.asc(id_col)).limit(k)
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    m: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-document keyword extraction: the ``m`` highest-TF-IDF tokens of
+    each doc as (id, token, tf, score_micro, rank) — the classic corpus
+    summarization / topic-tagging primitive (distinct from BM25, which
+    scores DOCS against a QUERY; this scores TOKENS within a doc against
+    the corpus).  Smoothed idf = ln((N+1)/(df_t+1)) with N = total docs.
+
+    Cross-engine exactness: idf is quantized to integer micro-nats from the
+    round-6 log (the repo's standard discipline), and the score is the
+    EXACT integer tf·idf_micro — no float arithmetic reaches the ranking.
+    Total order per doc: score desc, token asc.
+
+    Scale shape: one (id, token) shuffle with map-side combine builds the
+    tf table (payload (16 B key, long) — text never shuffles); document
+    frequency is a second narrow groupBy over that table; N is a one-row
+    broadcast; scoring is a token-keyed 8 B join; the top-m window runs
+    per doc over its distinct-token rows only — no global sort, no
+    SinglePartition stage."""
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    tok = token_table(df, text_col, id_col, lowercase)
+    tf = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("_nd"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("_dft"))
+    idf6 = F.round(
+        F.log((F.col("_nd") + F.lit(1.0)) / (F.col("_dft") + F.lit(1.0))), 6
+    )
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "tok", F.round(idf6 * F.lit(1e6), 0).cast("long").alias("_idfm")
+    )
+    scored = tf.join(idf, "tok").select(
+        id_col,
+        F.col("tok").alias("token"),
+        F.col("tf").cast("long").alias("tf"),
+        (F.col("tf") * F.col("_idfm")).cast("long").alias("score_micro"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score_micro"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= m)
+        .select(id_col, "token", "tf", "score_micro", "rank")
+    )
+
+
 def _hash_bucket(feat: F.Column, n_buckets: int) -> F.Column:
     """Engine-portable feature hashing: leading 8 md5 hex nibbles (32 bits)
     as an integer, mod ``n_buckets`` — the same md5-decode idiom as the

@@ -85,3 +85,69 @@ def test_pagerank_checkpoint_every_preserves_result(spark):
     a = graph.pagerank(_edge_df(spark), n_iters=4).collect()
     b = graph.pagerank(_edge_df(spark), n_iters=4, checkpoint_every=2).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def _py_lpa(edges, n_iters):
+    """Mirror of the documented synchronous LPA: symmetrized weighted votes,
+    argmax with (votes desc, label asc) tie-break."""
+    sym: dict = {}
+    for s, t, w in edges:
+        sym[(s, t)] = sym.get((s, t), 0) + w
+        sym[(t, s)] = sym.get((t, s), 0) + w
+    nodes = sorted({a for a, _ in sym})
+    lbl = {v: v for v in nodes}
+    for _ in range(n_iters):
+        new = {}
+        for v in nodes:
+            votes: dict = {}
+            for (a, b), w in sym.items():
+                if a == v:
+                    votes[lbl[b]] = votes.get(lbl[b], 0) + w
+            new[v] = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        lbl = new
+    return lbl
+
+
+def test_lpa_matches_python_mirror(spark):
+    got = {
+        r["node"]: r["label"]
+        for r in graph.label_propagation(_edge_df(spark), n_iters=4).collect()
+    }
+    assert got == _py_lpa(EDGES, n_iters=4)
+
+
+def test_lpa_two_cliques_split_across_weak_bridge(spark):
+    tri1 = [("a", "b", 3), ("b", "c", 3), ("c", "a", 3)]
+    tri2 = [("d", "e", 3), ("e", "f", 3), ("f", "d", 3)]
+    bridge = [("c", "d", 1)]
+    df = spark.createDataFrame(
+        tri1 + tri2 + bridge, "src string, dst string, w long"
+    )
+    lbl = {
+        r["node"]: r["label"]
+        for r in graph.label_propagation(df, n_iters=6).collect()
+    }
+    assert lbl["a"] == lbl["b"] == lbl["c"]
+    assert lbl["d"] == lbl["e"] == lbl["f"]
+    assert lbl["a"] != lbl["d"]
+
+
+def test_lpa_shuffle_path_equals_broadcast_path(spark):
+    a = graph.label_propagation(_edge_df(spark), n_iters=3).collect()
+    b = graph.label_propagation(
+        _edge_df(spark), n_iters=3, broadcast_labels=False
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_lpa_self_loop_votes_for_self_at_double_weight(spark):
+    # b's self-loop (2×4=8) outvotes a's pull (5): b keeps its own label
+    df = spark.createDataFrame(
+        [("a", "b", 5), ("b", "b", 4)], "src string, dst string, w long"
+    )
+    lbl = {
+        r["node"]: r["label"]
+        for r in graph.label_propagation(df, n_iters=1).collect()
+    }
+    assert lbl["b"] == "b"
+    assert lbl["a"] == "b"  # a's only neighbor is b

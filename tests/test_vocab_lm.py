@@ -334,3 +334,61 @@ def test_bigram_surprise_short_docs_and_lam_validation(spark):
     assert out[2]["n_bigrams"] == 1
     with pytest.raises(ValueError):
         bigram_surprise(docs, lam=1.0)
+
+
+def test_tfidf_top_terms_planted_values(spark):
+    from log_analysis_spark.operators.textstats import tfidf_top_terms
+
+    df = _docs(
+        spark,
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "apple durian durian durian"),
+        ],
+    )
+    got = {
+        (r["doc_id"], r["token"]): (r["tf"], r["score_micro"], r["rank"])
+        for r in tfidf_top_terms(df, m=2).collect()
+    }
+
+    # N=3; df: apple=2, banana=2, cherry=1, durian=1 — replicate the op's
+    # micro-nat quantization exactly
+    def idfm(dft):
+        return round(round(math.log(4.0 / (dft + 1)), 6) * 1e6)
+
+    # doc 1: apple tf2·idf(2), banana tf1·idf(2) — apple wins on score
+    assert got[(1, "apple")] == (2, 2 * idfm(2), 1)
+    assert got[(1, "banana")] == (1, idfm(2), 2)
+    # doc 2: banana and cherry both tf1 — cherry's rarer idf wins
+    assert got[(2, "cherry")] == (1, idfm(1), 1)
+    assert got[(2, "banana")] == (1, idfm(2), 2)
+    # doc 3: durian tf3 rare beats apple; m=2 keeps only top 2
+    assert got[(3, "durian")] == (3, 3 * idfm(1), 1)
+    assert got[(3, "apple")] == (1, idfm(2), 2)
+    assert len(got) == 6
+
+
+def test_tfidf_equal_score_ties_break_token_asc(spark):
+    from log_analysis_spark.operators.textstats import tfidf_top_terms
+
+    df = _docs(spark, [(1, "zed axe"), (2, "unrelated")])
+    got = [
+        (r["token"], r["rank"])
+        for r in tfidf_top_terms(df, m=2)
+        .filter("doc_id = 1")
+        .orderBy("rank")
+        .collect()
+    ]
+    # zed and axe: identical tf=1, identical df=1 → identical score;
+    # token asc decides
+    assert got == [("axe", 1), ("zed", 2)]
+
+
+def test_tfidf_validation(spark):
+    import pytest as _pytest
+
+    from log_analysis_spark.operators.textstats import tfidf_top_terms
+
+    with _pytest.raises(ValueError, match="m must"):
+        tfidf_top_terms(_docs(spark, [(1, "a")]), m=0)

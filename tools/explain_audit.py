@@ -1158,6 +1158,28 @@ def main() -> int:
               "CartesianProduct" not in pr_plan
               and "BroadcastNestedLoopJoin" not in pr_plan),
     ]
+    from log_analysis_spark.operators import textstats as ts_mod
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tfidf = ts_mod.tfidf_top_terms(docs, m=3)
+    tfidf_shufs = shuffle_schemas(tfidf)
+    lpa = graph_ops.label_propagation(pr_edges, n_iters=3)
+    lpa_plan = executed(lpa)
+    notes += [
+        check("tfidf: document text never enters an exchange",
+              all("text" not in c for _, cols in tfidf_shufs for c in cols),
+              f"shuffles={[c for _, c in tfidf_shufs]}"),
+        check("tfidf: the only SinglePartition exchange is the one-row "
+              "corpus-total count (per-doc rank window never globalizes)",
+              all(cols == ["count"] for p, cols in tfidf_shufs
+                  if "SinglePartition" in p)
+              and sum("SinglePartition" in p for p, _ in tfidf_shufs) <= 1,
+              f"singles={[c for p, c in tfidf_shufs if 'SinglePartition' in p]}"),
+        check("label propagation: per-round broadcast label join, "
+              "no cross product",
+              lpa_plan.count("BroadcastHashJoin") >= 3
+              and "CartesianProduct" not in lpa_plan),
+    ]
     sections.append(("Quantized ANN (narrow candidates) + integer PageRank",
                      qt_plan, notes))
 
