@@ -544,6 +544,22 @@ def q_streaming_dedup(spark, sf_dir):
     )
 
 
+def q_streaming_ss_join(spark, sf_dir):
+    """§2.9 stream-stream watermarked interval join: tool-call turns joined
+    to the error turns that follow them in the same conv within 30 min,
+    BOTH sides unbounded streams (join state evicted by the two watermarks
+    + the time-range bound).  Exact oracle: with the watermark exceeding
+    the static snapshot's event-time span nothing is evicted, so the
+    streaming result equals the plain SQL interval join; the bounded-state
+    side of the trade (a >watermark-late error NOT joining) is unit-tested
+    in tests/test_streaming.py."""
+    from log_analysis_spark.streaming.stream_join import run_stream_tool_error_join
+
+    return run_stream_tool_error_join(
+        spark, _stream_src(spark, sf_dir), query_name="q_stream_ssj"
+    )
+
+
 def q_conv_docs(spark, sf_dir):
     """Transcripts→training-corpus bridge (the A+B graft in one op): one
     document per conversation, boilerplate turns stripped — any exact turn
@@ -1600,6 +1616,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_filter": q_substring_filter,
         "regex_filter": q_regex_filter,
         "streaming_hourly": q_streaming_hourly,
+        "streaming_ss_join": q_streaming_ss_join,
         "doc_token_count": q_doc_token_count,
         "corpus_temperature_mix": q_corpus_temperature_mix,
         "doc_dup_span_stats": q_doc_dup_span_stats,
@@ -1733,6 +1750,19 @@ def retired_oracle_sql() -> dict[str, str]:
             f"""SELECT date_trunc('hour', ts) AS hour, {_SINK_TAG} AS sink, role,
                        count(*) AS n
                 FROM parsed GROUP BY 1, 2, 3"""
+        ),
+        "streaming_ss_join": P(
+            """, tools AS (
+  SELECT conv_id, turn_idx AS tool_turn_idx, tool, ts
+  FROM parsed WHERE tool <> '-'
+),
+errs AS (
+  SELECT conv_id, turn_idx AS err_turn_idx, ts AS e_ts
+  FROM parsed WHERE turn_class = 'error'
+)
+SELECT t.conv_id, t.tool_turn_idx, t.tool, e.err_turn_idx
+FROM tools t JOIN errs e ON e.conv_id = t.conv_id
+ AND e.e_ts >= t.ts AND e.e_ts <= t.ts + INTERVAL 30 MINUTE"""
         ),
         "doc_token_count": (
             f"SELECT doc_id, len({_DOC_TOKENS}) AS n_tokens FROM documents"

@@ -371,3 +371,106 @@ def test_streaming_cms_counters_equal_batch(spark, tmp_path):
     want = sketches.cms_sketch(ev, "user_id", depth=4, width=128)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     assert got.count() <= 4 * 128  # bounded state, whatever the history
+
+
+def test_stream_stream_join_equals_batch(spark, transcripts, tmp_path):
+    """Stream-stream watermarked interval join (tool call -> following
+    error, same conv, within 30 min): with the watermark exceeding the
+    static dir's event-time span nothing is evicted, so the streaming
+    result must equal the batch join row-for-row."""
+    from log_analysis_spark.streaming.stream_join import (
+        batch_tool_error_join,
+        run_stream_tool_error_join,
+    )
+
+    src = str(tmp_path / "ssj_src")
+    transcripts.write.mode("overwrite").parquet(src)
+    got = sorted(
+        map(tuple, run_stream_tool_error_join(spark, src, "t_ssj").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            batch_tool_error_join(
+                parse_turns(spark.read.parquet(src))
+            ).collect(),
+        )
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_stream_stream_join_evicts_past_watermark_matches(spark, tmp_path):
+    """The bounded-state side of the trade: with a TIGHT watermark, a
+    same-conv error arriving several micro-batches (and > watermark delay
+    of event time) after its tool call is NOT joined — proof the left
+    row's join state was evicted rather than kept forever."""
+    import datetime as dt
+
+    from log_analysis_spark.streaming.stream_join import stream_tool_error_join
+
+    t0 = dt.datetime(2025, 1, 1, 0, 0, 0)
+
+    def turn(conv, idx, text, tool, ts):
+        return (conv, idx, "assistant", text, tool, ts)
+
+    rows_b1 = [
+        turn("c1", 0, "GET /api/v1/run HTTP/1.1 200 12ms", "bash", t0),
+        # in-gap, in-watermark error: must join
+        turn("c1", 1, "ERROR! HttpError: tool timeout", "-",
+             t0 + dt.timedelta(minutes=5)),
+    ]
+    # the global watermark is the MIN over both sides' watermark nodes, and
+    # each side's node only sees rows surviving its own filter — so the
+    # advancing batches must carry BOTH a tool call and an error turn
+    rows_b2 = [
+        turn("c9", 0, "GET /api/v1/x HTTP/1.1 200 1ms", "bash",
+             t0 + dt.timedelta(hours=10)),
+        turn("c8", 0, "ERROR! HttpError: unrelated", "-",
+             t0 + dt.timedelta(hours=10)),
+    ]
+    rows_b3 = [
+        # a further batch under the advanced watermark: join-state eviction
+        # runs at the END of a batch, so this one flushes c1@t0's state
+        turn("c9", 1, "GET /api/v1/y HTTP/1.1 200 1ms", "bash",
+             t0 + dt.timedelta(hours=10, minutes=1)),
+        turn("c8", 1, "ERROR! HttpError: unrelated 2", "-",
+             t0 + dt.timedelta(hours=10, minutes=1)),
+    ]
+    rows_b4 = [
+        # same conv, inside the 30-min GAP of the c1 tool call, but its
+        # event time is hours behind the watermark -> state evicted, no join
+        turn("c1", 2, "ERROR! HttpError: tool timeout late", "-",
+             t0 + dt.timedelta(minutes=10)),
+    ]
+    src = str(tmp_path / "ssj_evict")
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    out = stream_tool_error_join(
+        spark, src, max_gap="30 minutes", watermark="1 hour"
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_ssj_evict")
+        .start()
+    )
+    try:
+        for i, rows in enumerate([rows_b1, rows_b2, rows_b3, rows_b4]):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        (r["conv_id"], r["tool_turn_idx"], r["err_turn_idx"])
+        for r in spark.sql("SELECT * FROM t_ssj_evict").collect()
+    ]
+    assert ("c1", 0, 1) in got  # the live match joined
+    assert ("c1", 0, 2) not in got  # the >watermark-late one was dropped
