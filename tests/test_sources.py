@@ -190,3 +190,79 @@ def test_compact_parquet_preserves_rows(spark, tmp_path):
     assert res["n_files_before"] >= 30
     assert res["n_files_after"] <= 2
     assert res["rows"] == ev.count()
+
+
+# ---- keyed upsert sink ------------------------------------------------------
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "k string, v long")
+
+
+def test_upsert_keyed_sequence_matches_expected(spark, tmp_path):
+    from log_analysis_spark.sources.sinks import read_keyed, upsert_keyed
+
+    tbl = str(tmp_path / "dim")
+    upsert_keyed(spark, tbl, _kv(spark, [("a", 1), ("b", 2)]), ["k"])
+    upsert_keyed(spark, tbl, _kv(spark, [("b", 20), ("c", 3)]), ["k"])
+    got = {r["k"]: r["v"] for r in read_keyed(spark, tbl).collect()}
+    assert got == {"a": 1, "b": 20, "c": 3}
+
+
+def test_upsert_keyed_delete_marker_removes_keys(spark, tmp_path):
+    from log_analysis_spark.sources.sinks import read_keyed, upsert_keyed
+
+    tbl = str(tmp_path / "dim_del")
+    upsert_keyed(spark, tbl, _kv(spark, [("a", 1), ("b", 2), ("c", 3)]), ["k"])
+    upd = spark.createDataFrame(
+        [("b", 0, True), ("d", 4, False)], "k string, v long, _del boolean"
+    )
+    res = upsert_keyed(spark, tbl, upd, ["k"], delete_col="_del")
+    got = {r["k"]: r["v"] for r in read_keyed(spark, tbl).collect()}
+    assert got == {"a": 1, "c": 3, "d": 4}
+    assert res["n_rows"] == 3
+
+
+def test_upsert_keyed_rejects_intra_batch_duplicate_keys(spark, tmp_path):
+    import pytest as _pytest
+
+    from log_analysis_spark.sources.sinks import upsert_keyed
+
+    with _pytest.raises(ValueError, match="duplicate keys"):
+        upsert_keyed(
+            spark,
+            str(tmp_path / "dim_dup"),
+            _kv(spark, [("a", 1), ("a", 2)]),
+            ["k"],
+        )
+
+
+def test_upsert_keyed_crash_mid_write_invisible(spark, tmp_path):
+    """A version dir written WITHOUT the marker flip (crashed writer) must
+    be invisible to read_keyed, and the next upsert must supersede it."""
+    from log_analysis_spark.sources.sinks import read_keyed, upsert_keyed
+
+    tbl = str(tmp_path / "dim_crash")
+    upsert_keyed(spark, tbl, _kv(spark, [("a", 1)]), ["k"])
+    # simulate a crash: version=2 data lands but the marker never flips
+    _kv(spark, [("a", 999)]).write.parquet(f"{tbl}/version=2")
+    got = {r["k"]: r["v"] for r in read_keyed(spark, tbl).collect()}
+    assert got == {"a": 1}
+    # the recovering writer overwrites the torn dir and commits atomically
+    upsert_keyed(spark, tbl, _kv(spark, [("b", 2)]), ["k"])
+    got = {r["k"]: r["v"] for r in read_keyed(spark, tbl).collect()}
+    assert got == {"a": 1, "b": 2}
+
+
+def test_upsert_keyed_prunes_old_versions(spark, tmp_path):
+    import glob
+
+    from log_analysis_spark.sources.sinks import upsert_keyed
+
+    tbl = str(tmp_path / "dim_prune")
+    for i in range(4):
+        upsert_keyed(spark, tbl, _kv(spark, [("a", i)]), ["k"], keep_versions=2)
+    vs = sorted(
+        int(p.rsplit("=", 1)[1]) for p in glob.glob(f"{tbl}/version=*")
+    )
+    assert vs == [3, 4]
