@@ -1284,6 +1284,28 @@ def q_doc_unigram_surprise(spark, sf_dir):
     return textstats.unigram_surprise(_docs(spark, sf_dir))
 
 
+def q_corpus_overlap_matrix(spark, sf_dir):
+    """Cross-source duplicate audit: the md5-minhash near-dup pairs folded
+    into the unordered (source_a, source_b, n_pairs) overlap matrix —
+    which ingest feeds mirror each other vs self-duplicate, the table read
+    before choosing keep-first precedence.  Pairs carry only ids into the
+    two label joins; the oracle recomputes the full LSH pipeline AND the
+    matrix fold."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.2, hash_impl="md5")
+    return dedup.source_overlap_matrix(docs, pairs)
+
+
+def q_corpus_shard_assign(spark, sf_dir):
+    """Rendezvous (highest-random-weight) shard placement over the corpus:
+    content-independent, reproducible in any engine, and resize-stable
+    (adding a shard moves only the rows it wins — unit-proven).  Pure
+    zero-shuffle projection."""
+    return corpus.rendezvous_assign(
+        _docs(spark, sf_dir), ["shard-a", "shard-b", "shard-c", "shard-d"]
+    ).select("doc_id", "shard")
+
+
 def q_doc_tfidf_top(spark, sf_dir):
     """Per-doc keyword extraction: top-3 tokens by TF-IDF (smoothed idf in
     integer micro-nats, score = exact integer tf·idf_micro; score desc,
@@ -1663,6 +1685,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_tool_pagerank": q_graph_pagerank,
         "graph_tool_communities": q_graph_communities,
         "doc_tfidf_top": q_doc_tfidf_top,
+        "corpus_shard_assign": q_corpus_shard_assign,
+        "corpus_overlap_matrix": q_corpus_overlap_matrix,
         "doc_bigram_surprise": q_doc_bigram_surprise,
         "corpus_bpe_merges": q_corpus_bpe_merges,
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
@@ -1865,6 +1889,23 @@ WHERE e.value > thr.t
         "graph_tool_pagerank": _pagerank_oracle(),
         "graph_tool_communities": _lpa_oracle(n_iters=4),
         "doc_tfidf_top": _tfidf_oracle(m=3),
+        "corpus_shard_assign": """
+WITH sh AS (
+  SELECT unnest(['shard-a', 'shard-b', 'shard-c', 'shard-d']) AS s
+),
+h AS (
+  SELECT d.doc_id, sh.s,
+         md5(sh.s || ':' || CAST(d.doc_id AS VARCHAR)) AS hv
+  FROM documents d CROSS JOIN sh
+),
+r AS (
+  SELECT doc_id, s,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hv DESC, s DESC) AS rn
+  FROM h
+)
+SELECT doc_id, s AS shard FROM r WHERE rn = 1
+""",
+        "corpus_overlap_matrix": _overlap_matrix_oracle(threshold=0.2),
         "doc_bigram_surprise": _bigram_surprise_oracle(lam=BIGRAM_LAM),
         "corpus_snapshot_diff": _SNAPSHOT_DIFF_ORACLE,
         "corpus_weighted_sample": _weighted_sample_oracle(k=100),
@@ -3535,6 +3576,31 @@ scored AS (
 )
 SELECT id_a, id_b, round(jaccard, 6) AS jaccard
 FROM scored WHERE jaccard >= {threshold}
+"""
+
+
+def _overlap_matrix_oracle(
+    threshold: float = 0.2, n_hashes: int = 32, bands: int = 8
+) -> str:
+    """Mirror of q_corpus_overlap_matrix: the SAME candidate CTEs + exact
+    Jaccard verify as the md5 minhash oracle, then the canonical
+    least/greatest source-cell fold."""
+    return f"""
+WITH {_minhash_cand_ctes(n_hashes, bands).strip()},
+scored AS (
+  SELECT id_a, id_b,
+         CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+           / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS jaccard
+  FROM cand
+),
+p AS (SELECT id_a, id_b FROM scored WHERE jaccard >= {threshold})
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       count(*) AS n_pairs
+FROM p
+JOIN documents da ON da.doc_id = p.id_a
+JOIN documents db ON db.doc_id = p.id_b
+GROUP BY 1, 2
 """
 
 

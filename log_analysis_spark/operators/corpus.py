@@ -868,3 +868,41 @@ def weighted_sample(
         .limit(k)
         .drop("_wkey")
     )
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    shards: list[str],
+    id_col: str = "doc_id",
+    out: str = "shard",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment: each row goes
+    to the shard maximizing ``md5(shard || ':' || id)`` — the consistent
+    placement a GROWING corpus store needs: adding a shard moves only
+    ~1/(n+1) of rows (those whose new shard now wins), while the mod-N
+    assignment a naive ``hash(id) % n`` gives reshuffles ~(n-1)/n of the
+    corpus on every resize.  Weights are content-independent (id only), so
+    placement is reproducible in any engine and stable across re-ingests.
+
+    Scale shape: pure per-row projection — n_shards md5 evaluations folded
+    by ``array_max`` over (hash, shard) structs, zero shuffles, zero Python
+    (the shard list is a literal; it is a CLUSTER topology, bounded by
+    construction).  The struct max compares (hash, shard) lexicographically
+    — on the measure-zero md5 collision the larger shard name wins, still
+    deterministic.
+    """
+    if not shards:
+        raise ValueError("shards must be non-empty")
+    if len(set(shards)) != len(shards):
+        raise ValueError("shard names must be distinct")
+    sid = F.col(id_col).cast("string")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.md5(F.concat(F.lit(s + ":"), sid)).alias("h"),
+                F.lit(s).alias("s"),
+            )
+            for s in sorted(shards)
+        ]
+    )
+    return df.withColumn(out, F.array_max(pairs)["s"])

@@ -763,3 +763,43 @@ def simhash_neardup_pairs(
     return cand.withColumn("hamming", ham).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplicate audit: fold ANY near-dup pair frame
+    (minhash / simhash / jaccard / embedding — anything with id_a, id_b)
+    into the unordered (source_a, source_b, n_pairs) overlap matrix — the
+    table that tells a corpus owner which ingest feeds are mirroring each
+    other (off-diagonal mass) vs self-duplicating (diagonal mass) BEFORE
+    deciding precedence for keep-first dedup.
+
+    Scale shape: two narrow equi-joins attach each pair end's group label
+    (pairs carry only ids; the label map is (id, group) — text never
+    enters), then one small groupBy whose output is at most
+    |groups|·(|groups|+1)/2 rows.  Cell ordering is least/greatest, so the
+    matrix is canonical upper-triangular regardless of pair orientation.
+    """
+    g = docs.select(F.col(id_col), F.col(group_col))
+    j = (
+        pairs.select("id_a", "id_b")
+        .join(
+            g.select(F.col(id_col).alias("id_a"), F.col(group_col).alias("_ga")),
+            "id_a",
+        )
+        .join(
+            g.select(F.col(id_col).alias("id_b"), F.col(group_col).alias("_gb")),
+            "id_b",
+        )
+    )
+    return (
+        j.groupBy(
+            F.least("_ga", "_gb").alias("source_a"),
+            F.greatest("_ga", "_gb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

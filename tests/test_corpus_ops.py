@@ -361,3 +361,65 @@ def test_weighted_sample_rejects_nonpositive_weights(spark):
     df = spark.createDataFrame([Row(doc_id=1, w=2.0), Row(doc_id=2, w=0.0)])
     with pytest.raises(ValueError):
         weighted_sample(df, "w", k=1)
+
+
+# ---- rendezvous shard assignment -------------------------------------------
+
+
+def test_rendezvous_matches_python_mirror(spark):
+    import hashlib
+
+    from log_analysis_spark.operators.corpus import rendezvous_assign
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(50)], "doc_id long, text string"
+    )
+    shards = ["s0", "s1", "s2"]
+    got = {
+        r["doc_id"]: r["shard"]
+        for r in rendezvous_assign(docs, shards).collect()
+    }
+    want = {
+        i: max(
+            shards,
+            key=lambda s: (hashlib.md5(f"{s}:{i}".encode()).hexdigest(), s),
+        )
+        for i in range(50)
+    }
+    assert got == want
+
+
+def test_rendezvous_resize_moves_only_new_shard_rows(spark):
+    """The consistent-placement property: adding a shard relocates ONLY the
+    rows the new shard wins; every other row keeps its assignment."""
+    from log_analysis_spark.operators.corpus import rendezvous_assign
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(400)], "doc_id long, text string"
+    )
+    before = {
+        r["doc_id"]: r["shard"]
+        for r in rendezvous_assign(docs, ["s0", "s1", "s2", "s3"]).collect()
+    }
+    after = {
+        r["doc_id"]: r["shard"]
+        for r in rendezvous_assign(
+            docs, ["s0", "s1", "s2", "s3", "s4"]
+        ).collect()
+    }
+    moved = {i for i in before if before[i] != after[i]}
+    assert all(after[i] == "s4" for i in moved)
+    # and the new shard takes roughly its fair 1/5 share (loose bound)
+    assert 0.08 <= len(moved) / 400 <= 0.35
+
+
+def test_rendezvous_validation(spark):
+    import pytest as _pytest
+
+    from log_analysis_spark.operators.corpus import rendezvous_assign
+
+    docs = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="non-empty"):
+        rendezvous_assign(docs, [])
+    with _pytest.raises(ValueError, match="distinct"):
+        rendezvous_assign(docs, ["a", "a"])

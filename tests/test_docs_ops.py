@@ -1068,3 +1068,23 @@ def test_snapshot_diff_join_shuffles_fingerprint_not_text(spark, sf_dir):
     # `text` may only occur inside scan/project nodes, before any exchange
     first_exchange = plan.find("Exchange")
     assert first_exchange != -1
+
+
+def test_source_overlap_matrix_planted(spark):
+    """Planted pair frame + label map: the fold is canonical (unordered
+    cells via least/greatest) and counts both diagonal and off-diagonal
+    mass correctly."""
+    docs = spark.createDataFrame(
+        [(1, "cc"), (2, "wiki"), (3, "cc"), (4, "books"), (5, "wiki")],
+        "doc_id long, source string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 3), (2, 1), (1, 5), (4, 5)], "id_a long, id_b long"
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r["n_pairs"]
+        for r in dedup.source_overlap_matrix(docs, pairs).collect()
+    }
+    # (1,3): cc-cc diag; (2,1): wiki-cc -> (cc, wiki); (1,5): cc-wiki ->
+    # (cc, wiki); (4,5): books-wiki -> (books, wiki)
+    assert got == {("cc", "cc"): 1, ("cc", "wiki"): 2, ("books", "wiki"): 1}
