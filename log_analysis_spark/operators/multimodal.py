@@ -273,3 +273,135 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
         )
         .select("media_id", "frame_idx", "meta")
     )
+
+
+# ---------------------------------------------------------------- audio
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),  # frames (per channel)
+        T.StructField("duration_us", T.LongType()),  # exact integer micro-s
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossings", T.LongType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """RIFF/WAVE PCM16 encoder for an (n,) or (n, channels) int16 array —
+    the fixture-side inverse of ``decode_wav`` (no codec library needed:
+    canonical 44-byte header + interleaved little-endian samples)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    assert samples.dtype == np.int16
+    data = samples.astype("<i2").tobytes()
+    byte_rate = sample_rate * ch * 2
+    hdr = (
+        b"RIFF"
+        + (36 + len(data)).to_bytes(4, "little")
+        + b"WAVEfmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")          # PCM
+        + ch.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (ch * 2).to_bytes(2, "little")     # block align
+        + (16).to_bytes(2, "little")         # bits/sample
+        + b"data"
+        + len(data).to_bytes(4, "little")
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode a RIFF/WAVE PCM16 payload to (sample_rate, (n, ch) int16
+    array).  Real chunk walk (fmt /data located by id, unknown chunks
+    skipped per spec — word-aligned), pure numpy.  Raises ``ValueError``
+    on non-PCM16 or malformed containers (MP3/AAC/float WAV need a codec
+    library this container doesn't ship)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF/WAVE payload (magic={payload[:4]!r})")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt /data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    ch = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16:
+        raise ValueError(
+            f"only PCM16 supported (format={audio_format}, bits={bits})"
+        )
+    if ch < 1:
+        raise ValueError(f"invalid channel count {ch}")
+    frames = len(data) // (2 * ch)
+    arr = np.frombuffer(data, dtype="<i2", count=frames * ch).reshape(frames, ch)
+    return rate, arr.copy()
+
+
+def audio_feature_extract(media: DataFrame) -> DataFrame:
+    """REAL audio decode path: WAV/PCM16 payloads → waveform stats via
+    mapInPandas (the audio twin of ``image_feature_extract``).  Decode is
+    per-payload by nature (chunk walk); the waveform statistics are numpy
+    over the decoded array.  ``duration_us`` is the EXACT integer
+    ``frames·1e6 div rate`` (no float time axis); ``zero_crossings`` counts
+    sign changes of the channel-0 waveform (zeros carry the previous
+    sign); undecodable payloads yield nulls + ``decode_error``."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_FEATURE_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(int(mid))
+                try:
+                    if payload is None:
+                        raise ValueError("null payload")
+                    rate, arr = decode_wav(bytes(payload))
+                    frames = arr.shape[0]
+                    x = arr.astype(np.float64)
+                    s = np.sign(arr[:, 0]).astype(np.int8)
+                    nz = s != 0
+                    sf = s[nz]
+                    out["sample_rate"].append(rate)
+                    out["n_channels"].append(arr.shape[1])
+                    out["n_samples"].append(frames)
+                    out["duration_us"].append(frames * 10**6 // rate)
+                    out["peak"].append(
+                        int(np.abs(x).max()) if frames else 0
+                    )
+                    out["rms"].append(
+                        round(float(np.sqrt((x * x).mean())), 6)
+                        if frames
+                        else 0.0
+                    )
+                    out["zero_crossings"].append(
+                        int((sf[1:] != sf[:-1]).sum()) if len(sf) else 0
+                    )
+                    out["decode_error"].append(None)
+                except (ValueError, IndexError) as e:
+                    for k in (
+                        "sample_rate", "n_channels", "n_samples",
+                        "duration_us", "peak", "rms", "zero_crossings",
+                    ):
+                        out[k].append(None)
+                    out["decode_error"].append(str(e))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract, AUDIO_FEATURE_SCHEMA
+    )

@@ -1088,3 +1088,70 @@ def test_source_overlap_matrix_planted(spark):
     # (1,3): cc-cc diag; (2,1): wiki-cc -> (cc, wiki); (1,5): cc-wiki ->
     # (cc, wiki); (4,5): books-wiki -> (books, wiki)
     assert got == {("cc", "cc"): 1, ("cc", "wiki"): 2, ("books", "wiki"): 1}
+
+
+def test_wav_roundtrip_and_audio_features(spark):
+    """encode_wav -> decode_wav is exact, and the Spark extractor's stats
+    match direct numpy over the known waveform (stereo + mono, deterministic
+    square/sine fixtures)."""
+    import numpy as np
+
+    from log_analysis_spark.operators import multimodal as mm
+
+    # mono square wave: 100 Hz at 8 kHz, 0.5 s -> 4000 frames
+    t = np.arange(4000)
+    mono = (np.where((t // 40) % 2 == 0, 12000, -12000)).astype(np.int16)
+    # stereo ramp
+    st = np.stack([np.arange(-500, 500), np.arange(500, -500, -1)], axis=1).astype(
+        np.int16
+    )
+    rate, arr = mm.decode_wav(mm.encode_wav(mono, 8000))
+    assert rate == 8000 and np.array_equal(arr[:, 0], mono)
+    rate2, arr2 = mm.decode_wav(mm.encode_wav(st, 44100))
+    assert rate2 == 44100 and np.array_equal(arr2, st)
+
+    media = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(mm.encode_wav(mono, 8000))),
+            (2, "audio", bytearray(mm.encode_wav(st, 44100))),
+            (3, "audio", bytearray(b"not a wav")),
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    got = {r["media_id"]: r for r in mm.audio_feature_extract(media).collect()}
+    r1 = got[1]
+    assert (r1["sample_rate"], r1["n_channels"], r1["n_samples"]) == (8000, 1, 4000)
+    assert r1["duration_us"] == 4000 * 10**6 // 8000  # exactly 0.5 s
+    assert r1["peak"] == 12000
+    assert r1["rms"] == 12000.0  # square wave: rms == amplitude
+    # 100 sign flips: 4000/40 periods -> a crossing at every 40-sample edge
+    assert r1["zero_crossings"] == 99
+    assert r1["decode_error"] is None
+    r2 = got[2]
+    x = st.astype(np.float64)
+    assert r2["n_channels"] == 2 and r2["n_samples"] == 1000
+    assert r2["rms"] == round(float(np.sqrt((x * x).mean())), 6)
+    assert r2["peak"] == 500
+    r3 = got[3]
+    assert r3["decode_error"] is not None and r3["n_samples"] is None
+
+
+def test_decode_wav_rejects_non_pcm16_and_walks_extra_chunks(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from log_analysis_spark.operators import multimodal as mm
+
+    wav = bytearray(mm.encode_wav(np.array([1, -1], dtype=np.int16), 8000))
+    # splice an unknown (odd-sized, word-aligned) chunk between fmt and data
+    extra = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"
+    spliced = bytes(wav[:36]) + extra + bytes(wav[36:])
+    rate, arr = mm.decode_wav(spliced)
+    assert rate == 8000 and arr.shape == (2, 1)
+
+    bad = bytearray(wav)
+    bad[20:22] = (3).to_bytes(2, "little")  # IEEE float format tag
+    with _pytest.raises(ValueError, match="PCM16"):
+        mm.decode_wav(bytes(bad))
+    with _pytest.raises(ValueError, match="RIFF"):
+        mm.decode_wav(b"ID3\x03junkjunkjunk")
