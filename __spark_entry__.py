@@ -560,6 +560,21 @@ def q_streaming_ss_join(spark, sf_dir):
     )
 
 
+def q_streaming_sessions(spark, sf_dir):
+    """§2.9 native session windows (F.session_window): per-conv sessions
+    closing after 15 min of event-time silence — the streaming twin of the
+    batch gap-sessionize.  Exact oracle: complete mode over the static
+    snapshot equals the SQL islands recompute (new session when the gap to
+    the previous turn >= 15 min; end = last event + gap)."""
+    from log_analysis_spark.streaming.stream_pipeline import (
+        run_stream_sessions_to_memory,
+    )
+
+    return run_stream_sessions_to_memory(
+        spark, _stream_src(spark, sf_dir), query_name="q_stream_sessions"
+    )
+
+
 def q_conv_docs(spark, sf_dir):
     """Transcripts→training-corpus bridge (the A+B graft in one op): one
     document per conversation, boilerplate turns stripped — any exact turn
@@ -589,6 +604,32 @@ def q_events_sessionize(spark, sf_dir):
 
 
 FUNNEL_STEPS = ["signup", "view", "purchase"]
+
+
+INTERVAL_DIM = [
+    ("2024-01-01 00:00:00", "2024-01-08 00:00:00", "train-1"),
+    ("2024-01-08 00:00:00", "2024-01-15 00:00:00", "train-2"),
+    ("2024-01-10 00:00:00", "2024-01-12 00:00:00", "maint-a"),  # nested
+    ("2024-01-15 00:00:00", "2024-01-22 00:00:00", "train-3"),
+    ("2024-01-22 00:00:00", "2024-02-01 00:00:00", "train-4"),
+]
+
+
+def q_events_interval_lookup(spark, sf_dir):
+    """Calendar/release-train enrichment WITHOUT a join node: each event
+    labeled by the latest-starting interval containing its ts (the nested
+    maint-a window wins inside train-2), via a literal sorted struct array
+    in one projection — zero shuffles until the final tiny count.  The
+    non-equi-join alternative plans as BroadcastNestedLoopJoin; this is
+    the O(|dim|)-per-row scan shape a bounded calendar dim deserves."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return (
+        joins.broadcast_interval_lookup(ev, INTERVAL_DIM)
+        .groupBy("interval_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 def q_events_asof(spark, sf_dir):
@@ -1639,6 +1680,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_filter": q_regex_filter,
         "streaming_hourly": q_streaming_hourly,
         "streaming_ss_join": q_streaming_ss_join,
+        "streaming_sessions": q_streaming_sessions,
+        "events_interval_lookup": q_events_interval_lookup,
         "doc_token_count": q_doc_token_count,
         "corpus_temperature_mix": q_corpus_temperature_mix,
         "doc_dup_span_stats": q_doc_dup_span_stats,
@@ -1788,6 +1831,27 @@ SELECT t.conv_id, t.tool_turn_idx, t.tool, e.err_turn_idx
 FROM tools t JOIN errs e ON e.conv_id = t.conv_id
  AND e.e_ts >= t.ts AND e.e_ts <= t.ts + INTERVAL 30 MINUTE"""
         ),
+        "streaming_sessions": P(
+            """, brk AS (
+  SELECT conv_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 15 MINUTE
+              THEN 1 ELSE 0 END AS b
+  FROM parsed
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts)
+),
+grp AS (
+  SELECT conv_id, ts,
+         sum(b) OVER (PARTITION BY conv_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) AS sid
+  FROM brk
+)
+SELECT conv_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 15 MINUTE AS session_end,
+       count(*) AS n_turns
+FROM grp GROUP BY conv_id, sid"""
+        ),
+        "events_interval_lookup": _interval_lookup_oracle(),
         "doc_token_count": (
             f"SELECT doc_id, len({_DOC_TOKENS}) AS n_tokens FROM documents"
         ),
@@ -3576,6 +3640,32 @@ scored AS (
 )
 SELECT id_a, id_b, round(jaccard, 6) AS jaccard
 FROM scored WHERE jaccard >= {threshold}
+"""
+
+
+def _interval_lookup_oracle() -> str:
+    """Mirror of q_events_interval_lookup: the same interval dim as VALUES,
+    [s, e) containment, latest-start (then label) argmax, NULL-label rows
+    kept by the LEFT join, final count fold."""
+    vals = ",\n    ".join(
+        f"(TIMESTAMP '{s}', TIMESTAMP '{e}', '{lab}')"
+        for s, e, lab in INTERVAL_DIM
+    )
+    return f"""
+WITH iv(s, e, lab) AS (
+  VALUES
+    {vals}
+),
+m AS (
+  SELECT ev.event_id, i.lab,
+         row_number() OVER (
+           PARTITION BY ev.event_id ORDER BY i.s DESC, i.lab DESC) AS rn
+  FROM events ev JOIN iv i ON i.s <= ev.ts AND ev.ts < i.e
+)
+SELECT l.lab AS interval_label, count(*) AS n
+FROM events ev LEFT JOIN (SELECT event_id, lab FROM m WHERE rn = 1) l
+  USING (event_id)
+GROUP BY 1
 """
 
 

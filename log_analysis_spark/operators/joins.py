@@ -336,3 +336,47 @@ def skew_aware_join(
         F.broadcast(right.filter(F.col(key).isin(hot))), key, how
     )
     return cold.unionByName(hot_j)
+
+
+def broadcast_interval_lookup(
+    fact: DataFrame,
+    intervals: list[tuple],
+    ts_col: str = "ts",
+    out: str = "interval_label",
+) -> DataFrame:
+    """Interval-dimension lookup WITHOUT a join node: label each fact row
+    with the (start, end, label) interval containing its timestamp — the
+    calendar/maintenance-window/release-train enrichment that, written as a
+    non-equi join, Spark can only plan as a BroadcastNestedLoopJoin (every
+    row × every interval through a join operator).  Here the dimension
+    rides as a LITERAL sorted struct array inside one projection:
+    ``filter(dim, i -> start <= ts < end)`` then take the LAST match —
+    the latest-starting (most specific) interval when they overlap.  Plan
+    is scan → project: zero shuffles, zero Python, codegen-friendly;
+    cost O(|dim|) per row, the right trade for the ≤10³ intervals a
+    calendar dim holds (bigger dims deserve the bucketed interval_join).
+
+    ``intervals``: (start, end, label) with [start, end) semantics; start/
+    end as datetime or ISO strings (parsed by ``F.lit`` casting).  No
+    match → NULL label.  Overlap tie-break: max start, then max label
+    (fully deterministic).
+    """
+    if not intervals:
+        raise ValueError("intervals must be non-empty")
+    dim = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("timestamp").alias("s"),
+                F.lit(e).cast("timestamp").alias("e"),
+                F.lit(lab).alias("lab"),
+            )
+            for s, e, lab in intervals
+        ]
+    )
+    ts = F.col(ts_col)
+    hits = F.filter(dim, lambda iv: (iv["s"] <= ts) & (ts < iv["e"]))
+    best = F.array_max(
+        F.transform(hits, lambda iv: F.struct(iv["s"].alias("s"),
+                                              iv["lab"].alias("lab")))
+    )
+    return fact.withColumn(out, best["lab"])

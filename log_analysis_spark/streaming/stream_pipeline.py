@@ -189,3 +189,49 @@ def run_stream_routed(
         q.stop()
     routed = spark.read.option("basePath", out_dir).parquet(f"{out_dir}/batch=*")
     return {r["sink"]: r["n"] for r in router.sink_counts(routed).collect()}
+
+
+def streaming_session_counts(stream: DataFrame, gap: str = "15 minutes") -> DataFrame:
+    """Native session-window aggregation (``F.session_window``) — the
+    streaming twin of the batch gap-sessionize (windows_ops.sessionize):
+    per-conv sessions close after ``gap`` of event-time silence, merging as
+    late events arrive.  Output (conv_id, session_start, session_end,
+    n_turns) with end = last event + gap (Spark's session semantics: a new
+    session starts when the gap to the previous event is >= ``gap``).
+
+    State story: in production (append mode + watermark) a session's state
+    is emitted and evicted once the watermark passes its end — bounded by
+    active conversations, not history.  The exactness harness runs complete
+    mode over a static dir, where the result must equal the batch islands
+    recompute (the contract oracle)."""
+    parsed = parse_turns_native(stream)
+    return (
+        parsed.groupBy("conv_id", F.session_window("ts", gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            "conv_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_turns",
+        )
+    )
+
+
+def run_stream_sessions_to_memory(
+    spark: SparkSession,
+    path: str,
+    gap: str = "15 minutes",
+    query_name: str = "stream_sessions",
+) -> DataFrame:
+    agg = streaming_session_counts(stream_transcripts(spark, path), gap)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -470,3 +470,62 @@ def test_bloom_and_skew_joins_empty_right(spark):
     # left_outer through the skew path keeps every left row
     lo = J.skew_aware_join(facts, empty, "k", how="left_outer", threshold_frac=0.01)
     assert lo.count() == 50 and all(r["tag"] is None for r in lo.collect())
+
+
+def test_broadcast_interval_lookup_semantics(spark):
+    """[start, end) containment, latest-start wins on overlap, NULL on no
+    match — validated against a brute-force join mirror."""
+    import datetime as dt
+
+    from log_analysis_spark.operators.joins import broadcast_interval_lookup
+
+    t = lambda h, m=0: dt.datetime(2025, 3, 1, h, m)  # noqa: E731
+    intervals = [
+        (t(0), t(12), "morning-maint"),
+        (t(10), t(11), "release-42"),   # nested: starts later, wins inside
+        (t(12), t(18), "steady"),
+    ]
+    rows = [
+        (1, t(5)),    # morning-maint only
+        (2, t(10)),   # overlap: release-42 (later start)
+        (3, t(11)),   # release window closed ([s, e)): morning-maint
+        (4, t(12)),   # boundary: morning ends (exclusive), steady begins
+        (5, t(20)),   # no interval -> NULL
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    got = {
+        r["event_id"]: r["interval_label"]
+        for r in broadcast_interval_lookup(df, intervals).collect()
+    }
+    assert got == {
+        1: "morning-maint",
+        2: "release-42",
+        3: "morning-maint",
+        4: "steady",
+        5: None,
+    }
+
+
+def test_broadcast_interval_lookup_plan_is_pure_projection(spark):
+    import datetime as dt
+
+    from log_analysis_spark.operators.joins import broadcast_interval_lookup
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2025, 3, 1))], "event_id long, ts timestamp"
+    )
+    out = broadcast_interval_lookup(df, [(dt.datetime(2025, 1, 1),
+                                          dt.datetime(2026, 1, 1), "y2025")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for bad in ("Exchange", "Join", "EvalPython", "InPandas"):
+        assert bad not in plan, f"{bad} in plan"
+
+
+def test_broadcast_interval_lookup_validation(spark):
+    import pytest as _pytest
+
+    from log_analysis_spark.operators.joins import broadcast_interval_lookup
+
+    df = spark.createDataFrame([(1,)], "event_id long")
+    with _pytest.raises(ValueError, match="non-empty"):
+        broadcast_interval_lookup(df, [])

@@ -474,3 +474,54 @@ def test_stream_stream_join_evicts_past_watermark_matches(spark, tmp_path):
     ]
     assert ("c1", 0, 1) in got  # the live match joined
     assert ("c1", 0, 2) not in got  # the >watermark-late one was dropped
+
+
+def test_streaming_session_windows_match_batch_islands(spark, transcripts, tmp_path):
+    """Native session_window streaming aggregation equals the batch islands
+    recompute (new session when the gap to the previous turn >= 15 min;
+    end = last event + gap) over a static dir."""
+    from pyspark.sql import Window
+
+    from log_analysis_spark.streaming.stream_pipeline import (
+        run_stream_sessions_to_memory,
+    )
+
+    src = str(tmp_path / "sess_src")
+    transcripts.write.mode("overwrite").parquet(src)
+    got = sorted(
+        map(tuple, run_stream_sessions_to_memory(spark, src, "15 minutes").collect())
+    )
+
+    p = (parse_turns(spark.read.parquet(src))
+         .withColumn("ts", F.col("ts").cast("timestamp"))
+         .select("conv_id", "ts"))
+    w = Window.partitionBy("conv_id").orderBy("ts")
+    brk = (
+        F.when(F.lag("ts").over(w).isNull(), 1)
+        .when(
+            F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+            >= 15 * 60,
+            1,
+        )
+        .otherwise(0)
+    )
+    g = p.withColumn("_b", brk).withColumn(
+        "_sid", F.sum("_b").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    want = sorted(
+        map(
+            tuple,
+            g.groupBy("conv_id", "_sid")
+            .agg(
+                F.min("ts").alias("session_start"),
+                (F.max("ts") + F.expr("INTERVAL 15 MINUTES")).alias(
+                    "session_end"
+                ),
+                F.count(F.lit(1)).alias("n_turns"),
+            )
+            .select("conv_id", "session_start", "session_end", "n_turns")
+            .collect(),
+        )
+    )
+    assert got == want
+    assert len(got) > 0
