@@ -1347,6 +1347,19 @@ def q_corpus_shard_assign(spark, sf_dir):
     ).select("doc_id", "shard")
 
 
+def q_graph_triangles(spark, sf_dir):
+    """Per-tool triangle counts over the transition graph (undirected,
+    deduped, self-loops dropped): interlocking workflow cliques vs
+    hub-and-spoke usage.  Canonical a<b<c enumeration via two narrow
+    equi-joins; the oracle replays canonicalization, enumeration, and the
+    three-corner credit."""
+    seq = _parsed(spark, sf_dir).filter(F.col("tool") != "-")
+    edges = windows_ops.transition_counts(seq, "conv_id", ["turn_idx"], "tool")
+    return graph.triangle_counts(
+        edges.selectExpr("from_state AS src", "to_state AS dst")
+    )
+
+
 def q_doc_tfidf_top(spark, sf_dir):
     """Per-doc keyword extraction: top-3 tokens by TF-IDF (smoothed idf in
     integer micro-nats, score = exact integer tf·idf_micro; score desc,
@@ -1727,6 +1740,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_transitions": q_turn_transitions,
         "graph_tool_pagerank": q_graph_pagerank,
         "graph_tool_communities": q_graph_communities,
+        "graph_tool_triangles": q_graph_triangles,
         "doc_tfidf_top": q_doc_tfidf_top,
         "corpus_shard_assign": q_corpus_shard_assign,
         "corpus_overlap_matrix": q_corpus_overlap_matrix,
@@ -1952,6 +1966,7 @@ WHERE e.value > thr.t
         ),
         "graph_tool_pagerank": _pagerank_oracle(),
         "graph_tool_communities": _lpa_oracle(n_iters=4),
+        "graph_tool_triangles": _triangles_oracle(),
         "doc_tfidf_top": _tfidf_oracle(m=3),
         "corpus_shard_assign": """
 WITH sh AS (
@@ -4242,6 +4257,41 @@ sym AS (
 ),
 l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),{chain}
 SELECT node, label FROM l{n_iters}""")
+
+
+def _triangles_oracle() -> str:
+    """Mirror of q_graph_triangles: the same transition edges, canonical
+    a<b dedup (self-loops dropped), a<b<c enumeration via the same two
+    joins, three-corner credit, zeros kept by the nodes left join."""
+    return oracles.on_parsed(""", seq AS (
+  SELECT conv_id, turn_idx, tool FROM parsed WHERE tool <> '-'
+),
+edges AS (
+  SELECT prev AS src, tool AS dst FROM (
+    SELECT lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev,
+           tool
+    FROM seq)
+  WHERE prev IS NOT NULL
+),
+canon AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM canon e1
+  JOIN canon e2 ON e2.a = e1.b
+  JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)
+SELECT n.node, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_triangles
+FROM nodes n LEFT JOIN (
+  SELECT node, count(*) AS n FROM corners GROUP BY node) c USING (node)""")
 
 
 def _tfidf_oracle(m: int = 3) -> str:

@@ -1,9 +1,10 @@
-"""Iterative graph analytics over edge tables — PageRank.
+"""Iterative graph analytics over edge tables — PageRank, label-propagation
+communities, triangle counts.
 
 The near-dup family already covers one graph algorithm (connected
 components via log-round min-label propagation, `dedup.neardup_groups`);
-this module adds the other workhorse: weighted PageRank over an edge-count
-table, e.g. the tool→tool transition graph a transcript corpus induces
+this module adds the other workhorses over an edge-count table, e.g. the
+tool→tool transition graph a transcript corpus induces
 (`windows_ops.transition_counts` output plugs in directly).
 
 Cross-engine exactness: the whole recurrence is INTEGER arithmetic —
@@ -159,3 +160,52 @@ def label_propagation(
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             labels = labels.localCheckpoint(eager=False)
     return labels
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over the undirected simple graph the edge
+    table induces (direction and weights ignored; self-loops dropped) —
+    the clustering-structure signal that separates hub-and-spoke tool
+    usage from genuinely interlocking workflow cliques.
+
+    Algorithm: canonicalize to a < b edges (dedup), enumerate each
+    triangle exactly once as a < b < c via two equi-joins
+    (e(a,b) ⋈ e(b,c) ⋈ e(a,c)), then credit all three corners.  This is
+    the standard distributed triangle enumeration; both joins are narrow
+    (two id columns) — for web-scale graphs the classic refinement is
+    degree-ordered orientation, noted here but unnecessary for bounded
+    node vocabularies (tools, hosts).  Nodes in no triangle report 0.
+    """
+    a, b = F.col(src), F.col(dst)
+    canon = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+    e1 = canon
+    e2 = canon.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = canon.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    corners = tri.select(F.col("a").alias("node")).union(
+        tri.select(F.col("b").alias("node"))
+    ).union(tri.select(F.col("c").alias("node")))
+    counts = corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    return nodes.join(counts, "node", "left").select(
+        "node",
+        F.coalesce("n_triangles", F.lit(0).cast("long")).alias("n_triangles"),
+    )

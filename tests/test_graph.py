@@ -151,3 +151,28 @@ def test_lpa_self_loop_votes_for_self_at_double_weight(spark):
     }
     assert lbl["b"] == "b"
     assert lbl["a"] == "b"  # a's only neighbor is b
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 minus one edge: nodes of the two triangles sharing an edge."""
+    edges = [
+        ("a", "b", 1), ("b", "c", 1), ("c", "a", 1),
+        ("b", "d", 1), ("d", "c", 1),
+        # direction/weight/duplicate noise the canonicalization must absorb
+        ("c", "b", 9), ("a", "a", 5),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in graph.triangle_counts(df).collect()
+    }
+    # triangles: (a,b,c) and (b,c,d); b and c sit in both
+    assert got == {"a": 1, "b": 2, "c": 2, "d": 1}
+
+
+def test_triangle_counts_triangle_free_graph_is_zero(spark):
+    star = [("hub", f"leaf{i}", 1) for i in range(5)]
+    df = spark.createDataFrame(star, "src string, dst string, w long")
+    got = {r["node"]: r["n_triangles"] for r in graph.triangle_counts(df).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 6
