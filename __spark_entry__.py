@@ -1347,6 +1347,47 @@ def q_corpus_shard_assign(spark, sf_dir):
     ).select("doc_id", "shard")
 
 
+MARKUP_PREFIX = '<div class="doc"><p id="'
+MARKUP_MID = '">'
+MARKUP_SUFFIX = (
+    " &amp;amp; <b>bold</b> &lt;raw&gt;</p><!-- c --></div>"
+    '<script>var x = "<p>";</script><style>p{}</style>'
+)
+NFC_SUFFIX = " voila\u0300"  # DECOMPOSED: a + combining grave -> \u00e0 under NFC
+
+
+def q_doc_strip_markup(spark, sf_dir):
+    """HTML/markup stripping over deterministically marked-up docs (both
+    engines build the IDENTICAL wrapped input, so the op — script/style
+    block drop, comment/tag removal, entity decode with &amp; last,
+    whitespace collapse — is what the hash proves).  Pure JVM
+    regexp_replace chain; every pattern RE2-safe so DuckDB runs it
+    verbatim."""
+    docs = _docs(spark, sf_dir)
+    wrapped = docs.withColumn(
+        "text",
+        F.concat(
+            F.lit(MARKUP_PREFIX),
+            F.col("doc_id").cast("string"),
+            F.lit(MARKUP_MID),
+            F.col("text"),
+            F.lit(MARKUP_SUFFIX),
+        ),
+    )
+    return textstats.strip_markup(wrapped).select("doc_id", "clean_text")
+
+
+def q_doc_normalize_unicode(spark, sf_dir):
+    """Unicode NFC normalization (Arrow-batched pandas str.normalize vs
+    DuckDB nfc_normalize — the same Unicode standard, byte-identical):
+    each doc's text gets a decomposed combining-accent suffix so the
+    normalization is exercised on every row, not a pass-through."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.concat(F.col("text"), F.lit(NFC_SUFFIX))
+    )
+    return textstats.normalize_unicode(docs, "NFC").select("doc_id", "norm_text")
+
+
 def q_graph_triangles(spark, sf_dir):
     """Per-tool triangle counts over the transition graph (undirected,
     deduped, self-loops dropped): interlocking workflow cliques vs
@@ -1742,6 +1783,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_tool_communities": q_graph_communities,
         "graph_tool_triangles": q_graph_triangles,
         "doc_tfidf_top": q_doc_tfidf_top,
+        "doc_strip_markup": q_doc_strip_markup,
+        "doc_normalize_unicode": q_doc_normalize_unicode,
         "corpus_shard_assign": q_corpus_shard_assign,
         "corpus_overlap_matrix": q_corpus_overlap_matrix,
         "doc_bigram_surprise": q_doc_bigram_surprise,
@@ -1967,6 +2010,8 @@ WHERE e.value > thr.t
         "graph_tool_pagerank": _pagerank_oracle(),
         "graph_tool_communities": _lpa_oracle(n_iters=4),
         "graph_tool_triangles": _triangles_oracle(),
+        "doc_strip_markup": _strip_markup_oracle(),
+        "doc_normalize_unicode": _normalize_oracle(),
         "doc_tfidf_top": _tfidf_oracle(m=3),
         "corpus_shard_assign": """
 WITH sh AS (
@@ -4257,6 +4302,43 @@ sym AS (
 ),
 l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),{chain}
 SELECT node, label FROM l{n_iters}""")
+
+
+def _strip_markup_oracle() -> str:
+    """Mirror of q_doc_strip_markup: identical wrap, the same RE2-safe
+    regexp chain (script/style blocks, comments, tags), entity decode in
+    the same order (&amp; last), explicit-class whitespace collapse."""
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         '{MARKUP_PREFIX}' || CAST(doc_id AS VARCHAR) || '{MARKUP_MID}'
+           || text || '{MARKUP_SUFFIX}' AS t
+  FROM documents
+),
+s1 AS (SELECT doc_id, regexp_replace(t, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM w),
+s2 AS (SELECT doc_id, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+s3 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+s4 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]+>', ' ', 'g') AS t FROM s3),
+e AS (
+  SELECT doc_id,
+         replace(replace(replace(replace(replace(t,
+           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+           '&amp;', '&') AS t
+  FROM s4
+)
+SELECT doc_id,
+       trim(regexp_replace(t, '[ \t\r\n\f]+', ' ', 'g')) AS clean_text
+FROM e
+"""
+
+
+def _normalize_oracle() -> str:
+    """Mirror of q_doc_normalize_unicode via DuckDB's nfc_normalize over
+    the identically-suffixed text."""
+    return f"""
+SELECT doc_id, nfc_normalize(text || '{NFC_SUFFIX}') AS norm_text
+FROM documents
+"""
 
 
 def _triangles_oracle() -> str:

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # tiny per-language stopword lists for the n-gram/stopword language heuristic
 STOPWORDS = {
@@ -990,3 +991,72 @@ def bigram_surprise(
         F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
         F.coalesce("bigram_surprise", F.lit(0.0)).alias("bigram_surprise"),
     )
+
+
+def strip_markup(
+    df: DataFrame, text_col: str = "text", out: str = "clean_text"
+) -> DataFrame:
+    """HTML/markup stripping — the first stage of a web-crawl text
+    pipeline: drop <script>/<style> blocks WITH their contents, remove all
+    remaining tags, unescape the five core entities (&amp; decoded LAST so
+    double-escapes survive one level, the standard order), collapse
+    whitespace runs, trim.
+
+    Pure JVM regexp_replace chain (zero shuffle, zero Python, scan-fused);
+    every pattern is RE2-safe (no backreferences), so the DuckDB oracle
+    runs the IDENTICAL patterns.  This is a pragmatic tag stripper, not an
+    HTML5 parser — comments/CDATA are handled, malformed-nesting recovery
+    is not (documented trade: a real crawl pipeline runs this shape at
+    scan speed and routes pathological documents to a slow path).
+    """
+    t = F.col(text_col)
+    for pat, repl in [
+        (r"(?is)<script[^>]*>.*?</script>", " "),
+        (r"(?is)<style[^>]*>.*?</style>", " "),
+        (r"(?s)<!--.*?-->", " "),
+        (r"(?s)<[^>]+>", " "),
+    ]:
+        t = F.regexp_replace(t, pat, repl)
+    for ent, ch in [
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+        ("&#39;", "'"), ("&amp;", "&"),
+    ]:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    # explicit class, not \s: Java's \s includes \x0B, RE2's does not —
+    # the explicit form is byte-identical in both engines
+    t = F.trim(F.regexp_replace(t, r"[ \t\r\n\f]+", " "))
+    return df.withColumn(out, t)
+
+
+def normalize_unicode(
+    df: DataFrame,
+    form: str = "NFC",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out: str = "norm_text",
+) -> DataFrame:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) — the canonicalization
+    every dedup/hash stage upstream assumes: visually-identical strings
+    with different codepoint sequences (composed vs combining accents,
+    compatibility forms) collapse to one byte representation, so
+    md5-keyed exact dedup stops treating them as distinct documents.
+
+    Arrow-batched ``mapInPandas`` using pandas' ``Series.str.normalize``
+    (per-string work is inherent to the transform, as with payload
+    decode); all other columns pass through untouched.  The DuckDB oracle
+    twin uses ``nfc_normalize`` — both engines implement the same Unicode
+    standard, so NFC outputs are byte-identical.
+    """
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    import pandas as pd  # noqa: F401  (documented dependency of the UDF)
+
+    in_schema = df.schema
+    out_schema = T.StructType(in_schema.fields + [T.StructField(out, T.StringType())])
+
+    def norm(batches):
+        for pdf in batches:
+            pdf[out] = pdf[text_col].astype("string").str.normalize(form)
+            yield pdf
+
+    return df.mapInPandas(norm, out_schema)

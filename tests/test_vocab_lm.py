@@ -392,3 +392,41 @@ def test_tfidf_validation(spark):
 
     with _pytest.raises(ValueError, match="m must"):
         tfidf_top_terms(_docs(spark, [(1, "a")]), m=0)
+
+
+def test_strip_markup_planted(spark):
+    from log_analysis_spark.operators.textstats import strip_markup
+
+    html = (
+        '<html><head><style>p { color: red }</style>'
+        '<script type="text/js">var x = "<p>";</script></head>'
+        '<body><!-- note --><p id="1">Hello &amp;amp; '
+        '<b>world</b> &lt;tag&gt; &quot;q&quot; &#39;s&#39;</p>\n'
+        '  trailing</body></html>'
+    )
+    df = spark.createDataFrame([(1, html), (2, "plain text")], "doc_id long, text string")
+    got = {r["doc_id"]: r["clean_text"] for r in strip_markup(df).collect()}
+    # &amp;amp; decodes ONE level (to &amp;) because &amp; is replaced last
+    assert got[1] == 'Hello &amp; world <tag> "q" \'s\' trailing'
+    assert got[2] == "plain text"
+
+
+def test_normalize_unicode_composes_and_passes_columns(spark):
+    from log_analysis_spark.operators.textstats import normalize_unicode
+
+    decomposed = "cafe\u0301 A\u030aB"   # e + combining acute, A + ring
+    composed = "caf\u00e9 \u00c5B"
+    df = spark.createDataFrame(
+        [(1, decomposed, "en"), (2, "ascii", "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = normalize_unicode(df, "NFC")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["norm_text"] == composed
+    assert rows[1]["text"] == decomposed          # original untouched
+    assert rows[1]["lang"] == "en"                # pass-through column
+    assert rows[2]["norm_text"] == "ascii"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="normalization form"):
+        normalize_unicode(df, "NFX")
