@@ -1356,6 +1356,18 @@ MARKUP_SUFFIX = (
 NFC_SUFFIX = " voila\u0300"  # DECOMPOSED: a + combining grave -> \u00e0 under NFC
 
 
+def q_graph_k_core(spark, sf_dir):
+    """2-core of the tool transition graph: iterative peel of degree-<2
+    nodes — the dense workflow backbone vs peripheral one-off tools.  The
+    k-core is order-independent and unique, so Spark's peel-until-stable
+    and the oracle's unrolled fixed rounds reach the identical fixpoint."""
+    seq = _parsed(spark, sf_dir).filter(F.col("tool") != "-")
+    edges = windows_ops.transition_counts(seq, "conv_id", ["turn_idx"], "tool")
+    return graph.k_core(
+        edges.selectExpr("from_state AS src", "to_state AS dst"), k=2
+    )
+
+
 def q_doc_strip_markup(spark, sf_dir):
     """HTML/markup stripping over deterministically marked-up docs (both
     engines build the IDENTICAL wrapped input, so the op — script/style
@@ -1782,6 +1794,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_tool_pagerank": q_graph_pagerank,
         "graph_tool_communities": q_graph_communities,
         "graph_tool_triangles": q_graph_triangles,
+        "graph_tool_k_core": q_graph_k_core,
         "doc_tfidf_top": q_doc_tfidf_top,
         "doc_strip_markup": q_doc_strip_markup,
         "doc_normalize_unicode": q_doc_normalize_unicode,
@@ -2010,6 +2023,7 @@ WHERE e.value > thr.t
         "graph_tool_pagerank": _pagerank_oracle(),
         "graph_tool_communities": _lpa_oracle(n_iters=4),
         "graph_tool_triangles": _triangles_oracle(),
+        "graph_tool_k_core": _k_core_oracle(k=2),
         "doc_strip_markup": _strip_markup_oracle(),
         "doc_normalize_unicode": _normalize_oracle(),
         "doc_tfidf_top": _tfidf_oracle(m=3),
@@ -4302,6 +4316,46 @@ sym AS (
 ),
 l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),{chain}
 SELECT node, label FROM l{n_iters}""")
+
+
+def _k_core_oracle(k: int = 2, n_rounds: int = 6) -> str:
+    """Mirror of q_graph_k_core: the same canonical edges, ``n_rounds``
+    unrolled peel rounds (the k-core fixpoint is unique and this graph
+    converges in far fewer — extra rounds are no-ops), final in-core
+    degrees.  Every round CTE is MATERIALIZED: each c{{i}} references
+    c{{i-1}} multiple times, so inlining would re-expand the whole chain
+    ~5x per round — at 6 rounds that is >10k scans of the parsed events
+    table, which exhausts the process file-descriptor limit."""
+    rounds = []
+    for i in range(1, n_rounds + 1):
+        rounds.append(f"""
+d{i} AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT a AS node FROM c{i - 1} UNION ALL SELECT b FROM c{i - 1}
+  ) GROUP BY node HAVING count(*) >= {k}
+),
+c{i} AS MATERIALIZED (
+  SELECT a, b FROM c{i - 1}
+  WHERE a IN (SELECT node FROM d{i}) AND b IN (SELECT node FROM d{i})
+)""")
+    chain = ",".join(rounds)
+    return oracles.on_parsed(f""", seq AS (
+  SELECT conv_id, turn_idx, tool FROM parsed WHERE tool <> '-'
+),
+edges AS (
+  SELECT prev AS src, tool AS dst FROM (
+    SELECT lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev,
+           tool
+    FROM seq)
+  WHERE prev IS NOT NULL
+),
+c0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+),{chain}
+SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+  SELECT a AS node FROM c{n_rounds} UNION ALL SELECT b FROM c{n_rounds}
+) GROUP BY node""")
 
 
 def _strip_markup_oracle() -> str:

@@ -176,3 +176,48 @@ def test_triangle_counts_triangle_free_graph_is_zero(spark):
     got = {r["node"]: r["n_triangles"] for r in graph.triangle_counts(df).collect()}
     assert set(got.values()) == {0}
     assert len(got) == 6
+
+
+def _py_k_core(edges, k):
+    """Mirror: peel degree<k until stable over the canonical simple graph."""
+    es = {tuple(sorted((s, t))) for s, t, *_ in edges if s != t}
+    while True:
+        deg: dict = {}
+        for x, y in es:
+            deg[x] = deg.get(x, 0) + 1
+            deg[y] = deg.get(y, 0) + 1
+        keep = {v for v, d in deg.items() if d >= k}
+        nes = {(x, y) for x, y in es if x in keep and y in keep}
+        if nes == es:
+            break
+        es = nes
+    deg = {}
+    for x, y in es:
+        deg[x] = deg.get(x, 0) + 1
+        deg[y] = deg.get(y, 0) + 1
+    return deg
+
+
+def test_k_core_peels_tail_matches_mirror(spark):
+    """Triangle with a pendant path: the 2-core is exactly the triangle
+    (the path peels away over TWO rounds — d first, then c's degree drops)."""
+    edges = [
+        ("a", "b", 1), ("b", "x", 1), ("x", "a", 1),   # triangle
+        ("x", "c", 1), ("c", "d", 1),                  # pendant path
+        ("a", "a", 7),                                 # self-loop noise
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {r["node"]: r["degree"] for r in graph.k_core(df, k=2).collect()}
+    assert got == _py_k_core(edges, 2)
+    assert got == {"a": 2, "b": 2, "x": 2}
+
+
+def test_k_core_empty_when_k_exceeds_graph(spark):
+    df = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1)], "src string, dst string, w long"
+    )
+    assert graph.k_core(df, k=3).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must"):
+        graph.k_core(df, k=0)

@@ -1180,6 +1180,23 @@ def main() -> int:
               lpa_plan.count("BroadcastHashJoin") >= 3
               and "CartesianProduct" not in lpa_plan),
     ]
+    tri = graph_ops.triangle_counts(pr_edges)
+    tri_plan = executed(tri)
+    tri_shufs = shuffle_schemas(tri)
+    notes += [
+        check("triangles: equi-joins only (no cross product / BNLJ)",
+              "CartesianProduct" not in tri_plan
+              and "BroadcastNestedLoopJoin" not in tri_plan),
+        # event_type/_groupingexpression belong to the upstream
+        # edge-BUILD aggregate (counting transitions), not the triangle
+        # machinery — every triangle join/agg exchange is node-ids only.
+        check("triangles: every exchange carries only node-id columns "
+              "(plus the upstream edge-build grouping keys)",
+              all(set(cols) <= {"a", "b", "c", "node", "count", "src", "dst",
+                                "event_type", "_groupingexpression"}
+                  for _, cols in tri_shufs),
+              f"shuffles={[c for _, c in tri_shufs]}"),
+    ]
     sections.append(("Quantized ANN (narrow candidates) + integer PageRank",
                      qt_plan, notes))
 
