@@ -1256,6 +1256,18 @@ def q_doc_dedup_kept(spark, sf_dir):
     return dedup.drop_near_duplicates(docs, groups).select("doc_id", "lang", "n_chars")
 
 
+def q_doc_dedup_best(spark, sf_dir):
+    """Quality-ranked canonical selection: collapse each near-dup group to
+    its LONGEST member (n_chars desc, doc_id tiebreak) — the keep-best
+    production variant of doc_dedup_kept (RefinedWeb keeps by length)."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, k=2, threshold=NGRAM_JACCARD_T)
+    groups = dedup.neardup_groups(docs.select(F.col("doc_id").alias("id")), pairs)
+    return dedup.keep_best(docs, groups, "n_chars").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 def q_embed_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-3 for every 50th vector as query."""
     emb = _embeddings(spark, sf_dir)
@@ -1795,6 +1807,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_tool_communities": q_graph_communities,
         "graph_tool_triangles": q_graph_triangles,
         "graph_tool_k_core": q_graph_k_core,
+        "doc_dedup_best": q_doc_dedup_best,
         "doc_tfidf_top": q_doc_tfidf_top,
         "doc_strip_markup": q_doc_strip_markup,
         "doc_normalize_unicode": q_doc_normalize_unicode,
@@ -2024,6 +2037,21 @@ WHERE e.value > thr.t
         "graph_tool_communities": _lpa_oracle(n_iters=4),
         "graph_tool_triangles": _triangles_oracle(),
         "graph_tool_k_core": _k_core_oracle(k=2),
+        "doc_dedup_best": (
+            _neardup_groups_oracle().rstrip()
+            .replace(
+                "SELECT id, min(r) AS rep_id FROM reach GROUP BY id",
+                """SELECT doc_id, lang, n_chars FROM (
+  SELECT d.doc_id, d.lang, d.n_chars,
+         row_number() OVER (
+           PARTITION BY g.rep_id ORDER BY d.n_chars DESC, d.doc_id
+         ) AS rn
+  FROM documents d
+  JOIN (SELECT id, min(r) AS rep_id FROM reach GROUP BY id) g
+    ON d.doc_id = g.id
+) WHERE rn = 1""",
+            )
+        ),
         "doc_strip_markup": _strip_markup_oracle(),
         "doc_normalize_unicode": _normalize_oracle(),
         "doc_tfidf_top": _tfidf_oracle(m=3),

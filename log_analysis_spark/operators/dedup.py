@@ -481,6 +481,39 @@ def drop_near_duplicates(
     return df.join(reps, id_col)
 
 
+def keep_best(
+    df: DataFrame,
+    groups: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the BEST-scoring doc per near-dup group — the production
+    variant of ``drop_near_duplicates``: real pipelines keep the longest /
+    highest-quality member of a duplicate cluster, not the lowest id
+    (RefinedWeb keeps by length; quality-classifier-ranked selection is the
+    same shape).  ``score_col`` must be numeric on ``df``; higher wins,
+    ties break to the lowest id so selection is deterministic.
+
+    ``groups`` is ``neardup_groups`` output (id, rep_id) — this composes
+    with ANY pair family (jaccard / minhash / simhash / embedding).
+
+    Scale shape: the argmax is one groupBy(rep_id) over narrow
+    (rep_id, score, id) rows — min(struct(-score, id)), no per-group
+    window — and the winners rejoin ``df`` by id, so document text never
+    enters an exchange.
+    """
+    scored = df.select(
+        F.col(id_col).alias("id"), F.col(score_col).alias("_score")
+    )
+    winners = (
+        groups.join(scored, "id")
+        .groupBy("rep_id")
+        .agg(F.min(F.struct((-F.col("_score")).alias("ns"), F.col("id").alias("id"))).alias("w"))
+        .select(F.col("w.id").alias(id_col))
+    )
+    return df.join(winners, id_col, "left_semi")
+
+
 def levenshtein_verified_pairs(
     pairs: DataFrame,
     docs: DataFrame,

@@ -148,6 +148,34 @@ def test_neardup_groups_connected_components(spark):
     assert kept == {1, 2, 7, 42}
 
 
+def test_keep_best_selects_highest_score_with_id_tiebreak(spark):
+    """keep_best keeps the highest-scoring group member (not the lowest
+    id), breaks score ties to the lowest id, and passes singletons
+    through untouched."""
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 7, 9, 10, 42]], "id long")
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 9), (7, 10)], "id_a long, id_b long"
+    )
+    groups = dedup.neardup_groups(ids, pairs)
+    docs = spark.createDataFrame(
+        [
+            (1, "a", 5),
+            (3, "b", 11),   # wins group {1,3,9} on score
+            (9, "c", 7),
+            (7, "d", 4),    # ties 10 on score -> lower id wins
+            (10, "e", 4),
+            (2, "f", 0),
+            (42, "g", 1),
+        ],
+        "doc_id long, text string, n_chars int",
+    )
+    kept = {r["doc_id"] for r in dedup.keep_best(docs, groups, "n_chars").collect()}
+    assert kept == {3, 7, 2, 42}
+    # keep_best returns full df rows, not a projection
+    row = dedup.keep_best(docs, groups, "n_chars").filter(F.col("doc_id") == 3).first()
+    assert row["text"] == "b" and row["n_chars"] == 11
+
+
 def test_minhash_md5_variant_agrees_with_production_hash(spark, docs):
     """The md5 (oracle-expressible) and xxhash64 (production) LSH variants
     share all structure; their VERIFIED pair sets must agree — candidates
