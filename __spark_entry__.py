@@ -42,6 +42,7 @@ from log_analysis_spark.operators import (
     span_dedup,
     textstats,
     timeseries,
+    urls,
     windows_ops,
 )
 
@@ -1380,6 +1381,55 @@ def q_graph_k_core(spark, sf_dir):
     )
 
 
+URL_HOSTS = [
+    "ads.tracker.com", "cdn.example.org", "news.bbc.co.uk", "spam.biz",
+    "mirror.data.net", "files.archive.org", "evil.co.uk", "static.safe.io",
+]
+BLOCKED_DOMAINS = ["tracker.com", "spam.biz", "evil.co.uk"]
+
+
+def _docs_with_urls(spark, sf_dir):
+    """Docs with two deterministically injected URLs (md5-u16 host picks —
+    both engines build the IDENTICAL text): one https with a path, one
+    http with userinfo + port + query ending in sentence punctuation, so
+    extraction, trailing-punct trim, authority stripping and eTLD+1 are
+    all exercised on every row."""
+    u16 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    hosts = F.array(*[F.lit(h) for h in URL_HOSTS])
+    h1 = F.element_at(hosts, (u16 % 8 + 1).cast("int"))
+    h2 = F.element_at(hosts, ((u16 / 8).cast("long") % 8 + 1).cast("int"))
+    return _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"), F.lit(" See https://"), h1, F.lit("/r/"),
+            F.col("doc_id").cast("string"), F.lit(" and http://u:p@"), h2,
+            F.lit(":8080/dl?x=1, done."),
+        ),
+    )
+
+
+def q_doc_url_blocklist(spark, sf_dir):
+    """C4-style domain blocklist gate: extract every URL, canonicalize to
+    registered domains (eTLD+1 incl. two-level suffixes like co.uk), drop
+    docs citing any blocked domain — pure scan-fused projection, the
+    blocklist a literal in the plan."""
+    docs = urls.with_url_domains(_docs_with_urls(spark, sf_dir))
+    return urls.blocklist_filter(docs, BLOCKED_DOMAINS).select(
+        "doc_id",
+        F.concat_ws(",", "domains").alias("domains"),
+        F.size("urls").alias("n_urls"),
+    )
+
+
+def q_doc_url_domains(spark, sf_dir):
+    """Per-registered-domain citing-doc counts — the audit table a
+    blocklist decision is made from (one narrow domain-keyed shuffle)."""
+    docs = urls.with_url_domains(_docs_with_urls(spark, sf_dir))
+    return urls.domain_counts(docs)
+
+
 def q_doc_strip_markup(spark, sf_dir):
     """HTML/markup stripping over deterministically marked-up docs (both
     engines build the IDENTICAL wrapped input, so the op — script/style
@@ -1808,6 +1858,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_tool_triangles": q_graph_triangles,
         "graph_tool_k_core": q_graph_k_core,
         "doc_dedup_best": q_doc_dedup_best,
+        "doc_url_blocklist": q_doc_url_blocklist,
+        "doc_url_domains": q_doc_url_domains,
         "doc_tfidf_top": q_doc_tfidf_top,
         "doc_strip_markup": q_doc_strip_markup,
         "doc_normalize_unicode": q_doc_normalize_unicode,
@@ -2037,6 +2089,8 @@ WHERE e.value > thr.t
         "graph_tool_communities": _lpa_oracle(n_iters=4),
         "graph_tool_triangles": _triangles_oracle(),
         "graph_tool_k_core": _k_core_oracle(k=2),
+        "doc_url_blocklist": _url_blocklist_oracle(),
+        "doc_url_domains": _url_domains_oracle(),
         "doc_dedup_best": (
             _neardup_groups_oracle().rstrip()
             .replace(
@@ -4384,6 +4438,76 @@ c0 AS MATERIALIZED (
 SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
   SELECT a AS node FROM c{n_rounds} UNION ALL SELECT b FROM c{n_rounds}
 ) GROUP BY node""")
+
+
+def _url_domain_sql(var: str = "x") -> str:
+    """Registered domain of one URL — the DuckDB mirror of
+    urls._domain_of, with the single-element list_transform trick as
+    explicit let-bindings for host and its label list."""
+    suffixes = ", ".join(f"'{s}'" for s in urls.TWO_LEVEL_SUFFIXES)
+    return (
+        f"list_transform([lower(regexp_replace(regexp_replace("
+        f"regexp_extract({var}, '^https?://([^/?#]+)', 1), '^[^@]*@', ''),"
+        f" ':[0-9]+$', ''))], h -> list_transform([string_split(h, '.')],"
+        f" l -> CASE WHEN len(l) >= 3 AND (l[len(l)-1] || '.' || l[len(l)])"
+        f" IN ({suffixes})"
+        f" THEN l[len(l)-2] || '.' || l[len(l)-1] || '.' || l[len(l)]"
+        f" WHEN len(l) >= 2 THEN l[len(l)-1] || '.' || l[len(l)]"
+        f" ELSE h END)[1])[1]"
+    )
+
+
+def _url_wrap_sql() -> str:
+    """Mirror of _docs_with_urls + urls.with_url_domains: identical wrap
+    (md5-u16 host picks), identical RE2 extraction pattern, trailing-punct
+    trim, and the domain canonicalization chain."""
+    hosts = ", ".join(f"'{h}'" for h in URL_HOSTS)
+    return f"""
+w AS (
+  SELECT doc_id,
+         text || ' See https://' || h1 || '/r/' || CAST(doc_id AS VARCHAR)
+              || ' and http://u:p@' || h2 || ':8080/dl?x=1, done.' AS t
+  FROM (
+    SELECT doc_id, text,
+           ([{hosts}])[CAST(u16 % 8 AS INT) + 1] AS h1,
+           ([{hosts}])[CAST((u16 // 8) % 8 AS INT) + 1] AS h2
+    FROM (SELECT doc_id, text, {_u16_sql()} AS u16 FROM documents)
+  )
+),
+u AS (
+  SELECT doc_id,
+         list_transform(
+           regexp_extract_all(t, 'https?://[^ \\t\\r\\n\\f<>"'']+'),
+           x -> regexp_replace(x, '[.,;:!?)]+$', '')) AS urls
+  FROM w
+),
+d AS (
+  SELECT doc_id, urls,
+         list_sort(list_distinct(list_filter(
+           list_transform(urls, x -> {_url_domain_sql('x')}),
+           x -> x <> ''))) AS domains
+  FROM u
+)"""
+
+
+def _url_blocklist_oracle() -> str:
+    blocked = ", ".join(f"'{b}'" for b in BLOCKED_DOMAINS)
+    return f"""
+WITH {_url_wrap_sql()}
+SELECT doc_id, array_to_string(domains, ',') AS domains,
+       CAST(len(urls) AS INT) AS n_urls
+FROM d
+WHERE NOT list_has_any(domains, [{blocked}])
+"""
+
+
+def _url_domains_oracle() -> str:
+    return f"""
+WITH {_url_wrap_sql()}
+SELECT domain, count(*) AS n_docs
+FROM (SELECT unnest(domains) AS domain FROM d)
+GROUP BY domain
+"""
 
 
 def _strip_markup_oracle() -> str:
