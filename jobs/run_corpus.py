@@ -22,6 +22,9 @@ byte-identical shard assignments):
    Rae-et-al A1.1 seven-rule heuristic gate (word count, mean word
    length, symbol/bullet/ellipsis ratios, alpha fraction, stopwords) —
    a scan-fused projection, so it runs before anything that shuffles.
+1c. **domain blocklist** (`urls.blocklist_filter`, when
+   ``--block-domains``): drop docs citing any blocked registered domain
+   (scan-fused projection, blocklist as a plan literal).
 2. **span dedup** (`span_dedup`, when ``--span-k`` > 0): either rebuild
    docs without corpus-duplicated word k-gram spans (``--span-action
    remove``) or drop docs whose duplicated-span coverage exceeds
@@ -102,6 +105,11 @@ def main() -> None:
         "it for multilingual corpora)",
     )
     ap.add_argument(
+        "--block-domains", default=None,
+        help="comma-separated registered-domain blocklist: drop every doc "
+        "citing a URL whose eTLD+1 is listed (C4's badwords-domain gate)",
+    )
+    ap.add_argument(
         "--ppl-keep", default=None,
         help="comma-separated CCNet perplexity tiers to keep "
         "(e.g. '0' = head, '0,1' = head+middle)",
@@ -172,7 +180,13 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from log_analysis_spark.operators import corpus, dedup, span_dedup, textstats
+    from log_analysis_spark.operators import (
+        corpus,
+        dedup,
+        span_dedup,
+        textstats,
+        urls,
+    )
     from log_analysis_spark.session import get_spark
 
     spark = get_spark("run_corpus", master=args.master)
@@ -228,6 +242,16 @@ def main() -> None:
         )
     else:
         n_gopher = None
+
+    if args.block_domains:
+        blocked = [d.strip() for d in args.block_domains.split(",") if d.strip()]
+        docs, n_blocked = _materialize(
+            urls.blocklist_filter(urls.with_url_domains(docs), blocked).drop(
+                "urls", "domains"
+            )
+        )
+    else:
+        n_blocked = None
 
     if args.span_k:
         if args.span_action == "remove":
@@ -369,6 +393,7 @@ def main() -> None:
             "n_input": n_input,
             "n_after_repetition_filter": n_clean,
             "n_after_gopher": n_gopher,
+            "n_after_domain_blocklist": n_blocked,
             "n_after_span_dedup": n_span,
             "n_after_decontamination": n_decontam,
             "n_after_ppl_tiering": n_ppl,
@@ -418,6 +443,7 @@ def main() -> None:
                 "n_input": n_input,
                 "n_after_repetition_filter": n_clean,
                 "n_after_gopher": n_gopher,
+                "n_after_domain_blocklist": n_blocked,
                 "n_after_span_dedup": n_span,
                 "n_after_decontamination": n_decontam,
                 "n_after_ppl_tiering": n_ppl,

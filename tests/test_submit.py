@@ -14,6 +14,7 @@ import zipfile
 from pathlib import Path
 
 import pytest
+from pyspark.sql import functions as F
 
 REPO = Path(__file__).resolve().parents[1]
 
@@ -189,6 +190,45 @@ def test_submit_corpus_job_full_stage_chain(pkg_zip, tmp_path):
         f"SELECT sum(n_docs), count(*) FROM read_parquet('{tmp_path}/cp/report/*.parquet')"
     ).fetchone()
     assert rep[0] == res["n_after_sampling"] and rep[1] > 0
+
+
+def test_corpus_job_domain_blocklist_gate(tmp_path, spark):
+    """--block-domains drops exactly the docs citing a blocked registered
+    domain (incl. a subdomain of it) and reports the stage count.  Runs on
+    a purpose-built docs table because the synthetic corpus carries no
+    URLs (plain-python launch, driver-side gate)."""
+    body = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [
+        (i,
+         body + (
+             f" see https://ads.tracker.com/r/{i}" if i % 3 == 0
+             else f" see https://files.archive.org/r/{i}"
+         ),
+         "en", "webA")
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text"))
+    docs.write.mode("overwrite").parquet(str(tmp_path / "docs"))
+    out = subprocess.run(
+        [
+            "python", str(REPO / "jobs" / "run_corpus.py"),
+            "--docs", str(tmp_path / "docs"),
+            "--out", str(tmp_path / "cp"),
+            "--no-repetition-filter",
+            "--block-domains", "tracker.com,spam.biz",
+        ],
+        cwd=str(REPO), env=dict(os.environ),
+        capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    res = json.loads(
+        [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    assert res["n_input"] == 60
+    assert res["n_after_domain_blocklist"] == 40  # every i % 3 == 0 dropped
+    assert res["n_after_sampling"] == 40
 
 
 def test_corpus_job_fails_loudly_when_a_gate_empties_the_corpus(tmp_path):
