@@ -911,6 +911,28 @@ def q_events_kmv(spark, sf_dir):
     return sketches.kmv_distinct(ev, "user_id", k=KMV_K, group="event_type")
 
 
+HLL_P = 6  # m = 64 registers — small enough that the oracle's literal
+#            ln-table stays readable; production default is p=12
+
+
+def q_events_hll(spark, sf_dir):
+    """HyperLogLog distinct estimates per event_type — BOTH estimator
+    branches in one query: distinct users (~150/type at sf0.01 → the
+    linear-counting small-range branch) and distinct event ids
+    (~2000/type → the raw harmonic-mean branch).  Every step is integer
+    (bit-length rho, power-of-two DECIMAL sums, micro-unit alpha, literal
+    micro-nat ln table), so the oracle replays the registers bit-exactly
+    — unlike Spark's built-in approx_count_distinct HLL±."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    users = sketches.hll_distinct(
+        ev, "user_id", p=HLL_P, group="event_type"
+    ).withColumnRenamed("est_distinct", "est_users")
+    evs = sketches.hll_distinct(
+        ev, "event_id", p=HLL_P, group="event_type"
+    ).withColumnRenamed("est_distinct", "est_events")
+    return users.join(evs, "event_type")
+
+
 def _sessions(spark, sf_dir, gap_sec: int = 86400) -> DataFrame:
     """24h-gap sessions with per-session text assembled from the ordered
     event-type sequence — the input of the sessionize→dedup composition.
@@ -1860,6 +1882,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_best": q_doc_dedup_best,
         "doc_url_blocklist": q_doc_url_blocklist,
         "doc_url_domains": q_doc_url_domains,
+        "events_hll_distinct": q_events_hll,
         "doc_tfidf_top": q_doc_tfidf_top,
         "doc_strip_markup": q_doc_strip_markup,
         "doc_normalize_unicode": q_doc_normalize_unicode,
@@ -2091,6 +2114,7 @@ WHERE e.value > thr.t
         "graph_tool_k_core": _k_core_oracle(k=2),
         "doc_url_blocklist": _url_blocklist_oracle(),
         "doc_url_domains": _url_domains_oracle(),
+        "events_hll_distinct": _hll_oracle(p=HLL_P),
         "doc_dedup_best": (
             _neardup_groups_oracle().rstrip()
             .replace(
@@ -4123,6 +4147,63 @@ SELECT event_type,
        CAST(CASE WHEN m < {k} THEN m ELSE {numer} // kth END AS BIGINT)
          AS est_distinct
 FROM s
+"""
+
+
+def _hll_branch_sql(col_expr: str, out: str, p: int) -> str:
+    """One HLL estimate branch (registers → S/V → raw/linear-counting)
+    per event_type, mirroring sketches.hll_sketch + hll_estimate: same
+    md5-u56 hash, bit-length rho via unpadded bin(), HUGEINT register
+    sum, integer micro-unit alpha and a literal micro-nat ln(m/V) table."""
+    import math
+
+    m, w = 1 << p, 56 - p
+    r_cap = w + 1
+    from log_analysis_spark.operators.sketches import _hll_alpha_micro
+
+    numer = _hll_alpha_micro(m) * m * m * (1 << r_cap)
+    ln_micro = ", ".join(
+        str(round(math.log(m / v) * 1_000_000)) for v in range(1, m + 1)
+    )
+    u56 = _u56_sql(col_expr)
+    return f"""
+h_{out} AS (
+  SELECT event_type, ({u56}) AS h FROM events
+),
+reg_{out} AS (
+  SELECT event_type, h // {1 << w} AS bucket,
+         max(CASE WHEN h % {1 << w} = 0 THEN {r_cap}
+                  ELSE {r_cap} - length(bin(h % {1 << w})) END) AS rho
+  FROM h_{out} GROUP BY 1, 2
+),
+s_{out} AS (
+  SELECT event_type,
+         sum(CAST(1::BIGINT << ({r_cap} - rho) AS HUGEINT))
+           + CAST('{1 << r_cap}' AS HUGEINT) * ({m} - count(*)) AS s,
+         {m} - count(*) AS v
+  FROM reg_{out} GROUP BY 1
+),
+raw_{out} AS (
+  SELECT event_type, v,
+         CAST('{numer}' AS HUGEINT) // (s * 1000000) AS raw
+  FROM s_{out}
+),
+e_{out} AS (
+  SELECT event_type,
+         CAST(CASE WHEN v > 0 AND 2 * raw <= {5 * m}
+              THEN CAST({m} AS BIGINT)
+                   * ([{ln_micro}])[CAST(v AS INT)] // 1000000
+              ELSE raw END AS BIGINT) AS {out}
+  FROM raw_{out}
+)"""
+
+
+def _hll_oracle(p: int) -> str:
+    return f"""
+WITH {_hll_branch_sql("CAST(user_id AS VARCHAR)", "est_users", p)},
+{_hll_branch_sql("CAST(event_id AS VARCHAR)", "est_events", p).lstrip()}
+SELECT u.event_type, u.est_users, e.est_events
+FROM e_est_users u JOIN e_est_events e USING (event_type)
 """
 
 

@@ -14,6 +14,14 @@ sketch of Bar-Yossef et al. 2002) is chosen over HLL here deliberately:
     engine-specific register layout to take on faith (Spark's own
     ``approx_count_distinct`` HLL± can't be oracle-checked).
 
+A from-scratch HyperLogLog (``hll_sketch`` / ``hll_merge`` /
+``hll_estimate``, bottom of this module) complements KMV where its trade
+wins — constant 2^p-register state per group and a plain max-aggregate
+grouped path (no per-group rank window) — while KEEPING oracle-exactness
+by construction: integer bit-length rho, power-of-two DECIMAL register
+sums, micro-unit alpha, and a literal micro-nat ln-table for the
+small-range branch, so no engine ever evaluates a float.
+
 Hash: the leading 56 bits of md5(value) as a BIGINT (14 hex nibbles —
 56 so that ``(k-1) * 2^56`` stays inside a signed 64-bit long for any
 practical k).  Estimator: with m = |sketch| and kth = max(sketch),
@@ -324,3 +332,123 @@ def kmv_set_estimates(
         inter.alias("intersection_est"),
         jac_micro.alias("jaccard_micro"),
     )
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007) — the CONSTANT-SIZE complement of KMV:
+# state is exactly m = 2^p small integers per group whatever the
+# cardinality, merge is a register-wise max (cheaper than KMV's re-rank),
+# and — the property KMV was chosen for — the estimator here is STILL
+# oracle-exact: rho comes from integer bit-length of a deterministic md5
+# suffix, the register sum uses exact powers of two in DECIMAL(38,0), the
+# bias constant is an integer micro-unit literal, and the small-range
+# linear-counting branch looks ln(m/V) up from a PRECOMPUTED integer
+# micro-nat table (V has only m possible values), so no engine ever
+# evaluates a float.  Grouped sketching is ONE groupBy((group, bucket))
+# max — no per-group window at all, a strictly better shuffle shape than
+# grouped KMV when groups are many.
+# ---------------------------------------------------------------------------
+
+
+def _hll_alpha_micro(m: int) -> int:
+    """Standard HLL bias correction, quantized to integer micro-units."""
+    if m == 16:
+        alpha = 0.673
+    elif m == 32:
+        alpha = 0.697
+    elif m == 64:
+        alpha = 0.709
+    else:
+        alpha = 0.7213 / (1 + 1.079 / m)
+    return round(alpha * 1_000_000)
+
+
+def hll_sketch(
+    df: DataFrame, col: str, p: int = 12, group: str | None = None
+) -> DataFrame:
+    """HLL registers of ``col`` (per ``group`` if given) as SPARSE rows
+    (group?, bucket, rho): bucket = top p bits of the 56-bit md5 hash,
+    rho = leading-zero count of the remaining w = 56-p bits + 1, max'd
+    per bucket.  Absent buckets mean register 0.  Mergeable by unioning
+    rows and re-maxing (``hll_merge``)."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    w = HASH_BITS - p
+    keys = [group] if group else []
+    h = h56(F.col(col))
+    bucket = F.shiftrightunsigned(h, w).cast("int")
+    suffix = h.bitwiseAND(F.lit((1 << w) - 1))
+    # bin() renders the suffix unpadded, so its length is the bit length:
+    # rho = (w - bitlen) + 1; an all-zero suffix has rho = w + 1
+    rho = (
+        F.when(suffix == 0, F.lit(w + 1))
+        .otherwise(F.lit(w + 1) - F.length(F.bin(suffix)))
+        .cast("int")
+    )
+    return (
+        df.select(*keys, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*keys, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(*sketches: DataFrame, group: str | None = None) -> DataFrame:
+    """Register-wise max of sketches built with the same (col, p, group).
+    Distributive: merging partial sketches equals sketching the whole."""
+    keys = ([group] if group else []) + ["bucket"]
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*keys).agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(
+    sketch: DataFrame, p: int, group: str | None = None
+) -> DataFrame:
+    """Distinct-count estimate from ``hll_sketch`` rows — every step
+    integer-exact cross-engine.  S = Σ_j 2^(R - reg_j) over all m
+    registers (R = w+1 caps rho, so each term is an exact long; absent
+    buckets contribute 2^R), summed as DECIMAL(38,0):
+
+        raw = alpha_micro · m² · 2^R  div  (S · 10^6)
+
+    Small-range branch (V = zero registers > 0 and 2·raw ≤ 5·m): linear
+    counting m·ln(m/V) with ln(m/V) looked up from an integer micro-nat
+    literal table over V ∈ [1, m] — no float in either engine."""
+    m = 1 << p
+    w = HASH_BITS - p
+    r_cap = w + 1
+    alpha_micro = _hll_alpha_micro(m)
+    numer = alpha_micro * m * m * (1 << r_cap)
+    # micro-nat table for ln(m/V), V = 1..m (index via element_at, 1-based)
+    import math
+
+    ln_micro = [round(math.log(m / v) * 1_000_000) for v in range(1, m + 1)]
+    keys = [group] if group else []
+    aggd = sketch.groupBy(*keys).agg(
+        F.sum(
+            F.expr(
+                f"CAST(shiftleft(CAST(1 AS BIGINT), {r_cap} - rho) "
+                "AS DECIMAL(38,0))"
+            )
+        ).alias("_s_present"),
+        F.count(F.lit(1)).alias("_n_present"),
+    )
+    zero_term = F.expr(
+        f"CAST({1 << r_cap} AS DECIMAL(38,0)) * ({m} - _n_present)"
+    )
+    s_all = (F.col("_s_present") + zero_term).alias("_s")
+    scored = aggd.select(*keys, s_all, (F.lit(m) - F.col("_n_present")).alias("_v"))
+    raw = F.expr(f"CAST(CAST({numer} AS DECIMAL(38,0)) div (_s * 1000000) AS BIGINT)")
+    lc = F.expr(
+        f"CAST(CAST({m} AS BIGINT) * element_at(array({','.join(map(str, ln_micro))}), "
+        f"CAST(_v AS INT)) div 1000000 AS BIGINT)"
+    )
+    est = F.when((F.col("_v") > 0) & (raw * 2 <= 5 * m), lc).otherwise(raw)
+    return scored.select(*keys, est.alias("est_distinct"))
+
+
+def hll_distinct(
+    df: DataFrame, col: str, p: int = 12, group: str | None = None
+) -> DataFrame:
+    """Sketch + estimate in one call: (group?, est_distinct)."""
+    return hll_estimate(hll_sketch(df, col, p=p, group=group), p=p, group=group)

@@ -179,3 +179,85 @@ def test_kmv_estimate_no_overflow_at_large_k(spark):
     df = spark.createDataFrame([Row(v=i) for i in range(5000)])
     [r] = SK.kmv_distinct(df, "v", k=512).collect()
     assert abs(r["est_distinct"] - 5000) / 5000 < 0.2
+
+
+# ------------------------------------------------------------------ HLL
+
+
+def _py_hll(vals, p):
+    """Pure-Python mirror of hll_sketch + hll_estimate."""
+    import hashlib
+    import math
+
+    m, w = 1 << p, 56 - p
+    regs = [0] * m
+    for v in vals:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:14], 16)
+        b, suf = h >> w, h & ((1 << w) - 1)
+        rho = (w + 1) if suf == 0 else (w + 1 - suf.bit_length())
+        regs[b] = max(regs[b], rho)
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    r_cap = w + 1
+    s = sum(1 << (r_cap - r) for r in regs)
+    raw = (round(alpha * 1e6) * m * m * (1 << r_cap)) // (s * 10**6)
+    v0 = sum(1 for r in regs if r == 0)
+    if v0 > 0 and 2 * raw <= 5 * m:
+        return (m * round(math.log(m / v0) * 1e6)) // 10**6
+    return raw
+
+
+def test_hll_matches_python_mirror_both_branches(spark):
+    # 10 distinct -> linear-counting branch; 5000 -> raw harmonic branch
+    for n in (10, 5000):
+        vals = [f"conv{i}" for i in range(n)]
+        df = spark.createDataFrame([(v,) for v in vals], "x string")
+        got = SK.hll_distinct(df, "x", p=6).first()["est_distinct"]
+        assert got == _py_hll(vals, 6)
+
+
+def test_hll_accuracy(spark):
+    # std err ~ 1.04/sqrt(m) = 13% at m=64; 3-sigma bound on 5000 distinct
+    df = spark.createDataFrame([(f"u{i}",) for i in range(5000)], "x string")
+    got = SK.hll_distinct(df, "x", p=6).first()["est_distinct"]
+    assert abs(got - 5000) / 5000 < 0.39
+
+
+def test_hll_small_range_is_near_exact(spark):
+    # n << m: linear counting resolves tiny cardinalities almost exactly
+    df = spark.createDataFrame([(f"u{i}",) for i in range(5)] * 3, "x string")
+    got = SK.hll_distinct(df, "x", p=8).first()["est_distinct"]
+    assert abs(got - 5) <= 1
+
+
+def test_hll_merge_equals_whole(values):
+    """Register-wise max of two halves' sketches == the whole sketch, and
+    the estimates agree — per-day sketches combine without rescanning."""
+    lo = values.filter(F.col("v") < 300)
+    hi = values.filter(F.col("v") >= 300)
+    merged = SK.hll_merge(
+        SK.hll_sketch(lo, "v", p=6, group="g"),
+        SK.hll_sketch(hi, "v", p=6, group="g"),
+        group="g",
+    )
+    whole = SK.hll_sketch(values, "v", p=6, group="g")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    e_m = {r["g"]: r["est_distinct"] for r in SK.hll_estimate(merged, p=6, group="g").collect()}
+    e_w = {r["g"]: r["est_distinct"] for r in SK.hll_estimate(whole, p=6, group="g").collect()}
+    assert e_m == e_w
+
+
+def test_hll_grouped_plan_has_no_window(values):
+    """The grouped sketch is pure aggregation — unlike grouped KMV there
+    is no per-group rank window in the plan."""
+    plan = (
+        SK.hll_sketch(values, "v", p=6, group="g")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+
+
+def test_hll_p_validation(values):
+    with pytest.raises(ValueError, match="p must"):
+        SK.hll_sketch(values, "v", p=3)
