@@ -105,3 +105,42 @@ def run_stream_cms(
     if v is None:
         raise RuntimeError("no micro-batch produced state")
     return spark.read.parquet(f"{sk_dir}/version={v}")
+
+
+def run_stream_hll(
+    spark: SparkSession,
+    src_path: str,
+    state_dir: str,
+    col: str,
+    schema: str,
+    p: int = 12,
+    group: str | None = None,
+) -> DataFrame:
+    """Same shape for HyperLogLog (registers max across batches) — the
+    cheapest of the three to maintain: state is exactly 2^p small-int
+    rows per group forever, and the per-batch fold is one max-aggregate.
+    Returns the final distinct-count estimates (identical to
+    ``sketches.hll_estimate`` over the concatenated history)."""
+    stream = spark.readStream.schema(schema).parquet(src_path)
+    sk_dir = f"{state_dir}/hll"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        new = sketches.hll_sketch(batch_df, col, p=p, group=group)
+        prev_v = _latest_version(sk_dir, batch_id)
+        if prev_v is not None:
+            prev = spark.read.parquet(f"{sk_dir}/version={prev_v}")
+            new = sketches.hll_merge(prev, new, group=group)
+        new.write.mode("overwrite").parquet(f"{sk_dir}/version={batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{state_dir}/ckpt_hll")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    v = _latest_version(sk_dir, 1 << 62)
+    if v is None:
+        raise RuntimeError("no micro-batch produced state")
+    final = spark.read.parquet(f"{sk_dir}/version={v}")
+    return sketches.hll_estimate(final, p=p, group=group)

@@ -373,6 +373,26 @@ def test_streaming_cms_counters_equal_batch(spark, tmp_path):
     assert got.count() <= 4 * 128  # bounded state, whatever the history
 
 
+def test_streaming_hll_equals_batch_over_full_history(spark, tmp_path):
+    """The maintained streaming HLL registers yield the same estimates as
+    sketching the whole history in one pass; state stays ≤ 2^p rows per
+    group however many batches."""
+    from log_analysis_spark.operators import sketches
+    from log_analysis_spark.streaming.sketch_stream import run_stream_hll
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "hll_src")
+    ev.filter("event_id % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+    ev.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    schema = "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    got = run_stream_hll(
+        spark, src, str(tmp_path / "st"), "user_id", schema, p=6,
+        group="event_type",
+    )
+    want = sketches.hll_distinct(ev, "user_id", p=6, group="event_type")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
 def test_stream_stream_join_equals_batch(spark, transcripts, tmp_path):
     """Stream-stream watermarked interval join (tool call -> following
     error, same conv, within 30 min): with the watermark exceeding the
