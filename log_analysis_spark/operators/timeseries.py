@@ -388,3 +388,83 @@ def quantile_anomalies(
         .filter(F.col(value_col) > F.col("_thr"))
         .drop("_thr")
     )
+
+
+def burst_hours(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    n_trail: int = 24,
+    z: int = 3,
+) -> DataFrame:
+    """Temporal anomaly (burst/drop) detection on hourly event counts per
+    key — the alerting primitive a log pipeline runs on error rates: an
+    hour is anomalous when its count deviates from the trailing
+    ``n_trail`` hours' mean by more than ``z`` standard deviations.
+
+    Counts live on a DENSE hour spine (per key, every hour from its first
+    to its last event, absent hours = 0) — without zero-fill a total
+    outage is invisible to a row-based window and a spike after a quiet
+    gap compares against the wrong baseline.
+
+    Exact cross-engine by construction: the z-test is the cross-multiplied
+    INTEGER comparison
+
+        (n·c − Σ)²  >  z²·(n·Σc² − Σ²)      [n = n_trail]
+
+    (both sides DECIMAL(38,0); dividing both by n² gives the usual
+    (c−mean)² > z²·var with var = (n·Σc²−Σ²)/n²) — no float, no division,
+    so the DuckDB oracle replays it bit-for-bit.  Hours with fewer than
+    ``n_trail`` trailing hours are never flagged (no baseline yet); a
+    constant baseline (var = 0) flags ANY deviation — where a float
+    z-score would divide by zero.
+
+    Scale shape: one (key, hour) count aggregate; the spine is built from
+    the per-key (min, max) hour aggregate via sequence+explode (narrow);
+    the rolling sums are ONE ordered window per key over hour-count rows
+    (≤ 8760 rows per key-year, whatever the event volume) — the raw
+    stream is never windowed.
+    """
+    hour = F.floor(F.unix_timestamp(F.col(ts_col)) / 3600).cast("long")
+    counts = (
+        df.select(F.col(key_col).alias("key"), hour.alias("hour_id"))
+        .groupBy("key", "hour_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spine = (
+        counts.groupBy("key")
+        .agg(F.min("hour_id").alias("_mn"), F.max("hour_id").alias("_mx"))
+        .select("key", F.explode(F.sequence("_mn", "_mx")).alias("hour_id"))
+    )
+    dense = spine.join(counts, ["key", "hour_id"], "left").select(
+        "key", "hour_id", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt")
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("hour_id")
+        .rowsBetween(-n_trail, -1)
+    )
+    trailed = dense.select(
+        "key",
+        "hour_id",
+        "cnt",
+        F.count(F.lit(1)).over(w).alias("_m"),
+        F.sum("cnt").over(w).alias("_s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("_ss"),
+    )
+    n = n_trail
+    dev = F.expr(f"CAST({n} AS DECIMAL(38,0)) * cnt - _s")
+    lhs = dev * dev
+    rhs = F.expr(f"CAST({z * z} AS DECIMAL(38,0))") * F.expr(
+        f"CAST({n} AS DECIMAL(38,0)) * _ss - CAST(_s AS DECIMAL(38,0)) * _s"
+    )
+    flagged = F.when(
+        (F.col("_m") == n) & (lhs > rhs),
+        F.when(dev > 0, F.lit("spike")).otherwise(F.lit("drop")),
+    )
+    return trailed.select(
+        F.col("key").alias(key_col),
+        "hour_id",
+        "cnt",
+        flagged.alias("anomaly"),
+    )

@@ -285,3 +285,66 @@ def test_quantile_anomalies_flags_only_tail(spark):
     }
     # group a: p90 cell = 90 → values strictly above 90 flagged
     assert got == set(range(91, 101))
+
+
+# ------------------------------------------------------------- burst_hours
+
+
+def _burst_events(spark, counts, key="error"):
+    """One event row per count unit: hour i gets counts[i] events (0 =
+    silent hour, exercising the dense zero-fill spine)."""
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        Row(key=key, ts=base + dt.timedelta(hours=i, seconds=j))
+        for i, c in enumerate(counts)
+        for j in range(c)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_burst_hours_flags_planted_spike_and_outage(spark):
+    """26 steady hours at 4/h, a 40-event spike, then — a full window
+    later, so the spike no longer inflates the trailing variance — a
+    total outage hour (present ONLY via the zero-filled spine): exactly
+    the spike and the drop flag, nothing else.  (An outage RIGHT AFTER a
+    spike is correctly masked: the spike blows up the baseline's σ.)"""
+    counts = [4] * 26 + [40] + [4] * 24 + [0] + [4] * 2
+    out = T.burst_hours(_burst_events(spark, counts), "ts", "key",
+                        n_trail=24, z=3)
+    flagged = {
+        (r["hour_id"] - out.agg(F.min("hour_id")).first()[0], r["anomaly"])
+        for r in out.filter(F.col("anomaly").isNotNull()).collect()
+    }
+    assert flagged == {(26, "spike"), (51, "drop")}
+    # the outage hour exists on the spine with cnt 0
+    assert out.count() == len(counts)
+
+
+def test_burst_hours_warmup_never_flags(spark):
+    """Hours without a full trailing baseline are never flagged, however
+    extreme — 10 hours of history can't support a 24h z-test."""
+    counts = [4] * 9 + [400]
+    out = T.burst_hours(_burst_events(spark, counts), "ts", "key",
+                        n_trail=24, z=3)
+    assert out.filter(F.col("anomaly").isNotNull()).count() == 0
+
+
+def test_burst_hours_constant_baseline_flags_any_deviation(spark):
+    """var = 0 (perfectly constant baseline): any deviation flags — the
+    case a float z-score would divide by zero on."""
+    counts = [4] * 24 + [5]
+    out = T.burst_hours(_burst_events(spark, counts), "ts", "key",
+                        n_trail=24, z=3)
+    [r] = out.filter(F.col("anomaly").isNotNull()).collect()
+    assert r["anomaly"] == "spike" and r["cnt"] == 5
+
+
+def test_burst_hours_threshold_is_exact_boundary(spark):
+    """The integer test is strict >: a deviation of exactly z·σ does NOT
+    flag.  Baseline alternating 3/5 (mean 4, var 1): z=3 ⇒ flag iff
+    |c−4| > 3 ⇒ c=7 silent, c=8 flags."""
+    for spike, expect in ((7, 0), (8, 1)):
+        counts = [3, 5] * 12 + [spike]
+        out = T.burst_hours(_burst_events(spark, counts), "ts", "key",
+                            n_trail=24, z=3)
+        assert out.filter(F.col("anomaly").isNotNull()).count() == expect
