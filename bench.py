@@ -540,12 +540,38 @@ def main() -> None:
         ).count(),
     )
 
+    # HLL distinct sketch over the full 2M-turn table: grouped path is one
+    # (role, bucket) max aggregate — constant 2^12-register state per role
+    from log_analysis_spark.operators import sketches as sk_ops
+    from log_analysis_spark.operators import timeseries as ts_ops
+
+    timed(
+        "hll_distinct_convs",
+        lambda: sk_ops.hll_distinct(turns, "conv_id", p=12, group="role")
+        .collect(),
+    )
+
+    # temporal burst detection: hourly counts on the dense zero-filled
+    # spine + one trailing window over hour-count rows (never the stream)
+    ev_b = spark.read.parquet(f"{sf_dir}/events.parquet")
+    timed(
+        "events_burst_hours",
+        lambda: ts_ops.burst_hours(ev_b, "ts", "event_type", n_trail=24, z=3)
+        .filter(F.col("anomaly").isNotNull())
+        .count(),
+    )
+
+    # URL extraction + registered-domain blocklist gate: scan-fused pure
+    # projection over the URL-injected docs (the contract query's shape)
+    timed(
+        "doc_url_blocklist",
+        lambda: entrymod.q_doc_url_blocklist(spark, sf_dir).count(),
+    )
+
     # as-of join over the full synthetic turns table (skewed: 10% of rows
     # in 5 hot convs): each assistant turn gains its most recent prior user
     # turn — ONE conv_id shuffle + window carry, never a range join.  The
     # aggregate reads the carried match so column pruning can't skip it.
-    from log_analysis_spark.operators import timeseries as ts_ops
-
     timed(
         "asof_join_turns",
         lambda: ts_ops.asof_join(
