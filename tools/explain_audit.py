@@ -1200,6 +1200,50 @@ def main() -> int:
     sections.append(("Quantized ANN (narrow candidates) + integer PageRank",
                      qt_plan, notes))
 
+    # ---- HLL sketch / burst detection / URL gate shapes -------------------
+    from log_analysis_spark.operators import sketches as sk_ops
+    from log_analysis_spark.operators import timeseries as ts_ops2
+    from log_analysis_spark.operators import urls as urls_ops
+    import __spark_entry__ as entrymod
+
+    hll = sk_ops.hll_distinct(ev, "user_id", p=12, group="event_type")
+    hll_plan = executed(hll)
+    hll_shufs = shuffle_schemas(hll)
+    burst = ts_ops2.burst_hours(ev, "ts", "event_type", n_trail=24, z=3)
+    burst_shufs = shuffle_schemas(burst)
+    url_gate = urls_ops.blocklist_filter(
+        urls_ops.with_url_domains(
+            entrymod._docs_with_urls(spark, sf_dir)
+        ),
+        ["tracker.com"],
+    )
+    url_plan = executed(url_gate)
+    notes = [
+        check("hll grouped sketch: pure aggregation — no per-group rank "
+              "window anywhere in the plan (the grouped-KMV cost this "
+              "sketch exists to avoid)",
+              "Window" not in hll_plan),
+        check("hll: every exchange carries only (group, bucket, rho) "
+              "register rows / estimate columns — never the value column",
+              all("user_id" not in c for _, cols in hll_shufs for c in cols),
+              f"shuffles={[c for _, c in hll_shufs]}"),
+        check("burst detection: the raw event stream is never windowed — "
+              "every exchange carries only (key, hour, count/spine) "
+              "columns, no event-level column",
+              all(set(cols) <= {"key", "hour_id", "cnt", "count",
+                                "min", "max"}
+                  for _, cols in burst_shufs),
+              f"shuffles={[c for _, c in burst_shufs]}"),
+        check("url blocklist gate: scan-fused pure projection — zero "
+              "exchanges, zero Python",
+              "Exchange" not in url_plan and "InPandas" not in url_plan
+              and "BatchEvalPython" not in url_plan),
+    ]
+    sections.append(
+        ("HLL registers / temporal burst detection / URL domain gate",
+         hll_plan, notes)
+    )
+
     # ---- write EXPLAIN.md -------------------------------------------------
     md = ["# EXPLAIN audit — physical plans vs 100 TB design intents",
           "",
