@@ -1329,6 +1329,18 @@ def q_embed_ivf_topk(spark, sf_dir):
     )
 
 
+def q_embed_pca_project(spark, sf_dir):
+    """PCA projection of the embedding corpus to 8 whitened components —
+    the OPQ-style preprocessing stage before ANN / SemDeDup.  Rows-only by
+    design: the covariance folds float partial sums in partition order, so
+    the last ulps are layout-dependent (same class as the k-means IVF
+    build); orthonormality / variance-ordering / whitening invariants are
+    unit-tested instead."""
+    emb = _embeddings(spark, sf_dir)
+    model = similarity.pca_fit(emb, k=8, whiten=True)
+    return similarity.pca_project(emb, model)
+
+
 def q_embed_ivf_topk_kmeans(spark, sf_dir):
     """Production IVF index (xxhash64 seeds + Lloyd rounds) — rows-only
     retired twin of embed_ivf_topk; recall floor asserted in tests."""
@@ -1910,6 +1922,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": q_doc_simhash,
         "doc_fingerprint": q_doc_fingerprint,
         "embed_ivf_topk_kmeans": q_embed_ivf_topk_kmeans,
+        "embed_pca_project": q_embed_pca_project,
     }.items()}
 
 

@@ -1089,3 +1089,146 @@ def quantized_topk_matmul(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "qscore", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA / whitening — the dimensionality-reduction stage embedding pipelines
+# run before ANN / clustering / SemDeDup (OPQ-style preprocessing): fit a
+# k-dim orthogonal projection from the corpus covariance, optionally
+# whitening each component to unit variance.
+# ---------------------------------------------------------------------------
+
+
+def embedding_moments(
+    df: DataFrame, vec_col: str = "embedding"
+) -> tuple[int, "np.ndarray", "np.ndarray"]:
+    """(n, mean[dim], cov[dim, dim]) of the vector column in ONE corpus
+    pass: each Arrow batch emits a single partial-moment row (count, sum
+    vector, flattened Gram sum — one numpy matmul per batch), the partials
+    fold DISTRIBUTEDLY via posexplode + per-position sum (a dim²-row
+    shuffle, never the corpus), and only dim² + dim + 1 doubles reach the
+    driver.  Population covariance (divide by n).
+
+    Float partial sums fold in partition order, so the last ulps of the
+    moments — and anything fit from them — are partition-layout dependent:
+    downstream contract queries are rows-only by design (same class as the
+    k-means IVF build)."""
+    import numpy as np
+
+    dim = _infer_dim(df, vec_col)
+
+    def partial(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            E = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if E.shape[1] != dim:
+                raise ValueError(f"vector dim {E.shape[1]} != {dim}")
+            yield pd.DataFrame(
+                {
+                    "n": [len(E)],
+                    "s": [E.sum(axis=0)],
+                    "ss": [(E.T @ E).ravel()],
+                }
+            )
+
+    parts = df.select(vec_col).mapInPandas(
+        partial, schema="n long, s array<double>, ss array<double>"
+    )
+    parts = parts.persist()
+    try:
+        n = parts.agg(F.sum("n")).first()[0] or 0
+        if n == 0:
+            raise ValueError("no vectors to fit moments on")
+        s = (
+            parts.select(F.posexplode("s"))
+            .groupBy("pos").agg(F.sum("col").alias("v"))
+            .orderBy("pos").collect()
+        )
+        ss = (
+            parts.select(F.posexplode("ss"))
+            .groupBy("pos").agg(F.sum("col").alias("v"))
+            .orderBy("pos").collect()
+        )
+    finally:
+        parts.unpersist()
+    mean = np.array([r["v"] for r in s]) / n
+    gram = np.array([r["v"] for r in ss]).reshape(dim, dim) / n
+    cov = gram - np.outer(mean, mean)
+    return int(n), mean, cov
+
+
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    row = df.select(F.size(vec_col).alias("d")).filter(F.col("d") > 0).first()
+    if row is None:
+        raise ValueError("empty vector column")
+    return int(row["d"])
+
+
+def pca_fit(
+    df: DataFrame, k: int, vec_col: str = "embedding", whiten: bool = False
+) -> dict:
+    """Fit a k-component PCA from the corpus moments.  Returns the model
+    {mean[dim], components[dim, k], eigvals[k], whiten} with a
+    deterministic sign convention (each component's largest-magnitude
+    entry is positive — eigh's signs are otherwise arbitrary).  Whitening
+    folds 1/√λ into the components so projection stays one matmul; a
+    zero-variance component under whiten is a loud error."""
+    import numpy as np
+
+    n, mean, cov = embedding_moments(df, vec_col)
+    dim = mean.shape[0]
+    if not 1 <= k <= dim:
+        raise ValueError(f"k must be in [1, {dim}], got {k}")
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    eigvals = np.maximum(vals[order], 0.0)
+    W = vecs[:, order]  # (dim, k)
+    flip = np.sign(W[np.abs(W).argmax(axis=0), np.arange(k)])
+    flip[flip == 0] = 1.0
+    W = W * flip
+    if whiten:
+        if (eigvals <= 1e-12).any():
+            raise ValueError(
+                "whitening requested but a kept component has ~zero "
+                "variance; reduce k"
+            )
+        W = W / np.sqrt(eigvals)
+    return {
+        "mean": mean, "components": W, "eigvals": eigvals,
+        "whiten": whiten, "n": n,
+    }
+
+
+def pca_project(
+    df: DataFrame,
+    model: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+) -> DataFrame:
+    """Project every vector through the fitted model — (X − mean) @ W as
+    one numpy matmul per Arrow batch; the model rides the UDF closure
+    (dim × k doubles).  Plan is scan → mapInPandas: ZERO exchanges, so at
+    100 TB the cost is one pass over the embedding column.  Components
+    round-6 like every score in this repo."""
+    import numpy as np
+
+    mean = model["mean"]
+    W = model["components"]
+    dim = mean.shape[0]
+
+    def proj(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            E = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if E.shape[1] != dim:
+                raise ValueError(f"vector dim {E.shape[1]} != {dim}")
+            P = np.round((E - mean) @ W, 6)
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: list(P)})
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, vec_col).mapInPandas(
+        proj, schema=f"{id_col} {id_type}, {out_col} array<double>"
+    )

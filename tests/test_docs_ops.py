@@ -1183,3 +1183,62 @@ def test_decode_wav_rejects_non_pcm16_and_walks_extra_chunks(spark):
         mm.decode_wav(bytes(bad))
     with _pytest.raises(ValueError, match="RIFF"):
         mm.decode_wav(b"ID3\x03junkjunkjunk")
+
+
+# ------------------------------------------------------------------ PCA
+
+
+def test_pca_model_invariants_and_numpy_mirror(spark, embeddings):
+    import numpy as np
+    from log_analysis_spark.operators import similarity as SIM
+
+    model = SIM.pca_fit(embeddings, k=8)
+    W = model["components"]
+    # orthonormal columns, eigvals sorted descending
+    assert np.allclose(W.T @ W, np.eye(8), atol=1e-9)
+    assert np.all(np.diff(model["eigvals"]) <= 1e-12)
+    # distributed moments == full numpy PCA on the collected corpus
+    X = np.stack([r["embedding"] for r in embeddings.collect()]).astype(float)
+    vals = np.linalg.eigvalsh(np.cov(X, rowvar=False, bias=True))
+    assert np.allclose(sorted(vals)[::-1][:8], model["eigvals"], rtol=1e-8)
+
+
+def test_pca_projection_variance_and_whitening(spark, embeddings):
+    import numpy as np
+    from log_analysis_spark.operators import similarity as SIM
+
+    model = SIM.pca_fit(embeddings, k=8)
+    P = np.stack(
+        SIM.pca_project(embeddings, model).toPandas()["proj"].to_numpy()
+    )
+    # component variances descending; match the eigvals they came from
+    assert np.all(np.diff(P.var(axis=0)) <= 1e-6)
+    assert np.allclose(P.var(axis=0), model["eigvals"], rtol=1e-3)
+    # whitening: every kept component has unit variance
+    mw = SIM.pca_fit(embeddings, k=8, whiten=True)
+    Pw = np.stack(
+        SIM.pca_project(embeddings, mw).toPandas()["proj"].to_numpy()
+    )
+    assert np.allclose(Pw.var(axis=0), 1.0, rtol=1e-3)
+    # projection is a pure scan: zero exchanges, model in the closure
+    plan = (
+        SIM.pca_project(embeddings, model)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_pca_k_guard_and_zero_variance_whiten(spark):
+    import pytest as _pytest
+    from log_analysis_spark.operators import similarity as SIM
+
+    # rank-1 data: one direction of variance, the rest exactly zero
+    rows = [(i, [float(i), 2.0 * i, 0.0]) for i in range(32)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="k must"):
+        SIM.pca_fit(df, k=4)
+    with _pytest.raises(ValueError, match="zero"):
+        SIM.pca_fit(df, k=3, whiten=True)
+    # unwhitened k=1 captures all the variance
+    model = SIM.pca_fit(df, k=1)
+    assert model["eigvals"][0] > 0
