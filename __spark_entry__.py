@@ -1290,6 +1290,17 @@ def q_doc_dedup_kept(spark, sf_dir):
     return dedup.drop_near_duplicates(docs, groups).select("doc_id", "lang", "n_chars")
 
 
+def q_conv_response_latency(spark, sf_dir):
+    """Per-conversation assistant response-latency stats over adjacent
+    user→assistant turn pairs — exact integer microseconds; only the
+    median's interpolated midpoint can be fractional (identical in both
+    engines)."""
+    parsed = _parsed(spark, sf_dir)
+    return windows_ops.response_latency(
+        parsed, "conv_id", ["turn_idx"], "role", "ts"
+    )
+
+
 def q_doc_dedup_best(spark, sf_dir):
     """Quality-ranked canonical selection: collapse each near-dup group to
     its LONGEST member (n_chars desc, doc_id tiebreak) — the keep-best
@@ -1907,6 +1918,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_url_domains": q_doc_url_domains,
         "events_hll_distinct": q_events_hll,
         "events_burst_hours": q_events_burst_hours,
+        "conv_response_latency": q_conv_response_latency,
         "doc_tfidf_top": q_doc_tfidf_top,
         "doc_strip_markup": q_doc_strip_markup,
         "doc_normalize_unicode": q_doc_normalize_unicode,
@@ -2141,6 +2153,22 @@ WHERE e.value > thr.t
         "doc_url_domains": _url_domains_oracle(),
         "events_hll_distinct": _hll_oracle(p=HLL_P),
         "events_burst_hours": _burst_hours_oracle(n=24, z=3),
+        "conv_response_latency": oracles.on_parsed("""
+, lagged AS (
+  SELECT conv_id, role, epoch_us(ts) AS us,
+         lag(role) OVER w AS prev_role,
+         lag(epoch_us(ts)) OVER w AS prev_us
+  FROM parsed
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+resp AS (
+  SELECT conv_id, us - prev_us AS lat_us
+  FROM lagged WHERE role = 'assistant' AND prev_role = 'user'
+)
+SELECT conv_id, count(*) AS n_responses,
+       max(lat_us) AS max_lat_us,
+       median(lat_us) AS med_lat_us
+FROM resp GROUP BY conv_id"""),
         "doc_dedup_best": (
             _neardup_groups_oracle().rstrip()
             .replace(

@@ -159,3 +159,46 @@ def transition_counts(
         .groupBy("from_state", "to_state")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def response_latency(
+    df: DataFrame,
+    key: str,
+    order_cols: list[str],
+    role_col: str,
+    ts_col: str,
+    from_role: str = "user",
+    to_role: str = "assistant",
+) -> DataFrame:
+    """Per-conversation response-latency stats: for every ADJACENT
+    ``from_role`` → ``to_role`` turn pair (in ``order_cols`` order within
+    ``key``), latency = the to-turn's timestamp minus the from-turn's, in
+    exact integer microseconds; aggregated to (key, n_responses,
+    max_lat_us, med_lat_us) — the conversational twin of the reference's
+    request→response timing pairs (W3 machinery, SURVEY §2.6).
+
+    ONE shuffle on the key for the lag window; the aggregate is algebraic
+    except the median, which runs over per-conv response rows (bounded by
+    conversation length, never the corpus).  Latencies are integer
+    microseconds end to end (``unix_micros``), so only the median's
+    interpolated midpoint can be fractional — identical in both engines.
+    """
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    # unix_micros rejects TIMESTAMP_NTZ; the cast is the identity under
+    # the pipeline's pinned UTC session timezone
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    lagged = df.select(
+        key,
+        F.col(role_col).alias("_role"),
+        us.alias("_us"),
+        F.lag(F.col(role_col)).over(w).alias("_prev_role"),
+        F.lag(us).over(w).alias("_prev_us"),
+    )
+    resp = lagged.filter(
+        (F.col("_role") == to_role) & (F.col("_prev_role") == from_role)
+    ).select(key, (F.col("_us") - F.col("_prev_us")).alias("lat_us"))
+    return resp.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_responses"),
+        F.max("lat_us").alias("max_lat_us"),
+        F.median("lat_us").alias("med_lat_us"),
+    )

@@ -529,3 +529,45 @@ def test_broadcast_interval_lookup_validation(spark):
     df = spark.createDataFrame([(1,)], "event_id long")
     with _pytest.raises(ValueError, match="non-empty"):
         broadcast_interval_lookup(df, [])
+
+
+def test_response_latency_adjacent_pairs_only(spark):
+    """Latency counts ONLY adjacent user→assistant pairs: interposed
+    system/tool turns break the pair; stats are exact integer micros with
+    an interpolated median on even counts."""
+    import datetime as dt
+
+    from log_analysis_spark.operators import windows_ops as W
+
+    t0 = dt.datetime(2024, 5, 1)
+
+    def turn(conv, idx, role, offset_us):
+        return (conv, idx, role, t0 + dt.timedelta(microseconds=offset_us))
+
+    rows = [
+        # c1: two clean pairs with latencies 1_000_000 and 3_000_000
+        turn("c1", 0, "user", 0),
+        turn("c1", 1, "assistant", 1_000_000),
+        turn("c1", 2, "user", 5_000_000),
+        turn("c1", 3, "assistant", 8_000_000),
+        # c2: user → TOOL → assistant — no adjacent pair, no row
+        turn("c2", 0, "user", 0),
+        turn("c2", 1, "tool", 500),
+        turn("c2", 2, "assistant", 1_000),
+        # c3: single pair, latency 42 µs
+        turn("c3", 0, "user", 0),
+        turn("c3", 1, "assistant", 42),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts timestamp"
+    )
+    got = {
+        r["conv_id"]: (r["n_responses"], r["max_lat_us"], r["med_lat_us"])
+        for r in W.response_latency(
+            df, "conv_id", ["turn_idx"], "role", "ts"
+        ).collect()
+    }
+    assert got == {
+        "c1": (2, 3_000_000, 2_000_000.0),  # even count -> midpoint
+        "c3": (1, 42, 42.0),
+    }
