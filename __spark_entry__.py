@@ -561,6 +561,42 @@ def q_streaming_ss_join(spark, sf_dir):
     )
 
 
+def q_streaming_burst_hours(spark, sf_dir):
+    """§2.9 streaming burst detection: hourly counts folded per
+    micro-batch into versioned bounded state (state ~ hours observed,
+    never event volume), alerts from the SAME burst_from_counts the batch
+    operator runs — so the streaming result over the drained snapshot
+    equals the batch oracle exactly; cross-batch fold equality is
+    unit-tested with a two-drop history."""
+    import shutil
+    import tempfile
+
+    from log_analysis_spark.streaming.sketch_stream import run_stream_burst_hours
+
+    # the file-stream source needs a DIRECTORY of drops; the testdata
+    # tables are single files — snapshot one drop into the work dir
+    work = tempfile.mkdtemp(prefix="burst_stream_")
+    import os
+
+    os.makedirs(f"{work}/src")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{work}/src/drop0.parquet")
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    )
+    out = run_stream_burst_hours(
+        spark,
+        f"{work}/src",
+        f"{work}/state",
+        "ts",
+        "event_type",
+        schema,
+        n_trail=24,
+        z=3,
+    )
+    return out.filter(F.col("anomaly").isNotNull())
+
+
 def q_streaming_sessions(spark, sf_dir):
     """§2.9 native session windows (F.session_window): per-conv sessions
     closing after 15 min of event-time silence — the streaming twin of the
@@ -1919,6 +1955,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hll_distinct": q_events_hll,
         "events_burst_hours": q_events_burst_hours,
         "conv_response_latency": q_conv_response_latency,
+        "streaming_burst_hours": q_streaming_burst_hours,
         "doc_tfidf_top": q_doc_tfidf_top,
         "doc_strip_markup": q_doc_strip_markup,
         "doc_normalize_unicode": q_doc_normalize_unicode,
@@ -2153,6 +2190,7 @@ WHERE e.value > thr.t
         "doc_url_domains": _url_domains_oracle(),
         "events_hll_distinct": _hll_oracle(p=HLL_P),
         "events_burst_hours": _burst_hours_oracle(n=24, z=3),
+        "streaming_burst_hours": _burst_hours_oracle(n=24, z=3),
         "conv_response_latency": oracles.on_parsed("""
 , lagged AS (
   SELECT conv_id, role, epoch_us(ts) AS us,

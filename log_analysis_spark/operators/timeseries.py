@@ -425,12 +425,27 @@ def burst_hours(
     (≤ 8760 rows per key-year, whatever the event volume) — the raw
     stream is never windowed.
     """
+    counts = hourly_counts(df, ts_col, key_col)
+    return burst_from_counts(counts, key_col, n_trail=n_trail, z=z)
+
+
+def hourly_counts(df: DataFrame, ts_col: str, key_col: str) -> DataFrame:
+    """(key, hour_id, cnt) hourly counts — the mergeable state the
+    streaming twin folds per micro-batch (counts ADD across batches)."""
     hour = F.floor(F.unix_timestamp(F.col(ts_col)) / 3600).cast("long")
-    counts = (
+    return (
         df.select(F.col(key_col).alias("key"), hour.alias("hour_id"))
         .groupBy("key", "hour_id")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def burst_from_counts(
+    counts: DataFrame, key_col: str, n_trail: int = 24, z: int = 3
+) -> DataFrame:
+    """The spine + trailing-window + integer z-test over a (key, hour_id,
+    cnt) table — shared verbatim by the batch and streaming paths so the
+    two can never drift."""
     spine = (
         counts.groupBy("key")
         .agg(F.min("hour_id").alias("_mn"), F.max("hour_id").alias("_mx"))

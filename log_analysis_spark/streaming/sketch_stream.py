@@ -144,3 +144,50 @@ def run_stream_hll(
         raise RuntimeError("no micro-batch produced state")
     final = spark.read.parquet(f"{sk_dir}/version={v}")
     return sketches.hll_estimate(final, p=p, group=group)
+
+
+def run_stream_burst_hours(
+    spark: SparkSession,
+    src_path: str,
+    state_dir: str,
+    ts_col: str,
+    key_col: str,
+    schema: str,
+    n_trail: int = 24,
+    z: int = 3,
+) -> DataFrame:
+    """Streaming burst detection: each micro-batch's (key, hour, cnt)
+    rows ADD into the persisted hourly-count state (same exactly-once
+    version protocol as the sketch streams; state is bounded by hours
+    observed, not event volume), and the final alert table comes from the
+    SAME ``burst_from_counts`` the batch operator runs — streaming==batch
+    by shared code, not by parallel reimplementation."""
+    from log_analysis_spark.operators import timeseries
+
+    stream = spark.readStream.schema(schema).parquet(src_path)
+    sk_dir = f"{state_dir}/burst"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        new = timeseries.hourly_counts(batch_df, ts_col, key_col)
+        prev_v = _latest_version(sk_dir, batch_id)
+        if prev_v is not None:
+            prev = spark.read.parquet(f"{sk_dir}/version={prev_v}")
+            new = (
+                new.unionByName(prev)
+                .groupBy("key", "hour_id")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        new.write.mode("overwrite").parquet(f"{sk_dir}/version={batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{state_dir}/ckpt_burst")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    v = _latest_version(sk_dir, 1 << 62)
+    if v is None:
+        raise RuntimeError("no micro-batch produced state")
+    final = spark.read.parquet(f"{sk_dir}/version={v}")
+    return timeseries.burst_from_counts(final, key_col, n_trail=n_trail, z=z)

@@ -393,6 +393,26 @@ def test_streaming_hll_equals_batch_over_full_history(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
+def test_streaming_burst_hours_equals_batch(spark, tmp_path):
+    """Hourly counts folded across TWO micro-batch drops (split mid-hour,
+    so some hours' counts must ADD across batches) yield exactly the batch
+    operator's alert table."""
+    from log_analysis_spark.operators import timeseries
+    from log_analysis_spark.streaming.sketch_stream import run_stream_burst_hours
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "burst_src")
+    ev.filter("event_id % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+    ev.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    schema = "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    got = run_stream_burst_hours(
+        spark, src, str(tmp_path / "st"), "ts", "event_type", schema,
+        n_trail=6, z=2,
+    )
+    want = timeseries.burst_hours(ev, "ts", "event_type", n_trail=6, z=2)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
 def test_stream_stream_join_equals_batch(spark, transcripts, tmp_path):
     """Stream-stream watermarked interval join (tool call -> following
     error, same conv, within 30 min): with the watermark exceeding the
