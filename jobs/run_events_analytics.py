@@ -16,7 +16,9 @@ Sandbox usage:
 Outputs (each a parquet dir under --out): ``asof/`` (left events enriched
 with the most recent right event), ``sliding/`` (hopping-window counts per
 type), ``funnel/`` (per-user steps completed), ``retention/`` (cohort
-matrix), ``report/`` (per-type KMV distinct users + value quantiles).  The
+matrix), ``report/`` (per-type KMV distinct users + value quantiles, plus
+HLL estimates under ``--hll-p``), ``alerts/`` (hourly burst/drop
+anomalies from ``timeseries.burst_hours``, ``--burst-trail-hours``).  The
 summary JSON line carries per-output row counts plus the CMS-detected hot
 keys — the skew advisory that feeds salting knobs downstream.
 
@@ -61,6 +63,17 @@ def main() -> None:
         "--ohlc-bucket-sec", type=int, default=86400,
         help="OHLC downsampling bucket (0 disables the ohlc/ output)",
     )
+    ap.add_argument(
+        "--burst-trail-hours", type=int, default=24,
+        help="trailing baseline for hourly burst/drop alerting "
+        "(0 disables the alerts/ output)",
+    )
+    ap.add_argument("--burst-z", type=int, default=3)
+    ap.add_argument(
+        "--hll-p", type=int, default=0,
+        help="also report HLL distinct-user estimates at 2^p registers "
+        "(0 = KMV only)",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -88,7 +101,8 @@ def main() -> None:
         args.out, args.asof_left_type, args.asof_right_type,
         args.asof_tolerance_sec, args.window_sec, args.slide_sec,
         args.funnel, args.kmv_k, args.quantiles, args.quantile_resolution,
-        args.skew_frac, args.ohlc_bucket_sec, fingerprint_source(ev),
+        args.skew_frac, args.ohlc_bucket_sec, args.burst_trail_hours,
+        args.burst_z, args.hll_p, fingerprint_source(ev),
     )
     prior = manifest.lookup("events_analytics", fp)
     if prior is not None and os.path.exists(f"{args.out}/report"):
@@ -145,6 +159,13 @@ def main() -> None:
         ),
         "event_type",
     )
+    if args.hll_p:
+        report = report.join(
+            sketches.hll_distinct(
+                ev, "user_id", p=args.hll_p, group="event_type"
+            ).withColumnRenamed("est_distinct", "est_distinct_hll"),
+            "event_type",
+        )
     report.write.mode("overwrite").parquet(f"{args.out}/report")
     counts["n_report_rows"] = spark.read.parquet(f"{args.out}/report").count()
 
@@ -154,6 +175,16 @@ def main() -> None:
         )
         ohlc.write.mode("overwrite").parquet(f"{args.out}/ohlc")
         counts["n_ohlc_bars"] = spark.read.parquet(f"{args.out}/ohlc").count()
+
+    if args.burst_trail_hours:
+        alerts = timeseries.burst_hours(
+            ev, "ts", "event_type",
+            n_trail=args.burst_trail_hours, z=args.burst_z,
+        ).filter(F.col("anomaly").isNotNull())
+        alerts.write.mode("overwrite").parquet(f"{args.out}/alerts")
+        counts["n_burst_alerts"] = spark.read.parquet(
+            f"{args.out}/alerts"
+        ).count()
 
     from log_analysis_spark.operators import expectations as expect_ops
 

@@ -562,6 +562,9 @@ def test_submit_events_analytics_job(pkg_zip, tmp_path):
             "--sf-dir", "/root/testdata/sf0.001",
             "--out", str(tmp_path / "ea"),
             "--skew-frac", "0.05",
+            "--burst-trail-hours", "6",
+            "--burst-z", "2",
+            "--hll-p", "6",
         ],
         cwd=tmp_path,
     )
@@ -571,6 +574,14 @@ def test_submit_events_analytics_job(pkg_zip, tmp_path):
     assert 0 < res["n_funnel_completed"] <= res["n_funnel_users"]
     assert res["n_report_rows"] == 15  # 5 event types x 3 quantiles
     assert res["n_ohlc_bars"] > 0 and res["n_profile_rows"] == 2
+    assert res["n_burst_alerts"] >= 0  # alerts/ output written
+    import duckdb
+
+    rep = duckdb.connect().execute(
+        f"SELECT count(*), count(est_distinct_hll) "
+        f"FROM read_parquet('{tmp_path}/ea/report/*.parquet')"
+    ).fetchone()
+    assert rep[0] == 15 and rep[1] == 15  # HLL column present on every row
     # resume: same knobs reprint the summary without recompute
     res2 = _submit(
         pkg_zip,
@@ -579,6 +590,9 @@ def test_submit_events_analytics_job(pkg_zip, tmp_path):
             "--sf-dir", "/root/testdata/sf0.001",
             "--out", str(tmp_path / "ea"),
             "--skew-frac", "0.05",
+            "--burst-trail-hours", "6",
+            "--burst-z", "2",
+            "--hll-p", "6",
         ],
         cwd=tmp_path,
     )
