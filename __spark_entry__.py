@@ -1337,6 +1337,40 @@ def q_conv_response_latency(spark, sf_dir):
     )
 
 
+def q_customer_fuzzy_match(spark, sf_dir):
+    """Record linkage over structured rows: customers vs a deterministic
+    DIRTY copy (typo'd name everywhere; synthetic addr mildly perturbed,
+    every 5th reversed = unlinkable), blocked by nation, scored by
+    weighted integer-micro Levenshtein similarity.  Threshold 0.8 keeps
+    exactly the 4/5 true twins (~874k micro) and drops both the heavy
+    perturbations (~597k) and every cross-customer pair (<600k)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    addr = F.concat(
+        F.lit("addr-"),
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 8),
+    )
+    clean = cust.select("c_custkey", "c_name", "c_nationkey").withColumn(
+        "addr", addr
+    )
+    dirty = clean.select(
+        (F.col("c_custkey") + 1000000).alias("d_id"),
+        F.regexp_replace("c_name", "Customer", "Custmer").alias("d_name"),
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 5 == 0, F.reverse(F.col("addr")))
+        .otherwise(F.concat(F.substring("addr", 1, 10), F.lit("zz")))
+        .alias("d_addr"),
+    )
+    return joins.fuzzy_match(
+        clean,
+        dirty,
+        ["c_nationkey"],
+        [("c_name", "d_name", 600_000), ("addr", "d_addr", 400_000)],
+        "c_custkey",
+        "d_id",
+        threshold_micro=800_000,
+    )
+
+
 def q_doc_dedup_best(spark, sf_dir):
     """Quality-ranked canonical selection: collapse each near-dup group to
     its LONGEST member (n_chars desc, doc_id tiebreak) — the keep-best
@@ -1956,6 +1990,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_burst_hours": q_events_burst_hours,
         "conv_response_latency": q_conv_response_latency,
         "streaming_burst_hours": q_streaming_burst_hours,
+        "customer_fuzzy_match": q_customer_fuzzy_match,
         "doc_tfidf_top": q_doc_tfidf_top,
         "doc_strip_markup": q_doc_strip_markup,
         "doc_normalize_unicode": q_doc_normalize_unicode,
@@ -2191,6 +2226,7 @@ WHERE e.value > thr.t
         "events_hll_distinct": _hll_oracle(p=HLL_P),
         "events_burst_hours": _burst_hours_oracle(n=24, z=3),
         "streaming_burst_hours": _burst_hours_oracle(n=24, z=3),
+        "customer_fuzzy_match": _fuzzy_match_oracle(threshold=800_000),
         "conv_response_latency": oracles.on_parsed("""
 , lagged AS (
   SELECT conv_id, role, epoch_us(ts) AS us,
@@ -4296,6 +4332,53 @@ WITH {_hll_branch_sql("CAST(user_id AS VARCHAR)", "est_users", p)},
 {_hll_branch_sql("CAST(event_id AS VARCHAR)", "est_events", p).lstrip()}
 SELECT u.event_type, u.est_users, e.est_events
 FROM e_est_users u JOIN e_est_events e USING (event_type)
+"""
+
+
+def _fuzzy_sim_sql(a: str, b: str) -> str:
+    """One field's length-normalized Levenshtein similarity in integer
+    micro-units — the exact mirror of joins.fuzzy_match's per-field
+    expression."""
+    return (
+        f"(CASE WHEN {a} IS NULL OR {b} IS NULL THEN 0 "
+        f"ELSE 1000000 - CAST(levenshtein({a}, {b}) AS BIGINT) * 1000000 "
+        f"// greatest(length({a}), length({b}), 1) END)"
+    )
+
+
+def _fuzzy_match_oracle(threshold: int = 800_000) -> str:
+    """Mirror of q_customer_fuzzy_match: identical clean/dirty builds,
+    nation blocking, weighted integer score, rank-1 per left."""
+    return f"""
+WITH clean AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         'addr-' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8) AS addr
+  FROM customer
+),
+dirty AS (
+  SELECT c_custkey + 1000000 AS d_id,
+         regexp_replace(c_name, 'Customer', 'Custmer') AS d_name,
+         c_nationkey,
+         CASE WHEN c_custkey % 5 = 0 THEN reverse(addr)
+              ELSE substr(addr, 1, 10) || 'zz' END AS d_addr
+  FROM clean
+),
+scored AS (
+  SELECT l.c_custkey, r.d_id,
+         (600000 * {_fuzzy_sim_sql("l.c_name", "r.d_name")}
+          + 400000 * {_fuzzy_sim_sql("l.addr", "r.d_addr")}) // 1000000
+           AS score_micro
+  FROM clean l JOIN dirty r USING (c_nationkey)
+),
+best AS (
+  SELECT c_custkey, d_id, score_micro,
+         row_number() OVER (
+           PARTITION BY c_custkey ORDER BY score_micro DESC, d_id
+         ) AS rn
+  FROM scored WHERE score_micro >= {threshold}
+)
+SELECT c_custkey, d_id, CAST(score_micro AS BIGINT) AS score_micro
+FROM best WHERE rn = 1
 """
 
 

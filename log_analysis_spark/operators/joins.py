@@ -380,3 +380,91 @@ def broadcast_interval_lookup(
                                               iv["lab"].alias("lab")))
     )
     return fact.withColumn(out, best["lab"])
+
+
+def fuzzy_match(
+    left: DataFrame,
+    right: DataFrame,
+    block_cols: list[str],
+    fields: list[tuple[str, str, int]],
+    left_id: str,
+    right_id: str,
+    threshold_micro: int,
+    best_per_left: bool = True,
+) -> DataFrame:
+    """Record linkage (entity resolution): match ``left`` rows to ``right``
+    rows by a weighted multi-field string-similarity score — the dedup
+    problem for STRUCTURED records (customers, suppliers, users) where
+    near-dup text machinery doesn't apply.
+
+    ``fields`` is [(left_col, right_col, weight_micro)] with weights
+    summing to 1,000,000.  Per-field similarity is length-normalized
+    Levenshtein as an exact integer:
+
+        sim_micro = 1e6 − (lev(a, b) · 1e6) div max(len(a), len(b), 1)
+
+    (NULL on either side ⇒ 0), and the record score is
+    Σ wᵢ·simᵢ div 1e6 — integer end to end, so a DuckDB oracle replays it
+    bit-for-bit.  Matches below ``threshold_micro`` are dropped; with
+    ``best_per_left`` each left record keeps only its best match
+    (score desc, right id asc — deterministic).
+
+    Scale shape: candidates form ONLY inside a block (equi-join on
+    ``block_cols`` — the standard blocking step of record linkage; pick
+    keys that bound block size), the Levenshtein DP runs JVM-side on the
+    candidate pairs, and the argmax is one struct-min aggregate — no
+    window, no cross join (plan guards candidates to the block product).
+    """
+    if sum(w for _, _, w in fields) != 1_000_000:
+        raise ValueError("field weights must sum to 1,000,000 micro")
+    l = left.select(
+        F.col(left_id).alias("_lid"),
+        *[F.col(c).alias(f"_l{i}") for i, (c, _, _) in enumerate(fields)],
+        *[F.col(c).alias(f"_bk{j}") for j, c in enumerate(block_cols)],
+    )
+    r = right.select(
+        F.col(right_id).alias("_rid"),
+        *[F.col(c).alias(f"_r{i}") for i, (_, c, _) in enumerate(fields)],
+        *[F.col(c).alias(f"_bk{j}") for j, c in enumerate(block_cols)],
+    )
+    cand = l.join(r, [f"_bk{j}" for j in range(len(block_cols))])
+    sims = []
+    for i, (_, _, w) in enumerate(fields):
+        a, b = F.col(f"_l{i}"), F.col(f"_r{i}")
+        sim = F.expr(
+            f"1000000 - CAST(levenshtein(_l{i}, _r{i}) AS BIGINT) * 1000000 "
+            f"div greatest(length(_l{i}), length(_r{i}), 1)"
+        )
+        sims.append(
+            F.when(a.isNull() | b.isNull(), F.lit(0)).otherwise(sim) * w
+        )
+    total = sims[0]
+    for s in sims[1:]:
+        total = total + s
+    scored = cand.withColumn("_raw", total).select(
+        "_lid", "_rid", F.expr("_raw div 1000000").alias("score_micro")
+    )
+    hits = scored.filter(F.col("score_micro") >= threshold_micro)
+    if not best_per_left:
+        return hits.select(
+            F.col("_lid").alias(left_id),
+            F.col("_rid").alias(right_id),
+            "score_micro",
+        )
+    best = (
+        hits.groupBy("_lid")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("score_micro")).alias("ns"),
+                    F.col("_rid").alias("rid"),
+                )
+            ).alias("w")
+        )
+        .select(
+            F.col("_lid").alias(left_id),
+            F.col("w.rid").alias(right_id),
+            (-F.col("w.ns")).cast("long").alias("score_micro"),
+        )
+    )
+    return best

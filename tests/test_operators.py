@@ -571,3 +571,76 @@ def test_response_latency_adjacent_pairs_only(spark):
         "c1": (2, 3_000_000, 2_000_000.0),  # even count -> midpoint
         "c3": (1, 42, 42.0),
     }
+
+
+def test_fuzzy_match_scoring_threshold_and_tiebreak(spark):
+    from log_analysis_spark.operators import joins as J
+
+    left = spark.createDataFrame(
+        [(1, "jon smith", "A"), (2, "mary jones", "A"), (3, "zed", "B")],
+        "lid long, name string, blk string",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "john smith", "A"),   # lev 1 / len 10 -> sim 900000
+            (11, "jon smith", "A"),    # exact -> 1000000 (wins for lid=1)
+            (12, "mary jonez", "A"),   # lev 1 / len 10 -> 900000
+            (13, "zed", "A"),          # exact but WRONG BLOCK: never a candidate
+            (14, None, "B"),           # null field scores 0
+        ],
+        "rid long, name string, blk string",
+    )
+    out = J.fuzzy_match(
+        left, right, ["blk"], [("name", "name", 1_000_000)],
+        "lid", "rid", threshold_micro=850_000,
+    )
+    got = {(r["lid"], r["rid"], r["score_micro"]) for r in out.collect()}
+    # lid=1: exact 11 beats 900k 10; lid=2: 12 at 900k; lid=3: 13 blocked
+    # out, 14 nulls to 0 -> no match at all
+    assert got == {(1, 11, 1_000_000), (2, 12, 900_000)}
+    # all-pairs variant keeps both of lid=1's above-threshold candidates
+    allp = J.fuzzy_match(
+        left, right, ["blk"], [("name", "name", 1_000_000)],
+        "lid", "rid", threshold_micro=850_000, best_per_left=False,
+    )
+    assert {(r["lid"], r["rid"]) for r in allp.collect()} == {
+        (1, 10), (1, 11), (2, 12),
+    }
+    # equal scores break to the lowest right id
+    tie = J.fuzzy_match(
+        left.filter("lid = 1"),
+        spark.createDataFrame(
+            [(21, "jon smith", "A"), (20, "jon smith", "A")],
+            "rid long, name string, blk string",
+        ),
+        ["blk"], [("name", "name", 1_000_000)],
+        "lid", "rid", threshold_micro=850_000,
+    )
+    assert [(r["lid"], r["rid"]) for r in tie.collect()] == [(1, 20)]
+    # weight-sum guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sum to 1,000,000"):
+        J.fuzzy_match(left, right, ["blk"], [("name", "name", 5)],
+                      "lid", "rid", 1)
+
+
+def test_fuzzy_match_candidates_are_blocked(spark):
+    """The plan joins on the block key — no cross product anywhere."""
+    from log_analysis_spark.operators import joins as J
+
+    left = spark.createDataFrame(
+        [(i, f"n{i}", str(i % 3)) for i in range(30)],
+        "lid long, name string, blk string",
+    )
+    right = spark.createDataFrame(
+        [(i + 100, f"n{i}x", str(i % 3)) for i in range(30)],
+        "rid long, name string, blk string",
+    )
+    out = J.fuzzy_match(
+        left, right, ["blk"], [("name", "name", 1_000_000)],
+        "lid", "rid", threshold_micro=1,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
