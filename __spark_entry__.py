@@ -980,6 +980,17 @@ def q_events_burst_hours(spark, sf_dir):
     return out.filter(F.col("anomaly").isNotNull())
 
 
+def q_events_incidents(spark, sf_dir):
+    """Alert→incident coalescing: consecutive anomalous hours merge into
+    one incident span per key (islands trick over FLAGGED hours only) —
+    one page per outage, not one per hour."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    flagged = timeseries.burst_hours(
+        ev, "ts", "event_type", n_trail=24, z=3
+    ).filter(F.col("anomaly").isNotNull())
+    return timeseries.incidents(flagged, "event_type")
+
+
 def _sessions(spark, sf_dir, gap_sec: int = 86400) -> DataFrame:
     """24h-gap sessions with per-session text assembled from the ordered
     event-type sequence — the input of the sessionize→dedup composition.
@@ -1991,6 +2002,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_response_latency": q_conv_response_latency,
         "streaming_burst_hours": q_streaming_burst_hours,
         "customer_fuzzy_match": q_customer_fuzzy_match,
+        "events_incidents": q_events_incidents,
         "doc_tfidf_top": q_doc_tfidf_top,
         "doc_strip_markup": q_doc_strip_markup,
         "doc_normalize_unicode": q_doc_normalize_unicode,
@@ -2227,6 +2239,7 @@ WHERE e.value > thr.t
         "events_burst_hours": _burst_hours_oracle(n=24, z=3),
         "streaming_burst_hours": _burst_hours_oracle(n=24, z=3),
         "customer_fuzzy_match": _fuzzy_match_oracle(threshold=800_000),
+        "events_incidents": _incidents_oracle(n=24, z=3),
         "conv_response_latency": oracles.on_parsed("""
 , lagged AS (
   SELECT conv_id, role, epoch_us(ts) AS us,
@@ -4415,6 +4428,26 @@ FROM t
 WHERE m = {n}
   AND CAST({n} * cnt - s AS HUGEINT) * ({n} * cnt - s)
       > {z * z} * ({n} * CAST(ss AS HUGEINT) - CAST(s AS HUGEINT) * s)
+"""
+
+
+def _incidents_oracle(n: int = 24, z: int = 3) -> str:
+    """Mirror of q_events_incidents: the burst oracle as a nested CTE,
+    then the identical islands fold (hour_id − row_number constant within
+    a consecutive run)."""
+    return f"""
+WITH flagged AS ({_burst_hours_oracle(n=n, z=z)}),
+isl AS (
+  SELECT event_type, hour_id, cnt, anomaly,
+         hour_id - row_number() OVER (
+           PARTITION BY event_type ORDER BY hour_id
+         ) AS island
+  FROM flagged
+)
+SELECT event_type, min(hour_id) AS start_hour, max(hour_id) AS end_hour,
+       count(*) AS n_hours, max(cnt) AS peak_cnt,
+       array_to_string(list_sort(list(DISTINCT anomaly)), ',') AS sides
+FROM isl GROUP BY event_type, island
 """
 
 

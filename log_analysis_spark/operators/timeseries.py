@@ -483,3 +483,39 @@ def burst_from_counts(
         "cnt",
         flagged.alias("anomaly"),
     )
+
+
+def incidents(
+    flagged: DataFrame, key_col: str = "key"
+) -> DataFrame:
+    """Coalesce consecutive anomalous hours into INCIDENTS — the alert
+    stream an on-call actually wants (one page per outage, not one per
+    hour).  Input is ``burst_hours`` output filtered to flagged rows;
+    consecutive hour_ids per key merge via the islands trick
+    (hour_id − row_number() is constant within a run), yielding
+    (key, start_hour, end_hour, n_hours, peak_cnt, sides) with sides the
+    sorted distinct anomaly labels the incident spanned.
+
+    One key shuffle for the rank window over FLAGGED hours only (alert
+    volume, not event volume), one aggregate."""
+    w = Window.partitionBy(key_col).orderBy("hour_id")
+    grouped = flagged.select(
+        key_col,
+        "hour_id",
+        "cnt",
+        "anomaly",
+        (F.col("hour_id") - F.row_number().over(w)).alias("_island"),
+    )
+    return (
+        grouped.groupBy(key_col, "_island")
+        .agg(
+            F.min("hour_id").alias("start_hour"),
+            F.max("hour_id").alias("end_hour"),
+            F.count(F.lit(1)).alias("n_hours"),
+            F.max("cnt").alias("peak_cnt"),
+            F.concat_ws(
+                ",", F.array_sort(F.collect_set("anomaly"))
+            ).alias("sides"),
+        )
+        .drop("_island")
+    )
