@@ -1567,6 +1567,33 @@ def q_doc_url_domains(spark, sf_dir):
     return urls.domain_counts(docs)
 
 
+def q_graph_error_distance(spark, sf_dir):
+    """Multi-source BFS over the (symmetrized) tool transition graph:
+    minimum workflow hops from each tool to the error-adjacent set (tools
+    whose very next turn is an error) — blast-radius triage for agent
+    workflows.  Round t settles exactly the distance-t frontier, so the
+    unrolled MATERIALIZED-CTE oracle matches bit-for-bit."""
+    from pyspark.sql import Window
+
+    seq = _parsed(spark, sf_dir).filter(F.col("tool") != "-")
+    edges = windows_ops.transition_counts(seq, "conv_id", ["turn_idx"], "tool")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    nxt = _parsed(spark, sf_dir).select(
+        "tool", F.lead("turn_class").over(w).alias("next_class")
+    )
+    srcs = (
+        nxt.filter((F.col("tool") != "-") & (F.col("next_class") == "error"))
+        .select("tool")
+        .distinct()
+    )
+    return graph.bfs_hops(
+        edges.selectExpr("from_state AS src", "to_state AS dst"),
+        srcs,
+        max_hops=4,
+        directed=False,
+    )
+
+
 def q_doc_strip_markup(spark, sf_dir):
     """HTML/markup stripping over deterministically marked-up docs (both
     engines build the IDENTICAL wrapped input, so the op — script/style
@@ -2003,6 +2030,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_burst_hours": q_streaming_burst_hours,
         "customer_fuzzy_match": q_customer_fuzzy_match,
         "events_incidents": q_events_incidents,
+        "graph_error_distance": q_graph_error_distance,
         "doc_tfidf_top": q_doc_tfidf_top,
         "doc_strip_markup": q_doc_strip_markup,
         "doc_normalize_unicode": q_doc_normalize_unicode,
@@ -2240,6 +2268,7 @@ WHERE e.value > thr.t
         "streaming_burst_hours": _burst_hours_oracle(n=24, z=3),
         "customer_fuzzy_match": _fuzzy_match_oracle(threshold=800_000),
         "events_incidents": _incidents_oracle(n=24, z=3),
+        "graph_error_distance": _bfs_hops_oracle(max_hops=4),
         "conv_response_latency": oracles.on_parsed("""
 , lagged AS (
   SELECT conv_id, role, epoch_us(ts) AS us,
@@ -4833,6 +4862,52 @@ SELECT domain, count(*) AS n_docs
 FROM (SELECT unnest(domains) AS domain FROM d)
 GROUP BY domain
 """
+
+
+def _bfs_hops_oracle(max_hops: int = 4) -> str:
+    """Mirror of q_graph_error_distance: symmetrized distinct edges,
+    error-adjacent sources, ``max_hops`` unrolled BFS rounds — every
+    round CTE MATERIALIZED (each is referenced twice; inlining would
+    re-expand the chain multiplicatively, the k-core fd lesson)."""
+    rounds = []
+    for t in range(1, max_hops + 1):
+        rounds.append(f"""
+n{t} AS MATERIALIZED (
+  SELECT DISTINCT e.d AS node FROM e JOIN f{t - 1} ON e.s = f{t - 1}.node
+  WHERE e.d NOT IN (SELECT node FROM settled{t - 1})
+),
+settled{t} AS MATERIALIZED (
+  SELECT node, hops FROM settled{t - 1}
+  UNION ALL SELECT node, {t} AS hops FROM n{t}
+),
+f{t} AS MATERIALIZED (SELECT node FROM n{t})""")
+    chain = ",".join(rounds)
+    return oracles.on_parsed(f""", seq AS (
+  SELECT conv_id, turn_idx, tool FROM parsed WHERE tool <> '-'
+),
+edges0 AS (
+  SELECT prev AS src, tool AS dst FROM (
+    SELECT lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev,
+           tool
+    FROM seq)
+  WHERE prev IS NOT NULL
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT s, d FROM (
+    SELECT src AS s, dst AS d FROM edges0
+    UNION ALL SELECT dst, src FROM edges0
+  )
+),
+settled0 AS MATERIALIZED (
+  SELECT DISTINCT tool AS node, 0 AS hops FROM (
+    SELECT tool,
+           lead(turn_class) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+             AS next_class
+    FROM parsed)
+  WHERE tool <> '-' AND next_class = 'error'
+),
+f0 AS MATERIALIZED (SELECT node FROM settled0),{chain}
+SELECT node, CAST(hops AS INT) AS hops FROM settled{max_hops}""")
 
 
 def _strip_markup_oracle() -> str:

@@ -273,3 +273,57 @@ def k_core(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = True,
+) -> DataFrame:
+    """Multi-source BFS hop distance: for every reachable node, the
+    MINIMUM number of edges from any source node — "how many workflow
+    steps separate each tool from an error state".  Returns (node, hops)
+    for nodes reachable within ``max_hops``; unreachable nodes are absent
+    (distance would be unbounded, not 0 — emitting them would be wrong).
+
+    Deterministic fixpoint: distances only decrease, each round is one
+    frontier⋈edges equi-join + a min-aggregate against the settled set,
+    so round t settles exactly the true distance-t frontier — the oracle
+    unrolls the same rounds as MATERIALIZED CTEs (the k-core lesson:
+    inlining re-expands multiplicatively) and matches bit-for-bit.
+
+    Scale shape: per round the join carries only (node, hops) — the
+    frontier, not the graph; lineage is cut per round (localCheckpoint)
+    like every iterative operator here.  ``directed=False`` symmetrizes
+    the edge table once up front.
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    if not directed:
+        e = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    e = e.distinct().cache()
+    try:
+        settled = sources.select(
+            F.col(sources.columns[0]).alias("node"), F.lit(0).alias("hops")
+        ).distinct()
+        frontier = settled
+        for t in range(1, max_hops + 1):
+            nxt = (
+                frontier.join(e, frontier["node"] == e["s"])
+                .select(F.col("d").alias("node"))
+                .distinct()
+                .join(settled, "node", "left_anti")
+                .select("node", F.lit(t).alias("hops"))
+            )
+            nxt = nxt.localCheckpoint(eager=True)
+            if nxt.isEmpty():
+                break
+            settled = settled.union(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        return settled.select("node", F.col("hops").cast("int").alias("hops"))
+    finally:
+        e.unpersist()

@@ -221,3 +221,42 @@ def test_k_core_empty_when_k_exceeds_graph(spark):
 
     with _pytest.raises(ValueError, match="k must"):
         graph.k_core(df, k=0)
+
+
+def _bfs_df(spark, edges, sources):
+    e = spark.createDataFrame(edges, "src string, dst string")
+    s = spark.createDataFrame([(x,) for x in sources], "node string")
+    return e, s
+
+
+def test_bfs_hops_directed_chain_and_unreachable(spark):
+    """a→b→c→d chain: hops follow edge direction; nodes with no directed
+    path (x→a's x) are ABSENT, not 0."""
+    e, s = _bfs_df(
+        spark, [("a", "b"), ("b", "c"), ("c", "d"), ("x", "a")], ["a"]
+    )
+    got = {r["node"]: r["hops"] for r in graph.bfs_hops(e, s, 5).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}  # x unreachable
+    undirected = {
+        r["node"]: r["hops"]
+        for r in graph.bfs_hops(e, s, 5, directed=False).collect()
+    }
+    assert undirected["x"] == 1  # symmetrized: x now one hop away
+
+
+def test_bfs_hops_multi_source_min_and_cutoff(spark):
+    """Two sources: each node gets the MIN distance over sources; max_hops
+    truncates the frontier (distance > cutoff -> absent)."""
+    e, s = _bfs_df(
+        spark,
+        [("s1", "m"), ("m", "far"), ("far", "deep"), ("s2", "far")],
+        ["s1", "s2"],
+    )
+    got = {r["node"]: r["hops"] for r in graph.bfs_hops(e, s, 5).collect()}
+    assert got == {"s1": 0, "s2": 0, "m": 1, "far": 1, "deep": 2}
+    cut = {r["node"]: r["hops"] for r in graph.bfs_hops(e, s, 1).collect()}
+    assert cut == {"s1": 0, "s2": 0, "m": 1, "far": 1}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_hops"):
+        graph.bfs_hops(e, s, -1)
