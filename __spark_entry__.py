@@ -40,6 +40,7 @@ from log_analysis_spark.operators import (
     similarity,
     sketches,
     span_dedup,
+    templates,
     textstats,
     timeseries,
     urls,
@@ -978,6 +979,47 @@ def q_events_burst_hours(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     out = timeseries.burst_hours(ev, "ts", "event_type", n_trail=24, z=3)
     return out.filter(F.col("anomaly").isNotNull())
+
+
+def q_log_templates(spark, sf_dir):
+    """Drain-style log template mining over the raw transcript lines:
+    deterministic (token count, masked head) grouping + positional
+    agreement — the synthetic corpus's 5 line shapes are recovered with
+    wildcards exactly where the generator varies tokens."""
+    return templates.mine_templates(
+        transcripts_from_events(spark, sf_dir), "text"
+    )
+
+
+def q_log_rare_templates(spark, sf_dir):
+    """Anomalous-line detection: lines whose discovered template covers
+    fewer than 200 lines — at sf0.01 exactly the 104 '### garbled <#>
+    ###' corruption lines, the never-seen-this-shape alert feed."""
+    return templates.rare_template_lines(
+        transcripts_from_events(spark, sf_dir),
+        "text",
+        min_lines=200,
+        keep_cols=["conv_id", "turn_idx", "text"],
+    )
+
+
+def q_logs_path_rollup(spark, sf_dir):
+    """URL path-tree rollup: every parsed url_path counted at each
+    prefix depth (/hyrax -> /hyrax/ngap -> /hyrax/ngap/cN) — the
+    traffic-by-collection drill-down view."""
+    return urls.path_prefix_rollup(_parsed(spark, sf_dir), "url_path", max_depth=4)
+
+
+def q_events_cusum_drift(spark, sf_dir):
+    """Slow-drift alerting: per-event-type hourly counts on the dense
+    spine, two-sided integer CUSUM (slack 0.3 mean, alert at 2 means of
+    cumulative excess) — the leak/regression detector a per-hour z-test
+    can't be (a +10% sustained shift never clears 3σ but accumulates
+    linearly here).  At sf0.01 this flags 111 of 3600 hours with BOTH
+    drift directions present."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = timeseries.cusum_hours(ev, "ts", "event_type", k_milli=300, h_mult=2)
+    return out.filter(F.col("drift").isNotNull())
 
 
 def q_events_incidents(spark, sf_dir):
@@ -2030,6 +2072,10 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_burst_hours": q_streaming_burst_hours,
         "customer_fuzzy_match": q_customer_fuzzy_match,
         "events_incidents": q_events_incidents,
+        "events_cusum_drift": q_events_cusum_drift,
+        "log_templates": q_log_templates,
+        "log_rare_templates": q_log_rare_templates,
+        "logs_path_rollup": q_logs_path_rollup,
         "graph_error_distance": q_graph_error_distance,
         "doc_tfidf_top": q_doc_tfidf_top,
         "doc_strip_markup": q_doc_strip_markup,
@@ -2268,6 +2314,22 @@ WHERE e.value > thr.t
         "streaming_burst_hours": _burst_hours_oracle(n=24, z=3),
         "customer_fuzzy_match": _fuzzy_match_oracle(threshold=800_000),
         "events_incidents": _incidents_oracle(n=24, z=3),
+        "events_cusum_drift": _cusum_oracle(k_milli=300, h_mult=2),
+        "log_templates": _templates_oracle(),
+        "log_rare_templates": _rare_templates_oracle(min_lines=200),
+        "logs_path_rollup": oracles.on_parsed("""
+, segs AS (
+  SELECT list_filter(string_split(url_path, '/'), s -> s <> '') AS sg
+  FROM parsed WHERE url_path IS NOT NULL
+),
+pref AS (
+  SELECT unnest(generate_series(1, least(len(sg), 4))) AS depth, sg
+  FROM segs
+)
+SELECT CAST(depth AS INT) AS depth,
+       '/' || array_to_string(sg[1:depth], '/') AS prefix,
+       count(*) AS n
+FROM pref GROUP BY 1, 2"""),
         "graph_error_distance": _bfs_hops_oracle(max_hops=4),
         "conv_response_latency": oracles.on_parsed("""
 , lagged AS (
@@ -4457,6 +4519,114 @@ FROM t
 WHERE m = {n}
   AND CAST({n} * cnt - s AS HUGEINT) * ({n} * cnt - s)
       > {z * z} * ({n} * CAST(ss AS HUGEINT) - CAST(s AS HUGEINT) * s)
+"""
+
+
+_TEMPLATE_CTES = """
+toks AS (
+  SELECT conv_id, turn_idx, text,
+         list_transform(regexp_split_to_array(trim(text), '\\s+'),
+           t -> CASE WHEN regexp_matches(t, '[0-9]') THEN '<#>' ELSE t END
+         ) AS tk
+  FROM transcripts
+),
+b AS (SELECT conv_id, turn_idx, text, tk,
+             len(tk) AS n_tok, tk[1] AS head FROM toks),
+pos AS (
+  SELECT n_tok, head, unnest(tk) AS tok,
+         unnest(range(1, len(tk) + 1)) AS pos
+  FROM b
+),
+agg AS (
+  SELECT n_tok, head, pos, count(DISTINCT tok) AS nd, min(tok) AS tok0
+  FROM pos GROUP BY 1, 2, 3
+),
+tt AS (
+  SELECT n_tok, head,
+         string_agg(CASE WHEN nd = 1 THEN tok0 ELSE '<*>' END,
+                    ' ' ORDER BY pos) AS template,
+         CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_wild
+  FROM agg GROUP BY 1, 2
+),
+cnt AS (
+  SELECT n_tok, head, count(*) AS n_lines FROM b GROUP BY 1, 2
+)
+"""
+
+
+def _templates_oracle() -> str:
+    return oracles.on_transcripts(
+        f""", {_TEMPLATE_CTES.strip()}
+SELECT template, CAST(tt.n_tok AS INT) AS n_tok, n_wild, n_lines
+FROM tt JOIN cnt USING (n_tok, head)"""
+    )
+
+
+def _rare_templates_oracle(min_lines: int) -> str:
+    return oracles.on_transcripts(
+        f""", {_TEMPLATE_CTES.strip()}
+SELECT b.conv_id, b.turn_idx, b.text, tt.template, cnt.n_lines
+FROM b
+JOIN tt USING (n_tok, head)
+JOIN cnt USING (n_tok, head)
+WHERE cnt.n_lines < {min_lines}"""
+    )
+
+
+def _cusum_oracle(k_milli: int = 300, h_mult: int = 2) -> str:
+    """Mirror of q_events_cusum_drift: the dense hour spine, per-key
+    full-window totals, the 1000·n-scaled integer CUSUM via the
+    reflection identity (prefix sum − clamped prefix min), and the same
+    h·mean threshold — all HUGEINT, no float, no division except the
+    final milli-mean integral division."""
+    return f"""
+WITH c AS (
+  SELECT event_type AS key, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+sp AS (
+  SELECT key, unnest(generate_series(mn, mx)) AS hour_id
+  FROM (SELECT key, min(hour_id) AS mn, max(hour_id) AS mx FROM c GROUP BY key)
+),
+dense AS (
+  SELECT sp.key, sp.hour_id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+  FROM sp LEFT JOIN c ON c.key = sp.key AND c.hour_id = sp.hour_id
+),
+based AS (
+  SELECT key, hour_id, cnt,
+         CAST(count(*) OVER (PARTITION BY key) AS HUGEINT) AS n,
+         CAST(sum(cnt) OVER (PARTITION BY key) AS HUGEINT) AS s
+  FROM dense
+),
+x AS (
+  SELECT key, hour_id, cnt, s,
+         1000 * n * cnt - (1000 + {k_milli}) * s AS xu,
+         (1000 - {k_milli}) * s - 1000 * n * cnt AS xd
+  FROM based
+),
+pref AS (
+  SELECT key, hour_id, cnt, s,
+         sum(xu) OVER w AS pu, sum(xd) OVER w AS pd
+  FROM x
+  WINDOW w AS (PARTITION BY key ORDER BY hour_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+cus AS (
+  SELECT key, hour_id, cnt, s,
+         pu - least(CAST(0 AS HUGEINT), min(pu) OVER w) AS cu,
+         pd - least(CAST(0 AS HUGEINT), min(pd) OVER w) AS cd
+  FROM pref
+  WINDOW w AS (PARTITION BY key ORDER BY hour_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT key AS event_type, hour_id, cnt,
+       CAST(cu // s AS BIGINT) AS cusum_up_mm,
+       CAST(cd // s AS BIGINT) AS cusum_down_mm,
+       CASE WHEN cu > {h_mult} * 1000 * s THEN 'up'
+            WHEN cd > {h_mult} * 1000 * s THEN 'down' END AS drift
+FROM cus
+WHERE cu > {h_mult} * 1000 * s OR cd > {h_mult} * 1000 * s
 """
 
 

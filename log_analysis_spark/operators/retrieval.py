@@ -38,12 +38,14 @@ reference" mandate) the same way dedup/quality/decontamination do.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .textstats import token_table, tokens_col
 
-__all__ = ["bm25_topk", "query_terms"]
+__all__ = ["bm25_topk", "phrase_search", "query_terms"]
 
 
 def query_terms(
@@ -157,4 +159,65 @@ def bm25_topk(
             F.round(F.col("_smicro").cast("double") / F.lit(1e6), 6).alias("score"),
             "rank",
         )
+    )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Exact-phrase retrieval: the documents whose token stream contains
+    ``phrase``'s tokens CONSECUTIVELY -> (doc_id, n_matches, first_pos)
+    (``first_pos`` 0-based token offset of the earliest match).  The
+    positional-postings complement of ``bm25_topk`` — bag-of-words BM25
+    cannot distinguish "new york" from "york new"; contamination triage
+    and targeted audits need the exact form.
+
+    Shape (the inverted positional index, folded into one pass): tokens
+    posexplode to (doc, pos, tok); a literal IN-list keeps ONLY the
+    phrase's tokens (pushed into the scan projection, so corpus shuffle
+    volume is the phrase-token hit set, not the corpus); each surviving
+    posting nominates the anchor positions it could support (pos - i for
+    every phrase offset i holding that token — bounded fan-out, phrase
+    length); a match is a (doc, anchor) cell covering all k offsets:
+    ONE countDistinct aggregate.  Text never enters an exchange; no
+    window, no join, no Python.
+    """
+    toks = [t for t in re.split(r"[^\w']+", phrase.strip()) if t]
+    if lowercase:
+        toks = [t.lower() for t in toks]
+    if not toks:
+        raise ValueError("phrase has no tokens")
+    k = len(toks)
+    stream = F.filter(tokens_col(text_col), lambda x: x != "")
+    if lowercase:
+        stream = F.transform(stream, F.lower)
+    postings = docs.select(
+        F.col(id_col), F.posexplode(stream).alias("pos", "tok")
+    ).filter(F.col("tok").isin(toks))
+    # offsets of this token within the phrase (literal map, bounded by k)
+    offsets = F.array(
+        *[
+            F.when(F.col("tok") == F.lit(t), F.lit(i))
+            for i, t in enumerate(toks)
+        ]
+    )
+    anchors = postings.select(
+        id_col,
+        F.explode(F.filter(offsets, lambda o: o.isNotNull())).alias("i"),
+        "pos",
+    ).select(
+        id_col, "i", (F.col("pos") - F.col("i")).alias("anchor")
+    ).filter(F.col("anchor") >= 0)
+    matches = (
+        anchors.groupBy(id_col, "anchor")
+        .agg(F.countDistinct("i").alias("_cov"))
+        .filter(F.col("_cov") == k)
+    )
+    return matches.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("anchor").cast("long").alias("first_pos"),
     )

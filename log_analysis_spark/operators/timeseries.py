@@ -519,3 +519,111 @@ def incidents(
         )
         .drop("_island")
     )
+
+
+def cusum_hours(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    k_milli: int = 300,
+    h_mult: int = 12,
+) -> DataFrame:
+    """Slow-drift detection on hourly event counts per key — the CUSUM
+    (Page 1954) complement of ``burst_hours``: a sustained +10% shift
+    never clears a per-hour z-test but accumulates linearly in a CUSUM,
+    so the leak/regression class of incident (error rate creeping up,
+    traffic bleeding away) is caught hours-to-days sooner.
+
+    Semantics (offline, two-sided, exact): with per-key full-window mean
+    mu = S/n over the dense hour spine,
+
+        up_t   = max(0, up_{t-1}   + (c_t - mu - k*mu))
+        down_t = max(0, down_{t-1} + (mu - c_t - k*mu))
+        drift  = 'up'   when up_t   > h*mu
+               = 'down' when down_t > h*mu
+
+    k (slack, ``k_milli``/1000 of the mean) absorbs noise; h
+    (``h_mult`` means of cumulative excess) sets the alert level.
+
+    Exact cross-engine by construction: scaling by 1000*n clears every
+    division —
+
+        X_t  = 1000*n*c_t - (1000 + k_milli)*S        [up side]
+        X'_t = (1000 - k_milli)*S - 1000*n*c_t        [down side]
+
+    and the max(0, ...) recurrence has the closed reflection form
+    ``cusum_t = P_t - least(0, min_{j<=t} P_j)`` with P the running
+    prefix sum — two window functions (running sum + running min), no
+    recursion, no float, identical in Spark and DuckDB.  Emitted CUSUM
+    levels are integer milli-means (``X div S``).
+
+    Scale shape: identical to ``burst_hours`` — one (key, hour) count
+    aggregate, a narrow spine, then ONE ordered window per key over
+    hour-count rows (bounded by hours observed, never event volume).
+    The full-window mean needs the per-key total: that is the same
+    aggregate that builds the spine, so no extra shuffle.
+    """
+    counts = hourly_counts(df, ts_col, key_col)
+    return cusum_from_counts(counts, key_col, k_milli=k_milli, h_mult=h_mult)
+
+
+def cusum_from_counts(
+    counts: DataFrame, key_col: str, k_milli: int = 300, h_mult: int = 12
+) -> DataFrame:
+    """CUSUM over a (key, hour_id, cnt) table — shared by the batch path
+    and any streaming twin folding hourly counts (counts ADD across
+    micro-batches, and the CUSUM replays deterministically from the
+    folded counts)."""
+    if not (0 <= k_milli < 1000):  # down-side weight must stay positive
+        raise ValueError(f"k_milli must be in [0, 1000): {k_milli}")
+    spine = (
+        counts.groupBy("key")
+        .agg(F.min("hour_id").alias("_mn"), F.max("hour_id").alias("_mx"))
+        .select("key", F.explode(F.sequence("_mn", "_mx")).alias("hour_id"))
+    )
+    dense = spine.join(counts, ["key", "hour_id"], "left").select(
+        "key", "hour_id", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt")
+    )
+    # per-key totals ride the same rows via an unbounded window (one key
+    # shuffle serves the totals, the prefix sums and the prefix mins)
+    wall = Window.partitionBy("key")
+    word = Window.partitionBy("key").orderBy("hour_id")
+    wrun = word.rowsBetween(Window.unboundedPreceding, 0)
+    dec = "CAST({} AS DECIMAL(38,0))"
+    based = dense.select(
+        "key",
+        "hour_id",
+        "cnt",
+        F.expr(dec.format("count(*) OVER (PARTITION BY key)")).alias("_n"),
+        F.expr(dec.format("sum(cnt) OVER (PARTITION BY key)")).alias("_s"),
+    )
+    x_up = F.expr("1000 * _n * cnt - (1000 + {k}) * _s".format(k=k_milli))
+    x_dn = F.expr("(1000 - {k}) * _s - 1000 * _n * cnt".format(k=k_milli))
+    pref = based.select(
+        "key",
+        "hour_id",
+        "cnt",
+        "_s",
+        F.sum(x_up).over(wrun).alias("_pu"),
+        F.sum(x_dn).over(wrun).alias("_pd"),
+    ).select(
+        "key",
+        "hour_id",
+        "cnt",
+        "_s",
+        (F.col("_pu") - F.least(F.lit(0), F.min("_pu").over(wrun))).alias("_cu"),
+        (F.col("_pd") - F.least(F.lit(0), F.min("_pd").over(wrun))).alias("_cd"),
+    )
+    thresh = F.expr(f"CAST({h_mult} AS DECIMAL(38,0)) * 1000 * _s")
+    drift = (
+        F.when(F.col("_cu") > thresh, F.lit("up"))
+        .when(F.col("_cd") > thresh, F.lit("down"))
+    )
+    return pref.select(
+        F.col("key").alias(key_col),
+        "hour_id",
+        "cnt",
+        F.expr("CAST(_cu div _s AS BIGINT)").alias("cusum_up_mm"),
+        F.expr("CAST(_cd div _s AS BIGINT)").alias("cusum_down_mm"),
+        drift.alias("drift"),
+    )

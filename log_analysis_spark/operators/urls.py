@@ -114,3 +114,43 @@ def blocklist_filter(df: DataFrame, blocked: Sequence[str]) -> DataFrame:
             F.col("domains"), F.array(*[F.lit(b) for b in blocked])
         )
     )
+
+
+def path_prefix_rollup(
+    df: DataFrame, path_col: str = "url_path", max_depth: int = 4
+) -> DataFrame:
+    """Hierarchical URL-path rollup: every path contributes one row per
+    prefix depth (``/a/b/c`` -> ``/a``, ``/a/b``, ``/a/b/c``), counted —
+    the path-tree view (traffic by collection, by sub-collection, ...)
+    the reference reads off its per-path counts by hand
+    (cmr_stats.py:88-104 tallies full paths only).
+
+    -> (depth, prefix, n), depth capped at ``max_depth`` so the fan-out
+    per row is bounded by a constant, not by path length.
+
+    Scale shape: a projection + bounded generate (≤ max_depth rows per
+    input), then ONE (depth, prefix) count aggregate — map-side
+    combinable, and the shuffle key is the prefix string, whose
+    cardinality is the size of the path TREE, not the traffic volume.
+    Hot prefixes (every request shares ``/``-depth-1) are exactly the
+    rows partial aggregation collapses before the exchange.
+    """
+    guarded = (
+        f"CASE WHEN size(_segs) >= 1 THEN "
+        f"transform(sequence(1, least(size(_segs), {int(max_depth)})), "
+        f"d -> struct(d AS depth, "
+        f"concat('/', array_join(slice(_segs, 1, d), '/')) AS prefix)) "
+        f"ELSE array() END"
+    )
+    return (
+        df.filter(F.col(path_col).isNotNull())
+        .select(
+            F.filter(
+                F.split(F.col(path_col), "/"), lambda s: s != ""
+            ).alias("_segs")
+        )
+        .select(F.explode(F.expr(guarded)).alias("_p"))
+        .select(F.col("_p.depth").alias("depth"), F.col("_p.prefix").alias("prefix"))
+        .groupBy("depth", "prefix")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -395,3 +395,86 @@ def test_incidents_mixed_sides_in_one_run(spark):
         for r in T.incidents(flagged, "key").collect()
     }
     assert inc == {(100, 101, 2, 40, "drop,spike"), (105, 105, 1, 50, "spike")}
+
+
+def _cusum_mirror(counts, k_milli, h_mult):
+    """Pure-Python integer mirror of cusum_from_counts over one key's
+    dense (hour, cnt) list: the literal max(0, ...) recurrence — the
+    Spark path uses the reflection identity instead, so agreement here
+    proves the identity, not just the arithmetic."""
+    n, s = len(counts), sum(counts)
+    up = dn = 0
+    out = []
+    for c in counts:
+        up = max(0, up + (1000 * n * c - (1000 + k_milli) * s))
+        dn = max(0, dn + ((1000 - k_milli) * s - 1000 * n * c))
+        drift = (
+            "up" if up > h_mult * 1000 * s
+            else "down" if dn > h_mult * 1000 * s
+            else None
+        )
+        out.append((up // s, dn // s, drift))
+    return out
+
+
+def test_cusum_matches_recurrence_mirror(spark):
+    """The reflection-identity windows equal the literal max(0,·)
+    recurrence on a deterministic pseudo-random counts series."""
+    counts = [(i * 7919 + 13) % 23 for i in range(60)]  # 0..22, seeded
+    rows = [("k", 100 + i, c) for i, c in enumerate(counts)]
+    df = spark.createDataFrame(rows, "key string, hour_id long, cnt long")
+    got = {
+        r["hour_id"]: (r["cusum_up_mm"], r["cusum_down_mm"], r["drift"])
+        for r in T.cusum_from_counts(df, "key", k_milli=300, h_mult=2).collect()
+    }
+    want = _cusum_mirror(counts, 300, 2)
+    assert got == {100 + i: want[i] for i in range(60)}
+
+
+def _hourly_events(spark, plan, key="error"):
+    """plan = [(hour_id, cnt)] -> events rows (cnt distinct ts inside
+    each hour)."""
+    import datetime as dt
+
+    rows = []
+    for hour_id, cnt in plan:
+        for j in range(cnt):
+            ts = dt.datetime.utcfromtimestamp(hour_id * 3600 + 7 * j + 1)
+            rows.append((ts, key))
+    return spark.createDataFrame(rows, "ts timestamp, event_type string")
+
+
+def test_cusum_catches_ramp_burst_misses(spark):
+    """A slow ramp (+1 count every 6 hours on an alternating 9/11
+    baseline) never clears the 3-sigma per-hour z-test but accumulates
+    past the CUSUM threshold — the drift class of incident this operator
+    exists for."""
+    base = 480000
+    plan = [(base + i, 9 if i % 2 else 11) for i in range(48)]
+    plan += [(base + 48 + i, 11 + (i // 6)) for i in range(36)]  # 11..16
+    ev = _hourly_events(spark, plan)
+    burst = T.burst_hours(ev, "ts", "event_type", n_trail=24, z=3)
+    assert burst.filter(F.col("anomaly").isNotNull()).count() == 0
+    cus = T.cusum_hours(ev, "ts", "event_type", k_milli=100, h_mult=2)
+    flagged = [r["hour_id"] for r in
+               cus.filter(F.col("drift") == "up").collect()]
+    assert flagged, "ramp not detected"
+    assert min(flagged) >= base + 48  # only inside the drift period
+    # and the detector is two-sided: a mirrored downward ramp flags 'down'
+    plan_dn = [(base + i, 9 if i % 2 else 11) for i in range(48)]
+    plan_dn += [(base + 48 + i, max(0, 9 - (i // 6))) for i in range(36)]
+    cus_dn = T.cusum_hours(
+        _hourly_events(spark, plan_dn), "ts", "event_type",
+        k_milli=100, h_mult=2,
+    )
+    dn_flagged = [r["hour_id"] for r in
+                  cus_dn.filter(F.col("drift") == "down").collect()]
+    assert dn_flagged and min(dn_flagged) >= base + 48
+
+
+def test_cusum_rejects_bad_slack(spark):
+    df = spark.createDataFrame([("k", 1, 1)], "key string, hour_id long, cnt long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        T.cusum_from_counts(df, "key", k_milli=1000)

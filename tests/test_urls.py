@@ -62,3 +62,22 @@ def test_blocklist_filter_is_pure_projection(spark, linked):
     )
     assert "Exchange" not in plan
     assert "InPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_path_prefix_rollup_edges(spark):
+    from log_analysis_spark.operators.urls import path_prefix_rollup
+
+    df = spark.createDataFrame(
+        [("/a/b/c/d/e",), ("/a/b",), ("/a",), ("/",), (None,)],
+        "url_path string",
+    )
+    got = {
+        (r["depth"], r["prefix"]): r["n"]
+        for r in path_prefix_rollup(df, max_depth=3).collect()
+    }
+    # '/' has no segments (no rows); None dropped; depth capped at 3
+    assert got == {
+        (1, "/a"): 3,
+        (2, "/a/b"): 2,
+        (3, "/a/b/c"): 1,
+    }

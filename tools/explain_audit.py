@@ -1244,6 +1244,51 @@ def main() -> int:
          hll_plan, notes)
     )
 
+    # ---- template mining / CUSUM drift / path rollup shapes ---------------
+    from log_analysis_spark.operators import templates as tmpl_ops
+
+    tm = tmpl_ops.mine_templates(turns, "text")
+    tm_plan = executed(tm)
+    tm_shufs = shuffle_schemas(tm)
+    cus = ts_ops2.cusum_hours(ev, "ts", "event_type", k_milli=300, h_mult=2)
+    cus_plan = executed(cus)
+    cus_shufs = shuffle_schemas(cus)
+    roll = urls_ops.path_prefix_rollup(parsed, "url_path", max_depth=4)
+    roll_plan = executed(roll)
+    roll_shufs = shuffle_schemas(roll)
+    notes = [
+        check("template mining: the raw line text never enters an "
+              "exchange — shuffles carry only (n_tok, head, pos, tok) "
+              "group/position cells and their aggregates",
+              all("text" not in cols and "_tk" not in cols
+                  for _, cols in tm_shufs),
+              f"shuffles={[c for _, c in tm_shufs]}"),
+        check("template mining: zero Python in the plan",
+              "InPandas" not in tm_plan and "EvalPython" not in tm_plan),
+        check("cusum drift: no SinglePartition exchange — the prefix-sum "
+              "reflection runs per key, never globally ordered",
+              "SinglePartition" not in str([p for p, _ in cus_shufs])),
+        check("cusum drift: every exchange carries only (key, hour, "
+              "count/spine) columns — the event stream itself is never "
+              "windowed",
+              all(set(cols) <= {"key", "hour_id", "cnt", "count",
+                                "min", "max", "_mn", "_mx"}
+                  for _, cols in cus_shufs),
+              f"shuffles={[c for _, c in cus_shufs]}"),
+        check("path rollup: two-phase aggregate — partial HashAggregate "
+              "before the (depth, prefix) exchange collapses hot prefixes "
+              "map-side",
+              roll_plan.count("HashAggregate") >= 2),
+        check("path rollup: exchanges carry only (depth, prefix, count) — "
+              "never the text or full-path row",
+              all("text" not in cols and "url_path" not in cols
+                  for _, cols in roll_shufs),
+              f"shuffles={[c for _, c in roll_shufs]}"),
+    ]
+    sections.append(
+        ("Template mining / CUSUM drift / path rollup", tm_plan, notes)
+    )
+
     # ---- write EXPLAIN.md -------------------------------------------------
     md = ["# EXPLAIN audit — physical plans vs 100 TB design intents",
           "",
