@@ -1010,6 +1010,35 @@ def q_logs_path_rollup(spark, sf_dir):
     return urls.path_prefix_rollup(_parsed(spark, sf_dir), "url_path", max_depth=4)
 
 
+def q_doc_phrase_search(spark, sf_dir):
+    """Exact-phrase retrieval over the documents table: positional
+    postings filtered to the phrase's tokens at the scan, anchor
+    nomination, ONE coverage aggregate — no window, no join, text never
+    shuffles.  Phrase 'the data' matches token-consecutively (BM25's bag
+    of words can't make that distinction)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return retrieval.phrase_search(docs, "the data")
+
+
+def q_embed_outliers(spark, sf_dir):
+    """Embedding-space outlier audit: vectors whose best cosine against
+    all 8 md5-seeded centroids stays below 0.08 — close to NOTHING in
+    the corpus (the curation complement of SemDeDup).  Zero-shuffle
+    projection; 38 of 500 vectors at sf0.01."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.md5_seed_centroids(emb, n_centroids=8)
+    return similarity.centroid_outliers(emb, cents, max_cos_micro=80_000)
+
+
+def q_doc_badwords(spark, sf_dir):
+    """C4-style blocklist counter: per-doc token occurrences of the
+    (parameterized) word list, tokenizer-exact so substrings never
+    false-match; flagged docs only."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = textstats.with_badwords(docs, ["vector", "garbled"])
+    return out.filter(F.col("n_badwords") > 0).select("doc_id", "n_badwords")
+
+
 def q_events_cusum_drift(spark, sf_dir):
     """Slow-drift alerting: per-event-type hourly counts on the dense
     spine, two-sided integer CUSUM (slack 0.3 mean, alert at 2 means of
@@ -2076,6 +2105,9 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_templates": q_log_templates,
         "log_rare_templates": q_log_rare_templates,
         "logs_path_rollup": q_logs_path_rollup,
+        "doc_phrase_search": q_doc_phrase_search,
+        "embed_outliers": q_embed_outliers,
+        "doc_badwords": q_doc_badwords,
         "graph_error_distance": q_graph_error_distance,
         "doc_tfidf_top": q_doc_tfidf_top,
         "doc_strip_markup": q_doc_strip_markup,
@@ -2315,6 +2347,23 @@ WHERE e.value > thr.t
         "customer_fuzzy_match": _fuzzy_match_oracle(threshold=800_000),
         "events_incidents": _incidents_oracle(n=24, z=3),
         "events_cusum_drift": _cusum_oracle(k_milli=300, h_mult=2),
+        "doc_phrase_search": _phrase_search_oracle(["the", "data"]),
+        "embed_outliers": _centroid_outliers_oracle(
+            n_centroids=8, max_cos_micro=80_000
+        ),
+        "doc_badwords": f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter({_DOC_TOKENS}, t -> t <> '') AS tks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(list_filter(tks,
+         t -> list_contains(['vector', 'garbled'], lower(t)))) AS INT)
+         AS n_badwords
+FROM tk
+WHERE len(list_filter(tks,
+      t -> list_contains(['vector', 'garbled'], lower(t)))) > 0""",
         "log_templates": _templates_oracle(),
         "log_rare_templates": _rare_templates_oracle(min_lines=200),
         "logs_path_rollup": oracles.on_parsed("""
@@ -5222,6 +5271,65 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, corpus_id, score, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def _phrase_search_oracle(toks: list[str]) -> str:
+    """Brute-force mirror of retrieval.phrase_search: every token window
+    compared against the phrase directly — deliberately a DIFFERENT
+    algorithm from the engine's anchor-coverage aggregate, so agreement
+    verifies the algebra, not a replay of it."""
+    k = len(toks)
+    conds = " AND ".join(
+        f"lower(tks[p + {i}]) = '{t}'" for i, t in enumerate(toks)
+    )
+    return f"""
+WITH tk AS (
+  SELECT doc_id, list_filter({_DOC_TOKENS}, t -> t <> '') AS tks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         list_filter(range(1, len(tks) - {k} + 2), p -> {conds}) AS hits
+  FROM tk WHERE len(tks) >= {k}
+)
+SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
+       CAST(hits[1] - 1 AS BIGINT) AS first_pos
+FROM m WHERE len(hits) > 0
+"""
+
+
+def _centroid_outliers_oracle(
+    n_centroids: int = 8, max_cos_micro: int = 80_000
+) -> str:
+    """Mirror of q_embed_outliers: md5-seeded round-6 centroids (same
+    given-this-index discipline as _ivf_topk_oracle), best-of-centroids
+    cosine with ties to the lowest cid, micro conversion via
+    round(s*1e6)."""
+    return f"""
+WITH {_UNIT_VEC.strip()},
+cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS cid,
+         list_transform(unit, x -> round(x, 6)) AS cvec
+  FROM unitv
+  ORDER BY md5(CAST(vec_id AS VARCHAR))
+  LIMIT {n_centroids}
+),
+sims AS (
+  SELECT u.vec_id, c.cid, round(list_inner_product(u.unit, c.cvec), 6) AS s
+  FROM unitv u CROSS JOIN cents c
+),
+best AS (
+  SELECT vec_id, cid AS nearest_centroid, s FROM (
+    SELECT vec_id, cid, s,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+    FROM sims)
+  WHERE rn = 1
+)
+SELECT vec_id, CAST(round(s * 1000000) AS BIGINT) AS best_cos_micro,
+       CAST(nearest_centroid AS INT) AS nearest_centroid
+FROM best
+WHERE CAST(round(s * 1000000) AS BIGINT) < {max_cos_micro}
 """
 
 

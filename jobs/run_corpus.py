@@ -25,6 +25,9 @@ byte-identical shard assignments):
 1c. **domain blocklist** (`urls.blocklist_filter`, when
    ``--block-domains``): drop docs citing any blocked registered domain
    (scan-fused projection, blocklist as a plan literal).
+1d. **word blocklist** (`textstats.badwords_gate`, when ``--badwords``):
+   drop docs with more than ``--badwords-max`` tokenizer-exact
+   occurrences of a listed word (C4's word gate; scan-fused projection).
 2. **span dedup** (`span_dedup`, when ``--span-k`` > 0): either rebuild
    docs without corpus-duplicated word k-gram spans (``--span-action
    remove``) or drop docs whose duplicated-span coverage exceeds
@@ -109,6 +112,12 @@ def main() -> None:
         help="comma-separated registered-domain blocklist: drop every doc "
         "citing a URL whose eTLD+1 is listed (C4's badwords-domain gate)",
     )
+    ap.add_argument(
+        "--badwords", default=None,
+        help="comma-separated word blocklist: drop every doc with more "
+        "than --badwords-max tokenizer-exact occurrences (C4's word gate)",
+    )
+    ap.add_argument("--badwords-max", type=int, default=0)
     ap.add_argument(
         "--ppl-keep", default=None,
         help="comma-separated CCNet perplexity tiers to keep "
@@ -253,6 +262,14 @@ def main() -> None:
     else:
         n_blocked = None
 
+    if args.badwords:
+        words = [w.strip() for w in args.badwords.split(",") if w.strip()]
+        docs, n_badwords = _materialize(
+            textstats.badwords_gate(docs, words, max_hits=args.badwords_max)
+        )
+    else:
+        n_badwords = None
+
     if args.span_k:
         if args.span_action == "remove":
             clean = span_dedup.remove_dup_spans(docs, k=args.span_k)
@@ -394,6 +411,7 @@ def main() -> None:
             "n_after_repetition_filter": n_clean,
             "n_after_gopher": n_gopher,
             "n_after_domain_blocklist": n_blocked,
+            "n_after_badwords": n_badwords,
             "n_after_span_dedup": n_span,
             "n_after_decontamination": n_decontam,
             "n_after_ppl_tiering": n_ppl,
@@ -444,6 +462,7 @@ def main() -> None:
                 "n_after_repetition_filter": n_clean,
                 "n_after_gopher": n_gopher,
                 "n_after_domain_blocklist": n_blocked,
+                "n_after_badwords": n_badwords,
                 "n_after_span_dedup": n_span,
                 "n_after_decontamination": n_decontam,
                 "n_after_ppl_tiering": n_ppl,

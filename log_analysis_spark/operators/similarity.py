@@ -1232,3 +1232,45 @@ def pca_project(
     return df.select(id_col, vec_col).mapInPandas(
         proj, schema=f"{id_col} {id_type}, {out_col} array<double>"
     )
+
+
+def centroid_outliers(
+    corpus: DataFrame,
+    cents: list[list[float]],
+    max_cos_micro: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space outlier detection: the vectors whose BEST cosine
+    against every centroid stays below ``max_cos_micro`` micro-units —
+    far from all of the corpus's own mass.  The curation complement of
+    SemDeDup: semantic dedup prunes what is too close to everything,
+    this surfaces what is close to NOTHING (mislabeled modality, garbage
+    embeddings, adversarial inserts) for audit or exclusion.
+
+    -> (vec_id, best_cos_micro, nearest_centroid) for outliers only.
+
+    Exact cross-engine: centroid sims are the shared round-6 projection
+    (``_centroid_sims``); the micro conversion re-rounds the round-6
+    value * 1e6 to the nearest integer, so a 1-ulp float wobble cannot
+    move the threshold comparison.  With ``md5_seed_centroids`` the whole
+    operator (seed pick, normalization, dots, threshold) is
+    DuckDB-replayable — same given-this-index discipline as the IVF
+    oracle.
+
+    Scale shape: pure scan-fused projection + filter over centroid
+    LITERALS — zero shuffles, zero Python, zero joins; cost is one pass
+    over the embedding column regardless of corpus size.
+    """
+    cu = with_unit_vec(corpus, vec_col).filter(F.col("unit").isNotNull())
+    sims = _centroid_sims(F.col("unit"), cents)
+    best = F.array_max(sims)
+    best_micro = F.round(best * F.lit(1_000_000)).cast("long")
+    return (
+        cu.select(
+            id_col,
+            best_micro.alias("best_cos_micro"),
+            F.array_position(sims, best).cast("int").alias("nearest_centroid"),
+        )
+        .filter(F.col("best_cos_micro") < int(max_cos_micro))
+    )

@@ -1060,3 +1060,39 @@ def normalize_unicode(
             yield pdf
 
     return df.mapInPandas(norm, out_schema)
+
+
+def with_badwords(
+    df: DataFrame,
+    words: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style word-boundary blocklist counter (Raffel et al. 2020 §2.2
+    drop any page containing a listed word): adds ``n_badwords`` — how
+    many token OCCURRENCES (case-insensitive, tokenizer-exact, so
+    'class' never matches a listed 'ass' the way substring grep does)
+    hit the list.  The list itself is a parameter; ship your own.
+
+    Pure scan-fused projection over a literal IN-list — zero shuffles,
+    zero Python, zero joins at any corpus size."""
+    if not words:
+        raise ValueError("empty badwords list")
+    lowered = sorted({w.lower() for w in words})
+    toks = F.filter(tokens_col(text_col), lambda x: x != "")
+    hits = F.filter(toks, lambda t: F.lower(t).isin(lowered))
+    return df.withColumn("n_badwords", F.size(hits))
+
+
+def badwords_gate(
+    df: DataFrame,
+    words: list[str],
+    text_col: str = "text",
+    max_hits: int = 0,
+) -> DataFrame:
+    """Keep only documents with at most ``max_hits`` blocklisted token
+    occurrences (C4 uses 0).  Same zero-shuffle shape as the counter."""
+    return (
+        with_badwords(df, words, text_col)
+        .filter(F.col("n_badwords") <= int(max_hits))
+        .drop("n_badwords")
+    )

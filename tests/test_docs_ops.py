@@ -1242,3 +1242,56 @@ def test_pca_k_guard_and_zero_variance_whiten(spark):
     # unwhitened k=1 captures all the variance
     model = SIM.pca_fit(df, k=1)
     assert model["eigvals"][0] > 0
+
+
+def test_centroid_outliers_planted_orthogonal(spark):
+    from log_analysis_spark.operators import similarity
+
+    # 10 vectors in the e1/e2 plane + one on e5: the planted vector is
+    # (near-)orthogonal to every centroid seeded from the plane mass
+    dim = 8
+    rows = []
+    for i in range(10):
+        v = [0.0] * dim
+        v[i % 2] = 1.0
+        v[(i + 1) % 2] = 0.2
+        rows.append((i, v))
+    planted = [0.0] * dim
+    planted[5] = 1.0
+    rows.append((99, planted))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.md5_seed_centroids(emb, n_centroids=4)
+    out = similarity.centroid_outliers(emb, cents, max_cos_micro=100_000)
+    flagged = {r["vec_id"] for r in out.collect()}
+    assert 99 in flagged
+    # the plane vectors all have cosine >= 0.2/|v| vs some same-plane
+    # centroid — none should be flagged at 0.1 unless a centroid IS the
+    # planted vector (md5 seeding over ids 0..9,99 — check it isn't)
+    assert flagged == {99}
+
+
+def test_badwords_tokenizer_exact_and_gate(spark):
+    from log_analysis_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the Vector of vector vectors"),   # 2 exact hits, not 'vectors'
+            (2, "classification is not a hit"),    # substring never matches
+            (3, "clean document"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_badwords"]
+        for r in textstats.with_badwords(docs, ["VECTOR", "hit"]).collect()
+    }
+    assert got == {1: 2, 2: 1, 3: 0}
+    kept = {
+        r["doc_id"]
+        for r in textstats.badwords_gate(docs, ["vector"], max_hits=0).collect()
+    }
+    assert kept == {2, 3}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        textstats.with_badwords(docs, [])

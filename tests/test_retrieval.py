@@ -147,3 +147,48 @@ def test_bloom_positions_deterministic_and_bounded(spark):
     assert row["p"] == again["p"]
     assert len(row["p"]) == len(set(row["p"])) <= 8
     assert all(0 <= p < 64 for p in row["p"])
+
+
+def test_phrase_search_consecutive_only(spark):
+    from log_analysis_spark.operators.retrieval import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the data is here and the data returns"),
+            (2, "data the — reversed, no match"),
+            (3, "THE DATA uppercase still matches"),
+            (4, "the unrelated data far apart"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_search(docs, "the data").collect()
+    }
+    assert got == {1: (2, 0), 3: (1, 0)}
+
+
+def test_phrase_search_overlapping_repeated_token(spark):
+    from log_analysis_spark.operators.retrieval import phrase_search
+
+    # 'table table table' holds TWO overlapping 'table table' matches;
+    # the repeated token exercises multi-offset anchor nomination
+    docs = spark.createDataFrame(
+        [(1, "x table table table y"), (2, "table alone")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_search(docs, "table table").collect()
+    }
+    assert got == {1: (2, 1)}
+
+
+def test_phrase_search_rejects_empty(spark):
+    import pytest as _pytest
+
+    from log_analysis_spark.operators.retrieval import phrase_search
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        phrase_search(docs, "  .,; ")

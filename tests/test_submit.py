@@ -140,6 +140,8 @@ def test_submit_corpus_job_full_stage_chain(pkg_zip, tmp_path):
             "--gopher-min-words", "5",
             "--gopher-min-stopwords", "1",
             "--ppl-keep", "0,1",
+            "--badwords", "vector",
+            "--badwords-max", "2",
             "--span-k", "3",
             "--span-action", "filter",
             "--span-max-coverage", "0.9",
@@ -162,6 +164,7 @@ def test_submit_corpus_job_full_stage_chain(pkg_zip, tmp_path):
         res["n_input"]
         >= res["n_after_repetition_filter"]
         >= res["n_after_gopher"]
+        >= res["n_after_badwords"]
         >= res["n_after_span_dedup"]
         >= res["n_after_ppl_tiering"]
         >= res["n_after_classifier"]
@@ -171,6 +174,7 @@ def test_submit_corpus_job_full_stage_chain(pkg_zip, tmp_path):
     )
     # the gates actually bite on this corpus (not pass-through)
     assert res["n_after_gopher"] < res["n_after_repetition_filter"]
+    assert res["n_after_badwords"] < res["n_after_gopher"]
     assert res["n_after_ppl_tiering"] < res["n_after_span_dedup"]
     assert res["n_after_dsir"] <= 300
     assert res["n_shards"] > 0 and res["total_tokens"] > 0

@@ -1289,6 +1289,43 @@ def main() -> int:
         ("Template mining / CUSUM drift / path rollup", tm_plan, notes)
     )
 
+    # ---- phrase search / embedding outliers / badwords gate ---------------
+    from log_analysis_spark.operators import retrieval as retr_ops
+    from log_analysis_spark.operators import similarity as sim_ops
+    from log_analysis_spark.operators import textstats as ts_stats
+
+    docs_t = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ph = retr_ops.phrase_search(docs_t, "the data")
+    ph_plan = executed(ph)
+    ph_shufs = shuffle_schemas(ph)
+    emb_t = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents8 = sim_ops.md5_seed_centroids(emb_t, n_centroids=8)
+    outl = sim_ops.centroid_outliers(emb_t, cents8, max_cos_micro=80_000)
+    outl_plan = executed(outl)
+    bw = ts_stats.badwords_gate(docs_t, ["vector"], max_hits=0)
+    bw_plan = executed(bw)
+    notes = [
+        check("phrase search: no window, no join — anchor coverage is "
+              "pure aggregation",
+              "Window" not in ph_plan and "Join" not in ph_plan),
+        check("phrase search: document text never enters an exchange — "
+              "shuffles carry only (doc, anchor/offset) cells",
+              all("text" not in cols for _, cols in ph_shufs),
+              f"shuffles={[c for _, c in ph_shufs]}"),
+        check("embedding outliers: scan-fused projection — zero "
+              "exchanges, zero Python (centroids are literals)",
+              "Exchange" not in outl_plan and "InPandas" not in outl_plan
+              and "EvalPython" not in outl_plan),
+        check("badwords gate: scan-fused projection — zero exchanges, "
+              "zero Python (blocklist is a literal IN-list)",
+              "Exchange" not in bw_plan and "InPandas" not in bw_plan
+              and "EvalPython" not in bw_plan),
+    ]
+    sections.append(
+        ("Phrase search / embedding outliers / badwords gate",
+         ph_plan, notes)
+    )
+
     # ---- write EXPLAIN.md -------------------------------------------------
     md = ["# EXPLAIN audit — physical plans vs 100 TB design intents",
           "",
