@@ -598,6 +598,36 @@ def q_streaming_burst_hours(spark, sf_dir):
     return out.filter(F.col("anomaly").isNotNull())
 
 
+def q_streaming_cusum_drift(spark, sf_dir):
+    """§2.9 streaming CUSUM drift: the same hourly-count fold as the
+    burst stream finished by the SAME cusum_from_counts the batch path
+    runs — the drained snapshot equals the batch oracle exactly."""
+    import os
+    import shutil
+    import tempfile
+
+    from log_analysis_spark.streaming.sketch_stream import run_stream_cusum_hours
+
+    work = tempfile.mkdtemp(prefix="cusum_stream_")
+    os.makedirs(f"{work}/src")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{work}/src/drop0.parquet")
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    )
+    out = run_stream_cusum_hours(
+        spark,
+        f"{work}/src",
+        f"{work}/state",
+        "ts",
+        "event_type",
+        schema,
+        k_milli=300,
+        h_mult=2,
+    )
+    return out.filter(F.col("drift").isNotNull())
+
+
 def q_streaming_sessions(spark, sf_dir):
     """§2.9 native session windows (F.session_window): per-conv sessions
     closing after 15 min of event-time silence — the streaming twin of the
@@ -1037,6 +1067,15 @@ def q_doc_badwords(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = textstats.with_badwords(docs, ["vector", "garbled"])
     return out.filter(F.col("n_badwords") > 0).select("doc_id", "n_badwords")
+
+
+def q_doc_compress_ratio(spark, sf_dir):
+    """DEFLATE-ratio quality signal (rows-only by design: the byte count
+    is a zlib artifact, not portable algebra — DuckDB has no SQL DEFLATE;
+    the pure-Python mirror test pins the values instead).  Zero-exchange
+    mapInPandas scan."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.compression_ratio(docs)
 
 
 def q_events_cusum_drift(spark, sf_dir):
@@ -2099,6 +2138,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_burst_hours": q_events_burst_hours,
         "conv_response_latency": q_conv_response_latency,
         "streaming_burst_hours": q_streaming_burst_hours,
+        "streaming_cusum_drift": q_streaming_cusum_drift,
         "customer_fuzzy_match": q_customer_fuzzy_match,
         "events_incidents": q_events_incidents,
         "events_cusum_drift": q_events_cusum_drift,
@@ -2108,6 +2148,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_phrase_search": q_doc_phrase_search,
         "embed_outliers": q_embed_outliers,
         "doc_badwords": q_doc_badwords,
+        "doc_compress_ratio": q_doc_compress_ratio,
         "graph_error_distance": q_graph_error_distance,
         "doc_tfidf_top": q_doc_tfidf_top,
         "doc_strip_markup": q_doc_strip_markup,
@@ -2344,6 +2385,7 @@ WHERE e.value > thr.t
         "events_hll_distinct": _hll_oracle(p=HLL_P),
         "events_burst_hours": _burst_hours_oracle(n=24, z=3),
         "streaming_burst_hours": _burst_hours_oracle(n=24, z=3),
+        "streaming_cusum_drift": _cusum_oracle(k_milli=300, h_mult=2),
         "customer_fuzzy_match": _fuzzy_match_oracle(threshold=800_000),
         "events_incidents": _incidents_oracle(n=24, z=3),
         "events_cusum_drift": _cusum_oracle(k_milli=300, h_mult=2),

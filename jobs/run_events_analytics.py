@@ -70,6 +70,12 @@ def main() -> None:
     )
     ap.add_argument("--burst-z", type=int, default=3)
     ap.add_argument(
+        "--cusum-h", type=int, default=0,
+        help="enable CUSUM drift alerts at h means of cumulative excess "
+        "(0 = off) — catches slow ramps the burst z-test misses",
+    )
+    ap.add_argument("--cusum-k-milli", type=int, default=300)
+    ap.add_argument(
         "--hll-p", type=int, default=0,
         help="also report HLL distinct-user estimates at 2^p registers "
         "(0 = KMV only)",
@@ -102,7 +108,8 @@ def main() -> None:
         args.asof_tolerance_sec, args.window_sec, args.slide_sec,
         args.funnel, args.kmv_k, args.quantiles, args.quantile_resolution,
         args.skew_frac, args.ohlc_bucket_sec, args.burst_trail_hours,
-        args.burst_z, args.hll_p, fingerprint_source(ev),
+        args.burst_z, args.hll_p, args.cusum_h, args.cusum_k_milli,
+        fingerprint_source(ev),
     )
     prior = manifest.lookup("events_analytics", fp)
     if prior is not None and os.path.exists(f"{args.out}/report"):
@@ -184,6 +191,16 @@ def main() -> None:
         alerts.write.mode("overwrite").parquet(f"{args.out}/alerts")
         counts["n_burst_alerts"] = spark.read.parquet(
             f"{args.out}/alerts"
+        ).count()
+
+    if args.cusum_h:
+        drift = timeseries.cusum_hours(
+            ev, "ts", "event_type",
+            k_milli=args.cusum_k_milli, h_mult=args.cusum_h,
+        ).filter(F.col("drift").isNotNull())
+        drift.write.mode("overwrite").parquet(f"{args.out}/drift")
+        counts["n_drift_alerts"] = spark.read.parquet(
+            f"{args.out}/drift"
         ).count()
 
     from log_analysis_spark.operators import expectations as expect_ops

@@ -1096,3 +1096,68 @@ def badwords_gate(
         .filter(F.col("n_badwords") <= int(max_hits))
         .drop("n_badwords")
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """DEFLATE compression ratio as a quality signal (the gzip-ratio
+    heuristic production pipelines run alongside Gopher rules): ratio
+    near 1 = incompressible noise (binary junk, encrypted blobs,
+    high-entropy garbage), very high ratio = templated/repetitive spam —
+    both tails are what a corpus gate drops.
+
+    -> (id, n_bytes, n_compressed, ratio_micro) with
+    ``ratio_micro = n_bytes * 1e6 div n_compressed`` (exact integer).
+
+    Implementation: whole-batch Arrow ``mapInPandas``; the per-payload
+    DEFLATE pass is inherent to the signal (same class as hashing —
+    the house zero-per-row-Python rule allows per-PAYLOAD work the
+    operator's definition requires).  Deterministic for a fixed zlib
+    level, but the byte count is a library artifact, not portable
+    algebra — so this ships as a rows-only query with a pure-Python
+    mirror test, not a DuckDB oracle (DuckDB has no SQL-level DEFLATE).
+
+    Scale shape: scan → mapInPandas, ZERO exchanges; cost is one pass
+    over the text column.  Text never shuffles; the output is 4 narrow
+    columns."""
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [
+            id_field,
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("n_compressed", T.LongType()),
+            T.StructField("ratio_micro", T.LongType()),
+        ]
+    )
+    lvl = int(level)
+
+    def batches(it):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in it:
+            raw = [
+                (s if isinstance(s, str) else "").encode("utf-8")
+                for s in pdf[text_col]
+            ]
+            nb = [len(b) for b in raw]
+            nc = [len(zlib.compress(b, lvl)) for b in raw]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": nb,
+                    "n_compressed": nc,
+                    "ratio_micro": [
+                        (b * 1_000_000) // c for b, c in zip(nb, nc)
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, out_schema)

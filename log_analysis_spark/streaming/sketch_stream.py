@@ -146,26 +146,24 @@ def run_stream_hll(
     return sketches.hll_estimate(final, p=p, group=group)
 
 
-def run_stream_burst_hours(
+def _run_hourly_count_fold(
     spark: SparkSession,
     src_path: str,
     state_dir: str,
     ts_col: str,
     key_col: str,
     schema: str,
-    n_trail: int = 24,
-    z: int = 3,
+    name: str,
 ) -> DataFrame:
-    """Streaming burst detection: each micro-batch's (key, hour, cnt)
-    rows ADD into the persisted hourly-count state (same exactly-once
-    version protocol as the sketch streams; state is bounded by hours
-    observed, not event volume), and the final alert table comes from the
-    SAME ``burst_from_counts`` the batch operator runs — streaming==batch
-    by shared code, not by parallel reimplementation."""
+    """Fold a stream's (key, hour, cnt) rows into persisted hourly-count
+    state (counts ADD; same exactly-once version protocol as the sketch
+    streams; state is bounded by hours observed, not event volume) and
+    return the final folded counts table — the shared substrate of every
+    hourly-alerting stream (burst z-test, CUSUM drift)."""
     from log_analysis_spark.operators import timeseries
 
     stream = spark.readStream.schema(schema).parquet(src_path)
-    sk_dir = f"{state_dir}/burst"
+    sk_dir = f"{state_dir}/{name}"
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         new = timeseries.hourly_counts(batch_df, ts_col, key_col)
@@ -181,7 +179,7 @@ def run_stream_burst_hours(
 
     q = (
         stream.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", f"{state_dir}/ckpt_burst")
+        .option("checkpointLocation", f"{state_dir}/ckpt_{name}")
         .trigger(availableNow=True)
         .start()
     )
@@ -189,5 +187,51 @@ def run_stream_burst_hours(
     v = _latest_version(sk_dir, 1 << 62)
     if v is None:
         raise RuntimeError("no micro-batch produced state")
-    final = spark.read.parquet(f"{sk_dir}/version={v}")
+    return spark.read.parquet(f"{sk_dir}/version={v}")
+
+
+def run_stream_burst_hours(
+    spark: SparkSession,
+    src_path: str,
+    state_dir: str,
+    ts_col: str,
+    key_col: str,
+    schema: str,
+    n_trail: int = 24,
+    z: int = 3,
+) -> DataFrame:
+    """Streaming burst detection: micro-batches fold into the hourly-count
+    state (``_run_hourly_count_fold``), and the final alert table comes
+    from the SAME ``burst_from_counts`` the batch operator runs —
+    streaming==batch by shared code, not by parallel reimplementation."""
+    from log_analysis_spark.operators import timeseries
+
+    final = _run_hourly_count_fold(
+        spark, src_path, state_dir, ts_col, key_col, schema, "burst"
+    )
     return timeseries.burst_from_counts(final, key_col, n_trail=n_trail, z=z)
+
+
+def run_stream_cusum_hours(
+    spark: SparkSession,
+    src_path: str,
+    state_dir: str,
+    ts_col: str,
+    key_col: str,
+    schema: str,
+    k_milli: int = 300,
+    h_mult: int = 2,
+) -> DataFrame:
+    """Streaming CUSUM drift detection: the same hourly-count fold as the
+    burst stream, finished by the SAME ``cusum_from_counts`` the batch
+    operator runs — a slow leak crossing micro-batch boundaries
+    accumulates exactly as if the history had been one batch (counts ADD,
+    the CUSUM replays deterministically from the folded counts)."""
+    from log_analysis_spark.operators import timeseries
+
+    final = _run_hourly_count_fold(
+        spark, src_path, state_dir, ts_col, key_col, schema, "cusum"
+    )
+    return timeseries.cusum_from_counts(
+        final, key_col, k_milli=k_milli, h_mult=h_mult
+    )

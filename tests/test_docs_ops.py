@@ -1295,3 +1295,26 @@ def test_badwords_tokenizer_exact_and_gate(spark):
 
     with _pytest.raises(ValueError):
         textstats.with_badwords(docs, [])
+
+
+def test_compression_ratio_mirror_and_tails(spark):
+    import zlib
+
+    from log_analysis_spark.operators import textstats
+
+    noise = "".join(chr(33 + ((i * 7919 + 13) % 90)) for i in range(2000))
+    spam = "buy now " * 250
+    docs = spark.createDataFrame(
+        [(1, noise), (2, spam), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["n_compressed"], r["ratio_micro"])
+        for r in textstats.compression_ratio(docs).collect()
+    }
+    for did, text in [(1, noise), (2, spam), (3, "")]:
+        raw = text.encode("utf-8")
+        nc = len(zlib.compress(raw, 6))
+        assert got[did] == (len(raw), nc, len(raw) * 1_000_000 // nc), did
+    # tails: repetitive spam compresses far better than pseudo-noise
+    assert got[2][2] > 3 * got[1][2]

@@ -413,6 +413,27 @@ def test_streaming_burst_hours_equals_batch(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
+def test_streaming_cusum_equals_batch(spark, tmp_path):
+    """The CUSUM stream shares the burst stream's hourly fold and the
+    batch path's cusum_from_counts — two mid-hour-split drops must yield
+    exactly the batch drift table (a slow leak crossing micro-batch
+    boundaries accumulates as if the history were one batch)."""
+    from log_analysis_spark.operators import timeseries
+    from log_analysis_spark.streaming.sketch_stream import run_stream_cusum_hours
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "cusum_src")
+    ev.filter("event_id % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+    ev.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    schema = "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    got = run_stream_cusum_hours(
+        spark, src, str(tmp_path / "st"), "ts", "event_type", schema,
+        k_milli=100, h_mult=1,
+    )
+    want = timeseries.cusum_hours(ev, "ts", "event_type", k_milli=100, h_mult=1)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
 def test_stream_stream_join_equals_batch(spark, transcripts, tmp_path):
     """Stream-stream watermarked interval join (tool call -> following
     error, same conv, within 30 min): with the watermark exceeding the

@@ -568,6 +568,8 @@ def test_submit_events_analytics_job(pkg_zip, tmp_path):
             "--skew-frac", "0.05",
             "--burst-trail-hours", "6",
             "--burst-z", "2",
+            "--cusum-h", "1",
+            "--cusum-k-milli", "100",
             "--hll-p", "6",
         ],
         cwd=tmp_path,
@@ -579,6 +581,7 @@ def test_submit_events_analytics_job(pkg_zip, tmp_path):
     assert res["n_report_rows"] == 15  # 5 event types x 3 quantiles
     assert res["n_ohlc_bars"] > 0 and res["n_profile_rows"] == 2
     assert res["n_burst_alerts"] >= 0  # alerts/ output written
+    assert res["n_drift_alerts"] > 0   # drift/ output written, CUSUM bites
     import duckdb
 
     rep = duckdb.connect().execute(
@@ -596,6 +599,8 @@ def test_submit_events_analytics_job(pkg_zip, tmp_path):
             "--skew-frac", "0.05",
             "--burst-trail-hours", "6",
             "--burst-z", "2",
+            "--cusum-h", "1",
+            "--cusum-k-milli", "100",
             "--hll-p", "6",
         ],
         cwd=tmp_path,
