@@ -718,6 +718,31 @@ def main() -> None:
     sig_90.unpersist()
     band_90.unpersist()
 
+    # ---- session-12 ops: template mining (2M raw lines), CUSUM drift,
+    # phrase search + DEFLATE signal over the full document corpus
+    from log_analysis_spark.operators import retrieval as retr_b
+    from log_analysis_spark.operators import templates as tmpl_b
+    from log_analysis_spark.operators import textstats as ts_b
+    from log_analysis_spark.operators import timeseries as tsr_b
+
+    timed(
+        "log_template_mining",
+        lambda: tmpl_b.mine_templates(turns, "text").count(),
+    )
+    timed(
+        "events_cusum_drift",
+        lambda: tsr_b.cusum_hours(ev_b, "ts", "event_type",
+                                  k_milli=300, h_mult=2).count(),
+    )
+    timed(
+        "doc_phrase_search",
+        lambda: retr_b.phrase_search(docs, "the data").count(),
+    )
+    timed(
+        "doc_compress_ratio",
+        lambda: ts_b.compression_ratio(docs).count(),
+    )
+
     timings = {name: min(obs) for name, obs in runs.items()}
     total = round(sum(sum(obs) for obs in runs.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
