@@ -1069,6 +1069,36 @@ def q_doc_badwords(spark, sf_dir):
     return out.filter(F.col("n_badwords") > 0).select("doc_id", "n_badwords")
 
 
+def q_conv_tool_paths(spark, sf_dir):
+    """Workflow-motif mining: counts of every contiguous 3-step tool
+    chain within a conversation (sentinel '-' turns excluded before
+    pairing) — the k-gram deepening of the transition matrix."""
+    return windows_ops.state_path_ngrams(
+        _parsed(spark, sf_dir), "conv_id", ["turn_idx"], "tool",
+        k=3, exclude=["-"],
+    )
+
+
+def q_events_entropy(spark, sf_dir):
+    """Shannon-entropy column profile in exact integer micro-nats: a
+    healthy categorical (event_type, ~ln 5) vs a near-identifier
+    (user_id, ~ln 150) in one stacked pass."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from log_analysis_spark.operators import expectations as E
+
+    return E.column_entropy(ev, ["event_type", "user_id"])
+
+
+def q_timing_correlation(spark, sf_dir):
+    """Pearson correlation between gathered-response count and duration
+    on the timing turns — all six sums exact DECIMAL(38,0) integers over
+    micro-quantized values, only the final ratio floats (round-6)."""
+    from log_analysis_spark.operators import expectations as E
+
+    timing = _parsed(spark, sf_dir).filter(F.col("turn_class") == "timing")
+    return E.column_correlation(timing, "n_responses", "duration_ms")
+
+
 def q_doc_compress_ratio(spark, sf_dir):
     """DEFLATE-ratio quality signal (rows-only by design: the byte count
     is a zlib artifact, not portable algebra — DuckDB has no SQL DEFLATE;
@@ -2149,6 +2179,9 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_outliers": q_embed_outliers,
         "doc_badwords": q_doc_badwords,
         "doc_compress_ratio": q_doc_compress_ratio,
+        "conv_tool_paths": q_conv_tool_paths,
+        "events_entropy": q_events_entropy,
+        "timing_correlation": q_timing_correlation,
         "graph_error_distance": q_graph_error_distance,
         "doc_tfidf_top": q_doc_tfidf_top,
         "doc_strip_markup": q_doc_strip_markup,
@@ -2390,6 +2423,54 @@ WHERE e.value > thr.t
         "events_incidents": _incidents_oracle(n=24, z=3),
         "events_cusum_drift": _cusum_oracle(k_milli=300, h_mult=2),
         "doc_phrase_search": _phrase_search_oracle(["the", "data"]),
+        "conv_tool_paths": P("""
+, t AS (SELECT conv_id, turn_idx, tool FROM parsed WHERE tool <> '-'),
+l AS (
+  SELECT tool AS s0, lead(tool, 1) OVER w AS s1, lead(tool, 2) OVER w AS s2
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT s0 || ' -> ' || s1 || ' -> ' || s2 AS path, count(*) AS n
+FROM l WHERE s2 IS NOT NULL GROUP BY 1"""),
+        "events_entropy": """
+WITH stacked AS (
+  SELECT 'event_type' AS "column", CAST(event_type AS VARCHAR) AS val
+  FROM events
+  UNION ALL
+  SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+),
+counts AS (
+  SELECT "column", val, count(*) AS c FROM stacked GROUP BY 1, 2
+),
+per AS (
+  SELECT "column", sum(c) AS n, count(*) AS nd,
+         sum(CAST(c AS HUGEINT)
+             * CAST(round(ln(c) * 1000000) AS HUGEINT)) AS sclc
+  FROM counts GROUP BY 1
+)
+SELECT "column", CAST(n AS BIGINT) AS n, CAST(nd AS BIGINT) AS n_distinct,
+       CAST(CAST(round(ln(n) * 1000000) AS BIGINT) - sclc // n AS BIGINT)
+         AS entropy_micro_nats
+FROM per""",
+        "timing_correlation": P("""
+, q AS (
+  SELECT CAST(round(CAST(n_responses AS DOUBLE) * 1000000) AS HUGEINT) AS x,
+         CAST(round(CAST(duration_ms AS DOUBLE) * 1000000) AS HUGEINT) AS y
+  FROM parsed
+  WHERE turn_class = 'timing'
+    AND n_responses IS NOT NULL AND duration_ms IS NOT NULL
+),
+s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM q
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+         CAST(round(1000000 * CAST(n * sxy - sx * sy AS DOUBLE)
+              / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                 * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT)
+       END AS r_micro
+FROM s"""),
         "embed_outliers": _centroid_outliers_oracle(
             n_centroids=8, max_cos_micro=80_000
         ),

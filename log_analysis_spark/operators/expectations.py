@@ -208,3 +208,114 @@ def profile_columns(df: DataFrame, numeric_cols: list[str]) -> DataFrame:
     for p in parts[1:]:
         extras = extras.unionByName(p)
     return out.join(extras, "column")
+
+
+def column_entropy(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column Shannon entropy profile -> (column, n, n_distinct,
+    entropy_micro_nats): the data-quality signal `profile_columns`'
+    count/distinct rows can't see — a 'status' column whose distinct
+    count is healthy but whose mass collapsed onto one value (entropy
+    ~ 0) is a broken upstream, and a supposedly-categorical column with
+    entropy ~ ln(n) is a leaked identifier.
+
+    Exact cross-engine by construction: per-value ln() is quantized to
+    integer micro-nats immediately (L(x) = round(ln(x)*1e6) — the
+    accepted 1-ulp risk class), then
+
+        H_micro = L(n) - (sum over values of c*L(c)) div n
+
+    is pure integer arithmetic (floor bias <= 1 micro-nat, identical in
+    both engines).  NULL counts as its own category, in both engines.
+
+    Scale shape: ONE stacked (column, value) explode (bounded fan-out =
+    len(cols)), one map-side-combinable (column, value) count, one
+    |distinct-values|-sized (column) aggregate.  Values enter the
+    exchange as strings — by definition of the operator (it profiles
+    value mass); pre-hash wide columns upstream if value bytes matter."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("val"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("_cv")
+    ).select("_cv.column", "_cv.val")
+    counts = stacked.groupBy("column", "val").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    l_of = lambda col: F.round(F.log(col) * 1_000_000).cast("long")  # noqa: E731
+    per_col = counts.groupBy("column").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        # c*L(c) can exceed int64 at web scale (1e12 rows * 28e6
+        # micro-nats); DECIMAL(38,0) keeps the sum exact, ANSI raises on
+        # genuine overflow instead of wrapping
+        F.sum(
+            (F.col("c") * l_of(F.col("c"))).cast("decimal(38,0)")
+        ).alias("_sclc"),
+    )
+    h = l_of(F.col("n")) - F.expr(
+        "_sclc div CAST(n AS DECIMAL(38,0))"
+    ).cast("long")
+    return per_col.select(
+        "column", "n", "n_distinct", h.cast("long").alias("entropy_micro_nats")
+    )
+
+
+def column_correlation(
+    df: DataFrame, x_col: str, y_col: str, unit: int = 1_000_000
+) -> DataFrame:
+    """Pearson correlation between two numeric columns ->
+    (n, r_micro): the bivariate deepening of the univariate profile
+    (is duration actually driven by response count?).
+
+    Exact-integer discipline: both columns are quantized to
+    ``round(x*unit)`` integers first, every sum (n, Σx, Σy, Σx², Σy²,
+    Σxy) accumulates in DECIMAL(38,0) — overflow raises loudly under
+    ANSI instead of corrupting silently (bound: n·max²·unit² < 1e38;
+    lower ``unit`` for huge corpora of large values) — and only the
+    final ratio touches floating point:
+
+        r = (n·Σxy − Σx·Σy) / (sqrt(n·Σx²−Σx²) · sqrt(n·Σy²−Σy²))
+
+    with r_micro = round(r*1e6) (two sqrt + one divide over EXACT
+    integers — the accepted 1-ulp class).  Rows where either side is
+    NULL are excluded (pairwise deletion); a zero-variance side yields
+    r_micro NULL.
+
+    Scale shape: ONE algebraic aggregate — map-side partials, a
+    one-row result, no window, no join."""
+    # promote to DOUBLE before scaling so an int input can't overflow its
+    # own type mid-expression under ANSI, and both engines round the same
+    # double
+    dec = 'CAST(round(CAST({} AS DOUBLE) * {}) AS DECIMAL(38,0))'
+    xq = F.expr(dec.format(x_col, int(unit)))
+    yq = F.expr(dec.format(y_col, int(unit)))
+    both = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(xq.alias("_x"), yq.alias("_y"))
+    sums = both.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.expr("_x * _x")).alias("sxx"),
+        F.sum(F.expr("_y * _y")).alias("syy"),
+        F.sum(F.expr("_x * _y")).alias("sxy"),
+    )
+    cov = F.expr("n * sxy - sx * sy")
+    vx = F.expr("n * sxx - sx * sx")
+    vy = F.expr("n * syy - sy * sy")
+    r = cov.cast("double") / (
+        F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))
+    )
+    r_micro = F.when(
+        (vx > 0) & (vy > 0), F.round(r * 1_000_000).cast("long")
+    )
+    return sums.select(F.col("n").cast("long").alias("n"), r_micro.alias("r_micro"))

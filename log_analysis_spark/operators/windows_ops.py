@@ -202,3 +202,44 @@ def response_latency(
         F.max("lat_us").alias("max_lat_us"),
         F.median("lat_us").alias("med_lat_us"),
     )
+
+
+def state_path_ngrams(
+    df: DataFrame,
+    key: str,
+    order_cols: list[str],
+    state_col: str,
+    k: int = 3,
+    exclude: list[str] | None = None,
+) -> DataFrame:
+    """Workflow-motif mining: counts of every CONTIGUOUS k-step state
+    sequence within a key's ordered stream — the k-gram deepening of
+    ``transition_counts`` (k=2): which 3-step tool chains do agents
+    actually run?  ``exclude`` drops sentinel states ('-') BEFORE
+    pairing, so the motifs are over the subsequence of real state events
+    (consecutive tool invocations, not consecutive turns).
+
+    -> (path, n) with path = 'a -> b -> c'.
+
+    Scale shape: ONE shuffle on the key for the lead window (same
+    exchange a groupBy(key) would pay), then a map-side-combinable
+    (path) count; the path strings are short and their cardinality is
+    the motif vocabulary, not the event volume."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.sql import Window
+
+    base = df
+    if exclude:
+        base = base.filter(~F.col(state_col).isin(list(exclude)))
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    steps = [F.col(state_col)] + [
+        F.lead(F.col(state_col), i).over(w) for i in range(1, k)
+    ]
+    named = base.select(
+        *[s.alias(f"_s{i}") for i, s in enumerate(steps)]
+    ).filter(F.col(f"_s{k - 1}").isNotNull())
+    path = F.concat_ws(" -> ", *[F.col(f"_s{i}") for i in range(k)])
+    return named.select(path.alias("path")).groupBy("path").agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -644,3 +644,68 @@ def test_fuzzy_match_candidates_are_blocked(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_state_path_ngrams(spark):
+    from log_analysis_spark.operators import windows_ops
+
+    rows = [
+        ("c1", 1, "a"), ("c1", 2, "-"), ("c1", 3, "b"), ("c1", 4, "c"),
+        ("c1", 5, "d"),
+        ("c2", 1, "b"), ("c2", 2, "c"), ("c2", 3, "d"),
+        ("c3", 1, "x"), ("c3", 2, "y"),  # too short for k=3
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, tool string")
+    got = {
+        r["path"]: r["n"]
+        for r in windows_ops.state_path_ngrams(
+            df, "conv_id", ["turn_idx"], "tool", k=3, exclude=["-"]
+        ).collect()
+    }
+    # '-' removed BEFORE pairing, so c1's motif chain is a,b,c,d;
+    # windows never cross conversations
+    assert got == {"a -> b -> c": 1, "b -> c -> d": 2}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        windows_ops.state_path_ngrams(df, "conv_id", ["turn_idx"], "tool", k=1)
+
+
+def test_column_entropy_closed_forms(spark):
+    import math
+
+    from log_analysis_spark.operators import expectations as E
+
+    rows = [("a", 1, None), ("b", 1, None), ("c", 1, "x"), ("d", 1, "x")]
+    df = spark.createDataFrame(rows, "u string, k int, v string")
+    got = {r["column"]: r for r in E.column_entropy(df, ["u", "k", "v"]).collect()}
+    # uniform over 4 values: H = ln 4; constant: H = 0; NULL is a category
+    ln = lambda x: round(math.log(x) * 1_000_000)  # noqa: E731
+    assert got["u"]["entropy_micro_nats"] == ln(4) - (4 * ln(1)) // 4
+    assert got["u"]["n_distinct"] == 4
+    assert got["k"]["entropy_micro_nats"] == ln(4) - (4 * ln(4)) // 4 == 0
+    assert got["v"]["n_distinct"] == 2  # NULL + 'x'
+    assert got["v"]["entropy_micro_nats"] == ln(4) - (2 * ln(2) * 2) // 4
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        E.column_entropy(df, [])
+
+
+def test_column_correlation_closed_forms(spark):
+    from log_analysis_spark.operators import expectations as E
+
+    lin = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 4.0), (3.0, 6.0), (None, 9.0), (4.0, None)],
+        "x double, y double",
+    )
+    row = E.column_correlation(lin, "x", "y").collect()[0]
+    assert (row["n"], row["r_micro"]) == (3, 1_000_000)  # nulls pairwise-dropped
+    anti = spark.createDataFrame(
+        [(1.0, 3.0), (2.0, 2.0), (3.0, 1.0)], "x double, y double"
+    )
+    assert E.column_correlation(anti, "x", "y").collect()[0]["r_micro"] == -1_000_000
+    flat = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0)], "x double, y double"
+    )
+    assert E.column_correlation(flat, "x", "y").collect()[0]["r_micro"] is None

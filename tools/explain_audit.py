@@ -1326,6 +1326,41 @@ def main() -> int:
          ph_plan, notes)
     )
 
+    # ---- tool-path motifs / entropy profile / correlation ------------------
+    from log_analysis_spark.operators import expectations as exp_ops
+    from log_analysis_spark.operators import windows_ops as w_ops
+
+    motifs = w_ops.state_path_ngrams(
+        parsed, "conv_id", ["turn_idx"], "tool", k=3, exclude=["-"]
+    )
+    motif_plan = executed(motifs)
+    motif_shufs = shuffle_schemas(motifs)
+    entropy = exp_ops.column_entropy(ev, ["event_type", "user_id"])
+    ent_shufs = shuffle_schemas(entropy)
+    corr = exp_ops.column_correlation(ev, "value", "user_id")
+    corr_plan = executed(corr)
+    notes = [
+        check("tool-path motifs: exactly one key exchange feeds the lead "
+              "window; the path count is map-side combinable (two-phase "
+              "HashAggregate)",
+              sum(1 for p, _ in motif_shufs if "conv_id" in p) == 1
+              and motif_plan.count("HashAggregate") >= 2,
+              f"shuffles={[p[:40] for p, _ in motif_shufs]}"),
+        check("entropy profile: exchanges carry only (column, value, "
+              "count) cells / per-column aggregates — never a source row",
+              all(set(cols) <= {"column", "val", "c", "count", "sum",
+                                "isEmpty", "n", "n_distinct", "_sclc"}
+                  for _, cols in ent_shufs),
+              f"shuffles={[c for _, c in ent_shufs]}"),
+        check("correlation: ONE algebraic aggregate — no window, no "
+              "join; the only exchange is the one-row final merge",
+              "Window" not in corr_plan and "Join" not in corr_plan),
+    ]
+    sections.append(
+        ("Tool-path motifs / entropy profile / correlation",
+         motif_plan, notes)
+    )
+
     # ---- write EXPLAIN.md -------------------------------------------------
     md = ["# EXPLAIN audit — physical plans vs 100 TB design intents",
           "",
