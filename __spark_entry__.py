@@ -1069,6 +1069,27 @@ def q_doc_badwords(spark, sf_dir):
     return out.filter(F.col("n_badwords") > 0).select("doc_id", "n_badwords")
 
 
+def q_events_winsorized(spark, sf_dir):
+    """Winsorized per-type value stats: values clipped to their own
+    [p05, p95] histogram-CDF band (no global sort, no per-row window),
+    then aggregated — both clip sides must bite and the micro sums make
+    the clip values hash-checkable."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clipped = sketches.clip_to_quantiles(
+        ev, "value", p_lo=0.05, p_hi=0.95, resolution=0.25,
+        group="event_type",
+    )
+    c = F.col("value_clipped")
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((c > F.col("value")).cast("long")).alias("n_clip_lo"),
+        F.sum((c < F.col("value")).cast("long")).alias("n_clip_hi"),
+        F.sum(F.expr(
+            "CAST(round(CAST(value_clipped AS DOUBLE) * 1000000) AS DECIMAL(38,0))"
+        )).cast("long").alias("sum_clipped_micro"),
+    )
+
+
 def q_conv_tool_paths(spark, sf_dir):
     """Workflow-motif mining: counts of every contiguous 3-step tool
     chain within a conversation (sentinel '-' turns excluded before
@@ -2180,6 +2201,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_badwords": q_doc_badwords,
         "doc_compress_ratio": q_doc_compress_ratio,
         "conv_tool_paths": q_conv_tool_paths,
+        "events_winsorized": q_events_winsorized,
         "events_entropy": q_events_entropy,
         "timing_correlation": q_timing_correlation,
         "graph_error_distance": q_graph_error_distance,
@@ -2423,6 +2445,9 @@ WHERE e.value > thr.t
         "events_incidents": _incidents_oracle(n=24, z=3),
         "events_cusum_drift": _cusum_oracle(k_milli=300, h_mult=2),
         "doc_phrase_search": _phrase_search_oracle(["the", "data"]),
+        "events_winsorized": _winsorize_oracle(
+            p_lo=0.05, p_hi=0.95, resolution=0.25
+        ),
         "conv_tool_paths": P("""
 , t AS (SELECT conv_id, turn_idx, tool FROM parsed WHERE tool <> '-'),
 l AS (
@@ -4909,6 +4934,47 @@ prb AS (
 SELECT prb.user_id, CAST(min(sk.cnt) AS BIGINT) AS est_count
 FROM prb JOIN sk ON prb.r = sk.r AND prb.bucket = sk.bucket
 GROUP BY prb.user_id
+"""
+
+
+def _winsorize_oracle(p_lo: float, p_hi: float, resolution: float) -> str:
+    """Replay of q_events_winsorized: the hist_quantiles CDF cut per
+    group (same cell math as _hist_quantiles_oracle), clip, aggregate."""
+    inv = 1.0 / resolution
+    return f"""
+WITH h AS (
+  SELECT event_type, CAST(floor(value * {inv}) AS BIGINT) AS cell,
+         count(*) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, cell,
+         sum(c) OVER (PARTITION BY event_type ORDER BY cell) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM h
+),
+band AS (
+  SELECT event_type,
+         min(CASE WHEN cum >= ceil({p_lo} * n) THEN cell END) * {resolution}
+           AS lo,
+         min(CASE WHEN cum >= ceil({p_hi} * n) THEN cell END) * {resolution}
+           AS hi
+  FROM cum GROUP BY event_type
+),
+clipped AS (
+  SELECT e.event_type, e.value,
+         CASE WHEN e.value IS NOT NULL
+              THEN least(greatest(e.value, b.lo), b.hi) END AS vc
+  FROM events e JOIN band b USING (event_type)
+)
+SELECT event_type, count(*) AS n,
+       CAST(sum(CASE WHEN vc > value THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clip_lo,
+       CAST(sum(CASE WHEN vc < value THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clip_hi,
+       CAST(sum(CAST(round(CAST(vc AS DOUBLE) * 1000000) AS HUGEINT))
+         AS BIGINT) AS sum_clipped_micro
+FROM clipped GROUP BY event_type
 """
 
 

@@ -586,3 +586,93 @@ def ingest_batch(
         new_sig_rows=new_sig_rows,
         new_band_rows=new_band_rows,
     )
+
+
+@dataclass
+class ExactIngestResult:
+    accepted: DataFrame       # batch rows admitted into the corpus
+    rejected: DataFrame       # (id, matched_id, why) exact duplicates
+    new_key_rows: DataFrame   # (khash, klen, id) to append to key_store
+
+
+def exact_key_schema(id_type: str = "string") -> str:
+    """Schema of the persisted exact-dedup key store: the same
+    (md5, length) key `dedup.exact_dedup` groups by — 24 bytes + id per
+    distinct document ever admitted."""
+    return f"khash string, klen long, id {id_type}"
+
+
+def exact_state_specs(id_type: str = "string") -> tuple:
+    """Single-table state for incremental EXACT dedup; bucket/sort by
+    the hash so the compacted probe join is shuffle-free on the state
+    side (same layout discipline as the band index)."""
+    return (
+        StateTableSpec(
+            "exact_keys",
+            exact_key_schema(id_type),
+            ("khash", "klen", "id"),
+            ("khash",),
+            ("khash", "klen"),
+        ),
+    )
+
+
+def ingest_exact_batch(
+    batch: DataFrame,
+    key_store: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ExactIngestResult:
+    """Incremental EXACT dedup: admit only batch docs whose
+    (md5(text), length(text)) key is new — both within the batch
+    (keep-first by lowest id, `dedup.exact_dedup` semantics) and against
+    every previously-admitted document's persisted key.
+
+    The cheap front gate of the incremental pipeline: a re-crawled or
+    re-submitted byte-identical document never reaches the MinHash
+    probe, and the state is 24 bytes + id per distinct doc — smaller
+    than the signature store by ~10x.
+
+    Scale shape: document text never enters an exchange — the batch
+    projects to (key, id) before any shuffle; within-batch keep-first is
+    one key aggregate; the cross-corpus probe is one equi-join against
+    the key store (shuffle-free on the state side under the bucketed
+    compacted layout, `exact_state_specs`).  Exactness needs no verify
+    step: md5+length collisions aside (the documented 2^-128 class),
+    key equality IS document equality."""
+    key = batch.select(
+        F.col(id_col).alias("id"),
+        F.md5(F.col(text_col)).alias("khash"),
+        F.length(F.col(text_col)).cast("long").alias("klen"),
+    )
+    keeper = key.groupBy("khash", "klen").agg(F.min("id").alias("_keep"))
+    within = key.join(keeper, ["khash", "klen"]).withColumnRenamed(
+        "_keep", "matched_id"
+    )
+    intra_rejected = (
+        within.filter(F.col("id") != F.col("matched_id"))
+        .select("id", "matched_id", F.lit("within_batch").alias("why"))
+    )
+    firsts = within.filter(F.col("id") == F.col("matched_id"))
+    hit = firsts.join(
+        key_store.select(
+            "khash", "klen", F.col("id").alias("_old_id")
+        ),
+        ["khash", "klen"],
+    )
+    cross_rejected = hit.select(
+        "id", F.col("_old_id").alias("matched_id"),
+        F.lit("cross_corpus").alias("why"),
+    )
+    survivors = firsts.join(
+        key_store.select("khash", "klen"), ["khash", "klen"], "left_anti"
+    )
+    accepted = batch.join(
+        survivors.select(F.col("id").alias(id_col)), id_col, "left_semi"
+    )
+    new_key_rows = survivors.select("khash", "klen", "id")
+    return ExactIngestResult(
+        accepted=accepted,
+        rejected=intra_rejected.unionByName(cross_rejected),
+        new_key_rows=new_key_rows,
+    )

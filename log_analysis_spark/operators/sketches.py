@@ -452,3 +452,50 @@ def hll_distinct(
 ) -> DataFrame:
     """Sketch + estimate in one call: (group?, est_distinct)."""
     return hll_estimate(hll_sketch(df, col, p=p, group=group), p=p, group=group)
+
+
+def clip_to_quantiles(
+    df: DataFrame,
+    value_col: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    resolution: float = 0.01,
+    group: str | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Winsorization without a global sort: clip ``value_col`` to its own
+    per-group [p_lo, p_hi] quantile band — the robust-stats preprocessing
+    step before means/regressions on heavy-tailed telemetry (one 10^6 ms
+    straggler should not own the mean latency).
+
+    The cuts come from ``hist_quantiles`` (floor-quantized histogram CDF
+    — no per-row window, cut error bounded by ``resolution``), so the
+    clipped value is deterministic and the DuckDB oracle exact.  NULLs
+    pass through unclipped; adds ``out_col`` (default
+    ``{value}_clipped``), original column retained.
+
+    Scale shape: the histogram aggregate is the only corpus-sized
+    shuffle (occupied CELLS after map-side combine); the per-group
+    (lo, hi) cut table is |groups| rows and BROADCASTS back — the data
+    itself is never re-shuffled for the clip."""
+    if not (0 < p_lo < p_hi <= 1):
+        raise ValueError(f"need 0 < p_lo < p_hi <= 1: ({p_lo}, {p_hi})")
+    out_col = out_col or f"{value_col}_clipped"
+    keys = [group] if group else []
+    cuts = hist_quantiles(
+        df, value_col, [p_lo, p_hi], resolution=resolution, group=group
+    )
+    band = cuts.groupBy(*keys).agg(
+        F.min(F.when(F.col("q") == p_lo, F.col("value"))).alias("_lo"),
+        F.min(F.when(F.col("q") == p_hi, F.col("value"))).alias("_hi"),
+    )
+    joined = (
+        df.join(F.broadcast(band), keys)
+        if keys
+        else df.crossJoin(F.broadcast(band))
+    )
+    clipped = F.when(
+        F.col(value_col).isNotNull(),
+        F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi")),
+    )
+    return joined.withColumn(out_col, clipped).drop("_lo", "_hi")

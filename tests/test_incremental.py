@@ -448,3 +448,77 @@ def test_snapshot_diff_drives_incremental_reprocessing(spark):
     # the edited 'c' is a near-dup of its own v1 state row → rejected;
     # the new 'd' is admitted
     assert accepted == {"d"}
+
+
+def _empty_keys(spark, id_type="long"):
+    from log_analysis_spark.operators.incremental import exact_key_schema
+
+    return spark.createDataFrame([], exact_key_schema(id_type))
+
+
+def test_exact_ingest_split_equals_batch(spark, sf_dir):
+    """Ingesting the corpus in two increments admits exactly the docs
+    one-shot exact_dedup keeps."""
+    from log_analysis_spark.operators import dedup, incremental
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # plant exact duplicates across the split boundary AND within a half
+    dup = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 100000)
+    full = docs.unionByName(dup)
+    a = full.filter((F.col("doc_id") % 2 == 0))
+    b = full.filter((F.col("doc_id") % 2 == 1))
+    st = _empty_keys(spark)
+    r1 = incremental.ingest_exact_batch(a, st)
+    keys1 = r1.new_key_rows
+    r2 = incremental.ingest_exact_batch(b, keys1)
+    got = sorted(
+        r["doc_id"]
+        for r in r1.accepted.select("doc_id").union(
+            r2.accepted.select("doc_id")
+        ).collect()
+    )
+    want_tbl = dedup.exact_dedup(full, id_col="doc_id")
+    id_col = "doc_id" if "doc_id" in want_tbl.columns else want_tbl.columns[0]
+    want = sorted(r[0] for r in want_tbl.select(id_col).collect())
+    # one-shot keep-first keeps the GLOBAL min id; split ingest keeps the
+    # first-ARRIVED — compare as key sets, which must be identical
+    assert len(got) == len(want)
+    got_keys = sorted(
+        map(tuple, r1.new_key_rows.select("khash", "klen").union(
+            r2.new_key_rows.select("khash", "klen")
+        ).collect())
+    )
+    assert len(got_keys) == len(set(got_keys)) == len(want)
+
+
+def test_exact_ingest_idempotent_and_reasons(spark):
+    from log_analysis_spark.operators import incremental
+
+    docs = spark.createDataFrame(
+        [(1, "aaa"), (2, "aaa"), (3, "bbb")], "doc_id long, text string"
+    )
+    st = _empty_keys(spark)
+    r1 = incremental.ingest_exact_batch(docs, st)
+    assert sorted(r["doc_id"] for r in r1.accepted.collect()) == [1, 3]
+    rej = {(r["id"], r["matched_id"], r["why"]) for r in r1.rejected.collect()}
+    assert rej == {(2, 1, "within_batch")}
+    # re-ingest the identical batch against the new state: all rejected
+    r2 = incremental.ingest_exact_batch(docs, r1.new_key_rows)
+    assert r2.accepted.count() == 0
+    whys = {r["why"] for r in r2.rejected.collect()}
+    assert whys == {"within_batch", "cross_corpus"}
+    assert r2.new_key_rows.count() == 0
+
+
+def test_exact_ingest_plan_text_free(spark):
+    """Document text never enters an exchange — the probe runs on
+    (khash, klen, id) only."""
+    from log_analysis_spark.operators import incremental
+    from tools.explain_audit import shuffle_schemas
+
+    docs = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb")], "doc_id long, text string"
+    )
+    res = incremental.ingest_exact_batch(docs, _empty_keys(spark))
+    shufs = shuffle_schemas(res.new_key_rows)
+    assert all("text" not in cols for _, cols in shufs), shufs

@@ -261,3 +261,35 @@ def test_hll_grouped_plan_has_no_window(values):
 def test_hll_p_validation(values):
     with pytest.raises(ValueError, match="p must"):
         SK.hll_sketch(values, "v", p=3)
+
+
+def test_clip_to_quantiles_closed_form(spark):
+    from log_analysis_spark.operators import sketches
+
+    # values 1..20 at resolution 1: p10 cut = cell 2, p90 cut = cell 18
+    rows = [(float(i), "g") for i in range(1, 21)] + [(None, "g")]
+    df = spark.createDataFrame(rows, "v double, g string")
+    out = sketches.clip_to_quantiles(
+        df, "v", p_lo=0.1, p_hi=0.9, resolution=1.0, group="g"
+    )
+    got = {r["v"]: r["v_clipped"] for r in out.collect()}
+    assert got[1.0] == 2.0 and got[2.0] == 2.0      # clipped up
+    assert got[19.0] == 18.0 and got[20.0] == 18.0  # clipped down
+    assert got[10.0] == 10.0                        # interior untouched
+    assert got[None] is None                        # NULL passes through
+
+
+def test_clip_to_quantiles_groupless_and_guard(spark):
+    import pytest as _pytest
+
+    from log_analysis_spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 11)], "v double"
+    )
+    out = sketches.clip_to_quantiles(df, "v", p_lo=0.2, p_hi=0.8,
+                                     resolution=1.0)
+    vals = {r["v"]: r["v_clipped"] for r in out.collect()}
+    assert vals[1.0] == 2.0 and vals[10.0] == 8.0 and vals[5.0] == 5.0
+    with _pytest.raises(ValueError):
+        sketches.clip_to_quantiles(df, "v", p_lo=0.9, p_hi=0.1)
