@@ -1069,6 +1069,22 @@ def q_doc_badwords(spark, sf_dir):
     return out.filter(F.col("n_badwords") > 0).select("doc_id", "n_badwords")
 
 
+def q_routed_rows_fingerprint(spark, sf_dir):
+    """Routed-row equality as an O(1)-output check: the errors sink's
+    order-independent table digest (sum of per-row 56-bit md5 terms over
+    the null-marked length-prefixed field join) — two runs routed the
+    same rows iff (n_rows, fingerprint) match, without re-reading either
+    side.  The first-match-wins router tags the sink; 'errors' is the
+    first rule, so its rows are exactly turn_class = 'error'."""
+    from log_analysis_spark.operators import expectations as E
+
+    tagged = router.tag_sinks(_parsed(spark, sf_dir), router.default_rules())
+    errors = tagged.filter(F.col("sink") == "errors").select(
+        "conv_id", "turn_idx", "text"
+    )
+    return E.table_fingerprint(errors)
+
+
 def q_events_winsorized(spark, sf_dir):
     """Winsorized per-type value stats: values clipped to their own
     [p05, p95] histogram-CDF band (no global sort, no per-row window),
@@ -2202,6 +2218,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_compress_ratio": q_doc_compress_ratio,
         "conv_tool_paths": q_conv_tool_paths,
         "events_winsorized": q_events_winsorized,
+        "routed_rows_fingerprint": q_routed_rows_fingerprint,
         "events_entropy": q_events_entropy,
         "timing_correlation": q_timing_correlation,
         "graph_error_distance": q_graph_error_distance,
@@ -2448,6 +2465,25 @@ WHERE e.value > thr.t
         "events_winsorized": _winsorize_oracle(
             p_lo=0.05, p_hi=0.95, resolution=0.25
         ),
+        "routed_rows_fingerprint": P(f"""
+, rows_fp AS (
+  SELECT md5(concat_ws(chr(30),
+    CASE WHEN CAST(conv_id AS VARCHAR) IS NULL THEN chr(0) || 'N'
+         ELSE length(CAST(conv_id AS VARCHAR))::VARCHAR || ':'
+              || CAST(conv_id AS VARCHAR) END,
+    CASE WHEN CAST(text AS VARCHAR) IS NULL THEN chr(0) || 'N'
+         ELSE length(CAST(text AS VARCHAR))::VARCHAR || ':'
+              || CAST(text AS VARCHAR) END,
+    CASE WHEN CAST(turn_idx AS VARCHAR) IS NULL THEN chr(0) || 'N'
+         ELSE length(CAST(turn_idx AS VARCHAR))::VARCHAR || ':'
+              || CAST(turn_idx AS VARCHAR) END
+  )) AS h
+  FROM parsed WHERE turn_class = 'error'
+)
+SELECT count(*) AS n_rows,
+       CAST(sum(CAST({_hex14_sql('h')} AS HUGEINT)) AS VARCHAR)
+         AS fingerprint
+FROM rows_fp"""),
         "conv_tool_paths": P("""
 , t AS (SELECT conv_id, turn_idx, tool FROM parsed WHERE tool <> '-'),
 l AS (
@@ -4542,6 +4578,17 @@ ranked AS (
 )
 SELECT query_id, corpus_id, score, rank FROM ranked WHERE rank <= {k}
 """
+
+
+def _hex14_sql(expr: str) -> str:
+    """Leading 14 hex chars of an EXISTING hex string as a BIGINT —
+    the _u56_sql nibble decode without the md5 (for columns already
+    holding a digest)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (13 - i)}"
+        for i in range(14)
+    )
 
 
 def _u56_sql(expr: str) -> str:

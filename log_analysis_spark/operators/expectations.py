@@ -319,3 +319,42 @@ def column_correlation(
         (vx > 0) & (vy > 0), F.round(r * 1_000_000).cast("long")
     )
     return sums.select(F.col("n").cast("long").alias("n"), r_micro.alias("r_micro"))
+
+
+def table_fingerprint(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Order-independent table digest -> one row (n_rows, fingerprint):
+    two runs routed the same rows iff their (n_rows, fingerprint) pairs
+    match — the O(1)-output form of the pipeline's routed-row-equality
+    check (comparing sinks without re-reading either side).
+
+    Per row: md5 over the length-prefixed, null-marked field join (the
+    snapshot_diff fingerprint discipline — (NULL,'a') never collides
+    with ('a',NULL), a separator inside a value cannot forge a
+    boundary); the table digest is the SUM of each row's leading 56
+    md5 bits in DECIMAL(38,0) — commutative, so partition and row order
+    cannot change it, and 1e12 rows of 56-bit terms stay far below the
+    38-digit ceiling.  Exact cross-engine (md5 + integer sum only).
+
+    Duplicate rows each contribute their term (multiset semantics: a
+    doubled row CHANGES the digest — what an equality check wants).
+
+    Scale shape: ONE algebraic aggregate, map-side partials; no shuffle
+    wider than the one-row merge."""
+    use = sorted(df.columns if cols is None else cols)
+    if not use:
+        raise ValueError("no columns to fingerprint")
+    parts = []
+    for c in use:
+        s = F.col(c).cast("string")
+        parts.append(
+            F.when(s.isNull(), F.lit("\x00N")).otherwise(
+                F.concat(F.length(s).cast("string"), F.lit(":"), s)
+            )
+        )
+    term = F.conv(
+        F.substring(F.md5(F.concat_ws("\x1e", *parts)), 1, 14), 16, 10
+    ).cast("decimal(38,0)")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(term).cast("decimal(38,0)").cast("string").alias("fingerprint"),
+    )

@@ -709,3 +709,29 @@ def test_column_correlation_closed_forms(spark):
         [(1.0, 5.0), (2.0, 5.0)], "x double, y double"
     )
     assert E.column_correlation(flat, "x", "y").collect()[0]["r_micro"] is None
+
+
+def test_table_fingerprint_properties(spark):
+    from log_analysis_spark.operators import expectations as E
+
+    rows = [(1, "a"), (2, None), (3, "x:y")]
+    df = spark.createDataFrame(rows, "id long, v string")
+    base = E.table_fingerprint(df).collect()[0]
+    # order/partitioning independent
+    shuffled = spark.createDataFrame(list(reversed(rows)), "id long, v string")
+    assert E.table_fingerprint(shuffled.repartition(5)).collect()[0] == base
+    # duplicate rows change the digest (multiset semantics)
+    doubled = df.unionByName(df.limit(1))
+    got = E.table_fingerprint(doubled).collect()[0]
+    assert got["n_rows"] == 4 and got["fingerprint"] != base["fingerprint"]
+    # NULL vs the string 'None'/'N' never collide; separator can't forge
+    a = spark.createDataFrame([(None, "a")], "x string, y string")
+    b = spark.createDataFrame([("a", None)], "x string, y string")
+    assert (
+        E.table_fingerprint(a).collect()[0]["fingerprint"]
+        != E.table_fingerprint(b).collect()[0]["fingerprint"]
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        E.table_fingerprint(df, cols=[])
