@@ -628,6 +628,40 @@ def q_streaming_cusum_drift(spark, sf_dir):
     return out.filter(F.col("drift").isNotNull())
 
 
+def q_streaming_rate_limit(spark, sf_dir):
+    """§2.9 stateful streaming rate limiter (applyInPandasWithState):
+    admit at most 2 events per (event_type, hour), ONE bigint of state
+    per active cell.  The drive splits the history MID-hour into two
+    drops (so quota state must carry across micro-batches inside a
+    cell); with in-order arrival the admitted set equals the batch
+    per-cell rank-by-(ts, id) <= limit, which the oracle recomputes."""
+    import os
+    import tempfile
+
+    from log_analysis_spark.streaming.stateful import run_rate_limit_to_memory
+
+    work = tempfile.mkdtemp(prefix="rl_stream_")
+    os.makedirs(f"{work}/src")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    mid = "2024-01-15 12:30:00"
+    # two sequential writes -> two mtime-ordered drops, time-split so
+    # arrival order respects event time while cells span both batches
+    ev.filter(F.col("ts") < mid).coalesce(1).write.mode("append").parquet(
+        f"{work}/src"
+    )
+    ev.filter(F.col("ts") >= mid).coalesce(1).write.mode("append").parquet(
+        f"{work}/src"
+    )
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    )
+    return run_rate_limit_to_memory(
+        spark, f"{work}/src", limit=2, schema=schema,
+        query_name="rate_limited_contract",
+    )
+
+
 def q_streaming_sessions(spark, sf_dir):
     """§2.9 native session windows (F.session_window): per-conv sessions
     closing after 15 min of event-time silence — the streaming twin of the
@@ -2206,6 +2240,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_response_latency": q_conv_response_latency,
         "streaming_burst_hours": q_streaming_burst_hours,
         "streaming_cusum_drift": q_streaming_cusum_drift,
+        "streaming_rate_limit": q_streaming_rate_limit,
         "customer_fuzzy_match": q_customer_fuzzy_match,
         "events_incidents": q_events_incidents,
         "events_cusum_drift": q_events_cusum_drift,
@@ -2458,6 +2493,16 @@ WHERE e.value > thr.t
         "events_burst_hours": _burst_hours_oracle(n=24, z=3),
         "streaming_burst_hours": _burst_hours_oracle(n=24, z=3),
         "streaming_cusum_drift": _cusum_oracle(k_milli=300, h_mult=2),
+        "streaming_rate_limit": """
+SELECT event_id, key, hour_id FROM (
+  SELECT event_id, CAST(event_type AS VARCHAR) AS key,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id,
+         row_number() OVER (
+           PARTITION BY event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT)
+           ORDER BY ts, event_id
+         ) AS rn
+  FROM events
+) WHERE rn <= 2""",
         "customer_fuzzy_match": _fuzzy_match_oracle(threshold=800_000),
         "events_incidents": _incidents_oracle(n=24, z=3),
         "events_cusum_drift": _cusum_oracle(k_milli=300, h_mult=2),

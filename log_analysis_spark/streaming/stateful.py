@@ -107,3 +107,102 @@ def run_stateful_to_memory(
                    max(n_tool_calls) AS n_tool_calls, max(max_turn_idx) AS max_turn_idx
             FROM {query_name} GROUP BY conv_id"""
     )
+
+
+RL_OUT_SCHEMA = "event_id bigint, key string, hour_id bigint"
+RL_STATE_SCHEMA = "admitted bigint"
+
+
+def rate_limited_events(
+    stream: DataFrame,
+    limit: int,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-(key, hour) admission control over an unbounded stream: admit
+    at most ``limit`` events per key per hour, dropping the rest — the
+    throttle in front of an expensive sink (alert fan-out, external
+    webhook, LLM call) that a burst must not be allowed to flood.
+
+    Semantics: arrival-order admission with a deterministic within-batch
+    tie-break (each micro-batch's rows are sorted by (ts, id) before the
+    quota is applied).  When the stream arrives in event-time order the
+    admitted set is exactly the per-(key, hour) rank-by-(ts, id) <= limit
+    of the whole history — which is what the batch oracle recomputes.
+
+    State: ONE bigint per active (key, hour) group — bounded by observed
+    key x hour cells, never event volume; each admitted event is emitted
+    exactly once (update mode), so the drained admitted set is the union
+    of emissions."""
+    if limit < 1:
+        raise ValueError(f"limit must be >= 1, got {limit}")
+
+    def update(key, pdfs, state):
+        admitted = state.get[0] if state.exists else 0
+        # a group's micro-batch rows may arrive as several Arrow chunks in
+        # shuffle order — concat and sort ONCE so the within-batch quota is
+        # taken in (ts, id) order, not chunk order
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        sel = None
+        if chunks:
+            whole = pd.concat(chunks).sort_values([ts_col, id_col])
+            sel = whole.iloc[: max(0, limit - admitted)]
+            admitted += len(sel)
+        state.update((admitted,))
+        if sel is not None and len(sel):
+            yield pd.DataFrame(
+                {
+                    "event_id": sel[id_col].astype("int64"),
+                    "key": [key[0]] * len(sel),
+                    "hour_id": [key[1]] * len(sel),
+                }
+            )
+
+    hour = F.floor(F.unix_timestamp(F.col(ts_col).cast("timestamp")) / 3600)
+    keyed = stream.select(
+        F.col(id_col),
+        F.col(key_col).cast("string").alias("key"),
+        hour.cast("long").alias("hour_id"),
+        F.col(ts_col),
+    )
+    return keyed.groupBy("key", "hour_id").applyInPandasWithState(
+        update,
+        outputStructType=RL_OUT_SCHEMA,
+        stateStructType=RL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_rate_limit_to_memory(
+    spark: SparkSession,
+    path: str,
+    limit: int,
+    schema: str,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    id_col: str = "event_id",
+    query_name: str = "rate_limited",
+) -> DataFrame:
+    """Drive the rate limiter over a static dir; return the admitted
+    (event_id, key, hour_id) set."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    admitted = rate_limited_events(stream, limit, ts_col, key_col, id_col)
+    q = (
+        admitted.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        f"SELECT DISTINCT event_id, key, hour_id FROM {query_name}"
+    )

@@ -586,3 +586,65 @@ def test_streaming_session_windows_match_batch_islands(spark, transcripts, tmp_p
     )
     assert got == want
     assert len(got) > 0
+
+
+def test_streaming_rate_limit_state_spans_batches(spark, tmp_path):
+    """A (key, hour) cell split across two micro-batch drops: the quota
+    admitted in batch 1 must deplete batch 2's allowance — ONE bigint of
+    state per cell does the carrying."""
+    import datetime as dt
+
+    from log_analysis_spark.streaming.stateful import run_rate_limit_to_memory
+
+    def rows(ids_offsets):
+        return [
+            (i, dt.datetime(2024, 3, 1, 10, 0, s), 1, "k", 0.0, "")
+            for i, s in ids_offsets
+        ]
+
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = str(tmp_path / "rl_src")
+    # drop A: 3 events (seconds 1..3); drop B: 2 more in the SAME hour
+    spark.createDataFrame(rows([(1, 1), (2, 2), (3, 3)]), schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    spark.createDataFrame(rows([(4, 10), (5, 11)]), schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    got = run_rate_limit_to_memory(
+        spark, src, limit=3, schema=schema, query_name="rl_span"
+    )
+    assert sorted(r["event_id"] for r in got.collect()) == [1, 2, 3]
+
+
+def test_streaming_rate_limit_sorts_within_batch(spark, tmp_path):
+    """Within one micro-batch the quota is taken in (ts, id) order, not
+    file/shuffle order — the later-written but earlier-ts event wins."""
+    import datetime as dt
+
+    from log_analysis_spark.streaming.stateful import run_rate_limit_to_memory
+
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = str(tmp_path / "rl_sort")
+    rows = [
+        (10, dt.datetime(2024, 3, 1, 10, 0, 30), 1, "k", 0.0, ""),
+        (11, dt.datetime(2024, 3, 1, 10, 0, 5), 1, "k", 0.0, ""),
+        (12, dt.datetime(2024, 3, 1, 10, 0, 40), 1, "k", 0.0, ""),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    got = run_rate_limit_to_memory(
+        spark, src, limit=1, schema=schema, query_name="rl_sort"
+    )
+    assert [r["event_id"] for r in got.collect()] == [11]
+    import pytest as _pytest
+
+    from log_analysis_spark.streaming.stateful import rate_limited_events
+
+    with _pytest.raises(ValueError):
+        rate_limited_events(spark.readStream.schema(schema).parquet(src), 0)
