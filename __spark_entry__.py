@@ -2055,6 +2055,58 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_events_changepoint(spark, sf_dir):
+    """Pettitt single-changepoint localization per event type: WHEN did
+    the hourly level shift — the rank-based complement of burst_hours
+    (point anomalies) and cusum (drift alarms needing a magnitude knob).
+    Integer-exact end to end: doubled mid-ranks, U in exact integers,
+    significance as a cross-multiplied DECIMAL(38,0) comparison."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return timeseries.pettitt_changepoint(ev, "ts", "event_type")
+
+
+def q_conv_tool_rules(spark, sf_dir):
+    """Association rules over per-conversation tool baskets (support/
+    confidence/lift, Agrawal-style pairs): which tools co-occur, and how
+    much more than chance — integer micro-units, DECIMAL(38,0) for the
+    lift numerator, so the oracle replays it bit-for-bit."""
+    from log_analysis_spark.operators import itemsets
+
+    tools = _parsed(spark, sf_dir).filter(F.col("tool") != "-")
+    return itemsets.pair_association_rules(
+        tools, "conv_id", "tool", min_pair_count=2
+    )
+
+
+def q_graph_error_route(spark, sf_dir):
+    """Weighted shortest paths from the error-adjacent tool set over the
+    transition graph, edge cost = 1 + (10^6 div transition count) — the
+    most-travelled route to an error state, not merely the fewest hops
+    (bfs_hops' metric cousin).  Bellman-Ford fixpoint on exact integers;
+    the oracle unrolls the same rounds."""
+    from pyspark.sql import Window
+
+    seq = _parsed(spark, sf_dir).filter(F.col("tool") != "-")
+    edges = windows_ops.transition_counts(seq, "conv_id", ["turn_idx"], "tool")
+    weighted = edges.select(
+        F.col("from_state").alias("src"),
+        F.col("to_state").alias("dst"),
+        (F.lit(1) + F.expr("CAST(1000000 div n AS BIGINT)")).alias("w"),
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    nxt = _parsed(spark, sf_dir).select(
+        "tool", F.lead("turn_class").over(w).alias("next_class")
+    )
+    srcs = (
+        nxt.filter((F.col("tool") != "-") & (F.col("next_class") == "error"))
+        .select("tool")
+        .distinct()
+    )
+    return graph.weighted_shortest_paths(
+        weighted, srcs, max_rounds=8, directed=False
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2244,6 +2296,9 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_fuzzy_match": q_customer_fuzzy_match,
         "events_incidents": q_events_incidents,
         "events_cusum_drift": q_events_cusum_drift,
+        "events_changepoint": q_events_changepoint,
+        "conv_tool_rules": q_conv_tool_rules,
+        "graph_error_route": q_graph_error_route,
         "log_templates": q_log_templates,
         "log_rare_templates": q_log_rare_templates,
         "logs_path_rollup": q_logs_path_rollup,
@@ -2506,6 +2561,9 @@ SELECT event_id, key, hour_id FROM (
         "customer_fuzzy_match": _fuzzy_match_oracle(threshold=800_000),
         "events_incidents": _incidents_oracle(n=24, z=3),
         "events_cusum_drift": _cusum_oracle(k_milli=300, h_mult=2),
+        "events_changepoint": _pettitt_oracle(),
+        "conv_tool_rules": _tool_rules_oracle(min_pair_count=2),
+        "graph_error_route": _weighted_sp_oracle(max_rounds=8),
         "doc_phrase_search": _phrase_search_oracle(["the", "data"]),
         "events_winsorized": _winsorize_oracle(
             p_lo=0.05, p_hi=0.95, resolution=0.25
@@ -4919,6 +4977,64 @@ WHERE cu > {h_mult} * 1000 * s OR cd > {h_mult} * 1000 * s
 """
 
 
+def _pettitt_oracle(alpha_micro: int | None = None) -> str:
+    """Mirror of q_events_changepoint: dense hour spine, doubled mid-ranks
+    (2r = 2·rank + ties − 1, exact integers under ties), hour-ordered
+    prefix sums, U_t = |W2_t − t(n+1)|, argmax-earliest per key, and the
+    cross-multiplied HUGEINT significance test — zero float anywhere."""
+    a = timeseries.PETTITT_ALPHA_MICRO_05 if alpha_micro is None else alpha_micro
+    return f"""
+WITH c AS (
+  SELECT event_type AS key, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+sp AS (
+  SELECT key, unnest(generate_series(mn, mx)) AS hour_id
+  FROM (SELECT key, min(hour_id) AS mn, max(hour_id) AS mx FROM c GROUP BY key)
+),
+dense AS (
+  SELECT sp.key, sp.hour_id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+  FROM sp LEFT JOIN c ON c.key = sp.key AND c.hour_id = sp.hour_id
+),
+ranked AS (
+  SELECT key, hour_id, cnt,
+         2 * rank() OVER (PARTITION BY key ORDER BY cnt)
+           + count(*) OVER (PARTITION BY key, cnt) - 1 AS r2,
+         CAST(count(*) OVER (PARTITION BY key) AS HUGEINT) AS n,
+         CAST(sum(cnt) OVER (PARTITION BY key) AS HUGEINT) AS stot
+  FROM dense
+),
+pref AS (
+  SELECT key, hour_id, n, stot,
+         row_number() OVER (PARTITION BY key ORDER BY hour_id) AS t,
+         sum(r2) OVER w AS w2,
+         sum(cnt) OVER w AS sc
+  FROM ranked
+  WINDOW w AS (PARTITION BY key ORDER BY hour_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+scored AS (
+  SELECT key, n, stot, t, sc, hour_id,
+         abs(CAST(w2 AS HUGEINT) - t * (n + 1)) AS u
+  FROM pref WHERE t < n
+),
+best AS (
+  SELECT key, n, stot, t, sc, hour_id, u,
+         row_number() OVER (PARTITION BY key ORDER BY u DESC, t ASC) AS rn
+  FROM scored
+)
+SELECT key AS event_type, hour_id AS cp_hour,
+       CAST(n AS BIGINT) AS n_hours,
+       CAST(u AS BIGINT) AS u_abs,
+       CAST((1000 * CAST(sc AS HUGEINT)) // t AS BIGINT) AS mean_before_mc,
+       CAST((1000 * (stot - sc)) // (n - t) AS BIGINT) AS mean_after_mc,
+       6 * 1000000 * u * u > CAST({a} AS HUGEINT) * (n * n * n + n * n)
+         AS significant
+FROM best WHERE rn = 1
+"""
+
+
 def _incidents_oracle(n: int = 24, z: int = 3) -> str:
     """Mirror of q_events_incidents: the burst oracle as a nested CTE,
     then the identical islands fold (hour_id − row_number constant within
@@ -5408,6 +5524,86 @@ settled0 AS MATERIALIZED (
 ),
 f0 AS MATERIALIZED (SELECT node FROM settled0),{chain}
 SELECT node, CAST(hops AS INT) AS hops FROM settled{max_hops}""")
+
+
+def _weighted_sp_oracle(max_rounds: int = 8) -> str:
+    """Mirror of q_graph_error_route: directed transition counts → edge
+    cost 1 + (10^6 // n), symmetrized + min-per-(s,d), error-adjacent
+    sources, then ``max_rounds`` unrolled FULL Bellman-Ford rounds (relax
+    everything + min-aggregate — the engine's frontier pruning is a pure
+    optimization with the same fixpoint), every round MATERIALIZED."""
+    rounds = []
+    for t in range(1, max_rounds + 1):
+        rounds.append(f"""
+d{t} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{t - 1}
+    UNION ALL
+    SELECT e.d AS node, p.dist + e.w AS dist
+    FROM d{t - 1} p JOIN e ON e.s = p.node
+  ) GROUP BY node
+)""")
+    chain = ",".join(rounds)
+    return oracles.on_parsed(f""", seq AS (
+  SELECT conv_id, turn_idx, tool FROM parsed WHERE tool <> '-'
+),
+edges0 AS (
+  SELECT prev AS src, tool AS dst, count(*) AS n FROM (
+    SELECT lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev,
+           tool
+    FROM seq)
+  WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+wedges AS (
+  SELECT src, dst, CAST(1 + (1000000 // n) AS BIGINT) AS w FROM edges0
+),
+e AS MATERIALIZED (
+  SELECT s, d, min(w) AS w FROM (
+    SELECT src AS s, dst AS d, w FROM wedges
+    UNION ALL SELECT dst, src, w FROM wedges
+  ) GROUP BY s, d
+),
+d0 AS MATERIALIZED (
+  SELECT DISTINCT tool AS node, CAST(0 AS BIGINT) AS dist FROM (
+    SELECT tool,
+           lead(turn_class) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+             AS next_class
+    FROM parsed)
+  WHERE tool <> '-' AND next_class = 'error'
+),{chain}
+SELECT node, CAST(dist AS BIGINT) AS dist FROM d{max_rounds}""")
+
+
+def _tool_rules_oracle(min_pair_count: int = 2) -> str:
+    """Mirror of q_conv_tool_rules: distinct per-conversation tool baskets,
+    ordered-pair co-occurrence counts unioned into both directions, per-item
+    totals, and the identical integer micro-unit confidence/lift (the lift
+    numerator in HUGEINT, matching Spark's DECIMAL(38,0))."""
+    return oracles.on_parsed(f""", baskets AS (
+  SELECT DISTINCT conv_id AS g, tool AS item FROM parsed WHERE tool <> '-'
+),
+totals AS (SELECT count(DISTINCT g) AS n_groups FROM baskets),
+item_counts AS (SELECT item, count(*) AS n_item FROM baskets GROUP BY item),
+pair_counts AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_both
+  FROM baskets a JOIN baskets b ON a.g = b.g AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= {min_pair_count}
+),
+directed AS (
+  SELECT item_a AS antecedent, item_b AS consequent, n_both FROM pair_counts
+  UNION ALL
+  SELECT item_b AS antecedent, item_a AS consequent, n_both FROM pair_counts
+)
+SELECT d.antecedent, d.consequent, d.n_both,
+       ia.n_item AS n_antecedent, ic.n_item AS n_consequent, t.n_groups,
+       CAST((1000000 * d.n_both) // ia.n_item AS BIGINT) AS confidence_micro,
+       CAST((CAST(1000000 AS HUGEINT) * t.n_groups * d.n_both)
+            // (CAST(ia.n_item AS HUGEINT) * ic.n_item) AS BIGINT)
+         AS lift_micro
+FROM directed d
+JOIN item_counts ia ON ia.item = d.antecedent
+JOIN item_counts ic ON ic.item = d.consequent
+CROSS JOIN totals t""")
 
 
 def _strip_markup_oracle() -> str:

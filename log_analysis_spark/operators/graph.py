@@ -327,3 +327,108 @@ def bfs_hops(
         return settled.select("node", F.col("hops").cast("int").alias("hops"))
     finally:
         e.unpersist()
+
+
+def weighted_shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    directed: bool = True,
+) -> DataFrame:
+    """Multi-source shortest WEIGHTED distance (positive integer weights):
+    for every reachable node the minimum total edge cost from any source —
+    ``bfs_hops``' metric cousin, for when hops are not equal (an edge
+    weighted by inverse transition frequency makes this "the most-travelled
+    route to an error state", not merely the fewest steps).
+
+    Deterministic Bellman-Ford fixpoint on exact integers: distances only
+    ever decrease, and round t settles every node whose shortest path uses
+    <= t edges, so ``max_rounds`` >= the longest shortest path's edge count
+    guarantees convergence — checked, with a LOUD error otherwise (a
+    truncated distance table is wrong, not approximate).  The DuckDB
+    oracle unrolls the same rounds as MATERIALIZED CTEs (full relax +
+    min-aggregate per round — the frontier pruning below is a pure
+    optimization that cannot change the fixpoint) and matches bit-for-bit.
+
+    Scale shape: per round the join carries only the IMPROVED frontier
+    (node, dist) against the edge table — narrow rows, never the payload;
+    lineage is cut per round (localCheckpoint) like every iterative
+    operator here.  Weights must be positive: a zero/negative weight
+    breaks the "<= t edges settled" invariant and is rejected up front.
+    """
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    e = edges.select(
+        F.col(src).alias("s"),
+        F.col(dst).alias("d"),
+        F.col(weight).cast("long").alias("w"),
+    )
+    if not directed:
+        e = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"), "w"))
+    # parallel edges: only the cheapest can ever matter
+    e = e.groupBy("s", "d").agg(F.min("w").alias("w")).cache()
+    try:
+        bad = e.filter(F.col("w") <= 0).limit(1).collect()
+        if bad:
+            r = bad[0]
+            raise ValueError(
+                f"non-positive edge weight {r['w']} on {r['s']!r}->{r['d']!r}; "
+                "weighted_shortest_paths requires positive integer weights"
+            )
+        settled = sources.select(
+            F.col(sources.columns[0]).alias("node"),
+            F.lit(0).cast("long").alias("dist"),
+        ).distinct()
+        frontier = settled
+        converged = False
+        for _ in range(max_rounds):
+            cand = (
+                frontier.join(e, frontier["node"] == e["s"])
+                .select(
+                    F.col("d").alias("node"),
+                    (frontier["dist"] + e["w"]).alias("dist"),
+                )
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+            )
+            old = settled.select("node", F.col("dist").alias("_old"))
+            improved = (
+                cand.join(old, "node", "left")
+                .filter(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
+                .select("node", "dist")
+                .localCheckpoint(eager=True)
+            )
+            if improved.isEmpty():
+                converged = True
+                break
+            settled = (
+                settled.union(improved)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True)
+            )
+            frontier = improved
+        if not converged:
+            # one extra relaxation proving the fixpoint, else the table is a lie
+            probe = (
+                frontier.join(e, frontier["node"] == e["s"])
+                .select(
+                    F.col("d").alias("node"),
+                    (frontier["dist"] + e["w"]).alias("dist"),
+                )
+                .join(settled.select("node", F.col("dist").alias("_old")),
+                      "node", "left")
+                .filter(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
+            )
+            if not probe.isEmpty():
+                raise RuntimeError(
+                    f"weighted_shortest_paths did not converge in {max_rounds} "
+                    "rounds — raise max_rounds (distances would be wrong, not "
+                    "approximate)"
+                )
+        return settled.select("node", F.col("dist").cast("long").alias("dist"))
+    finally:
+        e.unpersist()

@@ -627,3 +627,131 @@ def cusum_from_counts(
         F.expr("CAST(_cd div _s AS BIGINT)").alias("cusum_down_mm"),
         drift.alias("drift"),
     )
+
+
+# ln(2/alpha) in micro-nats for alpha = 0.05 — a LITERAL both engines
+# compare as an integer, so significance never depends on a float ln.
+PETTITT_ALPHA_MICRO_05 = 3_688_879
+
+
+def pettitt_changepoint(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    alpha_micro: int = PETTITT_ALPHA_MICRO_05,
+) -> DataFrame:
+    """Nonparametric single-changepoint detection (Pettitt 1979) on hourly
+    event counts per key — the "WHEN did the level shift" complement of
+    ``burst_hours`` (point anomalies) and ``cusum_hours`` (drift alarms,
+    which need a slack/threshold tuned to the shift size): Pettitt is
+    rank-based, so it needs NO distributional assumption and no magnitude
+    knob, and it localizes the shift hour.
+
+    Semantics (exact): over each key's dense hour spine (n hours, counts
+    c_t), the Mann-Whitney-type statistic
+
+        U_t = sum_{i<=t} sum_{j>t} sgn(c_i - c_j),   t = 1..n-1
+
+    has the rank form  U_t = W2_t - t*(n+1)  with W2_t the running sum of
+    DOUBLED mid-ranks (2r = 2*#less + #ties + 1 — integer even under
+    ties), so every U_t is an exact integer.  The changepoint is argmax
+    |U_t| (earliest t on ties — deterministic); significance uses the
+    standard approximation p ~ 2*exp(-6*K^2/(n^3+n^2)) cross-multiplied to
+    the INTEGER comparison
+
+        6 * 10^6 * K^2  >  alpha_micro * (n^3 + n^2)
+
+    (both sides DECIMAL(38,0); ``alpha_micro`` = ln(2/alpha) in micro-nats
+    as a literal) — no float, no exp, no division, so the DuckDB oracle
+    replays it bit-for-bit.
+
+    Returns one row per key with >= 2 spine hours: (key, cp_hour = last
+    hour of the pre-shift segment, n_hours, u_abs = K, mean_before_mc /
+    mean_after_mc in exact milli-counts/hour, significant).
+
+    Scale shape: one (key, hour) count aggregate; then everything runs on
+    the spine (<= 8760 rows per key-year, whatever the event volume) —
+    one value-ordered window (ranks), one hour-ordered window (prefix
+    sums), one struct-min argmax aggregate per key.  The raw stream is
+    never windowed or re-shuffled.
+    """
+    counts = hourly_counts(df, ts_col, key_col)
+    return pettitt_from_counts(counts, key_col, alpha_micro=alpha_micro)
+
+
+def pettitt_from_counts(
+    counts: DataFrame, key_col: str, alpha_micro: int = PETTITT_ALPHA_MICRO_05
+) -> DataFrame:
+    """Pettitt over a (key, hour_id, cnt) table — shares the mergeable
+    hourly-count state with the burst/CUSUM paths, so a streaming fold of
+    counts replays the test deterministically."""
+    if alpha_micro <= 0:
+        raise ValueError(f"alpha_micro must be positive: {alpha_micro}")
+    spine = (
+        counts.groupBy("key")
+        .agg(F.min("hour_id").alias("_mn"), F.max("hour_id").alias("_mx"))
+        .select("key", F.explode(F.sequence("_mn", "_mx")).alias("hour_id"))
+    )
+    dense = spine.join(counts, ["key", "hour_id"], "left").select(
+        "key", "hour_id", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt")
+    )
+    # doubled mid-rank: rank() gives #less+1 for every tie member; the
+    # per-(key, value) count gives the tie size — 2r = 2*rank + ties - 1.
+    wval = Window.partitionBy("key").orderBy("cnt")
+    wtie = Window.partitionBy("key", "cnt")
+    wkey = Window.partitionBy("key")
+    word = Window.partitionBy("key").orderBy("hour_id")
+    wrun = word.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = dense.select(
+        "key",
+        "hour_id",
+        "cnt",
+        (2 * F.rank().over(wval) + F.count(F.lit(1)).over(wtie) - 1).alias("_r2"),
+        F.count(F.lit(1)).over(wkey).alias("_n"),
+        F.sum("cnt").over(wkey).alias("_stot"),
+    )
+    pref = ranked.select(
+        "key",
+        "hour_id",
+        "_n",
+        "_stot",
+        F.row_number().over(word).alias("_t"),
+        F.sum("_r2").over(wrun).alias("_w2"),
+        F.sum("cnt").over(wrun).alias("_sc"),
+    ).filter(F.col("_t") < F.col("_n"))
+    scored = pref.select(
+        "key",
+        "_n",
+        "_stot",
+        "_t",
+        "_sc",
+        "hour_id",
+        F.abs(F.col("_w2") - F.col("_t") * (F.col("_n") + 1)).alias("_u"),
+    )
+    best = scored.groupBy("key").agg(
+        F.min(F.struct(
+            (-F.col("_u")).alias("_negu"),
+            F.col("_t").alias("_t"),
+            F.col("hour_id").alias("_h"),
+            F.col("_sc").alias("_sc"),
+            F.col("_n").alias("_n"),
+            F.col("_stot").alias("_stot"),
+        )).alias("b")
+    )
+    dec = "CAST({} AS DECIMAL(38,0))"
+    sig = F.expr(
+        "6 * 1000000 * {u} * {u} > CAST({a} AS DECIMAL(38,0)) * ({n} * {n} * {n} + {n} * {n})".format(
+            u=dec.format("-b._negu"), a=alpha_micro, n=dec.format("b._n")
+        )
+    )
+    return best.select(
+        F.col("key").alias(key_col),
+        F.col("b._h").alias("cp_hour"),
+        F.col("b._n").cast("long").alias("n_hours"),
+        (-F.col("b._negu")).cast("long").alias("u_abs"),
+        F.expr("CAST((1000 * b._sc) div b._t AS BIGINT)").alias("mean_before_mc"),
+        F.expr(
+            "CAST((1000 * (b._stot - b._sc)) div (b._n - b._t) AS BIGINT)"
+        ).alias("mean_after_mc"),
+        sig.alias("significant"),
+    )

@@ -3,6 +3,7 @@ properties, and the broadcast/shuffle path equivalence."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from log_analysis_spark.operators import graph
@@ -260,3 +261,85 @@ def test_bfs_hops_multi_source_min_and_cutoff(spark):
 
     with _pytest.raises(ValueError, match="max_hops"):
         graph.bfs_hops(e, s, -1)
+
+
+def _py_dijkstra(edges, sources, directed=True):
+    """Brute-force mirror: classic Dijkstra over min-collapsed edges."""
+    import heapq
+
+    adj: dict = {}
+    for s, d, w in edges:
+        pairs = [(s, d)] if directed else [(s, d), (d, s)]
+        for a, b in pairs:
+            cur = adj.setdefault(a, {})
+            cur[b] = min(cur.get(b, w), w)
+    dist = {s: 0 for s in sources}
+    heap = [(0, s) for s in sources]
+    heapq.heapify(heap)
+    while heap:
+        dv, v = heapq.heappop(heap)
+        if dv > dist.get(v, dv):
+            continue
+        for u, w in adj.get(v, {}).items():
+            nd = dv + w
+            if nd < dist.get(u, nd + 1):
+                dist[u] = nd
+                heapq.heappush(heap, (nd, u))
+    return dist
+
+
+WEDGES = [
+    ("a", "b", 10),
+    ("a", "c", 1),
+    ("c", "b", 2),     # a->c->b (3) beats a->b (10)
+    ("b", "d", 5),
+    ("c", "d", 100),
+    ("a", "b", 7),     # parallel edge: min wins -> a->c->b still beats 7
+    ("x", "a", 4),     # feeds a; unreachable FROM a when directed
+]
+
+
+def _wdf(spark, edges=WEDGES, sources=("a",)):
+    e = spark.createDataFrame(edges, "src string, dst string, w long")
+    s = spark.createDataFrame([(x,) for x in sources], "node string")
+    return e, s
+
+
+def test_weighted_sp_matches_dijkstra_directed_and_undirected(spark):
+    e, s = _wdf(spark)
+    got = {r["node"]: r["dist"]
+           for r in graph.weighted_shortest_paths(e, s, 8).collect()}
+    assert got == _py_dijkstra(WEDGES, ["a"])
+    assert got == {"a": 0, "b": 3, "c": 1, "d": 8}  # x absent: unreachable
+    und = {r["node"]: r["dist"]
+           for r in graph.weighted_shortest_paths(
+               e, s, 8, directed=False).collect()}
+    assert und == _py_dijkstra(WEDGES, ["a"], directed=False)
+    assert und["x"] == 4
+
+
+def test_weighted_sp_multi_source_min_and_guards(spark):
+    e, s = _wdf(spark, sources=("a", "d"))
+    got = {r["node"]: r["dist"]
+           for r in graph.weighted_shortest_paths(
+               e, s, 8, directed=False).collect()}
+    assert got == _py_dijkstra(WEDGES, ["a", "d"], directed=False)
+    with pytest.raises(ValueError, match="max_rounds"):
+        graph.weighted_shortest_paths(e, s, 0)
+    bad = spark.createDataFrame(
+        [("a", "b", 0)], "src string, dst string, w long"
+    )
+    with pytest.raises(ValueError, match="positive"):
+        graph.weighted_shortest_paths(bad, s, 4)
+
+
+def test_weighted_sp_nonconvergence_is_loud_not_truncated(spark):
+    """A 5-edge chain cannot settle in 3 rounds: the operator must raise,
+    never return a silently-short distance table."""
+    chain = [(f"n{i}", f"n{i+1}", 1) for i in range(5)]
+    e, s = _wdf(spark, chain, sources=("n0",))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.weighted_shortest_paths(e, s, 3)
+    got = {r["node"]: r["dist"]
+           for r in graph.weighted_shortest_paths(e, s, 5).collect()}
+    assert got == {f"n{i}": i for i in range(6)}

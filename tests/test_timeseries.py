@@ -478,3 +478,80 @@ def test_cusum_rejects_bad_slack(spark):
 
     with _pytest.raises(ValueError):
         T.cusum_from_counts(df, "key", k_milli=1000)
+
+
+def _py_pettitt(counts):
+    """Brute-force Pettitt mirror: U_t = sum_{i<=t} sum_{j>t} sgn(c_i - c_j)
+    directly from the definition (the operator uses the rank identity)."""
+    n = len(counts)
+    best = None
+    for t in range(1, n):
+        u = sum(
+            (counts[i] > counts[j]) - (counts[i] < counts[j])
+            for i in range(t)
+            for j in range(t, n)
+        )
+        cand = (abs(u), -t)  # max |U|, earliest t on ties
+        if best is None or cand > (best[0], -best[1]):
+            best = (abs(u), t)
+    return best  # (u_abs, t)
+
+
+def test_pettitt_matches_bruteforce_definition(spark):
+    """Rank-identity U equals the O(n^2) sgn double sum, the argmax hour
+    localizes the planted shift, and the means flank it."""
+    base = 500_000
+    plan = [(base + i, 10 + (i % 3)) for i in range(30)]
+    plan += [(base + 30 + i, 25 + (i % 3)) for i in range(30)]
+    out = T.pettitt_changepoint(
+        _hourly_events(spark, plan), "ts", "event_type"
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    counts = [c for _, c in plan]
+    u_abs, t = _py_pettitt(counts)
+    assert r["u_abs"] == u_abs
+    assert r["cp_hour"] == base + t - 1  # last pre-shift hour (1-based t)
+    assert r["n_hours"] == 60
+    assert r["mean_before_mc"] == (1000 * sum(counts[:t])) // t
+    assert r["mean_after_mc"] == (1000 * sum(counts[t:])) // (60 - t)
+    assert bool(r["significant"])  # a 10->25 level shift over 60h is loud
+
+
+def test_pettitt_no_shift_is_insignificant_and_ties_break_earliest(spark):
+    """A flat series never clears alpha; constant counts tie every U_t at
+    the same |U| so the earliest t wins deterministically."""
+    base = 600_000
+    flat = [(base + i, 7) for i in range(40)]
+    out = T.pettitt_changepoint(
+        _hourly_events(spark, flat), "ts", "event_type"
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert not bool(r["significant"])
+    assert r["u_abs"] == 0 and r["cp_hour"] == base  # t=1, all U_t = 0
+
+
+def test_pettitt_fills_spine_gaps_with_zeros(spark):
+    """Missing hours count as 0 rows/hour — a key that goes quiet IS a
+    level shift, and the spine makes that visible to the rank test."""
+    base = 700_000
+    plan = [(base + i, 12) for i in range(20)]
+    plan += [(base + 20 + i, 12) for i in range(20) if i % 4 == 0]  # sparse
+    out = T.pettitt_changepoint(
+        _hourly_events(spark, plan), "ts", "event_type"
+    ).collect()
+    r = out[0]
+    # dense spine: 20 + 17 hours (last planted hour = base+36)
+    assert r["n_hours"] == 37
+    counts = [12] * 20 + [12 if i % 4 == 0 else 0 for i in range(17)]
+    u_abs, t = _py_pettitt(counts)
+    assert r["u_abs"] == u_abs and r["cp_hour"] == base + t - 1
+
+
+def test_pettitt_rejects_bad_alpha(spark):
+    df = spark.createDataFrame(
+        [("k", 1, 1)], "key string, hour_id long, cnt long"
+    )
+    with pytest.raises(ValueError):
+        T.pettitt_from_counts(df, "key", alpha_micro=0)
