@@ -329,6 +329,21 @@ def bfs_hops(
         e.unpersist()
 
 
+def _relax(frontier: DataFrame, e: DataFrame) -> DataFrame:
+    """One Bellman-Ford relaxation: frontier (node, dist) ⋈ edges (s, d, w)
+    → min candidate distance per reached node.  Factored so the plan audit
+    asserts the round's exchanges carry ONLY (node, dist)/(s, d, w) rows."""
+    return (
+        frontier.join(e, frontier["node"] == e["s"])
+        .select(
+            F.col("d").alias("node"),
+            (frontier["dist"] + e["w"]).alias("dist"),
+        )
+        .groupBy("node")
+        .agg(F.min("dist").alias("dist"))
+    )
+
+
 def weighted_shortest_paths(
     edges: DataFrame,
     sources: DataFrame,
@@ -385,15 +400,7 @@ def weighted_shortest_paths(
         frontier = settled
         converged = False
         for _ in range(max_rounds):
-            cand = (
-                frontier.join(e, frontier["node"] == e["s"])
-                .select(
-                    F.col("d").alias("node"),
-                    (frontier["dist"] + e["w"]).alias("dist"),
-                )
-                .groupBy("node")
-                .agg(F.min("dist").alias("dist"))
-            )
+            cand = _relax(frontier, e)
             old = settled.select("node", F.col("dist").alias("_old"))
             improved = (
                 cand.join(old, "node", "left")
@@ -414,11 +421,7 @@ def weighted_shortest_paths(
         if not converged:
             # one extra relaxation proving the fixpoint, else the table is a lie
             probe = (
-                frontier.join(e, frontier["node"] == e["s"])
-                .select(
-                    F.col("d").alias("node"),
-                    (frontier["dist"] + e["w"]).alias("dist"),
-                )
+                _relax(frontier, e)
                 .join(settled.select("node", F.col("dist").alias("_old")),
                       "node", "left")
                 .filter(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))

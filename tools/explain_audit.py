@@ -1361,6 +1361,68 @@ def main() -> int:
          motif_plan, notes)
     )
 
+    # ---- Pettitt changepoint / association rules / weighted SP round ------
+    from log_analysis_spark.operators import graph as graph_ops
+    from log_analysis_spark.operators import itemsets as itemsets_ops
+    from log_analysis_spark.operators import timeseries as ts_ops
+
+    pett = ts_ops.pettitt_changepoint(ev, "ts", "event_type")
+    pett_shufs = shuffle_schemas(pett)
+    pett_ok = all(
+        not ({"event_id", "user_id", "value", "ts"} & set(cols))
+        for _, cols in pett_shufs
+    )
+    tool_rows = parsed.filter(F.col("tool") != "-")
+    rules = itemsets_ops.pair_association_rules(
+        tool_rows, "conv_id", "tool", min_pair_count=2
+    )
+    rules_plan = executed(rules)
+    rules_shufs = shuffle_schemas(rules)
+    rules_ok = all(
+        not ({"text", "raw", "turn_class", "http_code"} & set(cols))
+        for _, cols in rules_shufs
+    )
+    sp_base = ev.select("event_type").distinct()
+    sp_edges = sp_base.select(
+        F.col("event_type").alias("s"),
+        F.col("event_type").alias("d"),
+        F.lit(1).cast("long").alias("w"),
+    )
+    sp_frontier = sp_base.select(
+        F.col("event_type").alias("node"), F.lit(0).cast("long").alias("dist")
+    )
+    relax = graph_ops._relax(sp_frontier, sp_edges)
+    relax_plan = executed(relax)
+    relax_shufs = shuffle_schemas(relax)
+    relax_ok = all(
+        set(cols) <= {"node", "dist", "s", "d", "w", "min", "count",
+                      "event_type"}
+        for _, cols in relax_shufs
+    )
+    notes = [
+        check("pettitt: every exchange carries spine cells (key, hour, "
+              "cnt, ranks) — never a raw event row",
+              pett_ok, f"shuffles={[c for _, c in pett_shufs]}"),
+        check("association rules: exchanges carry basket/pair rows only — "
+              "no transcript payload column ever shuffles",
+              rules_ok and "CartesianProduct" not in rules_plan,
+              f"shuffles={[c for _, c in rules_shufs]}"),
+        check("association rules: item totals and group count attach via "
+              "broadcast (vocabulary-sized by construction)",
+              rules_plan.count("BroadcastHashJoin")
+              + rules_plan.count("BroadcastNestedLoopJoin") >= 3),
+        check("weighted-SP relax round: the join carries only (node, dist) "
+              "x (s, d, w) — the frontier, never the graph payload; min is "
+              "two-phase",
+              relax_ok and relax_plan.count("HashAggregate") >= 2
+              and "CartesianProduct" not in relax_plan,
+              f"shuffles={[c for _, c in relax_shufs]}"),
+    ]
+    sections.append(
+        ("Pettitt changepoint / association rules / weighted-SP round",
+         relax_plan, notes)
+    )
+
     # ---- write EXPLAIN.md -------------------------------------------------
     md = ["# EXPLAIN audit — physical plans vs 100 TB design intents",
           "",
