@@ -2107,6 +2107,41 @@ def q_graph_error_route(spark, sf_dir):
     )
 
 
+def q_doc_heavy_hitters(spark, sf_dir):
+    """EXACT heavy hitters over the corpus token stream (count > n/50)
+    WITHOUT a full-cardinality shuffle: per-partition Misra-Gries
+    candidates (<= k+1 rows/partition, no shuffle) then an exact recount
+    restricted to the broadcast candidate set — the 100 TB alternative to
+    vocabulary()'s full token groupBy when only the head matters."""
+    toks = textstats.token_table(_docs(spark, sf_dir))
+    return sketches.heavy_hitters(toks, "tok", k=50)
+
+
+def q_events_time_weighted(spark, sf_dir):
+    """Per-user time-weighted gauge mean (LOCF integration in exact micro
+    units, DECIMAL(38,0) accumulators, integral-division result): the TSDB
+    aggregate a plain avg() gets wrong on irregular samples."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return timeseries.time_weighted_avg(ev, "ts", "user_id", "value", "event_id")
+
+
+def q_events_gapfill(spark, sf_dir):
+    """Dense hourly gauge per event type with LINEAR interpolation across
+    unobserved hours — exact integral micro-units, truncating integral
+    division shared by Spark (div) and DuckDB (//)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    gauge = timeseries.hourly_gauge(ev, "ts", "event_type", "value")
+    return timeseries.gapfill_linear(gauge)
+
+
+def q_events_seasonal(spark, sf_dir):
+    """Seasonal (hour-of-day) median/MAD anomaly cells per event type —
+    3am judged against 3am history, robust center/scale, pure-integer
+    doubled-median comparisons."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return timeseries.seasonal_anomalies(ev, "ts", "event_type", n_mad=3)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2299,6 +2334,10 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_changepoint": q_events_changepoint,
         "conv_tool_rules": q_conv_tool_rules,
         "graph_error_route": q_graph_error_route,
+        "doc_token_heavy_hitters": q_doc_heavy_hitters,
+        "events_time_weighted": q_events_time_weighted,
+        "events_gapfill": q_events_gapfill,
+        "events_seasonal": q_events_seasonal,
         "log_templates": q_log_templates,
         "log_rare_templates": q_log_rare_templates,
         "logs_path_rollup": q_logs_path_rollup,
@@ -2564,6 +2603,10 @@ SELECT event_id, key, hour_id FROM (
         "events_changepoint": _pettitt_oracle(),
         "conv_tool_rules": _tool_rules_oracle(min_pair_count=2),
         "graph_error_route": _weighted_sp_oracle(max_rounds=8),
+        "doc_token_heavy_hitters": _heavy_hitters_oracle(k=50),
+        "events_time_weighted": _TIME_WEIGHTED_ORACLE,
+        "events_gapfill": _GAPFILL_ORACLE,
+        "events_seasonal": _seasonal_oracle(n_mad=3, period=24),
         "doc_phrase_search": _phrase_search_oracle(["the", "data"]),
         "events_winsorized": _winsorize_oracle(
             p_lo=0.05, p_hi=0.95, resolution=0.25
@@ -5032,6 +5075,112 @@ SELECT key AS event_type, hour_id AS cp_hour,
        6 * 1000000 * u * u > CAST({a} AS HUGEINT) * (n * n * n + n * n)
          AS significant
 FROM best WHERE rn = 1
+"""
+
+
+def _heavy_hitters_oracle(k: int) -> str:
+    """Mirror of q_doc_heavy_hitters: the exact definition is purely the
+    multiset — every token with count * k strictly above the total
+    occurrence count — so the oracle is the plain full groupBy the
+    two-pass operator avoids."""
+    return f"""
+WITH {_TOK_OCC.strip()},
+c AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+t AS (SELECT count(*) AS nt FROM tok)
+SELECT tok AS item, CAST(n AS BIGINT) AS cnt FROM c, t WHERE n * {k} > nt
+"""
+
+
+_TIME_WEIGHTED_ORACLE = """
+WITH seg AS (
+  SELECT user_id, CAST(round(value * 1000000) AS BIGINT) AS v,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - epoch_us(ts) AS dt
+  FROM events
+)
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(COALESCE(dt, 0)) AS BIGINT) AS span_us,
+       CASE WHEN sum(COALESCE(dt, 0)) > 0 THEN
+         CAST(sum(CAST(v AS HUGEINT) * COALESCE(dt, 0))
+              // CAST(sum(COALESCE(dt, 0)) AS HUGEINT) AS BIGINT)
+       END AS twa_micro
+FROM seg GROUP BY user_id
+"""
+
+
+_GAPFILL_ORACLE = """
+WITH g AS (
+  SELECT event_type AS key, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id,
+         sum(CAST(round(value * 1000000) AS BIGINT)) AS sum_micro,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+sp AS (
+  SELECT key, unnest(generate_series(mn, mx)) AS hour_id
+  FROM (SELECT key, min(hour_id) AS mn, max(hour_id) AS mx FROM g GROUP BY key)
+),
+dense AS (
+  SELECT sp.key, sp.hour_id, CAST(g.sum_micro // g.cnt AS BIGINT) AS obs
+  FROM sp LEFT JOIN g ON g.key = sp.key AND g.hour_id = sp.hour_id
+),
+carried AS (
+  SELECT key, hour_id, obs,
+    last_value(obs IGNORE NULLS) OVER wb AS pv,
+    last_value(CASE WHEN obs IS NOT NULL THEN hour_id END IGNORE NULLS)
+      OVER wb AS ph,
+    first_value(obs IGNORE NULLS) OVER wf AS nv,
+    first_value(CASE WHEN obs IS NOT NULL THEN hour_id END IGNORE NULLS)
+      OVER wf AS nh
+  FROM dense
+  WINDOW wb AS (PARTITION BY key ORDER BY hour_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY key ORDER BY hour_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT key, hour_id,
+       CAST(COALESCE(obs, pv + ((nv - pv) * (hour_id - ph)) // (nh - ph))
+            AS BIGINT) AS v_micro,
+       obs IS NULL AS interpolated
+FROM carried
+"""
+
+
+def _seasonal_oracle(n_mad: int, period: int) -> str:
+    """Mirror of q_events_seasonal: dense spine, slot = hour_id mod period,
+    doubled exact medians (2x median of integers is integral), and the
+    pure-integer MAD comparison 2*dev2 > n_mad*mad4."""
+    return f"""
+WITH c AS (
+  SELECT event_type AS key, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+sp AS (
+  SELECT key, unnest(generate_series(mn, mx)) AS hour_id
+  FROM (SELECT key, min(hour_id) AS mn, max(hour_id) AS mx FROM c GROUP BY key)
+),
+dense AS (
+  SELECT sp.key, sp.hour_id,
+         CAST(sp.hour_id % {period} AS INTEGER) AS slot,
+         CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+  FROM sp LEFT JOIN c ON c.key = sp.key AND c.hour_id = sp.hour_id
+),
+med AS (
+  SELECT key, slot, CAST(round(2 * median(cnt)) AS BIGINT) AS med2
+  FROM dense GROUP BY 1, 2
+),
+dev AS (
+  SELECT dense.*, med.med2, abs(2 * dense.cnt - med.med2) AS dev2
+  FROM dense JOIN med USING (key, slot)
+),
+mad AS (
+  SELECT key, slot, CAST(round(2 * median(dev2)) AS BIGINT) AS mad4
+  FROM dev GROUP BY 1, 2
+)
+SELECT dev.key AS event_type, dev.hour_id, dev.slot, dev.cnt, dev.med2,
+       mad.mad4
+FROM dev JOIN mad USING (key, slot)
+WHERE 2 * dev.dev2 > {n_mad} * mad.mad4
 """
 
 

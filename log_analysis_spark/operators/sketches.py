@@ -499,3 +499,96 @@ def clip_to_quantiles(
         F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi")),
     )
     return joined.withColumn(out_col, clipped).drop("_lo", "_hi")
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters in two passes — Misra-Gries candidate generation, so
+# the long tail NEVER shuffles.
+# ---------------------------------------------------------------------------
+
+
+def mg_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Pass 1 of ``heavy_hitters``: one Misra-Gries summary (Misra & Gries
+    1982, "Finding repeated elements") with ``k`` counters PER PARTITION,
+    via ``mapInPandas`` (whole-batch ``value_counts`` folded into the
+    bounded counter dict; when it overflows, the (k+1)-th largest count is
+    subtracted from every counter and non-positive ones drop — the batched
+    form of the classic all-decrement step).
+
+    Guarantee chain (why no true heavy hitter can be missed):
+      * MG with k counters on a stream of n_p items keeps every item whose
+        partition count exceeds n_p/(k+1);
+      * pigeonhole over partitions: if an item's GLOBAL count exceeds n/k,
+        some partition holds more than n_p/k > n_p/(k+1) of it.
+    So the union of per-partition survivors is a superset of every item
+    with global count > n/k, whatever the partitioning.
+
+    Output: survivor rows (item, NULL) plus one sentinel row per partition
+    (NULL, n_p) carrying the partition's non-null row count — at most
+    k+1 rows per partition BY CONSTRUCTION, so the candidate table is
+    collect/broadcast-safe at any input size.  Only ``col`` crosses into
+    Python (Arrow-batched, one pass)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    item_t = df.schema[col].dataType.simpleString()
+    name = col
+
+    def part(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        n_part = 0
+        for pdf in batches:
+            vals = pdf[name].dropna()
+            n_part += len(vals)
+            for item, c in vals.value_counts().items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > k:
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    i: c - cut for i, c in counters.items() if c > cut
+                }
+        yield pd.DataFrame(
+            {
+                "item": list(counters) + [None],
+                "n_part": [None] * len(counters) + [n_part],
+            }
+        )
+
+    return df.select(F.col(col)).mapInPandas(
+        part, schema=f"item {item_t}, n_part long"
+    )
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
+    """EXACT phi-heavy hitters: every value of ``col`` whose multiset count
+    strictly exceeds n/k (n = non-null rows), with its exact count — and
+    nothing else.  Deterministic regardless of partitioning: the output is
+    defined purely by the multiset.
+
+    The 100 TB point (vs ``textstats.vocabulary``'s full groupBy): a token
+    stream's distinct tail is corpus-sized, so even a narrow (token, count)
+    shuffle is wide.  Here the tail never shuffles at all —
+      pass 1  ``mg_candidates``: <= k+1 rows per partition, no shuffle;
+      pass 2  exact recount restricted to the BROADCAST candidate set: the
+              left-semi filter drops tail rows at the scan, and the groupBy
+              that follows holds <= |candidates| groups per partition after
+              map-side combine.
+    The threshold count n rides a broadcast 1-row cross join.  Two scans of
+    ``col`` total; no stage's state exceeds candidates x partitions rows.
+    """
+    summ = mg_candidates(df, col, k)
+    cands = (
+        summ.filter(F.col("item").isNotNull()).select("item").distinct()
+    )
+    total = summ.groupBy().agg(F.sum("n_part").alias("_n"))
+    counted = (
+        df.join(F.broadcast(cands), df[col] == cands["item"], "left_semi")
+        .groupBy(F.col(col).alias("item"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * F.lit(k) > F.col("_n"))
+        .select("item", "cnt")
+    )

@@ -755,3 +755,234 @@ def pettitt_from_counts(
         ).alias("mean_after_mc"),
         sig.alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gauge-series operators: time-weighted averages, gap-fill interpolation,
+# seasonal (hour-of-day) robust anomaly detection.
+# ---------------------------------------------------------------------------
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    val_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Time-weighted mean of a sampled gauge per key — the TSDB aggregate
+    for irregularly-sampled values, where a plain ``avg`` over-weights
+    bursts of closely-spaced samples: each sample holds its value until
+    the NEXT sample (last-observation-carried-forward), so its weight is
+    the microseconds until that successor; the final sample carries no
+    weight (the series is integrated over [first_ts, last_ts]).
+
+    Exact integer math end to end: values quantize to micro-units
+    (round(v * 1e6) — exact for telemetry with fixed decimals), weights
+    are ``unix_micros`` differences, and the products accumulate in
+    DECIMAL(38,0) (a long would overflow at ~1e18: 1e8 micro-value x
+    hour-long gaps does that in a few thousand samples).  The returned
+    ``twa_micro`` is the integral division num div den — bit-replayable
+    by a DuckDB oracle (``//`` and ``div`` both truncate toward zero).
+
+    ``order_col`` (a unique-per-row column, e.g. the event id) breaks ties
+    among equal timestamps deterministically; zero-length segments weigh 0
+    whatever the order, so ties can't change the result — the tie-break
+    only pins WHICH row is "last" (weightless) for n_events accounting.
+
+    Scale shape: ONE shuffle on the key (the window sort), then a plain
+    algebraic aggregate; no self-join, no range join, a hot key costs its
+    own history length, never a fan-out.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(order_col).asc()
+    )
+    v_micro = F.round(F.col(val_col) * 1_000_000).cast("long")
+    seg = df.select(
+        F.col(key_col).alias("key"),
+        v_micro.alias("_v"),
+        (
+            F.lead(F.unix_micros(F.col(ts_col).cast("timestamp"))).over(w)
+            - F.unix_micros(F.col(ts_col).cast("timestamp"))
+        ).alias("_dt"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = seg.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.coalesce(F.col("_dt"), F.lit(0))).alias("span_us"),
+        F.sum(
+            dec(F.col("_v")) * dec(F.coalesce(F.col("_dt"), F.lit(0)))
+        ).alias("_num"),
+    )
+    return agg.select(
+        F.col("key").alias(key_col),
+        "n_events",
+        F.col("span_us").cast("long").alias("span_us"),
+        F.when(
+            F.col("span_us") > 0,
+            F.expr("CAST(_num div CAST(span_us AS DECIMAL(38,0)) AS BIGINT)"),
+        ).alias("twa_micro"),
+    )
+
+
+def hourly_gauge(
+    df: DataFrame, ts_col: str, key_col: str, val_col: str
+) -> DataFrame:
+    """(key, hour_id, sum_micro, cnt) hourly gauge state — mergeable like
+    ``hourly_counts`` (sums and counts ADD across batches), so a streaming
+    fold maintains it incrementally; the hour's gauge value derives as
+    sum_micro div cnt at read time (``gapfill_linear``)."""
+    hour = F.floor(F.unix_timestamp(F.col(ts_col)) / 3600).cast("long")
+    v_micro = F.round(F.col(val_col) * 1_000_000).cast("long")
+    return (
+        df.select(
+            F.col(key_col).alias("key"), hour.alias("hour_id"),
+            v_micro.alias("_v"),
+        )
+        .groupBy("key", "hour_id")
+        .agg(F.sum("_v").alias("sum_micro"), F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def gapfill_linear(gauge: DataFrame) -> DataFrame:
+    """Dense hourly gauge series with LINEAR interpolation across gaps —
+    the TSDB ``gap_fill + interpolate`` read path: every hour from each
+    key's first to last observed hour appears exactly once; observed hours
+    carry their mean (sum_micro div cnt, exact integral micro-units),
+    missing hours carry
+
+        v_prev + ((v_next - v_prev) * (h - h_prev)) div (h_next - h_prev)
+
+    — integral division (truncation toward zero, identical in Spark and
+    DuckDB), so the fill is deterministic exact integers, no float drift.
+    Interior gaps always have both neighbors (the spine spans observed
+    min..max), so no row is left NULL.
+
+    Input: a (key, hour_id, sum_micro, cnt) table from ``hourly_gauge``.
+    Output: (key, hour_id, v_micro, interpolated).
+
+    Scale shape: the raw stream is aggregated ONCE map-side-combinably;
+    everything after runs on the spine (<= 8760 rows per key-year): one
+    spine join + two mirrored windows over the same key partitioning —
+    Spark plans one Exchange, the sorts reuse it.
+    """
+    spine = (
+        gauge.groupBy("key")
+        .agg(F.min("hour_id").alias("_mn"), F.max("hour_id").alias("_mx"))
+        .select("key", F.explode(F.sequence("_mn", "_mx")).alias("hour_id"))
+    )
+    dense = spine.join(gauge, ["key", "hour_id"], "left").select(
+        "key",
+        "hour_id",
+        F.expr("CAST(sum_micro div cnt AS BIGINT)").alias("_obs"),
+    )
+    wb = (
+        Window.partitionBy("key")
+        .orderBy("hour_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("key")
+        .orderBy("hour_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("_obs").isNotNull(), F.col("hour_id"))
+    carried = dense.select(
+        "key",
+        "hour_id",
+        "_obs",
+        F.last("_obs", ignorenulls=True).over(wb).alias("_pv"),
+        F.last(obs_h, ignorenulls=True).over(wb).alias("_ph"),
+        F.first("_obs", ignorenulls=True).over(wf).alias("_nv"),
+        F.first(obs_h, ignorenulls=True).over(wf).alias("_nh"),
+    )
+    fill = F.expr(
+        "CAST(_pv + ((_nv - _pv) * (hour_id - _ph)) div (_nh - _ph) AS BIGINT)"
+    )
+    return carried.select(
+        "key",
+        "hour_id",
+        F.coalesce(F.col("_obs"), fill).alias("v_micro"),
+        F.col("_obs").isNull().alias("interpolated"),
+    )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    n_mad: int = 4,
+    period: int = 24,
+) -> DataFrame:
+    """Seasonal robust anomaly detection on hourly counts: an hour is
+    anomalous relative to ITS OWN slot-of-day (hour_id mod ``period``) —
+    the complement of ``burst_hours`` (trailing z-test, which pages on
+    every diurnal peak unless the threshold is detuned) for workloads with
+    a daily rhythm: 3am traffic is judged against 3am history.
+
+    Robust + exact: per (key, slot) the center is the MEDIAN and the scale
+    is the MAD (median absolute deviation) — outliers can't drag their own
+    baseline the way a mean/stddev z-test allows.  Medians of integers are
+    half-integers, so everything doubles to stay integral: med2 = 2x
+    median(cnt), dev2 = |2*cnt - med2|, mad4 = 2 x median(dev2) = 4 x MAD,
+    and the flag is the pure-integer comparison
+
+        2 * dev2 > n_mad * mad4     (i.e. |cnt - med| > n_mad * MAD).
+
+    Returns the anomalous cells only: (key, hour_id, slot, cnt, med2,
+    mad4).  A slot whose history is constant (mad4 = 0) flags ANY
+    deviation — the right behavior for a dead-quiet slot waking up.
+
+    Scale shape: one (key, hour) count aggregate off the raw stream, then
+    spine-sized work only — two grouped exact medians over (key, slot)
+    (percentile on <= 8760 rows per key-year) re-attached by spine-sized
+    joins; the raw events are never re-shuffled.
+    """
+    counts = hourly_counts(df, ts_col, key_col)
+    return seasonal_from_counts(counts, key_col, n_mad=n_mad, period=period)
+
+
+def seasonal_from_counts(
+    counts: DataFrame, key_col: str, n_mad: int = 4, period: int = 24
+) -> DataFrame:
+    """Seasonal median/MAD test over a (key, hour_id, cnt) table — shares
+    the mergeable hourly-count state with burst/CUSUM/Pettitt, so the
+    streaming fold replays it deterministically."""
+    if period < 1:
+        raise ValueError(f"period must be >= 1, got {period}")
+    if n_mad < 0:
+        raise ValueError(f"n_mad must be >= 0, got {n_mad}")
+    spine = (
+        counts.groupBy("key")
+        .agg(F.min("hour_id").alias("_mn"), F.max("hour_id").alias("_mx"))
+        .select("key", F.explode(F.sequence("_mn", "_mx")).alias("hour_id"))
+    )
+    dense = spine.join(counts, ["key", "hour_id"], "left").select(
+        "key",
+        "hour_id",
+        F.pmod(F.col("hour_id"), F.lit(period)).cast("int").alias("slot"),
+        F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"),
+    )
+    med = dense.groupBy("key", "slot").agg(
+        F.round(2 * F.expr("percentile(cnt, 0.5)")).cast("long").alias("med2")
+    )
+    dev = dense.join(med, ["key", "slot"]).withColumn(
+        "_dev2", F.abs(2 * F.col("cnt") - F.col("med2"))
+    )
+    mad = dev.groupBy("key", "slot").agg(
+        F.round(2 * F.expr("percentile(_dev2, 0.5)"))
+        .cast("long")
+        .alias("mad4")
+    )
+    return (
+        dev.join(mad, ["key", "slot"])
+        .filter(2 * F.col("_dev2") > F.lit(n_mad) * F.col("mad4"))
+        .select(
+            F.col("key").alias(key_col),
+            "hour_id",
+            "slot",
+            "cnt",
+            "med2",
+            "mad4",
+        )
+    )

@@ -293,3 +293,69 @@ def test_clip_to_quantiles_groupless_and_guard(spark):
     assert vals[1.0] == 2.0 and vals[10.0] == 8.0 and vals[5.0] == 5.0
     with _pytest.raises(ValueError):
         sketches.clip_to_quantiles(df, "v", p_lo=0.9, p_hi=0.1)
+
+
+# ---------------------------------------------------------------------------
+# Exact two-pass heavy hitters (Misra-Gries candidates + exact recount)
+# ---------------------------------------------------------------------------
+
+
+def _hh_exact(pairs: list[tuple[str, int]], k: int) -> dict[str, int]:
+    """Ground truth: exact multiset counts filtered at count*k > n."""
+    n = sum(c for _, c in pairs)
+    return {v: c for v, c in pairs if c * k > n}
+
+
+def _hh_df(spark, pairs, n_parts):
+    rows = [(v,) for v, c in pairs for _ in range(c)]
+    return spark.createDataFrame(rows, "item string").repartition(n_parts)
+
+
+def test_heavy_hitters_exact_across_partitionings(spark):
+    # long tail of 400 singletons + a head; the head's membership flips
+    # around the n/k boundary — exact semantics must hold for EVERY layout
+    pairs = [(f"t{i}", 1) for i in range(400)] + [
+        ("hot", 120), ("warm", 40), ("edge", 29), ("cool", 11),
+    ]
+    k = 20  # n = 600 -> threshold: count > 30
+    want = _hh_exact(pairs, k)
+    assert want == {"hot": 120, "warm": 40}  # edge=29 and cool=11 excluded
+    for n_parts in (1, 3, 32):
+        got = {
+            r["item"]: r["cnt"]
+            for r in SK.heavy_hitters(_hh_df(spark, pairs, n_parts), "item", k).collect()
+        }
+        assert got == want, n_parts
+
+
+def test_heavy_hitters_strict_threshold(spark):
+    # count == n/k exactly must NOT qualify (strictly-greater semantics)
+    pairs = [("a", 5), ("b", 5), ("c", 5), ("d", 5)]  # n=20, k=4 -> need >5
+    out = SK.heavy_hitters(_hh_df(spark, pairs, 2), "item", 4).collect()
+    assert out == []
+
+
+def test_mg_candidates_bounded_and_superset(spark):
+    pairs = [(f"t{i}", 1) for i in range(300)] + [("hot", 90), ("warm", 60)]
+    df = _hh_df(spark, pairs, 5)
+    k = 10
+    summ = SK.mg_candidates(df, "item", k).collect()
+    sentinels = [r for r in summ if r["item"] is None]
+    survivors = [r["item"] for r in summ if r["item"] is not None]
+    n_parts = df.rdd.getNumPartitions()
+    # bound: <= k survivors + 1 sentinel per partition
+    assert len(summ) <= (k + 1) * n_parts
+    assert sum(r["n_part"] for r in sentinels) == 450
+    # superset guarantee: every true heavy hitter survives pass 1
+    assert {"hot", "warm"} <= set(survivors)
+
+
+def test_heavy_hitters_ignores_nulls_and_validates_k(spark):
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("a",), (None,), ("b",)], "item string"
+    )
+    # n (non-null) = 4; k=2 -> need > 2: only "a" (3)
+    got = {r["item"]: r["cnt"] for r in SK.heavy_hitters(df, "item", 2).collect()}
+    assert got == {"a": 3}
+    with pytest.raises(ValueError):
+        SK.heavy_hitters(df, "item", 0)

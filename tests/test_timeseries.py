@@ -555,3 +555,117 @@ def test_pettitt_rejects_bad_alpha(spark):
     )
     with pytest.raises(ValueError):
         T.pettitt_from_counts(df, "key", alpha_micro=0)
+
+
+# ---------------------------------------------------------------------------
+# time_weighted_avg / hourly_gauge + gapfill_linear / seasonal anomalies
+# ---------------------------------------------------------------------------
+
+
+def _hts(hour: int, minute: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, hour, minute)
+
+
+def test_time_weighted_avg_closed_form(spark):
+    # key "a": v=10 for 60s, v=30 for 30s, last sample weightless
+    #   twa = (10e6*60e6 + 30e6*30e6) / 90e6 = 16_666_666 (truncated)
+    rows = [
+        ("a", 1, dt.datetime(2024, 1, 1, 0, 0, 0), 10.0),
+        ("a", 2, dt.datetime(2024, 1, 1, 0, 1, 0), 30.0),
+        ("a", 3, dt.datetime(2024, 1, 1, 0, 1, 30), 999.0),
+        ("b", 4, dt.datetime(2024, 1, 1, 0, 0, 0), 5.0),  # single sample
+    ]
+    df = spark.createDataFrame(rows, "k string, eid long, ts timestamp, v double")
+    out = {
+        r["k"]: r
+        for r in T.time_weighted_avg(df, "ts", "k", "v", "eid").collect()
+    }
+    assert out["a"]["span_us"] == 90_000_000
+    assert out["a"]["twa_micro"] == (10_000_000 * 60 + 30_000_000 * 30) // 90
+    assert out["a"]["n_events"] == 3
+    # a single sample integrates over a zero-length interval: no average
+    assert out["b"]["span_us"] == 0 and out["b"]["twa_micro"] is None
+
+
+def test_time_weighted_avg_ties_carry_no_weight(spark):
+    # two samples at the SAME timestamp: the 0-length segment contributes
+    # nothing whichever one the tie-break orders first
+    rows = [
+        ("a", 1, dt.datetime(2024, 1, 1, 0, 0, 0), 100.0),
+        ("a", 2, dt.datetime(2024, 1, 1, 0, 0, 0), 0.0),
+        ("a", 3, dt.datetime(2024, 1, 1, 0, 0, 10), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, eid long, ts timestamp, v double")
+    row = T.time_weighted_avg(df, "ts", "k", "v", "eid").collect()[0]
+    # eid=1 holds [0,0) (weight 0), eid=2 holds [0,10s): twa == 0
+    assert row["span_us"] == 10_000_000 and row["twa_micro"] == 0
+
+
+def test_gapfill_linear_interpolates_interior_gaps(spark):
+    # observed hours 0 (v=10.0) and 3 (v=40.0); hours 1, 2 interpolate
+    rows = [
+        ("k", _hts(0), 8.0), ("k", _hts(0, 30), 12.0),   # mean 10.0
+        ("k", _hts(3), 40.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    gauge = T.hourly_gauge(df, "ts", "k", "v")
+    out = {r["hour_id"]: r for r in T.gapfill_linear(gauge).collect()}
+    base = min(out)
+    assert len(out) == 4
+    assert out[base]["v_micro"] == 10_000_000 and not out[base]["interpolated"]
+    assert out[base + 1]["v_micro"] == 20_000_000 and out[base + 1]["interpolated"]
+    assert out[base + 2]["v_micro"] == 30_000_000 and out[base + 2]["interpolated"]
+    assert out[base + 3]["v_micro"] == 40_000_000 and not out[base + 3]["interpolated"]
+
+
+def test_gapfill_linear_truncates_like_div(spark):
+    # gap of 3 between 0 and 10 micro-units: fills are (10*1)div3, (10*2)div3
+    rows = [("k", _hts(0), 0.000000), ("k", _hts(3), 0.000010)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {r["hour_id"]: r["v_micro"] for r in
+           T.gapfill_linear(T.hourly_gauge(df, "ts", "k", "v")).collect()}
+    base = min(out)
+    assert [out[base + i] for i in range(4)] == [0, 3, 6, 10]
+
+
+def test_gapfill_dense_series_has_no_interpolation(spark):
+    rows = [("k", _hts(h), float(h)) for h in range(4)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = T.gapfill_linear(T.hourly_gauge(df, "ts", "k", "v")).collect()
+    assert len(out) == 4 and not any(r["interpolated"] for r in out)
+
+
+def test_seasonal_anomalies_planted_spike(spark):
+    # 10 full days, period=2: even hours always carry 4 events, odd hours
+    # always 2 — except one even hour on day 7 spikes to 12.  Every spine
+    # cell is observed, so the slot history is constant and MAD = 0: any
+    # deviation flags, and only the spike deviates.
+    rows = []
+    for day in range(10):
+        for h in range(24):
+            n = 4 if h % 2 == 0 else 2
+            if day == 7 and h == 6:
+                n = 12
+            for i in range(n):
+                rows.append(("k", dt.datetime(2024, 1, 1 + day, h, i + 1)))
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    out = T.seasonal_anomalies(df, "ts", "k", n_mad=3, period=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["slot"] == 0 and r["cnt"] == 12 and r["med2"] == 8 and r["mad4"] == 0
+
+
+def test_seasonal_anomalies_respects_mad_scale(spark):
+    # alternating 10/20 within the slot -> MAD 5: a 24 is NOT anomalous at
+    # n_mad=3 (|24-15|=9 <= 15) but a 40 is (25 > 15)
+    rows = []
+    for day in range(8):
+        n = 10 if day % 2 == 0 else 20
+        if day == 7:
+            n = 40
+        for i in range(n):
+            rows.append(("k", dt.datetime(2024, 1, 1 + day, 0, i + 1)))
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    out = T.seasonal_anomalies(df, "ts", "k", n_mad=3, period=24)
+    flagged = [r for r in out.collect() if r["slot"] == 0]
+    assert [r["cnt"] for r in flagged] == [40]
