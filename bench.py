@@ -743,6 +743,35 @@ def main() -> None:
         lambda: ts_b.compression_ratio(docs).count(),
     )
 
+    # ---- session-13 ops: exact heavy hitters over the corpus token
+    # stream, gauge-series reads (time-weighted avg / gap-fill / seasonal)
+    from log_analysis_spark.operators import sketches as sk_b
+
+    timed(
+        "doc_token_heavy_hitters",
+        lambda: sk_b.heavy_hitters(
+            ts_b.token_table(docs), "tok", k=50
+        ).count(),
+    )
+    timed(
+        "events_time_weighted",
+        lambda: tsr_b.time_weighted_avg(
+            ev_b, "ts", "user_id", "value", "event_id"
+        ).count(),
+    )
+    timed(
+        "events_gapfill",
+        lambda: tsr_b.gapfill_linear(
+            tsr_b.hourly_gauge(ev_b, "ts", "event_type", "value")
+        ).count(),
+    )
+    timed(
+        "events_seasonal",
+        lambda: tsr_b.seasonal_anomalies(
+            ev_b, "ts", "event_type", n_mad=3
+        ).count(),
+    )
+
     timings = {name: min(obs) for name, obs in runs.items()}
     total = round(sum(sum(obs) for obs in runs.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -1423,6 +1423,76 @@ def main() -> int:
          relax_plan, notes)
     )
 
+    # ---- heavy hitters / gauge-series ops (session-13 round) ---------------
+    from log_analysis_spark.operators import sketches as sk_ops
+
+    hh_toks = ts_stats.token_table(docs_t)
+    hh = sk_ops.heavy_hitters(hh_toks, "tok", k=50)
+    hh_plan = executed(hh)
+    hh_shufs = shuffle_schemas(hh)
+    hh_ok = all(
+        set(cols) <= {"tok", "count", "item", "sum", "cnt", "_n", "isEmpty"}
+        for _, cols in hh_shufs
+    )
+    twa = ts_ops.time_weighted_avg(ev, "ts", "user_id", "value", "event_id")
+    twa_plan = executed(twa)
+    twa_shufs = shuffle_schemas(twa)
+    twa_ok = all(
+        not ({"value", "event_type", "text"} & set(cols))
+        for _, cols in twa_shufs
+    )
+    gauge = ts_ops.hourly_gauge(ev, "ts", "event_type", "value")
+    gf = ts_ops.gapfill_linear(gauge)
+    gf_plan = executed(gf)
+    gf_shufs = shuffle_schemas(gf)
+    gf_ok = all(
+        set(cols) <= {"key", "hour_id", "sum", "count", "min", "max"}
+        for _, cols in gf_shufs
+    )
+    sa = ts_ops.seasonal_anomalies(ev, "ts", "event_type", n_mad=3)
+    sa_plan = executed(sa)
+    sa_shufs = shuffle_schemas(sa)
+    sa_ok = all(
+        set(cols) <= {"key", "hour_id", "count", "min", "max"}
+        for _, cols in sa_shufs
+    )
+    notes = [
+        check("heavy hitters: the token tail never shuffles — exchanges "
+              "carry only candidate/partial-count cells (tok,count / item "
+              "/ 1-row total), candidate semi-probe and total attach are "
+              "broadcast, no cross product",
+              hh_ok and "CartesianProduct" not in hh_plan
+              and hh_plan.count("BroadcastHashJoin") >= 1
+              and hh_plan.count("BroadcastNestedLoopJoin") == 1,
+              f"shuffles={[c for _, c in hh_shufs]}"),
+        check("heavy hitters: Misra-Gries candidate pass is shuffle-free "
+              "Arrow batches — mapInPandas appears with no exchange below "
+              "it (<= k+1 rows/partition by construction)",
+              "InPandas" in hh_plan),
+        check("time-weighted avg: exactly one key exchange feeds the "
+              "LOCF window, the DECIMAL(38,0) aggregate merges partials "
+              "on the same key — no raw gauge column in any exchange",
+              twa_ok and twa_plan.count("Window") == 1
+              and len(twa_shufs) == 2,
+              f"shuffles={[c for _, c in twa_shufs]}"),
+        check("gap-fill: both carry directions collapse into ONE Window "
+              "node over one key exchange; the only shuffles are the "
+              "map-side-combined gauge/min-max partials (spine cells, "
+              "never an event row)",
+              gf_ok and gf_plan.count("Window") == 1,
+              f"shuffles={[c for _, c in gf_shufs]}"),
+        check("seasonal median/MAD: raw events shuffle ONCE (hourly-count "
+              "partials); all median/MAD attach joins are spine-sized "
+              "broadcasts, no cartesian",
+              sa_ok and "CartesianProduct" not in sa_plan
+              and sa_plan.count("BroadcastHashJoin") >= 3,
+              f"shuffles={[c for _, c in sa_shufs]}"),
+    ]
+    sections.append(
+        ("Heavy hitters / time-weighted avg / gap-fill / seasonal MAD",
+         hh_plan, notes)
+    )
+
     # ---- write EXPLAIN.md -------------------------------------------------
     md = ["# EXPLAIN audit — physical plans vs 100 TB design intents",
           "",
