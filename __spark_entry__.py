@@ -2142,6 +2142,49 @@ def q_events_seasonal(spark, sf_dir):
     return timeseries.seasonal_anomalies(ev, "ts", "event_type", n_mad=3)
 
 
+def q_events_trend(spark, sf_dir):
+    """Mann-Kendall monotonic trend + Theil-Sen slope per event type over
+    the dense hourly spine — exact integer S statistic, tie-corrected
+    variance, cross-multiplied continuity-corrected significance, doubled
+    median of trunc-division pairwise slopes."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return timeseries.trend_test(ev, "ts", "event_type")
+
+
+def q_events_rank_compare(spark, sf_dir):
+    """Mann-Whitney U between 'view' and 'click' values — doubled
+    mid-ranks from VALUE CELLS, exact integer tie-corrected z² test."""
+    from log_analysis_spark.operators import expectations
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return expectations.rank_compare(ev, "value", "event_type", "view", "click")
+
+
+def q_events_ks_drift(spark, sf_dir):
+    """Two-sample KS drift between 'purchase' and 'signup' value
+    distributions — sup|F_a−F_b| as the exact integer max of cell-level
+    cumulative cross-products, earliest attaining value reported."""
+    from log_analysis_spark.operators import expectations
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return expectations.ks_test(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "signup"),
+        "value",
+    )
+
+
+def q_events_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over the (user_id, event_type) quasi-identifier:
+    equivalence classes a linkage attack can single out (size < 10)."""
+    from log_analysis_spark.operators import expectations
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return expectations.k_anonymity_violations(
+        ev, ["user_id", "event_type"], k=10
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2338,6 +2381,10 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_time_weighted": q_events_time_weighted,
         "events_gapfill": q_events_gapfill,
         "events_seasonal": q_events_seasonal,
+        "events_trend": q_events_trend,
+        "events_rank_compare": q_events_rank_compare,
+        "events_ks_drift": q_events_ks_drift,
+        "events_k_anonymity": q_events_k_anonymity,
         "log_templates": q_log_templates,
         "log_rare_templates": q_log_rare_templates,
         "logs_path_rollup": q_logs_path_rollup,
@@ -2607,6 +2654,15 @@ SELECT event_id, key, hour_id FROM (
         "events_time_weighted": _TIME_WEIGHTED_ORACLE,
         "events_gapfill": _GAPFILL_ORACLE,
         "events_seasonal": _seasonal_oracle(n_mad=3, period=24),
+        "events_trend": _trend_oracle(z_milli=1960),
+        "events_rank_compare": _rank_compare_oracle(
+            "view", "click", z_milli=1960
+        ),
+        "events_ks_drift": _KS_DRIFT_ORACLE,
+        "events_k_anonymity": (
+            "SELECT user_id, event_type, count(*) AS group_n "
+            "FROM events GROUP BY 1, 2 HAVING count(*) < 10"
+        ),
         "doc_phrase_search": _phrase_search_oracle(["the", "data"]),
         "events_winsorized": _winsorize_oracle(
             p_lo=0.05, p_hi=0.95, resolution=0.25
@@ -5181,6 +5237,155 @@ SELECT dev.key AS event_type, dev.hour_id, dev.slot, dev.cnt, dev.med2,
        mad.mad4
 FROM dev JOIN mad USING (key, slot)
 WHERE 2 * dev.dev2 > {n_mad} * mad.mad4
+"""
+
+
+def _trend_oracle(z_milli: int) -> str:
+    """Mirror of q_events_trend: brute-force pair double-loop over the
+    dense spine (a DIFFERENT algorithm from the engine's blocked-numpy
+    fold — agreement verifies the algebra, not a replay).  Negative-slope
+    truncation toward zero is spelled with CASE/abs so DuckDB's ``//``
+    floor semantics never touch a negative numerator; the odd-pair-count
+    median row is doubled via the m%2 factor."""
+    return f"""
+WITH c AS (
+  SELECT event_type AS key, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+sp AS (
+  SELECT key, unnest(generate_series(mn, mx)) AS hour_id
+  FROM (SELECT key, min(hour_id) AS mn, max(hour_id) AS mx FROM c GROUP BY key)
+),
+dense AS (
+  SELECT sp.key, sp.hour_id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+  FROM sp LEFT JOIN c ON c.key = sp.key AND c.hour_id = sp.hour_id
+),
+pairs AS (
+  SELECT a.key, b.cnt - a.cnt AS dy, b.hour_id - a.hour_id AS dx
+  FROM dense a JOIN dense b ON a.key = b.key AND b.hour_id > a.hour_id
+),
+sstat AS (
+  SELECT key,
+         SUM(CASE WHEN dy > 0 THEN 1 WHEN dy < 0 THEN -1 ELSE 0 END) AS s
+  FROM pairs GROUP BY key
+),
+slo AS (
+  SELECT key,
+         CASE WHEN dy >= 0 THEN (dy * 1000000) // dx
+              ELSE -((-dy * 1000000) // dx) END AS sl
+  FROM pairs
+),
+ranked AS (
+  SELECT key, sl, row_number() OVER (PARTITION BY key ORDER BY sl) AS rn,
+         count(*) OVER (PARTITION BY key) AS m
+  FROM slo
+),
+med AS (
+  SELECT key,
+         CAST(SUM(sl * (CASE WHEN m % 2 = 1 THEN 2 ELSE 1 END)) AS BIGINT)
+           AS med2
+  FROM ranked WHERE rn = (m - 1) // 2 + 1 OR rn = m // 2 + 1
+  GROUP BY key
+),
+tt AS (
+  SELECT key, SUM(t * (t - 1) * (2 * t + 5)) AS tie_term
+  FROM (SELECT key, cnt, count(*) AS t FROM dense GROUP BY key, cnt)
+  GROUP BY key
+),
+nn AS (SELECT key, count(*) AS n FROM dense GROUP BY key)
+SELECT nn.key AS event_type, CAST(nn.n AS BIGINT) AS n_hours,
+       CAST(sstat.s AS BIGINT) AS s_stat,
+       CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - tt.tie_term AS BIGINT)
+         AS var_d,
+       med.med2 AS slope_med2,
+       (sstat.s <> 0 AND
+        CAST(18000000 AS HUGEINT) * (abs(sstat.s) - 1) * (abs(sstat.s) - 1)
+        > CAST({z_milli} AS HUGEINT) * {z_milli}
+          * (nn.n * (nn.n - 1) * (2 * nn.n + 5) - tt.tie_term))
+         AS significant,
+       CASE WHEN sstat.s > 0 THEN 'up' WHEN sstat.s < 0 THEN 'down'
+            ELSE 'flat' END AS direction
+FROM nn
+JOIN sstat USING (key) JOIN med USING (key) JOIN tt USING (key)
+"""
+
+
+def _rank_compare_oracle(group_a: str, group_b: str, z_milli: int) -> str:
+    """Mirror of q_events_rank_compare: doubled mid-ranks from value
+    cells, HUGEINT cross-multiplied tie-corrected significance."""
+    return f"""
+WITH vals AS (
+  SELECT CAST(round(value * 1000000) AS BIGINT) AS v,
+         CASE WHEN event_type = '{group_a}' THEN 1 ELSE 0 END AS ia
+  FROM events
+  WHERE event_type IN ('{group_a}', '{group_b}') AND value IS NOT NULL
+),
+cells AS (SELECT v, SUM(ia) AS ca, SUM(1 - ia) AS cb FROM vals GROUP BY v),
+ranked AS (
+  SELECT v, ca, cb,
+         COALESCE(SUM(ca + cb) OVER (
+           ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS below,
+         ca + cb AS t
+  FROM cells
+),
+agg AS (
+  SELECT SUM(ca) AS na, SUM(cb) AS nb,
+         SUM(CAST(ca AS HUGEINT) * (2 * below + t + 1)) AS r2a,
+         SUM(CAST(t AS HUGEINT) * t * t - t) AS tcube
+  FROM ranked
+),
+d AS (
+  SELECT na, nb, na + nb AS n, r2a, tcube,
+         r2a - na * (na + 1) AS u2,
+         r2a - na * (na + 1) - CAST(na AS HUGEINT) * nb AS d2
+  FROM agg
+)
+SELECT '{group_a}' AS group_a, '{group_b}' AS group_b,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(r2a AS BIGINT) AS r2_a, CAST(u2 AS BIGINT) AS u2_a,
+       (CAST(3000000 AS HUGEINT) * d2 * d2 * n * (n - 1)
+        > CAST({z_milli} AS HUGEINT) * {z_milli} * na * nb
+          * (CAST(n AS HUGEINT) * (n - 1) * (n + 1) - tcube))
+         AS significant,
+       CASE WHEN d2 > 0 THEN 'a' WHEN d2 < 0 THEN 'b' ELSE 'tie' END
+         AS higher
+FROM d
+"""
+
+
+_KS_DRIFT_ORACLE = """
+WITH tagged AS (
+  SELECT CAST(round(value * 1000000) AS BIGINT) AS v, 1 AS ia
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+  UNION ALL
+  SELECT CAST(round(value * 1000000) AS BIGINT) AS v, 0 AS ia
+  FROM events WHERE event_type = 'signup' AND value IS NOT NULL
+),
+cells AS (SELECT v, SUM(ia) AS ca, SUM(1 - ia) AS cb FROM tagged GROUP BY v),
+cum AS (
+  SELECT v,
+         SUM(ca) OVER (ORDER BY v) AS A,
+         SUM(cb) OVER (ORDER BY v) AS B,
+         SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+  FROM cells
+),
+gap AS (
+  SELECT v, na, nb,
+         abs(CAST(A AS HUGEINT) * nb - CAST(B AS HUGEINT) * na) AS g
+  FROM cum
+),
+best AS (SELECT * FROM gap ORDER BY g DESC, v ASC LIMIT 1)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(g AS BIGINT) AS d_num,
+       CAST((1000000 * g) // (CAST(na AS HUGEINT) * nb) AS BIGINT)
+         AS d_micro,
+       v AS at_v_micro,
+       (CAST(1000000000000 AS HUGEINT) * g * g
+        > CAST(1358000 AS HUGEINT) * 1358000 * (na + nb) * na * nb)
+         AS significant
+FROM best
 """
 
 

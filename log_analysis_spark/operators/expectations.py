@@ -358,3 +358,241 @@ def table_fingerprint(df: DataFrame, cols: list[str] | None = None) -> DataFrame
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(term).cast("decimal(38,0)").cast("string").alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample comparison tests: Mann-Whitney U (ranks) and Kolmogorov-
+# Smirnov (distribution shape) — exact integer algebra over VALUE CELLS.
+# ---------------------------------------------------------------------------
+
+
+def rank_compare(
+    df: DataFrame,
+    val_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    z_milli: int = 1960,
+) -> DataFrame:
+    """Mann-Whitney U test (Mann & Whitney 1947): do values of ``val_col``
+    in group_a tend to be LARGER than in group_b?  The rank-based answer a
+    mean comparison gets wrong on heavy-tailed telemetry (one 10^6 ms
+    straggler owns any t-test) — same robustness family as Pettitt, for
+    two labelled samples instead of a time split.
+
+    Exact integer algebra end to end:
+      * values quantize to micro-units (round(v*1e6), the shared rule);
+      * doubled mid-ranks come from VALUE CELLS, not rows: per distinct
+        value, 2r = 2*(count below) + tie_size + 1, so the doubled rank
+        sum of group a is sum(c_a(v) * (2*below(v) + t(v) + 1)) — integer;
+      * u2 = 2*U_a = r2_a - 2 * n_a*(n_a+1)/2; its deviation from the null
+        mean is d2 = u2 - n_a*n_b (doubled);
+      * tie-corrected significance, cross-multiplied (no float, no sqrt):
+        3e6 * d2^2 * n(n-1) > z_milli^2 * n_a*n_b * (n(n-1)(n+1) - sum(t^3-t))
+        in DECIMAL(38,0) — ANSI mode makes any overflow loud (bound holds
+        comfortably to n ~ 3e5 per comparison; beyond that a rank test on
+        the full population is statistical overkill anyway — sample).
+
+    Scale shape: ONE map-side-combined aggregate builds the value cells
+    (conditional counts per group in the same pass); the rank window runs
+    over CELLS (distinct values), not rows — the same discipline as
+    ``sketches.hist_quantiles`` / ``perplexity_buckets``; the finish is a
+    1-row aggregate.
+    """
+    from pyspark.sql import Window
+
+    if z_milli < 0:
+        raise ValueError(f"z_milli must be >= 0, got {z_milli}")
+    if group_a == group_b:
+        raise ValueError("group_a and group_b must differ")
+    v = F.round(F.col(val_col) * 1_000_000).cast("long")
+    cells = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .filter(F.col(val_col).isNotNull())
+        .select(
+            v.alias("v"),
+            F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("_ia"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("_ia").alias("ca"),
+            F.sum(1 - F.col("_ia")).alias("cb"),
+        )
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    ranked = cells.select(
+        "v",
+        "ca",
+        "cb",
+        F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(wv), F.lit(0)).alias(
+            "_below"
+        ),
+        (F.col("ca") + F.col("cb")).alias("_t"),
+    )
+    agg = ranked.groupBy().agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.sum(
+            dec("ca") * (2 * dec("_below") + dec("_t") + 1)
+        ).alias("_r2a"),
+        F.sum(dec("_t") * dec("_t") * dec("_t") - dec("_t")).alias("_tcube"),
+    )
+    n = F.col("na") + F.col("nb")
+    u2 = F.col("_r2a") - dec("na") * (dec("na") + 1)
+    d2 = u2 - dec("na") * dec("nb")
+    var_term = n.cast("decimal(38,0)") * (n - 1) * (n + 1) - F.col("_tcube")
+    sig = (
+        F.lit(3_000_000).cast("decimal(38,0)") * d2 * d2 * n * (n - 1)
+        > F.lit(int(z_milli) * int(z_milli)).cast("decimal(38,0)")
+        * dec("na") * dec("nb") * var_term
+    )
+    return agg.select(
+        F.lit(str(group_a)).alias("group_a"),
+        F.lit(str(group_b)).alias("group_b"),
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("_r2a").cast("long").alias("r2_a"),
+        u2.cast("long").alias("u2_a"),
+        sig.alias("significant"),
+        F.when(d2 > 0, "a").when(d2 < 0, "b").otherwise("tie").alias("higher"),
+    )
+
+
+def ks_test(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    val_col: str,
+    c_micro: int = 1_358_000,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test: did the DISTRIBUTION of
+    ``val_col`` change between two tables (two curation runs, two sources,
+    last week vs this week)?  Location tests (rank_compare) miss a
+    variance blow-up with an unmoved center; KS is sup|F_a - F_b|, which
+    catches any shape change.
+
+    Exact integers: values micro-quantized; per distinct value the two
+    cumulative counts A(v), B(v) come from one window over VALUE CELLS;
+    the statistic is d_num = max|A(v)*n_b - B(v)*n_a| (the sup is attained
+    at sample points, so cells suffice), reported alongside
+    d_micro = 1e6*d_num div (n_a*n_b).  Significance is the classic
+    large-sample rejection D > c(alpha)*sqrt((n_a+n_b)/(n_a*n_b)),
+    cross-multiplied: 1e12 * d_num^2 > c_micro^2 * (n_a+n_b) * n_a * n_b
+    in DECIMAL(38,0) (c_micro = 1.358e6 is alpha=0.05).  ``at_v_micro``
+    is the smallest value attaining the sup — where the CDFs pull apart.
+
+    Scale shape: one conditional-count cell aggregate over the union
+    (map-side combined), one cell-level cumulative window, a 1-row finish.
+    """
+    from pyspark.sql import Window
+
+    if c_micro <= 0:
+        raise ValueError(f"c_micro must be positive, got {c_micro}")
+    v = F.round(F.col(val_col) * 1_000_000).cast("long")
+    tagged = df_a.select(v.alias("v"), F.lit(1).alias("_ia")).unionAll(
+        df_b.select(v.alias("v"), F.lit(0).alias("_ia"))
+    )
+    cells = (
+        tagged.filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.sum("_ia").alias("ca"), F.sum(1 - F.col("_ia")).alias("cb"))
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    cum = cells.select(
+        "v",
+        F.sum("ca").over(wv).alias("_A"),
+        F.sum("cb").over(wv).alias("_B"),
+        F.sum("ca").over(wall).alias("na"),
+        F.sum("cb").over(wall).alias("nb"),
+    )
+    gap = cum.select(
+        "v",
+        "na",
+        "nb",
+        F.abs(dec("_A") * dec("nb") - dec("_B") * dec("na")).alias("_g"),
+    )
+    best = gap.groupBy().agg(
+        F.min(
+            F.struct(
+                (-F.col("_g")).alias("_ng"),
+                F.col("v").alias("_v"),
+                F.col("na").alias("_na"),
+                F.col("nb").alias("_nb"),
+            )
+        ).alias("b")
+    )
+    d_num = -F.col("b._ng")
+    na, nb = F.col("b._na"), F.col("b._nb")
+    sig = (
+        F.lit(10**12).cast("decimal(38,0)") * d_num * d_num
+        > F.lit(int(c_micro) * int(c_micro)).cast("decimal(38,0)")
+        * (na + nb).cast("decimal(38,0)") * na * nb
+    )
+    return best.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        d_num.cast("long").alias("d_num"),
+        F.expr(
+            "CAST((1000000 * (-b._ng)) div (CAST(b._na AS DECIMAL(38,0)) "
+            "* b._nb) AS BIGINT)"
+        ).alias("d_micro"),
+        F.col("b._v").alias("at_v_micro"),
+        sig.alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit — the privacy complement of the PII scrub.
+# ---------------------------------------------------------------------------
+
+
+def k_anonymity_violations(
+    df: DataFrame, qi_cols: list[str], k: int
+) -> DataFrame:
+    """Quasi-identifier combinations held by FEWER than ``k`` rows — the
+    groups whose members a linkage attack can single out (Sweeney 2002).
+    The scrub removes direct identifiers; this audits whether the
+    remaining columns still isolate individuals.
+
+    Returns the violating groups themselves: (*qi_cols, group_n) with
+    0 < group_n < k.  One map-side-combined aggregate + a filter; NULL is
+    a quasi-identifier value like any other (two rows with NULL zip are
+    the same equivalence class — Spark and SQL GROUP BY agree on that).
+
+    Scale shape: one narrow (qi...) count shuffle; the output is bounded
+    by the number of small groups, which is what the audit is FOR."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if not qi_cols:
+        raise ValueError("qi_cols must be non-empty")
+    return (
+        df.groupBy(*qi_cols)
+        .agg(F.count(F.lit(1)).alias("group_n"))
+        .filter(F.col("group_n") < k)
+    )
+
+
+def k_anonymity_summary(
+    df: DataFrame, qi_cols: list[str], k: int
+) -> DataFrame:
+    """One-row k-anonymity report: total rows, equivalence classes,
+    violating classes, rows at re-identification risk, and the table's
+    actual k (the smallest class size) — the number to put on a release
+    checklist.  Same single-aggregate scale shape as the violations
+    table, finished by a 1-row fold."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if not qi_cols:
+        raise ValueError("qi_cols must be non-empty")
+    groups = df.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("group_n"))
+    return groups.groupBy().agg(
+        F.sum("group_n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum((F.col("group_n") < k).cast("long")).alias("n_violating"),
+        F.sum(
+            F.when(F.col("group_n") < k, F.col("group_n")).otherwise(0)
+        ).cast("long").alias("rows_at_risk"),
+        F.min("group_n").cast("long").alias("actual_k"),
+    )

@@ -986,3 +986,137 @@ def seasonal_from_counts(
             "mad4",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Monotonic trend detection: Mann-Kendall test + Theil-Sen slope.
+# ---------------------------------------------------------------------------
+
+
+def trend_test(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    z_milli: int = 1960,
+    max_hours: int = 8784,
+) -> DataFrame:
+    """Per-key monotonic trend over hourly counts — Mann-Kendall S test
+    (Mann 1945, Kendall 1975) with tie-corrected variance and continuity
+    correction, plus the Theil-Sen slope (median of pairwise slopes, the
+    robust trend magnitude a least-squares fit lets one outage distort).
+    The sustained-drift complement of ``cusum_hours``: CUSUM needs a
+    reference level and a slack knob; Mann-Kendall is distribution-free
+    and knob-free — "is this series going UP?" with a significance bound.
+
+    See ``trend_from_counts`` for semantics, exactness, and scale shape.
+    """
+    counts = hourly_counts(df, ts_col, key_col)
+    return trend_from_counts(counts, key_col, z_milli=z_milli,
+                             max_hours=max_hours)
+
+
+def trend_from_counts(
+    counts: DataFrame,
+    key_col: str,
+    z_milli: int = 1960,
+    max_hours: int = 8784,
+) -> DataFrame:
+    """Mann-Kendall + Theil-Sen over a (key, hour_id, cnt) table — shares
+    the mergeable hourly-count state with burst/CUSUM/Pettitt/seasonal, so
+    a streaming fold replays the test deterministically.
+
+    Exact integer math end to end:
+      * S = sum over hour pairs i<j of sgn(cnt_j - cnt_i) — an integer;
+      * var_d = n(n-1)(2n+5) - sum_t t(t-1)(2t+5)  (= 18 * Var(S), the
+        tie-corrected Mann-Kendall variance, all integer);
+      * significant iff S != 0 and 18e6 * (|S|-1)^2 > z_milli^2 * var_d
+        (the squared continuity-corrected z test, cross-multiplied — no
+        float, no sqrt, no division; Python ints, so no overflow at any n);
+      * slope_med2 = DOUBLED median of the n(n-1)/2 pairwise slopes, each
+        slope quantized first as trunc((dy * 1e6) / dx) — truncation
+        toward zero spelled sign(dy) * (|dy| * 1e6 div dx) so Spark and a
+        DuckDB replay agree on negative slopes.
+
+    Scale shape: the raw stream is aggregated ONCE (map-side-combined
+    hourly counts); the quadratic pair work runs per key over the DENSE
+    SPINE ONLY (<= 8784 rows per key-year), whole-batch numpy inside one
+    ``applyInPandas`` — blocked at 512 rows so peak memory is
+    block x spine, never spine^2 for S; the slope array is the one
+    genuinely quadratic artifact (n(n-1)/2 longs, ~308 MB at one year of
+    hours), which is why ``max_hours`` guards LOUDLY instead of spilling:
+    longer horizons should re-bucket to days before calling this.
+    """
+    if z_milli < 0:
+        raise ValueError(f"z_milli must be >= 0, got {z_milli}")
+    if max_hours < 2:
+        raise ValueError(f"max_hours must be >= 2, got {max_hours}")
+    spine = (
+        counts.groupBy("key")
+        .agg(F.min("hour_id").alias("_mn"), F.max("hour_id").alias("_mx"))
+        .select("key", F.explode(F.sequence("_mn", "_mx")).alias("hour_id"))
+    )
+    dense = spine.join(counts, ["key", "hour_id"], "left").select(
+        "key", "hour_id", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt")
+    )
+    key_t = dense.schema["key"].dataType.simpleString()
+    out_schema = (
+        f"key {key_t}, n_hours long, s_stat long, var_d long, "
+        "slope_med2 long, significant boolean, direction string"
+    )
+    zm, mh = int(z_milli), int(max_hours)
+
+    def fold(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("hour_id")
+        x = pdf["cnt"].to_numpy(np.int64)
+        h = pdf["hour_id"].to_numpy(np.int64)
+        n = len(x)
+        key = pdf["key"].iloc[0]
+        if n > mh:
+            raise ValueError(
+                f"trend_test: key {key!r} spans {n} hours > max_hours={mh}; "
+                "re-bucket to a coarser grain before trend-testing"
+            )
+        if n < 2:
+            return pd.DataFrame(
+                {"key": [key], "n_hours": [n], "s_stat": [0], "var_d": [0],
+                 "slope_med2": [None], "significant": [False],
+                 "direction": ["flat"]}
+            )
+        s_stat = 0
+        slope_blocks = []
+        B = 512
+        for i0 in range(0, n - 1, B):
+            i1 = min(i0 + B, n - 1)
+            # pairs (i, j) with i in [i0, i1), j > i
+            dy = x[None, i0 + 1:] - x[i0:i1, None]
+            dx = h[None, i0 + 1:] - h[i0:i1, None]
+            mask = dx > 0  # upper triangle of this block-strip
+            s_stat += int(np.sign(dy[mask]).sum())
+            dyv, dxv = dy[mask], dx[mask]
+            slope_blocks.append(
+                np.sign(dyv) * ((np.abs(dyv) * 1_000_000) // dxv)
+            )
+        slopes = np.concatenate(slope_blocks)
+        m = len(slopes)
+        lo = int(np.partition(slopes, (m - 1) // 2)[(m - 1) // 2])
+        hi = int(np.partition(slopes, m // 2)[m // 2])
+        _, tie_sizes = np.unique(x, return_counts=True)
+        t = tie_sizes.astype(object)  # Python ints: no overflow
+        tie_term = int((t * (t - 1) * (2 * t + 5)).sum())
+        var_d = n * (n - 1) * (2 * n + 5) - tie_term
+        sig = (
+            s_stat != 0
+            and 18 * 10**6 * (abs(s_stat) - 1) ** 2 > zm * zm * var_d
+        )
+        direction = "up" if s_stat > 0 else ("down" if s_stat < 0 else "flat")
+        return pd.DataFrame(
+            {"key": [key], "n_hours": [n], "s_stat": [s_stat],
+             "var_d": [var_d], "slope_med2": [lo + hi],
+             "significant": [sig], "direction": [direction]}
+        )
+
+    out = dense.groupBy("key").applyInPandas(fold, schema=out_schema)
+    return out.withColumnRenamed("key", key_col)

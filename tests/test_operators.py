@@ -735,3 +735,146 @@ def test_table_fingerprint_properties(spark):
 
     with _pytest.raises(ValueError):
         E.table_fingerprint(df, cols=[])
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U rank comparison
+# ---------------------------------------------------------------------------
+
+
+def _mw_mirror(a_vals, b_vals, z_milli=1960):
+    """Brute-force doubled Mann-Whitney over micro-quantized values."""
+    am = [round(v * 1_000_000) for v in a_vals]
+    bm = [round(v * 1_000_000) for v in b_vals]
+    u2 = 0
+    for x in am:
+        for y in bm:
+            u2 += 2 * (x > y) + (x == y)
+    na, nb, n = len(am), len(bm), len(am) + len(bm)
+    ties = {}
+    for v in am + bm:
+        ties[v] = ties.get(v, 0) + 1
+    tcube = sum(t**3 - t for t in ties.values())
+    d2 = u2 - na * nb
+    sig = (3_000_000 * d2 * d2 * n * (n - 1)
+           > z_milli**2 * na * nb * (n * (n - 1) * (n + 1) - tcube))
+    higher = "a" if d2 > 0 else ("b" if d2 < 0 else "tie")
+    return u2, sig, higher
+
+
+def _two_group_df(spark, a_vals, b_vals):
+    rows = [("a", float(v)) for v in a_vals] + [("b", float(v)) for v in b_vals]
+    return spark.createDataFrame(rows, "g string, v double")
+
+
+def test_rank_compare_matches_bruteforce_with_ties(spark):
+    from log_analysis_spark.operators import expectations as E
+
+    a = [1.5, 2.0, 2.0, 3.25, 9.0, 2.5]
+    b = [2.0, 1.0, 3.25, 0.5, 2.5, 2.5, 4.0]
+    row = E.rank_compare(_two_group_df(spark, a, b), "v", "g", "a", "b").collect()[0]
+    u2, sig, higher = _mw_mirror(a, b)
+    assert (row["u2_a"], row["significant"], row["higher"]) == (u2, sig, higher)
+    assert (row["n_a"], row["n_b"]) == (len(a), len(b))
+    # doubled rank-sum identity: u2 = r2_a - 2 * na*(na+1)/2
+    assert row["u2_a"] == row["r2_a"] - len(a) * (len(a) + 1)
+
+
+def test_rank_compare_shifted_sample_is_significant(spark):
+    from log_analysis_spark.operators import expectations as E
+
+    a = [10.0 + i * 0.1 for i in range(40)]      # clearly larger
+    b = [1.0 + i * 0.1 for i in range(40)]
+    row = E.rank_compare(_two_group_df(spark, a, b), "v", "g", "a", "b").collect()[0]
+    assert row["significant"] and row["higher"] == "a"
+    assert row["u2_a"] == 2 * 40 * 40            # every a beats every b
+    # and symmetric: identical samples tie, insignificant
+    row2 = E.rank_compare(_two_group_df(spark, a, a + []), "v", "g", "a", "b").collect()[0]
+    assert not row2["significant"] and row2["higher"] == "tie"
+
+
+def test_rank_compare_guards(spark):
+    from log_analysis_spark.operators import expectations as E
+
+    df = _two_group_df(spark, [1.0], [2.0])
+    with pytest.raises(ValueError):
+        E.rank_compare(df, "v", "g", "a", "a")
+    with pytest.raises(ValueError):
+        E.rank_compare(df, "v", "g", "a", "b", z_milli=-5)
+
+
+# ---------------------------------------------------------------------------
+# Two-sample KS drift test
+# ---------------------------------------------------------------------------
+
+
+def _ks_mirror(a_vals, b_vals, c_micro=1_358_000):
+    am = sorted(round(v * 1_000_000) for v in a_vals)
+    bm = sorted(round(v * 1_000_000) for v in b_vals)
+    na, nb = len(am), len(bm)
+    best, at_v = -1, None
+    for v in sorted(set(am + bm)):
+        A = sum(1 for x in am if x <= v)
+        B = sum(1 for x in bm if x <= v)
+        g = abs(A * nb - B * na)
+        if g > best:
+            best, at_v = g, v
+    sig = 10**12 * best * best > c_micro**2 * (na + nb) * na * nb
+    return best, at_v, sig
+
+
+def test_ks_test_matches_bruteforce(spark):
+    from log_analysis_spark.operators import expectations as E
+
+    a = [0.1, 0.2, 0.2, 0.9, 1.4, 2.0, 2.2]
+    b = [0.15, 0.2, 1.0, 1.4, 1.4, 3.0]
+    da = spark.createDataFrame([(float(v),) for v in a], "v double")
+    db = spark.createDataFrame([(float(v),) for v in b], "v double")
+    row = E.ks_test(da, db, "v").collect()[0]
+    d_num, at_v, sig = _ks_mirror(a, b)
+    assert (row["d_num"], row["at_v_micro"], row["significant"]) == (d_num, at_v, sig)
+    assert row["d_micro"] == (1_000_000 * d_num) // (len(a) * len(b))
+
+
+def test_ks_test_disjoint_supports_max_drift(spark):
+    from log_analysis_spark.operators import expectations as E
+
+    da = spark.createDataFrame([(float(i),) for i in range(30)], "v double")
+    db = spark.createDataFrame([(100.0 + i,) for i in range(30)], "v double")
+    row = E.ks_test(da, db, "v").collect()[0]
+    assert row["d_num"] == 30 * 30 and row["d_micro"] == 1_000_000
+    assert row["significant"] and row["at_v_micro"] == 29_000_000
+    # identical tables: zero drift, never significant
+    row2 = E.ks_test(da, da, "v").collect()[0]
+    assert row2["d_num"] == 0 and not row2["significant"]
+    with pytest.raises(ValueError):
+        E.ks_test(da, db, "v", c_micro=0)
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit
+# ---------------------------------------------------------------------------
+
+
+def test_k_anonymity_violations_and_summary(spark):
+    from log_analysis_spark.operators import expectations as E
+
+    rows = (
+        [("90210", 30, i) for i in range(12)]      # safe class (12 >= 10)
+        + [("90210", 31, i) for i in range(3)]     # violating (3)
+        + [("10001", 30, i) for i in range(1)]     # violating (1)
+        + [(None, 30, i) for i in range(2)]        # NULL zip is a class (2)
+    )
+    df = spark.createDataFrame(rows, "zip string, age int, i int")
+    viol = {
+        (r["zip"], r["age"]): r["group_n"]
+        for r in E.k_anonymity_violations(df, ["zip", "age"], 10).collect()
+    }
+    assert viol == {("90210", 31): 3, ("10001", 30): 1, (None, 30): 2}
+    s = E.k_anonymity_summary(df, ["zip", "age"], 10).collect()[0]
+    assert (s["n_rows"], s["n_groups"], s["n_violating"],
+            s["rows_at_risk"], s["actual_k"]) == (18, 4, 3, 6, 1)
+    with pytest.raises(ValueError):
+        E.k_anonymity_violations(df, [], 10)
+    with pytest.raises(ValueError):
+        E.k_anonymity_summary(df, ["zip"], 1)

@@ -669,3 +669,93 @@ def test_seasonal_anomalies_respects_mad_scale(spark):
     out = T.seasonal_anomalies(df, "ts", "k", n_mad=3, period=24)
     flagged = [r for r in out.collect() if r["slot"] == 0]
     assert [r["cnt"] for r in flagged] == [40]
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall + Theil-Sen trend test
+# ---------------------------------------------------------------------------
+
+
+def _mk_mirror(xs, z_milli=1960):
+    """Pure-Python Mann-Kendall + Theil-Sen over one dense hourly series."""
+    n = len(xs)
+    s = 0
+    slopes = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            dy, dx = xs[j] - xs[i], j - i
+            s += (dy > 0) - (dy < 0)
+            q, r = divmod(abs(dy) * 1_000_000, dx)
+            slopes.append(q if dy >= 0 else -q)
+    slopes.sort()
+    m = len(slopes)
+    med2 = slopes[(m - 1) // 2] + slopes[m // 2]
+    ties = {}
+    for x in xs:
+        ties[x] = ties.get(x, 0) + 1
+    tie_term = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+    var_d = n * (n - 1) * (2 * n + 5) - tie_term
+    sig = s != 0 and 18 * 10**6 * (abs(s) - 1) ** 2 > z_milli**2 * var_d
+    return s, var_d, med2, sig
+
+
+def _trend_df(spark, xs, key="k"):
+    rows = []
+    for h, c in enumerate(xs):
+        for i in range(c):
+            rows.append((key, dt.datetime(2024, 1, 1, 0, 0, 0)
+                         + dt.timedelta(hours=h, seconds=i + 1)))
+    return spark.createDataFrame(rows, "k string, ts timestamp")
+
+
+def test_trend_matches_bruteforce_mirror(spark):
+    xs = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9]  # ties + wobble
+    row = T.trend_test(_trend_df(spark, xs), "ts", "k").collect()[0]
+    s, var_d, med2, sig = _mk_mirror(xs)
+    assert (row["s_stat"], row["var_d"], row["slope_med2"],
+            row["significant"]) == (s, var_d, med2, sig)
+    assert row["n_hours"] == len(xs)
+
+
+def test_trend_planted_ramp_is_significant_up(spark):
+    xs = [2 + 3 * h for h in range(30)]  # strict ramp, slope 3/hour
+    row = T.trend_test(_trend_df(spark, xs), "ts", "k").collect()[0]
+    n = len(xs)
+    assert row["s_stat"] == n * (n - 1) // 2  # every pair concordant
+    assert row["direction"] == "up" and row["significant"]
+    assert row["slope_med2"] == 2 * 3_000_000  # exactly 3e6 micro/hour
+
+
+def test_trend_flat_and_single_hour(spark):
+    row = T.trend_test(_trend_df(spark, [5] * 12), "ts", "k").collect()[0]
+    assert (row["s_stat"], row["slope_med2"], row["direction"],
+            row["significant"]) == (0, 0, "flat", False)
+    one = T.trend_test(_trend_df(spark, [7]), "ts", "k").collect()[0]
+    assert one["n_hours"] == 1 and one["slope_med2"] is None
+    assert one["direction"] == "flat" and not one["significant"]
+
+
+def test_trend_slope_truncates_toward_zero(spark):
+    # hours 0..2 with counts 4,4,3: the (0,2) pair slope is -1e6/2 =
+    # -500000; the (0,1)/(1,2) pairs are 0 and -1e6.  med2 must use
+    # trunc-toward-zero division for the negative slope: pairs sorted are
+    # [-1000000, -500000, 0] -> med2 = 2 * -500000.
+    row = T.trend_test(_trend_df(spark, [4, 4, 3]), "ts", "k").collect()[0]
+    assert row["slope_med2"] == -1_000_000
+    # and a non-exact negative: counts 3,1 over a 2-hour gap via dense
+    # spine zero-fill: xs [3, 0, 1] -> pair (0,2): dy=-2 dx=2 -> -1000000;
+    # (0,1): -3000000; (1,2): +1000000 -> med2 = 2 * -1000000
+    row2 = T.trend_test(_trend_df(spark, [3, 0, 1]), "ts", "k").collect()[0]
+    assert row2["slope_med2"] == -2_000_000
+    s, var_d, med2, _ = _mk_mirror([3, 0, 1])
+    assert (row2["s_stat"], row2["var_d"], row2["slope_med2"]) == (s, var_d, med2)
+
+
+def test_trend_guards(spark):
+    df = _trend_df(spark, [1, 2, 3, 4, 5])
+    with pytest.raises(ValueError):
+        T.trend_test(df, "ts", "k", z_milli=-1)
+    with pytest.raises(ValueError):
+        T.trend_test(df, "ts", "k", max_hours=1)
+    with pytest.raises(Exception, match="max_hours"):
+        T.trend_test(df, "ts", "k", max_hours=3).collect()
