@@ -2185,6 +2185,46 @@ def q_events_k_anonymity(spark, sf_dir):
     )
 
 
+def q_events_chi2(spark, sf_dir):
+    """Chi-square independence between event_type and day-quarter
+    (hour div 6) — the empty-cell-free O²N/(RC)−N identity, per-cell
+    micro truncation, dof emitted for the caller's critical value
+    (here χ²₀.₀₅ at dof 12 = 21.026)."""
+    from log_analysis_spark.operators import expectations
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    staged = ev.select(
+        "event_type",
+        F.floor(F.hour("ts") / 6).alias("day_q"),
+    )
+    return expectations.chi2_independence(
+        staged, "event_type", "day_q", crit_micro=21_026_000
+    )
+
+
+def q_events_auc(spark, sf_dir):
+    """Exact ROC AUC of `value` as a predictor of event_type='purchase' —
+    the Mann-Whitney identity over value cells; the evaluation op the
+    quality-classifier gates rely on."""
+    from log_analysis_spark.operators import expectations
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    staged = ev.filter(F.col("event_type").isNotNull()).select(
+        F.col("value").alias("score"),
+        (F.col("event_type") == "purchase").alias("is_purchase"),
+    )
+    return expectations.ranking_auc(staged, "score", "is_purchase")
+
+
+def q_events_gini(spark, sf_dir):
+    """Gini coefficient of per-user event concentration — the one-number
+    skew audit, computed over count VALUE CELLS (no global row window)."""
+    from log_analysis_spark.operators import expectations
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return expectations.gini_concentration(ev, "user_id")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2385,6 +2425,9 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rank_compare": q_events_rank_compare,
         "events_ks_drift": q_events_ks_drift,
         "events_k_anonymity": q_events_k_anonymity,
+        "events_chi2": q_events_chi2,
+        "events_auc": q_events_auc,
+        "events_gini": q_events_gini,
         "log_templates": q_log_templates,
         "log_rare_templates": q_log_rare_templates,
         "logs_path_rollup": q_logs_path_rollup,
@@ -2659,6 +2702,9 @@ SELECT event_id, key, hour_id FROM (
             "view", "click", z_milli=1960
         ),
         "events_ks_drift": _KS_DRIFT_ORACLE,
+        "events_chi2": _CHI2_ORACLE,
+        "events_auc": _AUC_ORACLE,
+        "events_gini": _GINI_ORACLE,
         "events_k_anonymity": (
             "SELECT user_id, event_type, count(*) AS group_n "
             "FROM events GROUP BY 1, 2 HAVING count(*) < 10"
@@ -5386,6 +5432,92 @@ SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
         > CAST(1358000 AS HUGEINT) * 1358000 * (na + nb) * na * nb)
          AS significant
 FROM best
+"""
+
+
+_CHI2_ORACLE = """
+WITH cells AS (
+  SELECT CAST(event_type AS VARCHAR) AS a,
+         CAST(CAST(floor(hour(ts) / 6) AS BIGINT) AS VARCHAR) AS b,
+         count(*) AS o
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT o,
+         SUM(o) OVER (PARTITION BY a) AS r,
+         SUM(o) OVER (PARTITION BY b) AS c,
+         SUM(o) OVER () AS n
+  FROM cells
+),
+k AS (SELECT count(DISTINCT a) AS ka, count(DISTINCT b) AS kb FROM cells),
+agg AS (
+  SELECT SUM((CAST(o AS HUGEINT) * o * n * 1000000)
+             // (CAST(r AS HUGEINT) * c)) AS s,
+         MAX(n) AS n, count(*) AS n_cells
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(n_cells AS BIGINT) AS n_cells,
+       CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
+       CAST(s - CAST(n AS HUGEINT) * 1000000 AS BIGINT) AS chi2_micro,
+       CAST((s - CAST(n AS HUGEINT) * 1000000)
+            // (CAST(n AS HUGEINT) * (least(ka, kb) - 1)) AS BIGINT)
+         AS v2_micro,
+       (s - CAST(n AS HUGEINT) * 1000000) > 21026000 AS significant
+FROM agg, k
+"""
+
+
+_AUC_ORACLE = """
+WITH vals AS (
+  SELECT CAST(round(value * 1000000) AS BIGINT) AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+cells AS (SELECT v, SUM(ia) AS ca, SUM(1 - ia) AS cb FROM vals GROUP BY v),
+ranked AS (
+  SELECT ca,
+         COALESCE(SUM(ca + cb) OVER (
+           ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS below,
+         ca + cb AS t
+  FROM cells
+),
+agg AS (
+  SELECT SUM(ca) AS np, SUM(t - ca) AS nn,
+         SUM(CAST(ca AS HUGEINT) * (2 * below + t + 1)) AS r2
+  FROM ranked
+)
+SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+       CAST(r2 - CAST(np AS HUGEINT) * (np + 1) AS BIGINT) AS u2_pos,
+       CAST((1000000 * (r2 - CAST(np AS HUGEINT) * (np + 1)))
+            // (2 * CAST(np AS HUGEINT) * nn) AS BIGINT) AS auc_micro
+FROM agg
+"""
+
+
+_GINI_ORACLE = """
+WITH pk AS (
+  SELECT user_id, count(*) AS x FROM events
+  WHERE user_id IS NOT NULL GROUP BY 1
+),
+cells AS (SELECT x, count(*) AS m FROM pk GROUP BY x),
+st AS (
+  SELECT x, m,
+         COALESCE(SUM(m) OVER (
+           ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS below,
+         SUM(m) OVER () AS nk
+  FROM cells
+),
+agg AS (
+  SELECT MAX(nk) AS n_keys, SUM(CAST(x AS HUGEINT) * m) AS tot,
+         SUM(CAST(x AS HUGEINT) * m * (2 * below + m - nk)) AS g
+  FROM st
+)
+SELECT CAST(n_keys AS BIGINT) AS n_keys, CAST(tot AS BIGINT) AS total,
+       CAST((1000000 * g) // (CAST(n_keys AS HUGEINT) * tot) AS BIGINT)
+         AS gini_micro
+FROM agg
 """
 
 

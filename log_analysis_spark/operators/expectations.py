@@ -596,3 +596,215 @@ def k_anonymity_summary(
         ).cast("long").alias("rows_at_risk"),
         F.min("group_n").cast("long").alias("actual_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence, ranking AUC, Gini concentration — the same
+# exact-integer discipline as rank_compare/ks_test: values fold into
+# bounded CELLS, cross-multiplied DECIMAL(38,0) algebra, one final
+# integral division.
+# ---------------------------------------------------------------------------
+
+
+def chi2_independence(
+    df: DataFrame, col_a: str, col_b: str, crit_micro: int
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns (Pearson 1900): is the event mix actually different across
+    day parts / sources / routes, or is the contingency table just what
+    the margins predict?  The categorical complement of
+    ``column_correlation`` (numeric×numeric) and ``rank_compare``
+    (numeric×2-group).
+
+    Exact integers via the empty-cell-free identity
+
+        chi2 = sum_cells O^2 * N / (R_i * C_j)  -  N
+
+    (unobserved cells contribute 0 to the sum — the classic
+    sum((O-E)^2/E) needs every structural cell, this form doesn't).
+    Each cell's term is truncated to micro units independently
+    (``(O^2*N*1e6) div (R*C)`` in DECIMAL(38,0)), so the oracle replays
+    the statistic bit-for-bit; the accumulated floor bias is < n_cells
+    micro — noise at test scale.  Significance is
+    ``chi2_micro > crit_micro`` with the caller supplying the critical
+    value for THEIR dof/alpha (dof is emitted for the lookup);
+    ``v2_micro`` is Cramer's V^2 in micro (effect size the sample-size-
+    inflated chi2 isn't).
+
+    NULL is a category like any other (both engines GROUP BY agree).
+
+    Scale shape: ONE map-side-combined (a, b) cell count; margins come
+    from cell-level windows (cells are bounded by the category-product,
+    not the row count); a 1-row finish.  No row ever re-shuffles."""
+    from pyspark.sql import Window
+
+    if crit_micro <= 0:
+        raise ValueError(f"crit_micro must be positive, got {crit_micro}")
+    if col_a == col_b:
+        raise ValueError("col_a and col_b must differ")
+    cells = df.groupBy(
+        F.col(col_a).cast("string").alias("_a"),
+        F.col(col_b).cast("string").alias("_b"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    wa = Window.partitionBy("_a")
+    wb = Window.partitionBy("_b")
+    wall = Window.partitionBy()
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = cells.select(
+        "o",
+        F.sum("o").over(wa).alias("r"),
+        F.sum("o").over(wb).alias("c"),
+        F.sum("o").over(wall).alias("n"),
+        F.size(F.collect_set("_a").over(wall)).alias("ka"),
+        F.size(F.collect_set("_b").over(wall)).alias("kb"),
+    )
+    term = F.expr(
+        "(CAST(o AS DECIMAL(38,0)) * o * n * 1000000)"
+        " div (CAST(r AS DECIMAL(38,0)) * c)"
+    )
+    agg = m.groupBy().agg(
+        F.sum(term).alias("_s"),
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max("ka").alias("_ka"),
+        F.max("kb").alias("_kb"),
+    )
+    chi2 = F.col("_s") - dec(F.col("n")) * 1_000_000
+    dof = (F.col("_ka") - 1) * (F.col("_kb") - 1)
+    mindim = F.least(F.col("_ka"), F.col("_kb")) - 1
+    v2 = F.when(
+        mindim > 0,
+        F.expr(
+            "(_s - CAST(n AS DECIMAL(38,0)) * 1000000)"
+            " div (CAST(n AS DECIMAL(38,0)) * (least(_ka, _kb) - 1))"
+        ).cast("long"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+        dof.cast("long").alias("dof"),
+        chi2.cast("long").alias("chi2_micro"),
+        v2.alias("v2_micro"),
+        (chi2 > F.lit(int(crit_micro)).cast("decimal(38,0)")).alias(
+            "significant"
+        ),
+    )
+
+
+def ranking_auc(
+    df: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """Exact ROC AUC of a score against a boolean label — the evaluation
+    op for the quality classifier / DSIR weights: AUC is
+    P(score_pos > score_neg) + P(tie)/2, which is the Mann-Whitney U
+    identity (Hanley & McNeil 1982), so the whole computation reuses the
+    rank_compare cell algebra: doubled mid-ranks from VALUE CELLS, then
+
+        auc_micro = (1e6 * u2) div (2 * n_pos * n_neg)
+
+    with u2 = 2*U_pos exact.  NULL scores and NULL labels are excluded.
+
+    Scale shape: one conditional-count cell aggregate (map-side
+    combined), one window over CELLS (distinct score values), a 1-row
+    finish — rows never re-shuffle, exactly rank_compare's plan."""
+    from pyspark.sql import Window
+
+    v = F.round(F.col(score_col) * 1_000_000).cast("long")
+    cells = (
+        df.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .select(
+            v.alias("v"),
+            F.col(label_col).cast("boolean").cast("int").alias("_ia"),
+        )
+        .groupBy("v")
+        .agg(F.sum("_ia").alias("ca"), F.sum(1 - F.col("_ia")).alias("cb"))
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    ranked = cells.select(
+        "ca",
+        F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(wv), F.lit(0)).alias(
+            "_below"
+        ),
+        (F.col("ca") + F.col("cb")).alias("_t"),
+    )
+    agg = ranked.groupBy().agg(
+        F.sum("ca").alias("np"),
+        F.sum(F.col("_t") - F.col("ca")).alias("nn"),
+        F.sum(dec("ca") * (2 * dec("_below") + dec("_t") + 1)).alias("_r2"),
+    )
+    u2 = F.col("_r2") - dec("np") * (dec("np") + 1)
+    auc = F.when(
+        (F.col("np") > 0) & (F.col("nn") > 0),
+        F.expr(
+            "(CAST(1000000 AS DECIMAL(38,0))"
+            " * (_r2 - CAST(np AS DECIMAL(38,0)) * (np + 1)))"
+            " div (2 * CAST(np AS DECIMAL(38,0)) * nn)"
+        ).cast("long"),
+    )
+    return agg.select(
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nn").cast("long").alias("n_neg"),
+        u2.cast("long").alias("u2_pos"),
+        auc.alias("auc_micro"),
+    )
+
+
+def gini_concentration(
+    df: DataFrame, key_col: str
+) -> DataFrame:
+    """Gini coefficient of activity concentration: how unequally are the
+    rows spread over ``key_col`` holders (events per user, docs per
+    domain)?  0 = perfectly even, ->1 = one key owns everything — the
+    one-number skew audit to run BEFORE a groupBy melts an executor.
+
+    Exact integers without a global row_number: with per-key counts
+    folded into VALUE CELLS (distinct count value x, multiplicity m,
+    cumulative keys below), the sorted-index identity
+    sum_i (2i - n_keys - 1) * x_i collapses per cell to
+
+        x * m * (2*below + m - n_keys)
+
+    (the inner arithmetic series — tie order provably cancels), so
+
+        gini_micro = (1e6 * g_num) div (n_keys * total).
+
+    Scale shape: one narrow key-count shuffle, then CELLS (distinct
+    count values — tiny, counts concentrate), one cell window, a 1-row
+    finish.  No global sort, no row-level window."""
+    from pyspark.sql import Window
+
+    per_key = df.filter(F.col(key_col).isNotNull()).groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    cells = per_key.groupBy("x").agg(F.count(F.lit(1)).alias("m"))
+    wv = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.partitionBy()
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    staged = cells.select(
+        "x",
+        "m",
+        F.coalesce(F.sum("m").over(wv), F.lit(0)).alias("_below"),
+        F.sum("m").over(wall).alias("_nk"),
+    )
+    agg = staged.groupBy().agg(
+        F.max("_nk").alias("n_keys"),
+        F.sum(dec("x") * dec("m")).alias("_tot"),
+        F.sum(
+            dec("x")
+            * dec("m")
+            * (2 * dec("_below") + dec("m") - dec("_nk"))
+        ).alias("_g"),
+    )
+    gini = F.when(
+        (F.col("n_keys") > 0) & (F.col("_tot") > 0),
+        F.expr(
+            "(CAST(1000000 AS DECIMAL(38,0)) * _g)"
+            " div (CAST(n_keys AS DECIMAL(38,0)) * _tot)"
+        ).cast("long"),
+    )
+    return agg.select(
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.col("_tot").cast("long").alias("total"),
+        gini.alias("gini_micro"),
+    )

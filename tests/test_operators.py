@@ -878,3 +878,129 @@ def test_k_anonymity_violations_and_summary(spark):
         E.k_anonymity_violations(df, [], 10)
     with pytest.raises(ValueError):
         E.k_anonymity_summary(df, ["zip"], 1)
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence, ranking AUC, Gini concentration
+# ---------------------------------------------------------------------------
+
+
+def _chi2_mirror(pairs):
+    """Brute-force chi2 via the classic sum over ALL structural cells of
+    (O-E)^2/E — a DIFFERENT formula from the engine's O^2*N/(R*C) - N
+    identity; agreement (within per-cell truncation) verifies the algebra."""
+    from collections import Counter
+
+    o = Counter(pairs)
+    ra = Counter(a for a, _ in pairs)
+    cb = Counter(b for _, b in pairs)
+    n = len(pairs)
+    # engine-exact replay: per observed cell trunc((o^2*n*1e6)/(r*c)), - n*1e6
+    s = sum((o[(a, b)] ** 2 * n * 10**6) // (ra[a] * cb[b]) for a, b in o)
+    chi2_micro = s - n * 10**6
+    # float cross-check over all structural cells
+    chi2_f = sum(
+        (o.get((a, b), 0) - ra[a] * cb[b] / n) ** 2 / (ra[a] * cb[b] / n)
+        for a in ra
+        for b in cb
+    )
+    return chi2_micro, chi2_f, len(o), (len(ra) - 1) * (len(cb) - 1)
+
+
+def test_chi2_independence_matches_bruteforce(spark):
+    from log_analysis_spark.operators import expectations as E
+
+    pairs = (
+        [("err", "am")] * 12 + [("err", "pm")] * 3
+        + [("ok", "am")] * 5 + [("ok", "pm")] * 20
+        + [("warn", "am")] * 4 + [("warn", "pm")] * 4
+    )
+    df = spark.createDataFrame(pairs, "a string, b string")
+    row = E.chi2_independence(df, "a", "b", crit_micro=5_991_000).collect()[0]
+    chi2_micro, chi2_f, n_cells, dof = _chi2_mirror(pairs)
+    assert row["chi2_micro"] == chi2_micro
+    assert abs(row["chi2_micro"] / 1e6 - chi2_f) < n_cells / 1e6 + 1e-6
+    assert (row["n"], row["n_cells"], row["dof"]) == (len(pairs), n_cells, dof)
+    assert row["significant"]  # strong association planted
+    assert row["v2_micro"] == chi2_micro // (len(pairs) * 1)
+
+
+def test_chi2_independence_independent_and_guards(spark):
+    from log_analysis_spark.operators import expectations as E
+
+    # perfectly proportional table: chi2 == 0 (up to truncation), never sig
+    pairs = [(a, b) for a in ("x", "y") for b in ("p", "q", "r")] * 10
+    df = spark.createDataFrame(pairs, "a string, b string")
+    row = E.chi2_independence(df, "a", "b", crit_micro=5_991_000).collect()[0]
+    assert abs(row["chi2_micro"]) <= row["n_cells"]  # pure truncation bias
+    assert not row["significant"]
+    # NULL is a category
+    pairs2 = [("x", None)] * 5 + [("x", "p")] * 5 + [("y", None)] * 5
+    df2 = spark.createDataFrame(pairs2, "a string, b string")
+    assert E.chi2_independence(df2, "a", "b", 1).collect()[0]["n"] == 15
+    with pytest.raises(ValueError):
+        E.chi2_independence(df, "a", "a", 100)
+    with pytest.raises(ValueError):
+        E.chi2_independence(df, "a", "b", 0)
+
+
+def _auc_mirror(pos, neg):
+    wins = sum(1 for p in pos for q in neg if p > q)
+    ties = sum(1 for p in pos for q in neg if p == q)
+    return (wins + 0.5 * ties) / (len(pos) * len(neg))
+
+
+def test_ranking_auc_matches_bruteforce(spark):
+    from log_analysis_spark.operators import expectations as E
+
+    pos = [3.2, 4.0, 4.0, 9.9, 2.0]
+    neg = [1.0, 4.0, 2.5, 2.0, 0.5, 3.2, 1.1]
+    rows = [(float(v), True) for v in pos] + [(float(v), False) for v in neg]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    r = E.ranking_auc(df, "s", "y").collect()[0]
+    want = _auc_mirror(pos, neg)
+    assert (r["n_pos"], r["n_neg"]) == (len(pos), len(neg))
+    assert r["auc_micro"] == int(want * 2 * len(pos) * len(neg) * 10**6) // (
+        2 * len(pos) * len(neg)
+    )
+    assert abs(r["auc_micro"] / 1e6 - want) < 1e-6
+    # perfect separation -> AUC exactly 1; reversed -> 0
+    hi = [(10.0 + i, True) for i in range(4)] + [(float(i), False) for i in range(4)]
+    assert E.ranking_auc(
+        spark.createDataFrame(hi, "s double, y boolean"), "s", "y"
+    ).collect()[0]["auc_micro"] == 1_000_000
+    lo = [(float(i), True) for i in range(4)] + [(10.0 + i, False) for i in range(4)]
+    assert E.ranking_auc(
+        spark.createDataFrame(lo, "s double, y boolean"), "s", "y"
+    ).collect()[0]["auc_micro"] == 0
+    # degenerate: no negatives -> NULL auc
+    only_pos = spark.createDataFrame([(1.0, True)], "s double, y boolean")
+    assert E.ranking_auc(only_pos, "s", "y").collect()[0]["auc_micro"] is None
+
+
+def _gini_mirror(counts):
+    xs = sorted(counts)
+    n, tot = len(xs), sum(xs)
+    g = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs))
+    return (10**6 * g) // (n * tot)
+
+
+def test_gini_concentration_matches_bruteforce(spark):
+    from log_analysis_spark.operators import expectations as E
+
+    # keys with counts 1,1,2,5,11  (ties exercise the cell fold)
+    rows = (
+        [("a",)] + [("b",)] + [("c",)] * 2 + [("d",)] * 5 + [("e",)] * 11
+    )
+    df = spark.createDataFrame(rows, "k string")
+    r = E.gini_concentration(df, "k").collect()[0]
+    assert (r["n_keys"], r["total"]) == (5, 20)
+    assert r["gini_micro"] == _gini_mirror([1, 1, 2, 5, 11])
+    # perfectly even: gini == 0
+    even = spark.createDataFrame([(f"k{i}",) for i in range(6)] * 3, "k string")
+    assert E.gini_concentration(even, "k").collect()[0]["gini_micro"] == 0
+    # extreme concentration approaches (n-1)/n
+    skew = spark.createDataFrame([("big",)] * 96 + [("s1",), ("s2",), ("s3",), ("s4",)], "k string")
+    g = E.gini_concentration(skew, "k").collect()[0]["gini_micro"]
+    assert g == _gini_mirror([96, 1, 1, 1, 1])
+    assert g > 700_000

@@ -1493,6 +1493,92 @@ def main() -> int:
          hh_plan, notes)
     )
 
+    # ---- exact-integer statistics round (sessions 13-14) -------------------
+    # The shared discipline under audit: raw rows fold into bounded VALUE
+    # CELLS in ONE map-side-combined aggregate; every window / single-
+    # partition exchange runs over CELLS, never rows; zero Python.
+    from log_analysis_spark.operators import expectations as exp_ops2
+
+    trend = ts_ops.trend_test(ev, "ts", "event_type")
+    trend_plan = executed(trend)
+    mw = exp_ops2.rank_compare(ev, "value", "event_type", "view", "click")
+    mw_shufs = shuffle_schemas(mw)
+    mw_cells_only = all(
+        "value" not in cols and "event_type" not in cols
+        for _, cols in mw_shufs
+    )
+    ks = exp_ops2.ks_test(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "signup"),
+        "value",
+    )
+    ks_shufs = shuffle_schemas(ks)
+    chi = exp_ops2.chi2_independence(
+        ev.select("event_type", F.floor(F.hour("ts") / 6).alias("day_q")),
+        "event_type", "day_q", crit_micro=21_026_000,
+    )
+    chi_shufs = shuffle_schemas(chi)
+    chi_cells_only = all(
+        set(cols) <= {"_a", "_b", "o", "r", "c", "n", "ka", "kb",
+                      "_groupingexpression", "count"}
+        for _, cols in chi_shufs
+    )
+    auc = exp_ops2.ranking_auc(
+        ev.select(F.col("value").alias("s"),
+                  (F.col("event_type") == "purchase").alias("y")),
+        "s", "y",
+    )
+    auc_shufs = shuffle_schemas(auc)
+    gini = exp_ops2.gini_concentration(ev, "user_id")
+    gini_shufs = shuffle_schemas(gini)
+    gini_cells_only = all(
+        set(cols) <= {"x", "m", "_below", "_nk", "user_id", "count"}
+        for _, cols in gini_shufs
+    )
+    kan = exp_ops2.k_anonymity_violations(ev, ["user_id", "event_type"], 10)
+    kan_shufs = shuffle_schemas(kan)
+    cell_plans = "\n".join(
+        executed(d) for d in (mw, ks, chi, auc, gini, kan)
+    )
+    notes = [
+        check("Mann-Kendall trend: no cartesian; its one Python stage is "
+              "the whole-batch Arrow pairwise-slope fold (never "
+              "row-at-a-time)",
+              "CartesianProduct" not in trend_plan
+              and "BatchEvalPython" not in trend_plan),
+        check("Mann-Whitney: exchanges carry value CELLS (micro value, "
+              "conditional counts), never the raw value/group columns",
+              mw_cells_only, f"shuffles={[c for _, c in mw_shufs]}"),
+        check("KS drift: cumulative window runs over cells — every "
+              "single-partition exchange is cell-sized",
+              all("value" not in cols for _, cols in ks_shufs),
+              f"shuffles={[c for _, c in ks_shufs]}"),
+        check("chi-square: one (a,b) cell count; margin windows over "
+              "cells only (r/c/n attach), rows never re-shuffle",
+              chi_cells_only, f"shuffles={[c for _, c in chi_shufs]}"),
+        check("ranking AUC: rank_compare's cell plan — conditional cell "
+              "counts then a cell window, raw scores absent from "
+              "exchanges",
+              all("s" not in cols and "value" not in cols
+                  for _, cols in auc_shufs),
+              f"shuffles={[c for _, c in auc_shufs]}"),
+        check("gini: one narrow (key,count) partial shuffle, then "
+              "count-value cells; no global row_number — the only "
+              "ordered window is over cells",
+              gini_cells_only, f"shuffles={[c for _, c in gini_shufs]}"),
+        check("k-anonymity: one narrow (qi) count shuffle, no window",
+              len([s for s in kan_shufs if "hashpartitioning" in s[0]]) == 1
+              and "Window" not in executed(kan),
+              f"shuffles={[c for _, c in kan_shufs]}"),
+        check("cell-fold stats (MW/KS/chi2/AUC/gini/k-anon): zero Python "
+              "anywhere",
+              "EvalPython" not in cell_plans and "InPandas" not in cell_plans),
+    ]
+    sections.append(
+        ("Exact-integer statistics (trend, MW-U, KS, chi2, AUC, gini, "
+         "k-anon)", executed(chi), notes)
+    )
+
     # ---- write EXPLAIN.md -------------------------------------------------
     md = ["# EXPLAIN audit — physical plans vs 100 TB design intents",
           "",
