@@ -2185,6 +2185,34 @@ def q_events_k_anonymity(spark, sf_dir):
     )
 
 
+def q_events_acf(spark, sf_dir):
+    """Lag-1/lag-24 autocorrelation of the hourly count series per event
+    type — exact integer ACF over dense spine cells; the diagnostic that
+    validates seasonal_anomalies' period=24 assumption."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return timeseries.autocorrelation(ev, "ts", "event_type", lags=(1, 24))
+
+
+def q_events_active_users(spark, sf_dir):
+    """Trailing-7-day distinct active users per day (the WAU curve) —
+    exact, via distinct (user, day) presence and a bounded ×7 expand."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return timeseries.rolling_active_users(ev, "ts", "user_id", 7)
+
+
+def q_events_burn_rate(spark, sf_dir):
+    """Multi-window SLO burn-rate pages (6h AND 1h both over budget) for
+    an 80% SLO on error events — integer cross-multiplied gates over the
+    dense hour spine."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "is_err", F.col("event_type") == "error"
+    )
+    return timeseries.burn_rate_alerts(
+        ev, "ts", "is_err", slo_milli=800, thr_milli=1000,
+        long_h=6, short_h=1,
+    )
+
+
 def q_events_chi2(spark, sf_dir):
     """Chi-square independence between event_type and day-quarter
     (hour div 6) — the empty-cell-free O²N/(RC)−N identity, per-cell
@@ -2428,6 +2456,9 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_chi2": q_events_chi2,
         "events_auc": q_events_auc,
         "events_gini": q_events_gini,
+        "events_acf": q_events_acf,
+        "events_active_users": q_events_active_users,
+        "events_burn_rate": q_events_burn_rate,
         "log_templates": q_log_templates,
         "log_rare_templates": q_log_rare_templates,
         "logs_path_rollup": q_logs_path_rollup,
@@ -2705,6 +2736,9 @@ SELECT event_id, key, hour_id FROM (
         "events_chi2": _CHI2_ORACLE,
         "events_auc": _AUC_ORACLE,
         "events_gini": _GINI_ORACLE,
+        "events_acf": _ACF_ORACLE,
+        "events_active_users": _ACTIVE_USERS_ORACLE,
+        "events_burn_rate": _BURN_RATE_ORACLE,
         "events_k_anonymity": (
             "SELECT user_id, event_type, count(*) AS group_n "
             "FROM events GROUP BY 1, 2 HAVING count(*) < 10"
@@ -5432,6 +5466,108 @@ SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
         > CAST(1358000 AS HUGEINT) * 1358000 * (na + nb) * na * nb)
          AS significant
 FROM best
+"""
+
+
+_ACF_ORACLE = """
+WITH c AS (
+  SELECT event_type AS key, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+b AS (SELECT key, min(hour_id) AS mn, max(hour_id) AS mx FROM c GROUP BY 1),
+sp AS (SELECT key, unnest(generate_series(mn, mx)) AS hour_id FROM b),
+d AS (
+  SELECT sp.key, sp.hour_id, COALESCE(c.cnt, 0) AS cnt
+  FROM sp LEFT JOIN c ON sp.key = c.key AND sp.hour_id = c.hour_id
+),
+led AS (
+  SELECT key, cnt,
+         lead(cnt, 1) OVER (PARTITION BY key ORDER BY hour_id) AS l1,
+         lead(cnt, 24) OVER (PARTITION BY key ORDER BY hour_id) AS l24
+  FROM d
+),
+agg AS (
+  SELECT key, count(*) AS n, SUM(cnt) AS s,
+         SUM(CAST(cnt AS HUGEINT) * cnt) AS ss,
+         SUM(CAST(cnt AS HUGEINT) * l1) AS p1,
+         SUM(CASE WHEN l1 IS NOT NULL THEN cnt END) AS a1, SUM(l1) AS b1,
+         SUM(CAST(cnt AS HUGEINT) * l24) AS p24,
+         SUM(CASE WHEN l24 IS NOT NULL THEN cnt END) AS a24, SUM(l24) AS b24
+  FROM led GROUP BY key
+),
+lg AS (
+  SELECT key, 1 AS lag, n,
+         CAST(n AS HUGEINT) * n * p1 - CAST(n AS HUGEINT) * s * (a1 + b1)
+           + CAST(n - 1 AS HUGEINT) * s * s AS num,
+         CAST(n AS HUGEINT) * n * ss - CAST(n AS HUGEINT) * s * s AS den
+  FROM agg
+  UNION ALL
+  SELECT key, 24, n,
+         CAST(n AS HUGEINT) * n * p24 - CAST(n AS HUGEINT) * s * (a24 + b24)
+           + CAST(n - 24 AS HUGEINT) * s * s,
+         CAST(n AS HUGEINT) * n * ss - CAST(n AS HUGEINT) * s * s
+  FROM agg
+)
+SELECT key AS event_type, lag, CAST(n AS BIGINT) AS n_hours,
+       CASE WHEN den > 0 AND n > lag THEN
+         CAST(CASE WHEN num >= 0 THEN (1000000 * num) // den
+                   ELSE -((1000000 * (-num)) // den) END AS BIGINT)
+       END AS acf_micro
+FROM lg
+"""
+
+
+_ACTIVE_USERS_ORACLE = """
+WITH pres AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+mx AS (SELECT max(d) AS mx FROM pres),
+expd AS (SELECT u, unnest(generate_series(d, d + 6)) AS day_id FROM pres)
+SELECT day_id, count(DISTINCT u) AS active_users
+FROM expd, mx WHERE day_id <= mx GROUP BY day_id
+"""
+
+
+_BURN_RATE_ORACLE = """
+WITH h AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id, count(*) AS tot,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS err
+  FROM events GROUP BY 1
+),
+b AS (SELECT min(hour_id) AS mn, max(hour_id) AS mx FROM h),
+sp AS (SELECT unnest(generate_series(mn, mx)) AS hour_id FROM b),
+d AS (
+  SELECT sp.hour_id, COALESCE(tot, 0) AS tot, COALESCE(err, 0) AS err
+  FROM sp LEFT JOIN h ON sp.hour_id = h.hour_id
+),
+r AS (
+  SELECT hour_id,
+         SUM(tot) OVER (ORDER BY hour_id
+           ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS tot_long,
+         SUM(err) OVER (ORDER BY hour_id
+           ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS err_long,
+         tot AS tot_short, err AS err_short
+  FROM d
+)
+SELECT hour_id, CAST(tot_long AS BIGINT) AS tot_long,
+       CAST(err_long AS BIGINT) AS err_long,
+       CAST((1000000 * CAST(err_long AS HUGEINT))
+            // (CAST(tot_long AS HUGEINT) * 200) AS BIGINT)
+         AS burn_long_milli,
+       CAST(tot_short AS BIGINT) AS tot_short,
+       CAST(err_short AS BIGINT) AS err_short,
+       CAST((1000000 * CAST(err_short AS HUGEINT))
+            // (CAST(tot_short AS HUGEINT) * 200) AS BIGINT)
+         AS burn_short_milli
+FROM r
+WHERE tot_long > 0 AND tot_short > 0
+  AND 1000000 * CAST(err_long AS HUGEINT)
+      > 1000 * CAST(tot_long AS HUGEINT) * 200
+  AND 1000000 * CAST(err_short AS HUGEINT)
+      > 1000 * CAST(tot_short AS HUGEINT) * 200
 """
 
 

@@ -1120,3 +1120,222 @@ def trend_from_counts(
 
     out = dense.groupBy("key").applyInPandas(fold, schema=out_schema)
     return out.withColumnRenamed("key", key_col)
+
+
+# ---------------------------------------------------------------------------
+# Lag-k autocorrelation, rolling active users, SLO burn-rate alerts
+# ---------------------------------------------------------------------------
+
+
+def autocorrelation(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    lags: tuple[int, ...] = (1, 24),
+) -> DataFrame:
+    """Sample autocorrelation of the hourly count series at chosen lags,
+    per key -> (key, lag, n_hours, acf_micro): lag 1 answers "is load
+    momentum real?", lag 24 answers "is there a daily cycle?" — the
+    diagnostic that tells you whether `seasonal_anomalies`' period=24
+    assumption actually holds for this key.
+
+    Exact integers: with spine counts x_1..x_n (dense, zeros filled),
+    S = Σx, SS = Σx², and per lag k the pair sums P = Σ x_t·x_{t+k},
+    A = Σ_{t≤n-k} x_t, B = Σ_{t>k} x_t, the textbook ACF r_k
+    multiplies out to
+
+        num·n² = n²·P − n·S·(A+B) + (n−k)·S²
+        den·n² = n²·SS − n·S²
+
+    so acf_micro = (1e6·num) div den over DECIMAL(38,0) — one integral
+    division per (key, lag), truncation TOWARD ZERO (Spark `div`; the
+    oracle spells the same with CASE/abs since `//` floors).  A constant
+    series (den = 0) yields NULL.
+
+    Scale shape: one (key, hour) count aggregate; ONE ordered window per
+    key over spine CELLS computes every lag's lead column in a single
+    pass (≤ 8760 rows per key-year); a per-key aggregate finishes.  The
+    raw stream never re-shuffles."""
+    if not lags or any(int(k) <= 0 for k in lags):
+        raise ValueError(f"lags must be positive, got {lags!r}")
+    lags = tuple(int(k) for k in lags)
+    counts = hourly_counts(df, ts_col, key_col)
+    spine = (
+        counts.groupBy("key")
+        .agg(F.min("hour_id").alias("_mn"), F.max("hour_id").alias("_mx"))
+        .select("key", F.explode(F.sequence("_mn", "_mx")).alias("hour_id"))
+    )
+    dense = spine.join(counts, ["key", "hour_id"], "left").select(
+        "key", "hour_id", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("key").orderBy("hour_id")
+    led = dense.select(
+        "key",
+        "cnt",
+        *[F.lead("cnt", k).over(w).alias(f"_l{k}") for k in lags],
+    )
+    dec = "CAST({} AS DECIMAL(38,0))"
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("s"),
+        F.sum(F.expr(dec.format("cnt") + " * cnt")).alias("ss"),
+    ]
+    for k in lags:
+        aggs += [
+            F.sum(F.expr(dec.format("cnt") + f" * _l{k}")).alias(f"p{k}"),
+            F.sum(F.when(F.col(f"_l{k}").isNotNull(), F.col("cnt"))).alias(
+                f"a{k}"
+            ),
+            F.sum(F.col(f"_l{k}")).alias(f"b{k}"),
+        ]
+    per_key = led.groupBy("key").agg(*aggs)
+    lag_structs = []
+    for k in lags:
+        num = (
+            f"(CAST(n AS DECIMAL(38,0)) * n * p{k}"
+            f" - CAST(n AS DECIMAL(38,0)) * s * (a{k} + b{k})"
+            f" + CAST(n - {k} AS DECIMAL(38,0)) * s * s)"
+        )
+        den = (
+            "(CAST(n AS DECIMAL(38,0)) * n * ss"
+            " - CAST(n AS DECIMAL(38,0)) * s * s)"
+        )
+        lag_structs.append(
+            F.struct(
+                F.lit(k).alias("lag"),
+                F.expr(
+                    f"CASE WHEN {den} > 0 AND n > {k} THEN "
+                    f"CAST((1000000 * {num}) div {den} AS BIGINT) END"
+                ).alias("acf_micro"),
+            )
+        )
+    return per_key.select(
+        F.col("key").alias(key_col),
+        F.col("n").cast("long").alias("n_hours"),
+        F.explode(F.array(*lag_structs)).alias("_x"),
+    ).select(key_col, F.col("_x.lag").alias("lag"), "n_hours", "_x.acf_micro")
+
+
+def rolling_active_users(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing-window distinct actives per day (the WAU/MAU curve) ->
+    (day_id, active_users): for each observed day, how many distinct
+    users had >= 1 event in the ``window_days`` days ending on it.
+
+    Exact by construction — no sketch: the raw stream first compresses
+    to DISTINCT (user, day) presence (one narrow shuffle), each presence
+    row then contributes to ``window_days`` output days via a bounded
+    sequence-explode (fan-out is on the COMPRESSED table — a user with
+    10^4 events a day still explodes x7, not x70000), and one
+    count-distinct per day finishes.  Output days clip to the observed
+    [min_day, max_day] (no phantom trailing days); leading days carry
+    partial windows by definition (there is nothing earlier to count).
+
+    Scale shape: shuffles carry (user, day) pairs and (day, user)
+    expansion cells only; a rolling DISTINCT is not window-expressible
+    without holding per-day user sets — this shape is the exact
+    distributed form."""
+    if window_days <= 0:
+        raise ValueError(f"window_days must be positive, got {window_days}")
+    day = F.floor(F.unix_timestamp(F.col(ts_col)) / 86400).cast("long")
+    presence = (
+        df.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(F.col(user_col).alias("_u"), day.alias("_d"))
+        .distinct()
+    )
+    bounds = presence.groupBy().agg(
+        F.max("_d").alias("_mx")
+    )
+    expanded = presence.select(
+        "_u",
+        F.explode(
+            F.sequence(F.col("_d"), F.col("_d") + (window_days - 1))
+        ).alias("day_id"),
+    ).join(F.broadcast(bounds), F.col("day_id") <= F.col("_mx"), "inner")
+    return (
+        expanded.groupBy("day_id")
+        .agg(F.count_distinct("_u").alias("active_users"))
+    )
+
+
+def burn_rate_alerts(
+    df: DataFrame,
+    ts_col: str,
+    error_col: str,
+    slo_milli: int = 999,
+    thr_milli: int = 1000,
+    long_h: int = 6,
+    short_h: int = 1,
+) -> DataFrame:
+    """Multi-window SLO error-budget burn-rate alerting (the Google SRE
+    workbook rule): page when the error rate, expressed as a multiple of
+    the SLO's error budget, exceeds ``thr_milli``/1000 over BOTH a long
+    window (is it sustained?) and a short window (is it still
+    happening?).  The long window alone pages an hour late; the short
+    alone pages on blips — the AND is the point.
+
+    Exact integers, cross-multiplied (budget = (1000−slo_milli)/1000):
+
+        burn > thr  ⟺  10^6·err > thr_milli·tot·(1000−slo_milli)
+
+    evaluated on trailing ROWS windows over the DENSE hour spine (zeros
+    filled — an outage with zero traffic must not freeze the window);
+    burn_*_milli = (10^6·err) div (tot·(1000−slo_milli)) is reported for
+    the pager.  Hours with an empty window (tot = 0) never alert.
+
+    Scale shape: one hourly (tot, err) conditional-count aggregate; both
+    rolling windows come from ONE ordered window pass over spine cells;
+    output is alert hours only."""
+    if not 0 < slo_milli < 1000:
+        raise ValueError(f"slo_milli must be in (0,1000), got {slo_milli}")
+    if thr_milli <= 0 or long_h <= 0 or short_h <= 0 or short_h > long_h:
+        raise ValueError("need thr_milli>0 and 0 < short_h <= long_h")
+    hour = F.floor(F.unix_timestamp(F.col(ts_col)) / 3600).cast("long")
+    hourly = (
+        df.select(hour.alias("hour_id"), F.col(error_col).cast("int").alias("_e"))
+        .groupBy("hour_id")
+        .agg(
+            F.count(F.lit(1)).alias("tot"),
+            F.sum(F.coalesce("_e", F.lit(0))).alias("err"),
+        )
+    )
+    spine = hourly.groupBy().agg(
+        F.min("hour_id").alias("_mn"), F.max("hour_id").alias("_mx")
+    ).select(F.explode(F.sequence("_mn", "_mx")).alias("hour_id"))
+    dense = spine.join(hourly, ["hour_id"], "left").select(
+        "hour_id",
+        F.coalesce("tot", F.lit(0)).cast("long").alias("tot"),
+        F.coalesce("err", F.lit(0)).cast("long").alias("err"),
+    )
+    w = Window.orderBy("hour_id")
+    rolled = dense.select(
+        "hour_id",
+        F.sum("tot").over(w.rowsBetween(-(long_h - 1), 0)).alias("tot_long"),
+        F.sum("err").over(w.rowsBetween(-(long_h - 1), 0)).alias("err_long"),
+        F.sum("tot").over(w.rowsBetween(-(short_h - 1), 0)).alias("tot_short"),
+        F.sum("err").over(w.rowsBetween(-(short_h - 1), 0)).alias("err_short"),
+    )
+    budget = 1000 - int(slo_milli)
+    exceeds = lambda e, t: (  # noqa: E731
+        F.expr(f"CAST(1000000 AS DECIMAL(38,0)) * {e}")
+        > F.expr(f"CAST({int(thr_milli)} AS DECIMAL(38,0)) * {t} * {budget}")
+    ) & (F.col(t) > 0)
+    burn = lambda e, t: F.expr(  # noqa: E731
+        f"CAST((CAST(1000000 AS DECIMAL(38,0)) * {e})"
+        f" div (CAST({t} AS DECIMAL(38,0)) * {budget}) AS BIGINT)"
+    )
+    return rolled.filter(
+        exceeds("err_long", "tot_long") & exceeds("err_short", "tot_short")
+    ).select(
+        "hour_id",
+        F.col("tot_long").cast("long").alias("tot_long"),
+        F.col("err_long").cast("long").alias("err_long"),
+        burn("err_long", "tot_long").alias("burn_long_milli"),
+        F.col("tot_short").cast("long").alias("tot_short"),
+        F.col("err_short").cast("long").alias("err_short"),
+        burn("err_short", "tot_short").alias("burn_short_milli"),
+    )

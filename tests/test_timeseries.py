@@ -759,3 +759,178 @@ def test_trend_guards(spark):
         T.trend_test(df, "ts", "k", max_hours=1)
     with pytest.raises(Exception, match="max_hours"):
         T.trend_test(df, "ts", "k", max_hours=3).collect()
+
+
+# ---------------------------------------------------------------------------
+# Lag-k autocorrelation
+# ---------------------------------------------------------------------------
+
+
+def _acf_mirror(xs, k):
+    n, S = len(xs), sum(xs)
+    SS = sum(x * x for x in xs)
+    P = sum(xs[t] * xs[t + k] for t in range(n - k))
+    A = sum(xs[: n - k])
+    B = sum(xs[k:])
+    num = n * n * P - n * S * (A + B) + (n - k) * S * S
+    den = n * n * SS - n * S * S
+    if den <= 0 or n <= k:
+        return None
+    q, r = divmod(1_000_000 * abs(num), den)
+    return q if num >= 0 else -q  # trunc toward zero
+
+
+def _hourly_events(spark, counts, key="k"):
+    """One event row per unit of each hourly count, hours are contiguous."""
+    rows = []
+    eid = 0
+    for h, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((key, dt.datetime(2024, 1, 1, tzinfo=None)
+                         + dt.timedelta(hours=h, minutes=1), eid))
+            eid += 1
+    return spark.createDataFrame(rows, "key string, ts timestamp, i long")
+
+
+def test_autocorrelation_matches_bruteforce(spark):
+    from log_analysis_spark.operators import timeseries as TS
+
+    # period-3 sawtooth plus a gap hour (zero-filled by the spine)
+    counts = [5, 1, 0, 5, 1, 0, 5, 1, 0, 5, 1, 0]
+    df = _hourly_events(spark, counts)
+    out = {
+        r["lag"]: (r["n_hours"], r["acf_micro"])
+        for r in TS.autocorrelation(df, "ts", "key", lags=(1, 3)).collect()
+    }
+    # NOTE the spine runs first-event-hour .. last-event-hour: trailing
+    # zero hours have no events, so the observed series drops them
+    obs = counts[: max(i for i, c in enumerate(counts) if c) + 1]
+    assert out[1] == (len(obs), _acf_mirror(obs, 1))
+    assert out[3] == (len(obs), _acf_mirror(obs, 3))
+    assert out[3][1] > 700_000       # strong period-3 self-similarity
+    assert out[1][1] < 0             # sawtooth anti-correlates at lag 1
+
+
+def test_autocorrelation_constant_and_guards(spark):
+    from log_analysis_spark.operators import timeseries as TS
+
+    df = _hourly_events(spark, [4, 4, 4, 4])
+    rows = TS.autocorrelation(df, "ts", "key", lags=(1,)).collect()
+    assert rows[0]["acf_micro"] is None   # zero variance
+    with pytest.raises(ValueError):
+        TS.autocorrelation(df, "ts", "key", lags=())
+    with pytest.raises(ValueError):
+        TS.autocorrelation(df, "ts", "key", lags=(0,))
+
+
+# ---------------------------------------------------------------------------
+# Rolling distinct active users
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_active_users_matches_bruteforce(spark):
+    from log_analysis_spark.operators import timeseries as TS
+
+    base = dt.datetime(2024, 3, 1)
+    # (user, day) presence: u1 daily, u2 every 3rd day, u3 once
+    ev = []
+    for d in range(10):
+        ev.append((1, base + dt.timedelta(days=d, hours=2)))
+        ev.append((1, base + dt.timedelta(days=d, hours=5)))  # dup presence
+        if d % 3 == 0:
+            ev.append((2, base + dt.timedelta(days=d)))
+    ev.append((3, base + dt.timedelta(days=4)))
+    df = spark.createDataFrame(ev, "user_id long, ts timestamp")
+    out = {
+        r["day_id"]: r["active_users"]
+        for r in TS.rolling_active_users(df, "ts", "user_id", 7).collect()
+    }
+    presence = {(u, (t - dt.datetime(1970, 1, 1)).days) for u, t in ev}
+    days = sorted({d for _, d in presence})
+    lo, hi = min(days), max(days)
+    want = {
+        d: len({u for (u, pd) in presence if d - 6 <= pd <= d})
+        for d in range(lo, hi + 1)
+    }
+    assert out == want
+    assert max(out.values()) == 3      # day 4..6 window catches all three
+    with pytest.raises(ValueError):
+        TS.rolling_active_users(df, "ts", "user_id", 0)
+
+
+# ---------------------------------------------------------------------------
+# SLO burn-rate alerts
+# ---------------------------------------------------------------------------
+
+
+def test_burn_rate_alerts_multiwindow(spark):
+    from log_analysis_spark.operators import timeseries as TS
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+
+    def hour(h, tot, err):
+        for i in range(tot):
+            rows.append((base + dt.timedelta(hours=h, minutes=i % 50),
+                         i < err))
+
+    # hours 0-5 healthy (1/100), hour 6-7 a sustained burn (40/100),
+    # hour 8 recovered (0/100), hour 9 a one-hour blip (40/100) whose
+    # LONG window stays under threshold -> no page
+    for h in range(6):
+        hour(h, 100, 1)
+    hour(6, 100, 40)
+    hour(7, 100, 40)
+    for h in range(8, 9):
+        hour(h, 100, 0)
+    df = spark.createDataFrame(rows, "ts timestamp, is_err boolean")
+    # slo 99% -> budget 10 milli; thr 3000 -> page when burn > 3x budget
+    out = {
+        r["hour_id"]: r
+        for r in TS.burn_rate_alerts(
+            df, "ts", "is_err", slo_milli=990, thr_milli=3000,
+            long_h=6, short_h=1,
+        ).collect()
+    }
+    h0 = int(base.timestamp()) // 3600
+    # hour 6: long window errs = 1*5+40 = 45/600 = 7.5% = 7.5x budget > 3x
+    #          short = 40% = 40x budget -> page
+    assert h0 + 6 in out and h0 + 7 in out
+    assert out[h0 + 6]["burn_short_milli"] == 40_000
+    assert out[h0 + 6]["err_long"] == 45
+    assert out[h0 + 6]["burn_long_milli"] == (10**6 * 45) // (600 * 10)
+    # healthy hours never page; hour 8's short window is clean
+    assert all(h not in out for h in (h0, h0 + 1, h0 + 5, h0 + 8))
+    # exact-integer replay of the engine's gate on hour 7
+    r7 = out[h0 + 7]
+    assert 10**6 * r7["err_short"] > 3000 * r7["tot_short"] * 10
+    with pytest.raises(ValueError):
+        TS.burn_rate_alerts(df, "ts", "is_err", slo_milli=1000)
+    with pytest.raises(ValueError):
+        TS.burn_rate_alerts(df, "ts", "is_err", long_h=1, short_h=2)
+
+
+def test_burn_rate_blip_vs_sustained(spark):
+    from log_analysis_spark.operators import timeseries as TS
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for h in range(12):
+        err = 30 if h == 9 else 0          # a single-hour blip
+        for i in range(100):
+            rows.append((base + dt.timedelta(hours=h, minutes=i % 50),
+                         i < err))
+    df = spark.createDataFrame(rows, "ts timestamp, is_err boolean")
+    # long window 6h: blip dilutes to 30/600 = 5% = 5x budget of 1%
+    # -> with thr 6x the long window gate holds the page back
+    out = TS.burn_rate_alerts(
+        df, "ts", "is_err", slo_milli=990, thr_milli=6000,
+        long_h=6, short_h=1,
+    ).collect()
+    assert out == []
+    # but a lower threshold pages exactly the blip hour
+    out2 = TS.burn_rate_alerts(
+        df, "ts", "is_err", slo_milli=990, thr_milli=3000,
+        long_h=6, short_h=1,
+    ).collect()
+    assert [r["hour_id"] for r in out2] == [int(base.timestamp()) // 3600 + 9]

@@ -1579,6 +1579,55 @@ def main() -> int:
          "k-anon)", executed(chi), notes)
     )
 
+    # ---- ACF / rolling actives / burn-rate (session-14) --------------------
+    acf = ts_ops.autocorrelation(ev, "ts", "event_type", lags=(1, 24))
+    acf_plan = executed(acf)
+    acf_shufs = shuffle_schemas(acf)
+    rau = ts_ops.rolling_active_users(ev, "ts", "user_id", 7)
+    rau_plan = executed(rau)
+    rau_shufs = shuffle_schemas(rau)
+    rau_ok = all(
+        set(cols) <= {"_u", "_d", "day_id", "count", "_mx", "max",
+                      "_groupingexpression"}
+        for _, cols in rau_shufs
+    )
+    brn = ts_ops.burn_rate_alerts(
+        ev.withColumn("is_err", F.col("event_type") == "error"),
+        "ts", "is_err", slo_milli=800, thr_milli=1000, long_h=6, short_h=1,
+    )
+    brn_plan = executed(brn)
+    brn_shufs = shuffle_schemas(brn)
+    brn_ok = all(
+        set(cols) <= {"hour_id", "tot", "err", "count", "sum", "min",
+                      "max", "_mn", "_mx"}
+        for _, cols in brn_shufs
+    )
+    notes = [
+        check("autocorrelation: ALL lags come from ONE window pass per "
+              "key (exactly one Window node), spine cells only in "
+              "exchanges, zero Python",
+              acf_plan.count("Window") == 1
+              and "EvalPython" not in acf_plan
+              and all("value" not in c and "props" not in c
+                      for _, c in acf_shufs),
+              f"shuffles={[c for _, c in acf_shufs]}"),
+        check("rolling actives: raw stream compresses to DISTINCT "
+              "(user,day) BEFORE the x7 expand — exchanges carry "
+              "presence/expansion cells, the max-day attach is a 1-row "
+              "broadcast",
+              rau_ok and "BroadcastNestedLoopJoin" in rau_plan,
+              f"shuffles={[c for _, c in rau_shufs]}"),
+        check("burn-rate: one hourly conditional-count aggregate; both "
+              "rolling windows in ONE Window node over dense spine "
+              "cells; zero Python",
+              brn_ok and brn_plan.count("Window") == 1
+              and "EvalPython" not in brn_plan,
+              f"shuffles={[c for _, c in brn_shufs]}"),
+    ]
+    sections.append(
+        ("ACF / rolling distinct actives / SLO burn-rate", brn_plan, notes)
+    )
+
     # ---- write EXPLAIN.md -------------------------------------------------
     md = ["# EXPLAIN audit — physical plans vs 100 TB design intents",
           "",
