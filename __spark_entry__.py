@@ -2213,6 +2213,47 @@ def q_events_burn_rate(spark, sf_dir):
     )
 
 
+def q_events_psi_drift(spark, sf_dir):
+    """PSI between 'purchase' and 'signup' value distributions in
+    width-0.5 bins — Laplace-smoothed micro-nat bin terms, one integral
+    division; the weighted-bin complement of the KS sup test."""
+    from log_analysis_spark.operators import expectations
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return expectations.psi_drift(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "signup"),
+        "value",
+        width=0.5,
+    )
+
+
+def q_streaming_active_users(spark, sf_dir):
+    """§2.9 streaming WAU: the presence set folded through the versioned
+    exactly-once state protocol, finished by the SAME
+    active_users_from_presence as the batch path — drained snapshot
+    equals the batch oracle exactly."""
+    import os
+    import shutil
+    import tempfile
+
+    from log_analysis_spark.streaming.sketch_stream import (
+        run_stream_active_users,
+    )
+
+    work = tempfile.mkdtemp(prefix="wau_stream_")
+    os.makedirs(f"{work}/src")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{work}/src/drop0.parquet")
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    )
+    return run_stream_active_users(
+        spark, f"{work}/src", f"{work}/state", "ts", "user_id", schema,
+        window_days=7,
+    )
+
+
 def q_events_chi2(spark, sf_dir):
     """Chi-square independence between event_type and day-quarter
     (hour div 6) — the empty-cell-free O²N/(RC)−N identity, per-cell
@@ -2459,6 +2500,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_acf": q_events_acf,
         "events_active_users": q_events_active_users,
         "events_burn_rate": q_events_burn_rate,
+        "events_psi_drift": q_events_psi_drift,
+        "streaming_active_users": q_streaming_active_users,
         "log_templates": q_log_templates,
         "log_rare_templates": q_log_rare_templates,
         "logs_path_rollup": q_logs_path_rollup,
@@ -2739,6 +2782,8 @@ SELECT event_id, key, hour_id FROM (
         "events_acf": _ACF_ORACLE,
         "events_active_users": _ACTIVE_USERS_ORACLE,
         "events_burn_rate": _BURN_RATE_ORACLE,
+        "events_psi_drift": _PSI_ORACLE,
+        "streaming_active_users": _ACTIVE_USERS_ORACLE,
         "events_k_anonymity": (
             "SELECT user_id, event_type, count(*) AS group_n "
             "FROM events GROUP BY 1, 2 HAVING count(*) < 10"
@@ -5528,6 +5573,40 @@ mx AS (SELECT max(d) AS mx FROM pres),
 expd AS (SELECT u, unnest(generate_series(d, d + 6)) AS day_id FROM pres)
 SELECT day_id, count(DISTINCT u) AS active_users
 FROM expd, mx WHERE day_id <= mx GROUP BY day_id
+"""
+
+
+_PSI_ORACLE = """
+WITH ca_ AS (
+  SELECT CAST(floor(CAST(round(value * 1000000) AS BIGINT) / 500000.0)
+              AS BIGINT) AS bin, count(*) AS c
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL GROUP BY 1
+),
+cb_ AS (
+  SELECT CAST(floor(CAST(round(value * 1000000) AS BIGINT) / 500000.0)
+              AS BIGINT) AS bin, count(*) AS c
+  FROM events WHERE event_type = 'signup' AND value IS NOT NULL GROUP BY 1
+),
+j AS (
+  SELECT COALESCE(ca_.c, 0) + 1 AS ca, COALESCE(cb_.c, 0) + 1 AS cb
+  FROM ca_ FULL OUTER JOIN cb_ ON ca_.bin = cb_.bin
+),
+t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb, COUNT(*) AS n_bins FROM j),
+s AS (
+  SELECT t.na, t.nb, t.n_bins,
+    SUM((CAST(ca AS HUGEINT) * t.nb - CAST(cb AS HUGEINT) * t.na)
+      * (CAST(round(ln(CAST(CAST(ca AS HUGEINT) * t.nb AS DOUBLE))
+                    * 1000000) AS BIGINT)
+       - CAST(round(ln(CAST(CAST(cb AS HUGEINT) * t.na AS DOUBLE))
+                    * 1000000) AS BIGINT))) AS sm
+  FROM j, t GROUP BY t.na, t.nb, t.n_bins
+)
+SELECT CAST(na - n_bins AS BIGINT) AS n_a,
+       CAST(nb - n_bins AS BIGINT) AS n_b,
+       CAST(n_bins AS BIGINT) AS n_bins,
+       CAST(sm // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS psi_micro,
+       (sm // (CAST(na AS HUGEINT) * nb)) > 200000 AS drifted
+FROM s
 """
 
 

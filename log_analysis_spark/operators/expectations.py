@@ -808,3 +808,88 @@ def gini_concentration(
         F.col("_tot").cast("long").alias("total"),
         gini.alias("gini_micro"),
     )
+
+
+def psi_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    val_col: str,
+    width: float = 1.0,
+    thr_micro: int = 200_000,
+) -> DataFrame:
+    """Population Stability Index between two samples of ``val_col``
+    (the scorecard-monitoring classic): PSI = Σ (p_a−p_b)·ln(p_a/p_b)
+    over value bins.  KS answers "did the distribution change
+    anywhere?"; PSI weights every bin's change and is the number teams
+    alert on (>0.2 = investigate — the default ``thr_micro``).
+
+    Deterministic binning: micro-quantized values fall into fixed-width
+    bins (``floor(v_micro / width_micro)``) — no data-dependent quantile
+    edges, so two engines and two runs agree bit-for-bit.  Bins observed
+    in EITHER sample get +1 Laplace smoothing on BOTH sides (the
+    standard empty-bin fix, documented rather than an arbitrary
+    epsilon), so with B bins the smoothed totals are n+B.
+
+    Exact integers: with smoothed cell counts ca', cb' and totals na',
+    nb', each bin's term is
+
+        (p_a−p_b)·ln(p_a/p_b)
+          = [(ca'·nb' − cb'·na') · (L(ca'·nb') − L(cb'·na'))] / (na'·nb')
+
+    with L(x) = round(ln(x)·1e6) micro-nats (the column_entropy rule).
+    Both factors always share a sign, so every term is ≥ 0 and the one
+    final integral division has no floor/trunc ambiguity:
+    psi_micro = Σ terms div (na'·nb') in DECIMAL(38,0).
+
+    Scale shape: one (bin) cell count per side (map-side combined), a
+    full-outer join of two BIN tables (bounded by value range / width,
+    not rows), a 1-row finish."""
+    if width <= 0:
+        raise ValueError(f"width must be positive, got {width}")
+    if thr_micro <= 0:
+        raise ValueError(f"thr_micro must be positive, got {thr_micro}")
+    width_micro = round(width * 1_000_000)
+    v = F.round(F.col(val_col) * 1_000_000).cast("long")
+    bin_of = F.floor(v / F.lit(width_micro)).cast("long")
+
+    def cells(df, out):
+        return (
+            df.filter(F.col(val_col).isNotNull())
+            .select(bin_of.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    joined = cells(df_a, "ca").join(cells(df_b, "cb"), ["bin"], "full_outer")
+    sm = joined.select(
+        (F.coalesce("ca", F.lit(0)) + 1).alias("ca"),
+        (F.coalesce("cb", F.lit(0)) + 1).alias("cb"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    tot = sm.groupBy().agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+    # one-row totals broadcast back onto the bounded bin table
+    staged = sm.crossJoin(F.broadcast(tot))
+    l_of = lambda c: F.round(F.log(c) * 1_000_000).cast("long")  # noqa: E731
+    x = dec("ca") * dec("nb")
+    y = dec("cb") * dec("na")
+    term = (x - y) * (l_of(x.cast("double")) - l_of(y.cast("double"))).cast(
+        "decimal(38,0)"
+    )
+    agg = staged.groupBy().agg(
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+        F.max("n_bins").alias("n_bins"),
+        F.sum(term).alias("_s"),
+    )
+    psi = F.expr("_s div (CAST(na AS DECIMAL(38,0)) * nb)").cast("long")
+    return agg.select(
+        (F.col("na") - F.col("n_bins")).cast("long").alias("n_a"),
+        (F.col("nb") - F.col("n_bins")).cast("long").alias("n_b"),
+        F.col("n_bins").cast("long").alias("n_bins"),
+        psi.alias("psi_micro"),
+        (psi > F.lit(int(thr_micro))).alias("drifted"),
+    )

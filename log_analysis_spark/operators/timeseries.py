@@ -1241,12 +1241,33 @@ def rolling_active_users(
     distributed form."""
     if window_days <= 0:
         raise ValueError(f"window_days must be positive, got {window_days}")
+    return active_users_from_presence(
+        user_day_presence(df, ts_col, user_col), window_days
+    )
+
+
+def user_day_presence(
+    df: DataFrame, ts_col: str, user_col: str
+) -> DataFrame:
+    """DISTINCT (user, day) presence — the mergeable state the streaming
+    twin folds per micro-batch (presence is a SET: union-distinct across
+    batches is order-independent, so streaming == batch exactly)."""
     day = F.floor(F.unix_timestamp(F.col(ts_col)) / 86400).cast("long")
-    presence = (
+    return (
         df.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
         .select(F.col(user_col).alias("_u"), day.alias("_d"))
         .distinct()
     )
+
+
+def active_users_from_presence(
+    presence: DataFrame, window_days: int = 7
+) -> DataFrame:
+    """The expand + count-distinct finisher over a (_u, _d) presence
+    table — shared verbatim by the batch and streaming paths so the two
+    can never drift."""
+    if window_days <= 0:
+        raise ValueError(f"window_days must be positive, got {window_days}")
     bounds = presence.groupBy().agg(
         F.max("_d").alias("_mx")
     )

@@ -235,3 +235,47 @@ def run_stream_cusum_hours(
     return timeseries.cusum_from_counts(
         final, key_col, k_milli=k_milli, h_mult=h_mult
     )
+
+
+def run_stream_active_users(
+    spark: SparkSession,
+    src_path: str,
+    state_dir: str,
+    ts_col: str,
+    user_col: str,
+    schema: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Streaming rolling-distinct-actives: micro-batches fold into a
+    persisted DISTINCT (user, day) presence set — presence is pure set
+    union, so the maintained state is IDENTICAL to batch presence over
+    the concatenated history regardless of batch boundaries, and the
+    final WAU curve comes from the SAME
+    ``timeseries.active_users_from_presence`` the batch operator runs.
+    State is bounded by (users × observed days), not event volume; the
+    same exactly-once version protocol as the sketch streams."""
+    from log_analysis_spark.operators import timeseries
+
+    stream = spark.readStream.schema(schema).parquet(src_path)
+    sk_dir = f"{state_dir}/presence"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        new = timeseries.user_day_presence(batch_df, ts_col, user_col)
+        prev_v = _latest_version(sk_dir, batch_id)
+        if prev_v is not None:
+            prev = spark.read.parquet(f"{sk_dir}/version={prev_v}")
+            new = new.unionByName(prev).distinct()
+        new.write.mode("overwrite").parquet(f"{sk_dir}/version={batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{state_dir}/ckpt_presence")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    v = _latest_version(sk_dir, 1 << 62)
+    if v is None:
+        raise RuntimeError("no micro-batch produced state")
+    final = spark.read.parquet(f"{sk_dir}/version={v}")
+    return timeseries.active_users_from_presence(final, window_days)

@@ -1004,3 +1004,64 @@ def test_gini_concentration_matches_bruteforce(spark):
     g = E.gini_concentration(skew, "k").collect()[0]["gini_micro"]
     assert g == _gini_mirror([96, 1, 1, 1, 1])
     assert g > 700_000
+
+
+# ---------------------------------------------------------------------------
+# PSI drift
+# ---------------------------------------------------------------------------
+
+
+def _psi_mirror(a_vals, b_vals, width=1.0, thr_micro=200_000):
+    import math
+    from collections import Counter
+
+    wm = round(width * 1_000_000)
+    ba = Counter(round(v * 1_000_000) // wm for v in a_vals)
+    bb = Counter(round(v * 1_000_000) // wm for v in b_vals)
+    bins = set(ba) | set(bb)
+    B = len(bins)
+    na, nb = len(a_vals) + B, len(b_vals) + B
+    L = lambda x: round(math.log(x) * 1_000_000)  # noqa: E731
+    s = 0
+    for bn in bins:
+        x = (ba.get(bn, 0) + 1) * nb
+        y = (bb.get(bn, 0) + 1) * na
+        s += (x - y) * (L(x) - L(y))
+    psi = s // (na * nb)
+    return psi, B, psi > thr_micro
+
+
+def test_psi_drift_matches_mirror_and_detects_shift(spark):
+    from log_analysis_spark.operators import expectations as E
+
+    a = [0.1, 0.4, 1.2, 1.3, 2.9, 3.3, 3.4, 0.2, 1.1, 2.2]
+    b = [0.3, 0.5, 1.1, 1.9, 2.1, 3.1, 9.5]        # one far-out bin
+    da = spark.createDataFrame([(float(v),) for v in a], "v double")
+    db = spark.createDataFrame([(float(v),) for v in b], "v double")
+    r = E.psi_drift(da, db, "v", width=1.0).collect()[0]
+    psi, B, drifted = _psi_mirror(a, b)
+    assert (r["psi_micro"], r["n_bins"], r["drifted"]) == (psi, B, drifted)
+    assert (r["n_a"], r["n_b"]) == (len(a), len(b))
+    # identical samples: psi == 0, never drifted
+    r2 = E.psi_drift(da, da, "v", width=1.0).collect()[0]
+    assert r2["psi_micro"] == 0 and not r2["drifted"]
+    # a gross shift drifts
+    dc = spark.createDataFrame([(float(v + 50),) for v in a], "v double")
+    r3 = E.psi_drift(da, dc, "v", width=1.0).collect()[0]
+    assert r3["drifted"] and r3["psi_micro"] > 1_000_000
+    with pytest.raises(ValueError):
+        E.psi_drift(da, db, "v", width=0.0)
+    with pytest.raises(ValueError):
+        E.psi_drift(da, db, "v", thr_micro=0)
+
+
+def test_psi_drift_negative_values_bin_by_floor(spark):
+    from log_analysis_spark.operators import expectations as E
+
+    a = [-2.5, -1.2, -0.1, 0.1, 1.2]
+    b = [-2.6, -0.9, 0.4, 0.2, 1.9, 2.4]
+    da = spark.createDataFrame([(float(v),) for v in a], "v double")
+    db = spark.createDataFrame([(float(v),) for v in b], "v double")
+    r = E.psi_drift(da, db, "v", width=1.0).collect()[0]
+    psi, B, drifted = _psi_mirror(a, b)
+    assert (r["psi_micro"], r["n_bins"], r["drifted"]) == (psi, B, drifted)

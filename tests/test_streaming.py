@@ -648,3 +648,33 @@ def test_streaming_rate_limit_sorts_within_batch(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         rate_limited_events(spark.readStream.schema(schema).parquet(src), 0)
+
+
+def test_streaming_active_users_equals_batch(spark, tmp_path):
+    """Presence folded across TWO micro-batch drops (split so the same
+    (user, day) cell appears in BOTH batches — the union-distinct must
+    dedupe across the boundary) yields exactly the batch WAU curve."""
+    from log_analysis_spark.operators import timeseries
+    from log_analysis_spark.streaming.sketch_stream import (
+        run_stream_active_users,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "wau_src")
+    ev.filter("event_id % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+    ev.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    schema = "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    got = run_stream_active_users(
+        spark, src, str(tmp_path / "st"), "ts", "user_id", schema,
+        window_days=7,
+    )
+    want = timeseries.rolling_active_users(ev, "ts", "user_id", 7)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # bounded state: the persisted presence table equals distinct (u, d)
+    import glob as _g
+
+    vs = sorted(_g.glob(str(tmp_path / "st" / "presence" / "version=*")))
+    final = spark.read.parquet(vs[-1])
+    assert final.count() == timeseries.user_day_presence(
+        ev, "ts", "user_id"
+    ).count()

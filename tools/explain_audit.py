@@ -1628,6 +1628,31 @@ def main() -> int:
         ("ACF / rolling distinct actives / SLO burn-rate", brn_plan, notes)
     )
 
+    # ---- PSI drift (session-15) --------------------------------------------
+    from log_analysis_spark.operators import expectations as exp_ops
+
+    psi = exp_ops.psi_drift(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "signup"),
+        "value", width=0.5,
+    )
+    psi_plan = executed(psi)
+    psi_shufs = shuffle_schemas(psi)
+    notes = [
+        check("psi: raw values compress to per-bin counts at the scan "
+              "side — no exchange carries the value column, only "
+              "(bin, count/ca/cb) cells",
+              all("value" not in cols and "props" not in cols
+                  for _, cols in psi_shufs),
+              f"shuffles={[c for _, c in psi_shufs]}"),
+        check("psi: the totals attach is a 1-row broadcast onto the "
+              "bounded bin table (no bin-table re-shuffle), zero Python",
+              "BroadcastNestedLoopJoin" in psi_plan
+              and "EvalPython" not in psi_plan
+              and "InPandas" not in psi_plan),
+    ]
+    sections.append(("PSI distribution drift", psi_plan, notes))
+
     # ---- write EXPLAIN.md -------------------------------------------------
     md = ["# EXPLAIN audit — physical plans vs 100 TB design intents",
           "",
