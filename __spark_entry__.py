@@ -1858,6 +1858,53 @@ def q_doc_tfidf_top(spark, sf_dir):
     return textstats.tfidf_top_terms(_docs(spark, sf_dir), m=3)
 
 
+def q_doc_readability(spark, sf_dir):
+    """Flesch reading-ease + Flesch-Kincaid grade per document (Kincaid et
+    al. 1975) in exact integer milli-units: words from the repo tokenizer,
+    sentences = [.!?]+ runs floored at 1, syllables = per-word [aeiouy]+
+    runs floored at 1, both formulas evaluated with integral division only
+    so the oracle replays the identical integers.  Pure zero-shuffle
+    zero-Python projection."""
+    return textstats.readability(_docs(spark, sf_dir))
+
+
+def q_graph_tool_overlap(spark, sf_dir):
+    """Neighbor-set Jaccard between tool pairs over the (undirected) tool
+    transition graph — which tools are workflow-interchangeable (share the
+    same partners) even when they never co-occur directly.  Wedge join on
+    the shared neighbor id, integral-division micro scores; the oracle
+    recomputes edges, degrees, wedges and the division exactly."""
+    seq = _parsed(spark, sf_dir).filter(F.col("tool") != "-")
+    edges = windows_ops.transition_counts(seq, "conv_id", ["turn_idx"], "tool")
+    return graph.neighborhood_overlap(
+        edges.selectExpr("from_state AS src", "to_state AS dst")
+    )
+
+
+def q_doc_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval: BM25 top-20 and token-set-Jaccard top-20 per query
+    fused by reciprocal-rank fusion (Cormack et al. 2009, k0=60) into a
+    final top-5 — the standard score-free merge of lexical + second-signal
+    rankings.  Every per-list contribution is 1_000_000 div (60 + rank) in
+    exact integers; the oracle recomputes BOTH rankers end to end (BM25's
+    quantized scoring chain, Jaccard's integral-division scores) plus the
+    fusion."""
+    docs = _docs(spark, sf_dir)
+    queries = spark.createDataFrame(BM25_QUERIES, "query_id int, query_text string")
+    bm = retrieval.bm25_topk(docs, queries, k=20)
+    jac = retrieval.jaccard_topk(docs, queries, k=20)
+    return retrieval.rrf_fuse([bm, jac], k=5, k0=60)
+
+
+def q_doc_softdedup(spark, sf_dir):
+    """SoftDedup reweighting (He et al. 2024): every document kept, each
+    exact-dup group's members weighted 1_000_000 div n_copies micro-units
+    so a group contributes one document of sampling mass.  Group key is
+    (md5(text), length) — text never shuffles; the oracle replays the
+    integral division exactly."""
+    return dedup.softdedup_weights(_docs(spark, sf_dir))
+
+
 def q_graph_communities(spark, sf_dir):
     """Tool communities by deterministic synchronous weighted label
     propagation over the same transition graph as the PageRank query —
@@ -2516,6 +2563,10 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timing_correlation": q_timing_correlation,
         "graph_error_distance": q_graph_error_distance,
         "doc_tfidf_top": q_doc_tfidf_top,
+        "doc_readability": q_doc_readability,
+        "doc_softdedup": q_doc_softdedup,
+        "doc_hybrid_search": q_doc_hybrid_search,
+        "graph_tool_overlap": q_graph_tool_overlap,
         "doc_strip_markup": q_doc_strip_markup,
         "doc_normalize_unicode": q_doc_normalize_unicode,
         "corpus_shard_assign": q_corpus_shard_assign,
@@ -2742,6 +2793,34 @@ WHERE e.value > thr.t
                ) WHERE from_state IS NOT NULL GROUP BY from_state, to_state"""
         ),
         "graph_tool_pagerank": _pagerank_oracle(),
+        "graph_tool_overlap": oracles.on_parsed("""
+, seq AS (
+  SELECT conv_id, turn_idx, tool FROM parsed WHERE tool <> '-'
+),
+edges AS (
+  SELECT prev AS src, tool AS dst FROM (
+    SELECT lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev,
+           tool
+    FROM seq)
+  WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+und AS (
+  SELECT src AS node, dst AS nb FROM edges WHERE src <> dst
+  UNION
+  SELECT dst AS node, src AS nb FROM edges WHERE src <> dst
+),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY 1),
+common AS (
+  SELECT l.node AS node_a, r.node AS node_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM und l JOIN und r ON l.nb = r.nb AND l.node < r.node
+  GROUP BY 1, 2
+)
+SELECT node_a, node_b, n_common,
+       CAST((1000000 * n_common) // (da.d + db.d - n_common) AS BIGINT)
+         AS jaccard_micro
+FROM common
+JOIN deg da ON da.node = node_a
+JOIN deg db ON db.node = node_b"""),
         "graph_tool_communities": _lpa_oracle(n_iters=4),
         "graph_tool_triangles": _triangles_oracle(),
         "graph_tool_k_core": _k_core_oracle(k=2),
@@ -2875,6 +2954,37 @@ SELECT doc_id,
 FROM tk
 WHERE len(list_filter(tks,
       t -> list_contains(['vector', 'garbled'], lower(t)))) > 0""",
+        "doc_readability": f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter({_DOC_TOKENS}, t -> t <> '') AS tks,
+         CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS s
+  FROM documents
+),
+agg AS (
+  SELECT doc_id, s,
+         CAST(len(tks) AS BIGINT) AS w,
+         CAST(COALESCE(list_sum(list_transform(tks,
+           t -> greatest(1, len(regexp_extract_all(lower(t), '[aeiouy]+'))))),
+           0) AS BIGINT) AS syl
+  FROM tk
+)
+SELECT doc_id, w AS n_words, s AS n_sentences, syl AS n_syllables,
+       CAST(CASE WHEN w > 0
+            THEN 206835 - (1015 * w) // s - (84600 * syl) // w END AS BIGINT)
+         AS flesch_milli,
+       CAST(CASE WHEN w > 0
+            THEN (390 * w) // s + (11800 * syl) // w - 15590 END AS BIGINT)
+         AS fk_grade_milli
+FROM agg""",
+        "doc_hybrid_search": _hybrid_oracle(k_each=20, k=5, k0=60, k1=1.2, b=0.75),
+        "doc_softdedup": """
+WITH g AS (
+  SELECT md5(text) AS h, length(text) AS l, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+)
+SELECT d.doc_id, c AS n_copies, CAST(1000000 // c AS BIGINT) AS weight_micro
+FROM documents d JOIN g ON md5(d.text) = g.h AND length(d.text) = g.l""",
         "log_templates": _templates_oracle(),
         "log_rare_templates": _rare_templates_oracle(min_lines=200),
         "logs_path_rollup": oracles.on_parsed("""
@@ -4375,6 +4485,54 @@ ranked AS (
                                  ORDER BY smicro DESC, doc_id) AS INTEGER) AS rank
   FROM scored)
 SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= {int(k)}
+"""
+
+
+def _hybrid_oracle(k_each: int, k: int, k0: int, k1: float, b: float) -> str:
+    """Independent recompute of q_doc_hybrid_search: the full BM25 oracle
+    rides as one CTE (nested WITH), the Jaccard ranker is recomputed from
+    tokenization up (distinct lowercased token sets, integral-division
+    micro scores, (score desc, doc asc) ranks), and the RRF fusion sums
+    the exact 1_000_000 // (k0 + rank) integers per (query, doc)."""
+    qvals = ", ".join(f"({qid}, '{qt}')" for qid, qt in BM25_QUERIES)
+    return f"""
+WITH bm AS ({_bm25_oracle(k_each, k1, b)}),
+jqry AS (SELECT * FROM (VALUES {qvals}) t(query_id, query_text)),
+jqterm AS (
+  SELECT DISTINCT query_id, lower(t) AS term
+  FROM (SELECT query_id,
+               unnest(list_filter(string_split_regex(trim(query_text), '[^\\w'']+'),
+                                  x -> x <> '')) AS t
+        FROM jqry)),
+jtok AS (
+  SELECT DISTINCT doc_id, lower(t) AS tok
+  FROM (SELECT doc_id, unnest(list_filter({_DOC_TOKENS}, x -> x <> '')) AS t
+        FROM documents)),
+jds AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ds FROM jtok GROUP BY 1),
+jqs AS (SELECT query_id, CAST(count(*) AS BIGINT) AS qs FROM jqterm GROUP BY 1),
+jint AS (SELECT q.query_id, t.doc_id, CAST(count(*) AS BIGINT) AS i
+         FROM jtok t JOIN jqterm q ON q.term = t.tok GROUP BY 1, 2),
+jsc AS (SELECT query_id, doc_id,
+               CAST((1000000 * i) // (qs + ds - i) AS BIGINT) AS jm
+        FROM jint JOIN jqs USING (query_id) JOIN jds USING (doc_id)),
+jtop AS (
+  SELECT query_id, doc_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY jm DESC, doc_id) AS INTEGER) AS rank
+  FROM jsc QUALIFY rank <= {int(k_each)}),
+contrib AS (
+  SELECT query_id, doc_id, CAST(1000000 // ({int(k0)} + rank) AS BIGINT) AS c
+  FROM bm
+  UNION ALL
+  SELECT query_id, doc_id, CAST(1000000 // ({int(k0)} + rank) AS BIGINT) AS c
+  FROM jtop),
+fused AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro
+          FROM contrib GROUP BY 1, 2)
+SELECT query_id, doc_id, rrf_micro,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_micro DESC, doc_id) AS INTEGER) AS rank
+FROM fused
+QUALIFY rank <= {int(k)}
 """
 
 

@@ -772,6 +772,27 @@ def main() -> None:
         ).count(),
     )
 
+    # ---- session-16 ops: hybrid retrieval fusion, readability projection
+    from log_analysis_spark.operators import graph as gr_b
+
+    bm_queries = spark.createDataFrame(
+        entrymod.BM25_QUERIES, "query_id int, query_text string"
+    )
+    timed(
+        "doc_hybrid_search",
+        lambda: retr_b.rrf_fuse(
+            [retr_b.bm25_topk(docs, bm_queries, k=20),
+             retr_b.jaccard_topk(docs, bm_queries, k=20)],
+            k=5,
+        ).count(),
+    )
+    timed(
+        "doc_readability",
+        lambda: ts_b.readability(docs)
+        .agg({"flesch_milli": "sum", "fk_grade_milli": "sum"})
+        .collect(),
+    )
+
     timings = {name: min(obs) for name, obs in runs.items()}
     total = round(sum(sum(obs) for obs in runs.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

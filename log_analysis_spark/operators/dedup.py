@@ -43,6 +43,42 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def softdedup_weights(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """SoftDedup (He et al. 2024, "SoftDedup: an Efficient Data Reweighting
+    Method for Speeding Up Language Model Pretraining"): instead of DROPPING
+    exact duplicates, keep every copy but down-weight it — each document's
+    sampling weight is 1/n_copies of its exact-dup group, so the group as a
+    whole contributes one document's worth of gradient mass while lexical
+    diversity inside the group is preserved.
+
+    Returns ``(id, n_copies, weight_micro)`` with
+    ``weight_micro = 1_000_000 div n_copies`` — exact integer micro-units,
+    so the oracle replays it bit-for-bit (unique docs get 1_000_000).
+
+    Scale shape: same key discipline as ``exact_dedup`` — the group key is
+    ``(md5(text), length(text))``, 16 bytes + a long, so neither the count
+    aggregate nor the attach join ever shuffles document text; both sides
+    of the join are keyed by the same narrow hash, and the count side
+    aggregates map-side first."""
+    th = F.md5(F.col(text_col)).alias("_th")
+    tlen = F.length(F.col(text_col)).alias("_tlen")
+    counts = (
+        df.groupBy(th, tlen)
+        .agg(F.count("*").cast("long").alias("n_copies"))
+    )
+    keyed = df.select(F.col(id_col), th, tlen)
+    return (
+        keyed.join(counts, ["_th", "_tlen"])
+        .select(
+            id_col,
+            "n_copies",
+            F.expr("CAST(1000000 DIV n_copies AS BIGINT)").alias("weight_micro"),
+        )
+    )
+
+
 def word_shingles(text_col: str = "text", k: int = 3) -> F.Column:
     """Distinct k-word shingles (n-grams) of the tokenized text — built with
     higher-order array functions, all JVM-side.

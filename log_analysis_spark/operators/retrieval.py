@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 
 from .textstats import token_table, tokens_col
 
-__all__ = ["bm25_topk", "phrase_search", "query_terms"]
+__all__ = ["bm25_topk", "phrase_search", "query_terms", "jaccard_topk", "rrf_fuse"]
 
 
 def query_terms(
@@ -220,4 +220,121 @@ def phrase_search(
     return matches.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_matches"),
         F.min("anchor").cast("long").alias("first_pos"),
+    )
+
+
+def jaccard_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Token-SET Jaccard ranking: top-k documents per query by
+    ``|q ∩ d| / |q ∪ d|`` over distinct lowercased tokens →
+    ``(query_id, doc_id, jaccard_micro, rank)``, rank 1-based, ties by
+    ascending doc id.  Only documents sharing >= 1 term with the query are
+    candidates (standard set-overlap retrieval semantics — a zero-overlap
+    doc scores 0 and is never a useful top-k member).
+
+    Cross-engine exactness: the score is
+    ``jaccard_micro = (1_000_000 * |∩|) div (|q| + |d| - |∩|)`` — all
+    exact integers, no float anywhere.
+
+    Scale shape: the doc-side distinct-token count is computed AT THE SCAN
+    (``size(array_distinct(...))`` — text never leaves the scan stage);
+    intersections come from the postings stream broadcast-filtered to the
+    query vocabulary, then a distinct + one narrow (query, doc) count
+    aggregate; ranking windows over candidates only, never the corpus.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    qterms = query_terms(queries, query_id_col, query_text_col, lowercase)
+    qsize = qterms.groupBy(query_id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_qs")
+    )
+
+    toks = F.filter(tokens_col(text_col), lambda x: x != "")
+    dtoks = F.array_distinct(F.transform(toks, F.lower)) if lowercase else F.array_distinct(toks)
+    dsize = docs.select(F.col(id_col), F.size(dtoks).cast("long").alias("_ds"))
+
+    inter = (
+        token_table(docs, text_col, id_col, lowercase)
+        .join(F.broadcast(qterms), F.col("tok") == F.col("term"))
+        .select(query_id_col, id_col, "term")
+        .distinct()
+        .groupBy(query_id_col, id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("_inter"))
+    )
+    scored = (
+        inter.join(F.broadcast(qsize), query_id_col)
+        .join(dsize, id_col)
+        .withColumn(
+            "jaccard_micro",
+            F.expr("CAST((1000000 * _inter) DIV (_qs + _ds - _inter) AS BIGINT)"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("jaccard_micro").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= F.lit(int(k)))
+        .select(query_id_col, id_col, "jaccard_micro", "rank")
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    k0: int = 60,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): combine
+    N per-query rankings into one — hybrid search's standard score-free
+    merge (e.g. BM25 + vector ANN), robust to incomparable score scales
+    because only RANKS enter the fusion:
+
+        rrf(d) = sum over input lists of 1 / (k0 + rank_list(d))
+
+    Each input frame needs ``(query_id, id, rank)``; a doc absent from a
+    list contributes nothing for it.  Returns
+    ``(query_id, doc_id, rrf_micro, rank)``, ties by ascending doc id.
+
+    Cross-engine exactness: per-list contributions are
+    ``1_000_000 div (k0 + rank)`` — exact integers summed exactly, so the
+    fused order (and the oracle's) is bit-identical.
+
+    Scale shape: inputs are already top-k-per-query (bounded: lists × k
+    rows per query); the union + one narrow (query, doc) sum aggregate +
+    per-query rank window never touch the corpus or any text/vector
+    column."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if k0 < 1:
+        raise ValueError(f"k0 must be >= 1, got {k0}")
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    contrib = None
+    for r in rankings:
+        part = r.select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.expr(f"CAST(1000000 DIV ({int(k0)} + rank) AS BIGINT)").alias("_c"),
+        )
+        contrib = part if contrib is None else contrib.unionByName(part)
+    fused = contrib.groupBy(query_id_col, id_col).agg(
+        F.sum("_c").alias("rrf_micro")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("rrf_micro").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= F.lit(int(k)))
+        .select(query_id_col, id_col, "rrf_micro", "rank")
     )

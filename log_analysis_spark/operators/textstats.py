@@ -1161,3 +1161,81 @@ def compression_ratio(
             )
 
     return df.select(id_col, text_col).mapInPandas(batches, out_schema)
+
+
+def readability(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flesch reading-ease and Flesch-Kincaid grade level (Kincaid et al.
+    1975) — the classic curriculum-difficulty signals corpus builders use
+    to stratify pretraining data by reading level (e.g. filtering for
+    "textbook-like" spans or building difficulty curricula).
+
+    Deterministic counting rules (a heuristic, stated precisely so both
+    engines replay it bit-for-bit):
+
+    - words     = the repo tokenizer (``tokens_col``, empty-filtered);
+    - sentences = runs of ``[.!?]+`` in the raw text, floored at 1 so a
+      terminator-free fragment counts as one sentence;
+    - syllables = per word, runs of ``[aeiouy]+`` in the lowercased word,
+      floored at 1 (every word has at least one syllable).
+
+    Cross-engine exactness: the two classic formulas are evaluated in
+    MILLI-units with integral division only —
+
+        flesch_milli   = 206835 - (1015*W) div S - (84600*Syl) div W
+        fk_grade_milli = (390*W) div S + (11800*Syl) div W - 15590
+
+    so there is no float arithmetic anywhere and the DuckDB oracle replays
+    the exact integers (operands are non-negative, so floor and truncate
+    coincide).  Docs with zero words emit NULL scores.
+
+    Scale shape: a pure projection — the token array is materialized ONCE
+    as an intermediate column (multi-referenced, so CollapseProject keeps
+    it a separate projection instead of re-tokenizing per counter), the
+    syllable sum is one ``aggregate`` over it; zero shuffles, zero Python;
+    at 100 TB the whole op fuses into the parquet scan.
+    """
+    base = df.withColumn("_toks", F.filter(tokens_col(text_col), lambda x: x != ""))
+    toks = F.col("_toks")
+    w = F.size(toks).cast("long")
+    s = F.greatest(
+        F.lit(1).cast("long"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[.!?]+"), F.lit(0))).cast("long"),
+    )
+    syl = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.greatest(
+            F.lit(1).cast("long"),
+            F.size(F.regexp_extract_all(F.lower(x), F.lit("[aeiouy]+"), F.lit(0))).cast("long"),
+        ),
+    )
+    counted = base.withColumn(
+        "_c", F.struct(w.alias("w"), s.alias("s"), syl.alias("syl"))
+    )
+    cw, cs, csyl = F.col("_c.w"), F.col("_c.s"), F.col("_c.syl")
+    # integral division: expr-level DIV keeps everything in exact integers
+    flesch_milli = F.when(
+        cw > 0,
+        F.lit(206835).cast("long")
+        - F.expr("(1015 * _c.w) DIV _c.s")
+        - F.expr("(84600 * _c.syl) DIV _c.w"),
+    )
+    fk_milli = F.when(
+        cw > 0,
+        F.expr("(390 * _c.w) DIV _c.s")
+        + F.expr("(11800 * _c.syl) DIV _c.w")
+        - F.lit(15590).cast("long"),
+    )
+    return counted.select(
+        id_col,
+        cw.alias("n_words"),
+        cs.alias("n_sentences"),
+        csyl.alias("n_syllables"),
+        flesch_milli.cast("long").alias("flesch_milli"),
+        fk_milli.cast("long").alias("fk_grade_milli"),
+    )

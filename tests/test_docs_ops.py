@@ -1318,3 +1318,74 @@ def test_compression_ratio_mirror_and_tails(spark):
         assert got[did] == (len(raw), nc, len(raw) * 1_000_000 // nc), did
     # tails: repetitive spam compresses far better than pseudo-noise
     assert got[2][2] > 3 * got[1][2]
+
+
+# ------------------------------------------------------------- softdedup
+
+
+def test_softdedup_weights_group_math(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "same text"),
+         (4, "unique one"), (5, "other"), (6, "other")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["n_copies"], r["weight_micro"])
+           for r in dedup.softdedup_weights(df).collect()}
+    assert out == {
+        1: (3, 333_333), 2: (3, 333_333), 3: (3, 333_333),
+        4: (1, 1_000_000), 5: (2, 500_000), 6: (2, 500_000),
+    }
+
+
+def test_softdedup_weights_every_doc_kept_and_group_mass(spark, docs):
+    out = dedup.softdedup_weights(docs)
+    assert out.count() == docs.count()  # nothing dropped, unlike exact_dedup
+    # per-group mass = n * (1e6 div n) <= 1e6, and > 1e6 - n
+    bad = out.groupBy("n_copies").agg(
+        F.max(F.col("n_copies") * F.col("weight_micro")).alias("mx")
+    ).filter((F.col("mx") > 1_000_000)
+             | (F.col("mx") <= 1_000_000 - F.col("n_copies"))).count()
+    assert bad == 0
+
+
+def test_softdedup_shuffle_never_carries_text(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "abc")], "doc_id long, text string")
+    plan = dedup.softdedup_weights(df)._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, line
+
+
+# ------------------------------------------------------------ readability
+
+
+def test_readability_matches_python_mirror(spark):
+    rows = [
+        (1, "The cat sat on the mat. It was happy!"),
+        (2, "no terminators here at all"),
+        (3, "Supercalifragilisticexpialidocious? Yes."),
+        (4, "Dr. Smith went home... then slept?! Twice."),
+    ]
+    out = {r["doc_id"]: r for r in textstats.readability(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+
+    def syl(w):
+        return max(1, len(re.findall(r"[aeiouy]+", w.lower())))
+
+    for did, txt in rows:
+        toks = [t for t in re.split(r"[^\w']+", txt.strip()) if t]
+        W, S = len(toks), max(1, len(re.findall(r"[.!?]+", txt)))
+        SY = sum(syl(t) for t in toks)
+        r = out[did]
+        assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (W, S, SY)
+        assert r["flesch_milli"] == 206835 - (1015 * W) // S - (84600 * SY) // W
+        assert r["fk_grade_milli"] == (390 * W) // S + (11800 * SY) // W - 15590
+
+
+def test_readability_empty_doc_nulls_and_zero_shuffle(spark):
+    df = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id long, text string")
+    for r in textstats.readability(df).collect():
+        assert r["n_words"] == 0 and r["flesch_milli"] is None
+        assert r["fk_grade_milli"] is None and r["n_sentences"] == 1
+    plan = textstats.readability(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

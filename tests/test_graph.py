@@ -343,3 +343,61 @@ def test_weighted_sp_nonconvergence_is_loud_not_truncated(spark):
     got = {r["node"]: r["dist"]
            for r in graph.weighted_shortest_paths(e, s, 5).collect()}
     assert got == {f"n{i}": i for i in range(6)}
+
+
+# ---------------------------------------------------------------------------
+# neighborhood overlap (common-neighbor Jaccard)
+# ---------------------------------------------------------------------------
+
+
+def test_neighborhood_overlap_closed_form(spark):
+    """Square a-b, a-c, d-b, d-c: the two diagonals (a,d) and (b,c) each
+    share BOTH neighbors -> Jaccard exactly 1; no other pair shares any."""
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("d", "b"), ("d", "c")], "src string, dst string"
+    )
+    out = {
+        (r["node_a"], r["node_b"]): (r["n_common"], r["jaccard_micro"])
+        for r in graph.neighborhood_overlap(e).collect()
+    }
+    assert out == {("a", "d"): (2, 1_000_000), ("b", "c"): (2, 1_000_000)}
+
+
+def test_neighborhood_overlap_undirected_collapse_and_self_loops(spark):
+    """Reciprocal edges collapse to one undirected edge; self-loops drop;
+    partial overlap divides exactly."""
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("c", "b"), ("a", "a"), ("c", "d")],
+        "src string, dst string",
+    )
+    # neighbors: a:{b} b:{a,c} c:{b,d} d:{c}
+    out = {
+        (r["node_a"], r["node_b"]): (r["n_common"], r["jaccard_micro"])
+        for r in graph.neighborhood_overlap(e).collect()
+    }
+    # (a,c) share {b}: 1_000_000 * 1 // (1 + 2 - 1) = 500_000
+    # (b,d) share {c}: 1_000_000 * 1 // (2 + 1 - 1) = 500_000
+    assert out == {("a", "c"): (1, 500_000), ("b", "d"): (1, 500_000)}
+
+
+def test_neighborhood_overlap_min_common_filters_and_validates(spark):
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("d", "b"), ("d", "c"), ("x", "b")],
+        "src string, dst string",
+    )
+    # x joins b's neighborhood: pairs sharing only b — (a,x), (d,x) — exist
+    # at min_common=1 but vanish at 2; the diagonals (a,d) via {b,c} and
+    # (b,c) via {a,d} keep 2 common neighbors each.
+    one = graph.neighborhood_overlap(e, min_common=1)
+    assert {("a", "x"), ("d", "x")} <= {
+        (r["node_a"], r["node_b"]) for r in one.collect()
+    }
+    two = graph.neighborhood_overlap(e, min_common=2)
+    assert {(r["node_a"], r["node_b"]) for r in two.collect()} == {
+        ("a", "d"),
+        ("b", "c"),
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        graph.neighborhood_overlap(e, min_common=0)

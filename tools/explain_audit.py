@@ -1653,6 +1653,80 @@ def main() -> int:
     ]
     sections.append(("PSI distribution drift", psi_plan, notes))
 
+    # ---- session-16: readability / softdedup / hybrid RRF / overlap --------
+    from log_analysis_spark.operators import dedup as dedup_ops
+    from log_analysis_spark.operators import graph as graph_ops
+    from log_analysis_spark.operators import retrieval as retr_ops
+    from log_analysis_spark.operators import textstats as ts_ops
+    from log_analysis_spark.operators import windows_ops as w_ops
+
+    read_plan = executed(ts_ops.readability(docs))
+    notes = [
+        check("readability: pure zero-shuffle zero-Python projection "
+              "(fuses into the parquet scan at 100 TB)",
+              "Exchange" not in read_plan
+              and "EvalPython" not in read_plan
+              and "InPandas" not in read_plan),
+    ]
+    sections.append(("Flesch/FK readability", read_plan, notes))
+
+    soft = dedup_ops.softdedup_weights(docs)
+    soft_shufs = shuffle_schemas(soft)
+    notes = [
+        check("softdedup: every exchange is keyed by (md5, length) — "
+              "document text never shuffles",
+              len(soft_shufs) > 0
+              and all("text" not in cols for _, cols in soft_shufs),
+              f"shuffles={[c for _, c in soft_shufs]}"),
+    ]
+    sections.append(("SoftDedup reweighting", executed(soft), notes))
+
+    bm_q = spark.createDataFrame(
+        entry.BM25_QUERIES, "query_id int, query_text string"
+    )
+    fused = retr_ops.rrf_fuse(
+        [retr_ops.bm25_topk(docs, bm_q, k=20),
+         retr_ops.jaccard_topk(docs, bm_q, k=20)],
+        k=5,
+    )
+    fused_plan = executed(fused)
+    fused_shufs = shuffle_schemas(fused)
+    notes = [
+        check("hybrid RRF: query vocabulary probes ride broadcast joins "
+              "(postings filtered at the scan), no SortMergeJoin anywhere",
+              fused_plan.count("BroadcastHashJoin") >= 3
+              and "SortMergeJoin" not in fused_plan),
+        check("hybrid RRF: no exchange carries document text — only "
+              "ids, terms and integer score cells",
+              all("text" not in cols for _, cols in fused_shufs),
+              f"shuffles={[c for _, c in fused_shufs]}"),
+        check("hybrid RRF: zero per-row Python",
+              "EvalPython" not in fused_plan and "InPandas" not in fused_plan),
+    ]
+    sections.append(("Hybrid retrieval (BM25 + Jaccard, RRF fusion)", fused_plan, notes))
+
+    seq16 = parsed.filter(F.col("tool") != "-")
+    ov_edges = w_ops.transition_counts(seq16, "conv_id", ["turn_idx"], "tool")
+    ov = graph_ops.neighborhood_overlap(
+        ov_edges.selectExpr("from_state AS src", "to_state AS dst")
+    )
+    ov_shufs = shuffle_schemas(ov)
+    ov_ok_cols = all(
+        set(cols) <= {"node", "nb", "node_a", "node_b", "d", "_da", "_db",
+                      "n_common", "count", "conv_id", "turn_idx", "tool",
+                      "from_state", "to_state", "n"}
+        for _, cols in ov_shufs
+    )
+    notes = [
+        check("neighborhood overlap: every exchange carries node-id pairs "
+              "and counts only (the triangle_counts discipline); wedge "
+              "join is an equi-join on the shared neighbor — no cross "
+              "product",
+              ov_ok_cols and "CartesianProduct" not in executed(ov),
+              f"shuffles={[c for _, c in ov_shufs]}"),
+    ]
+    sections.append(("Neighborhood-overlap similarity", executed(ov), notes))
+
     # ---- write EXPLAIN.md -------------------------------------------------
     md = ["# EXPLAIN audit — physical plans vs 100 TB design intents",
           "",
