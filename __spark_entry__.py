@@ -1896,6 +1896,62 @@ def q_doc_hybrid_search(spark, sf_dir):
     return retrieval.rrf_fuse([bm, jac], k=5, k0=60)
 
 
+_WRAP_PREFIX = (
+    "begin standard mirror header this page is served from the archive "
+    "cache layer for offline reading convenience "
+)
+_WRAP_SUFFIX = (
+    " end standard mirror footer all rights remain with the original "
+    "publisher retrieved by the archive crawler"
+)
+
+
+def q_doc_containment(spark, sf_dir):
+    """Shingle-set CONTAINMENT pairs (Broder 1997's asymmetric measure,
+    c(A→B) = |A∩B|/|A|) at threshold 0.9 over the corpus augmented with
+    deterministic mirror-wrapped copies of every 10th doc (header + text +
+    footer) — the short-doc-inside-long-doc duplication resemblance-based
+    dedup is structurally blind to (the wrapper dilutes Jaccard below
+    threshold while containment of the original is exactly 1).  Candidates
+    via the asymmetric prefix filter; the integer cross-multiplied decision
+    and both directional micro scores replay exactly in the brute-force
+    all-pairs oracle."""
+    docs = _docs(spark, sf_dir)
+    wrapped = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit(_WRAP_PREFIX), F.col("text"), F.lit(_WRAP_SUFFIX)).alias(
+            "text"
+        ),
+    )
+    aug = docs.select("doc_id", "text").unionByName(wrapped)
+    return dedup.containment_pairs(aug, k=3, threshold=0.9)
+
+
+def q_events_attribution(spark, sf_dir):
+    """Multi-touch conversion attribution: every purchase credits its
+    trailing-24h click/view touches under last / first / linear models in
+    one pass — candidates from the hour-bucketed interval join, ONE
+    descending window (first-touch = rank n), exact integer micro credits,
+    zero-touch conversions completed via anti join.  The oracle replays
+    the window semantics, tie rules and integral divisions end to end."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return timeseries.attribution(ev)
+
+
+def q_embed_cluster_psi(spark, sf_dir):
+    """Embedding-distribution drift between two corpus snapshots (labels
+    0-4 vs 5-9): both sides assigned to the SAME 8 md5-seeded centroids
+    (projection-only), PSI over the two cluster-occupancy histograms via
+    the shared integer micro-nat core — the semantic drift monitor a
+    snapshot refresh alerts on.  Seeds, round-6 assignment, smoothing and
+    the single integral division all replay end to end in the oracle."""
+    emb = _embeddings(spark, sf_dir)
+    cents = similarity.md5_seed_centroids(emb, n_centroids=8)
+    return similarity.cluster_histogram_psi(
+        emb.filter(F.col("label") < 5), emb.filter(F.col("label") >= 5), cents
+    )
+
+
 def q_doc_softdedup(spark, sf_dir):
     """SoftDedup reweighting (He et al. 2024): every document kept, each
     exact-dup group's members weighted 1_000_000 div n_copies micro-units
@@ -2565,6 +2621,9 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf_top": q_doc_tfidf_top,
         "doc_readability": q_doc_readability,
         "doc_softdedup": q_doc_softdedup,
+        "doc_containment": q_doc_containment,
+        "embed_cluster_psi": q_embed_cluster_psi,
+        "events_attribution": q_events_attribution,
         "doc_hybrid_search": q_doc_hybrid_search,
         "graph_tool_overlap": q_graph_tool_overlap,
         "doc_strip_markup": q_doc_strip_markup,
@@ -2978,6 +3037,73 @@ SELECT doc_id, w AS n_words, s AS n_sentences, syl AS n_syllables,
          AS fk_grade_milli
 FROM agg""",
         "doc_hybrid_search": _hybrid_oracle(k_each=20, k=5, k0=60, k1=1.2, b=0.75),
+        "embed_cluster_psi": _cluster_psi_oracle(n_centroids=8),
+        "events_attribution": """
+WITH conv AS (
+  SELECT user_id, event_id AS conv_event_id, ts AS cts
+  FROM events WHERE event_type = 'purchase'
+),
+tch AS (
+  SELECT user_id, event_id AS touch_event_id, event_type AS touch_type,
+         ts AS tts
+  FROM events WHERE event_type IN ('click', 'view')
+),
+j AS (
+  SELECT c.user_id, c.conv_event_id, t.touch_event_id, t.touch_type, t.tts
+  FROM conv c JOIN tch t
+    ON c.user_id = t.user_id
+   AND t.tts BETWEEN c.cts - INTERVAL 24 HOUR AND c.cts
+),
+r AS (
+  SELECT *,
+         CAST(count(*) OVER (PARTITION BY conv_event_id) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY conv_event_id
+                            ORDER BY tts DESC, touch_event_id DESC) AS rk
+  FROM j
+)
+SELECT user_id, conv_event_id, touch_event_id, touch_type,
+       n AS n_touches,
+       CAST(CASE WHEN rk = 1 THEN 1000000 ELSE 0 END AS BIGINT)
+         AS credit_last_micro,
+       CAST(CASE WHEN rk = n THEN 1000000 ELSE 0 END AS BIGINT)
+         AS credit_first_micro,
+       CAST(1000000 // n AS BIGINT) AS credit_linear_micro
+FROM r
+UNION ALL
+SELECT c.user_id, c.conv_event_id, NULL, NULL,
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(0 AS BIGINT)
+FROM conv c ANTI JOIN j ON j.conv_event_id = c.conv_event_id""",
+        "doc_containment": f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         '{_WRAP_PREFIX}' || text || '{_WRAP_SUFFIX}'
+  FROM documents WHERE doc_id % 10 = 0
+),
+doc_sh AS (
+  SELECT doc_id AS id,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        FOR i IN range(1, len(toks) - 1)]) AS sh
+  FROM (SELECT doc_id,
+               string_split_regex(trim(text), '[^\\w'']+') AS toks
+        FROM aug)
+  WHERE len(toks) >= 3
+),
+scored AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+         CAST(len(a.sh) AS BIGINT) AS sa,
+         CAST(len(b.sh) AS BIGINT) AS sb
+  FROM doc_sh a JOIN doc_sh b ON a.id < b.id
+)
+SELECT id_a, id_b, n_common,
+       CAST((1000000 * n_common) // sa AS BIGINT) AS cont_a_micro,
+       CAST((1000000 * n_common) // sb AS BIGINT) AS cont_b_micro
+FROM scored
+WHERE 1000000 * n_common >= 900000 * sa
+   OR 1000000 * n_common >= 900000 * sb""",
         "doc_softdedup": """
 WITH g AS (
   SELECT md5(text) AS h, length(text) AS l, CAST(count(*) AS BIGINT) AS c
@@ -4092,6 +4218,63 @@ reach(id, r) AS (
 reps AS (SELECT id, min(r) AS rep_id FROM reach GROUP BY id)
 SELECT a.vec_id, CAST(a.centroid_id AS INTEGER) AS centroid_id
 FROM assigned a JOIN reps g ON g.id = a.vec_id AND g.rep_id = a.vec_id
+"""
+
+
+def _cluster_psi_oracle(n_centroids: int, thr_micro: int = 200_000) -> str:
+    """Independent recompute of q_embed_cluster_psi: md5-ordered seed
+    centroids, nearest-centroid assignment (ties -> lowest cid) for BOTH
+    label halves, then the exact integer micro-nat PSI over the two
+    cluster histograms (the _PSI_ORACLE algebra on centroid-id bins)."""
+    return f"""
+WITH {_UNIT_VEC.strip()},
+cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS cid,
+         list_transform(unit, x -> round(x, 6)) AS cvec
+  FROM unitv
+  ORDER BY md5(CAST(vec_id AS VARCHAR))
+  LIMIT {n_centroids}
+),
+assigned AS (
+  SELECT vec_id, cid AS centroid_id FROM (
+    SELECT u.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY u.vec_id
+             ORDER BY round(list_inner_product(u.unit, c.cvec), 6) DESC, c.cid
+           ) AS rn
+    FROM unitv u CROSS JOIN cents c)
+  WHERE rn = 1
+),
+ca_ AS (
+  SELECT CAST(a.centroid_id AS BIGINT) AS bin, count(*) AS c
+  FROM assigned a JOIN embeddings e USING (vec_id)
+  WHERE e.label < 5 GROUP BY 1
+),
+cb_ AS (
+  SELECT CAST(a.centroid_id AS BIGINT) AS bin, count(*) AS c
+  FROM assigned a JOIN embeddings e USING (vec_id)
+  WHERE e.label >= 5 GROUP BY 1
+),
+j AS (
+  SELECT COALESCE(ca_.c, 0) + 1 AS ca, COALESCE(cb_.c, 0) + 1 AS cb
+  FROM ca_ FULL OUTER JOIN cb_ ON ca_.bin = cb_.bin
+),
+t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb, COUNT(*) AS n_bins FROM j),
+s AS (
+  SELECT t.na, t.nb, t.n_bins,
+    SUM((CAST(ca AS HUGEINT) * t.nb - CAST(cb AS HUGEINT) * t.na)
+      * (CAST(round(ln(CAST(CAST(ca AS HUGEINT) * t.nb AS DOUBLE))
+                    * 1000000) AS BIGINT)
+       - CAST(round(ln(CAST(CAST(cb AS HUGEINT) * t.na AS DOUBLE))
+                    * 1000000) AS BIGINT))) AS sm
+  FROM j, t GROUP BY t.na, t.nb, t.n_bins
+)
+SELECT CAST(na - n_bins AS BIGINT) AS n_a,
+       CAST(nb - n_bins AS BIGINT) AS n_b,
+       CAST(n_bins AS BIGINT) AS n_bins,
+       CAST(sm // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS psi_micro,
+       (sm // (CAST(na AS HUGEINT) * nb)) > {int(thr_micro)} AS drifted
+FROM s
 """
 
 

@@ -792,6 +792,14 @@ def main() -> None:
         .agg({"flesch_milli": "sum", "fk_grade_milli": "sum"})
         .collect(),
     )
+    timed(
+        "doc_containment",
+        lambda: dedup.containment_pairs(docs, k=3, threshold=0.9).count(),
+    )
+    timed(
+        "events_attribution",
+        lambda: tsr_b.attribution(ev_b).count(),
+    )
 
     timings = {name: min(obs) for name, obs in runs.items()}
     total = round(sum(sum(obs) for obs in runs.values()), 3)

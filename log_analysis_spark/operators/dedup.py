@@ -872,3 +872,99 @@ def source_overlap_matrix(
         )
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT global shingle-set CONTAINMENT self-join — Broder 1997's
+    asymmetric companion of resemblance: ``c(A→B) = |A∩B| / |A|``.  Finds
+    the pairs resemblance-based dedup is structurally blind to — a short
+    document quoted whole inside a long one, a page embedded in a
+    boilerplate-heavy wrapper — where Jaccard is diluted by the size gap
+    but containment of the smaller side is ~1.
+
+    Returns every unordered pair where EITHER direction reaches
+    ``threshold``: ``(id_a, id_b, n_common, cont_a_micro, cont_b_micro)``
+    with ``id_a < id_b`` and ``cont_X_micro = (1_000_000·|A∩B|) div |X|``.
+    The qualifying filter is the cross-multiplied INTEGER comparison
+    ``1_000_000·|∩| >= t_micro·|X|`` — no float in the decision, so the
+    brute-force oracle replays it bit-for-bit.
+
+    Candidate rule (asymmetric prefix filter): under any global total
+    order, ``c(A→B) >= t`` forces an overlap of ``ceil(t·|A|)``, so A's
+    prefix of ``|A| - ceil(t·|A|) + 1`` rarest shingles must intersect
+    B's FULL set — candidates are an equi-join of prefix shingles against
+    all postings, 100 % recall by construction.  Both directions fall out
+    of the ONE join (a qualifying pair is emitted when the contained
+    side's prefix hits the containing side's postings).  Ordering by
+    ascending document frequency keeps prefix buckets keyed by rare
+    shingles (the AllPairs refinement ``ngram_jaccard_pairs`` documents).
+
+    Scale shape: unlike the Jaccard join there is no length filter (the
+    containing side may be arbitrarily larger), so the full-side posting
+    stream shuffles in whole — but as narrow (shingle, id, size) rows,
+    never text, the same row class as the minhash band stream; exact
+    verify attaches the two shingle arrays by id AFTER candidate dedup."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    t_micro = int(round(threshold * 1_000_000))
+    base = shingled(df, text_col, id_col, k)
+    tok = base.select("id", F.explode("sh").alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count("*").alias("df"))
+    ordered = (
+        tok.join(freq, "tok")
+        .groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("tok")))
+            ).alias("osh")
+        )
+    )
+    n = F.size("osh")
+    pref_len = n - F.ceil(n * F.lit(float(threshold)) - F.lit(1e-9)).cast("int") + 1
+    pref = ordered.select(
+        "id",
+        F.explode(
+            F.transform(F.slice("osh", 1, pref_len), lambda s: s["tok"])
+        ).alias("tok"),
+    )
+    full = ordered.select(
+        "id", F.explode(F.transform("osh", lambda s: s["tok"])).alias("tok")
+    )
+    cand = (
+        pref.alias("p")
+        .join(full.alias("f"), on=[F.col("p.tok") == F.col("f.tok"),
+                                   F.col("p.id") != F.col("f.id")])
+        .select(
+            F.least("p.id", "f.id").alias("id_a"),
+            F.greatest("p.id", "f.id").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = cand.join(
+        base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    sa, sb = F.size("sh_a").cast("long"), F.size("sh_b").cast("long")
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        inter.alias("n_common"),
+        sa.alias("_sa"),
+        sb.alias("_sb"),
+    ).filter(
+        (F.lit(1_000_000) * F.col("n_common") >= F.lit(t_micro) * F.col("_sa"))
+        | (F.lit(1_000_000) * F.col("n_common") >= F.lit(t_micro) * F.col("_sb"))
+    )
+    return scored.select(
+        "id_a",
+        "id_b",
+        "n_common",
+        F.expr("CAST((1000000 * n_common) DIV _sa AS BIGINT)").alias("cont_a_micro"),
+        F.expr("CAST((1000000 * n_common) DIV _sb AS BIGINT)").alias("cont_b_micro"),
+    )

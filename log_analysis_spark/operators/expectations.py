@@ -860,7 +860,21 @@ def psi_drift(
             .agg(F.count(F.lit(1)).alias(out))
         )
 
-    joined = cells(df_a, "ca").join(cells(df_b, "cb"), ["bin"], "full_outer")
+    return psi_from_cells(cells(df_a, "ca"), cells(df_b, "cb"), thr_micro)
+
+
+def psi_from_cells(
+    cells_a: DataFrame, cells_b: DataFrame, thr_micro: int = 200_000
+) -> DataFrame:
+    """PSI finisher over two pre-aggregated (bin, count) cell tables —
+    the shared core of ``psi_drift`` (fixed-width value bins) and
+    ``similarity.cluster_histogram_psi`` (centroid-id bins).  Inputs:
+    ``cells_a`` with columns (bin, ca), ``cells_b`` with (bin, cb); the
+    smoothing, integer micro-nat term algebra and the single integral
+    division are exactly as documented on ``psi_drift``."""
+    if thr_micro <= 0:
+        raise ValueError(f"thr_micro must be positive, got {thr_micro}")
+    joined = cells_a.join(cells_b, ["bin"], "full_outer")
     sm = joined.select(
         (F.coalesce("ca", F.lit(0)) + 1).alias("ca"),
         (F.coalesce("cb", F.lit(0)) + 1).alias("cb"),

@@ -1274,3 +1274,43 @@ def centroid_outliers(
         )
         .filter(F.col("best_cos_micro") < int(max_cos_micro))
     )
+
+
+def cluster_histogram_psi(
+    emb_a: DataFrame,
+    emb_b: DataFrame,
+    cents: list[list[float]],
+    thr_micro: int = 200_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-distribution drift monitor: assign BOTH snapshots to the
+    SAME given centroids and take the Population Stability Index of the two
+    cluster-occupancy histograms — the semantic complement of the scalar
+    ``expectations.psi_drift`` (which bins one numeric column).  A corpus
+    refresh that shifts topic mix moves probability mass between clusters
+    long before any scalar quality signal drifts; this is the number a
+    100 TB ingest pipeline alerts on between snapshots.
+
+    The bin space is the centroid id (bounded by construction, ≤ |cents|),
+    so the PSI core — +1 smoothing on the union bin set, integer micro-nat
+    terms, one integral division (``expectations.psi_from_cells``) — is
+    exact cross-engine; with md5-seeded centroids
+    (``md5_seed_centroids``) the WHOLE chain (seeds → round-6 assignment →
+    counts → PSI) replays verbatim in the oracle.
+
+    Scale shape: assignment is the projection-only ``assign_to_centroids``
+    (no Exchange on either corpus); each side then collapses to ≤ |cents|
+    (bin, count) cells at the scan (map-side combine) — the only shuffled
+    rows are cluster-count cells, never vectors."""
+    from log_analysis_spark.operators.expectations import psi_from_cells
+
+    def cells(df, out):
+        return (
+            assign_to_centroids(df, cents, id_col, vec_col)
+            .select(F.col("centroid_id").cast("long").alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    return psi_from_cells(cells(emb_a, "ca"), cells(emb_b, "cb"), thr_micro)

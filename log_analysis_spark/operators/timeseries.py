@@ -1360,3 +1360,108 @@ def burn_rate_alerts(
         F.col("err_short").cast("long").alias("err_short"),
         burn("err_short", "tot_short").alias("burn_short_milli"),
     )
+
+
+def attribution(
+    events: DataFrame,
+    conv_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    lookback_hours: int = 24,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Multi-touch conversion attribution — for every conversion event,
+    find the user's touch events in the trailing ``lookback_hours`` window
+    and emit all three classic credit models in one pass:
+
+    * ``credit_last_micro``   — 1_000_000 to the LATEST touch
+      (ties → highest touch event id);
+    * ``credit_first_micro``  — 1_000_000 to the EARLIEST touch
+      (ties → lowest touch event id);
+    * ``credit_linear_micro`` — 1_000_000 div n to every touch.
+
+    Window semantics: ``touch_ts ∈ [conv_ts − lookback, conv_ts]``
+    (inclusive both ends).  Conversions with NO touch in the window are
+    still emitted (``touch_event_id`` NULL, ``n_touches`` 0, all credits
+    0) so credit mass is auditable.  All credit is exact integer
+    micro-units — the oracle replays every division and tie rule.
+
+    Scale shape: candidate (conversion, touch) pairs come from the
+    hour-bucketed equi interval join (``joins.interval_join`` — hash join
+    on (user, hour), never a per-user range scan); the single n/rank
+    window partitions by conversion id over its bounded touch set, and
+    first-touch falls out of the SAME descending ordering (rank == n ⇔
+    minimal (ts, id) — reversing a total order flips ranks), so there is
+    exactly ONE window pass.  The zero-touch completion is a broadcast-able
+    anti join on conversion ids."""
+    if lookback_hours < 1:
+        raise ValueError(f"lookback_hours must be >= 1, got {lookback_hours}")
+    if not touch_types:
+        raise ValueError("touch_types must be non-empty")
+    from log_analysis_spark.operators.joins import interval_join
+
+    conv = events.filter(F.col(type_col) == conv_type).select(
+        F.col(user_col),
+        F.col(id_col).alias("conv_event_id"),
+        F.col(ts_col).alias("_cts"),
+        (F.col(ts_col) - F.expr(f"INTERVAL {int(lookback_hours)} HOURS")).alias(
+            "_wstart"
+        ),
+    )
+    tch = events.filter(F.col(type_col).isin(*touch_types)).select(
+        F.col(user_col),
+        F.col(id_col).alias("touch_event_id"),
+        F.col(type_col).alias("touch_type"),
+        F.col(ts_col).alias("_tts"),
+    )
+    j = interval_join(conv, tch, [user_col], "_wstart", "_cts", "_tts")
+    # n_touches rides the SAME ordered window as row_number (explicit full
+    # frame) so the plan has ONE Window node over one conv-keyed exchange
+    wr = Window.partitionBy("conv_event_id").orderBy(
+        F.col("_tts").desc(), F.col("touch_event_id").desc()
+    )
+    wn = wr.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    attributed = (
+        j.withColumn("n_touches", F.count(F.lit(1)).over(wn).cast("long"))
+        .withColumn("_rk", F.row_number().over(wr))
+        .select(
+            user_col,
+            "conv_event_id",
+            "touch_event_id",
+            "touch_type",
+            "n_touches",
+            F.when(F.col("_rk") == 1, F.lit(1_000_000))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("credit_last_micro"),
+            F.when(F.col("_rk") == F.col("n_touches"), F.lit(1_000_000))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("credit_first_micro"),
+            F.expr("CAST(1000000 DIV n_touches AS BIGINT)").alias(
+                "credit_linear_micro"
+            ),
+        )
+    )
+    untouched = (
+        conv.join(
+            attributed.select("conv_event_id").distinct(),
+            "conv_event_id",
+            "left_anti",
+        )
+        .select(
+            user_col,
+            "conv_event_id",
+            F.lit(None).cast(tch.schema["touch_event_id"].dataType).alias(
+                "touch_event_id"
+            ),
+            F.lit(None).cast("string").alias("touch_type"),
+            F.lit(0).cast("long").alias("n_touches"),
+            F.lit(0).cast("long").alias("credit_last_micro"),
+            F.lit(0).cast("long").alias("credit_first_micro"),
+            F.lit(0).cast("long").alias("credit_linear_micro"),
+        )
+    )
+    return attributed.unionByName(untouched)

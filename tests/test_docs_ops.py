@@ -1389,3 +1389,68 @@ def test_readability_empty_doc_nulls_and_zero_shuffle(spark):
         assert r["fk_grade_milli"] is None and r["n_sentences"] == 1
     plan = textstats.readability(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ----------------------------------------------------------- containment
+
+
+def test_containment_finds_short_in_long_that_jaccard_misses(spark):
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    long_ = (
+        "one two three four five six seven eight nine ten "
+        + short
+        + " eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen"
+    )
+    df = spark.createDataFrame([(1, short), (2, long_)], "doc_id long, text string")
+    jac = dedup.ngram_jaccard_pairs(df, k=3, threshold=0.9).count()
+    assert jac == 0  # resemblance diluted by the wrapper
+    rows = dedup.containment_pairs(df, k=3, threshold=0.9).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # every shingle of the short doc appears in the long one
+    assert (r["id_a"], r["id_b"], r["cont_a_micro"]) == (1, 2, 1_000_000)
+    assert r["cont_b_micro"] < 900_000
+
+
+def test_containment_matches_python_brute_force(spark):
+    import itertools
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "quick brown fox jumps over the lazy dog today again",
+        3: "a completely different document about spark shuffles",
+        4: "the quick brown fox",
+        5: "the quick brown fox jumps",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    t_micro = 800_000
+
+    def sh(s):
+        toks = re.split(r"[^\w']+", s.strip())
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    expect = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        A, B = sh(texts[a]), sh(texts[b])
+        if len(A) < 1 or len(B) < 1:
+            continue
+        i = len(A & B)
+        if 1_000_000 * i >= t_micro * len(A) or 1_000_000 * i >= t_micro * len(B):
+            expect[(a, b)] = (
+                i,
+                (1_000_000 * i) // len(A),
+                (1_000_000 * i) // len(B),
+            )
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["cont_a_micro"], r["cont_b_micro"])
+        for r in dedup.containment_pairs(df, k=3, threshold=0.8).collect()
+    }
+    assert got == expect and len(expect) >= 2
+
+
+def test_containment_validates_threshold(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dedup.containment_pairs(df, threshold=0.0)
+    with pytest.raises(ValueError):
+        dedup.containment_pairs(df, threshold=1.5)

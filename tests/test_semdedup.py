@@ -200,3 +200,55 @@ def test_hard_negatives_matmul_equals_expr_and_label_mismatch(spark, sf_dir):
     lab = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
     for qid, cid, _score, _rank in e:
         assert lab[qid] != lab[cid]
+
+
+# --------------------------------------------------- cluster-histogram PSI
+
+
+def _psi_vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+_PSI_CENTS = [[1.0, 0.0], [0.0, 1.0]]
+
+
+def test_cluster_psi_identical_snapshots_is_zero(spark):
+    from log_analysis_spark.operators import similarity
+
+    vs = _psi_vecs(spark, [(1, [0.9, 0.1]), (2, [0.1, 0.9]), (3, [0.8, 0.3])])
+    r = similarity.cluster_histogram_psi(vs, vs, _PSI_CENTS).first()
+    # identical histograms: every term has ca'=cb' and na'=nb' -> psi 0
+    assert r["psi_micro"] == 0 and not r["drifted"]
+    assert r["n_a"] == r["n_b"] == 3
+
+
+def test_cluster_psi_planted_drift_fires(spark):
+    from log_analysis_spark.operators import similarity
+
+    # A balanced across both clusters; B collapsed entirely into cluster 1
+    a = _psi_vecs(
+        spark,
+        [(i, [1.0, 0.0]) for i in range(10)]
+        + [(i + 10, [0.0, 1.0]) for i in range(10)],
+    )
+    b = _psi_vecs(spark, [(i + 100, [1.0, 0.0]) for i in range(20)])
+    r = similarity.cluster_histogram_psi(a, b, _PSI_CENTS).first()
+    assert r["drifted"] and r["psi_micro"] > 200_000
+    # mirror the integer algebra in python
+    import math
+
+    ca, cb = [11, 11], [21, 1]  # +1 smoothing on {bin1, bin2}
+    na, nb = sum(ca), sum(cb)
+    L = lambda x: round(math.log(x) * 1_000_000)  # noqa: E731
+    sm = sum(
+        (x * nb - y * na) * (L(x * nb) - L(y * na)) for x, y in zip(ca, cb)
+    )
+    assert r["psi_micro"] == sm // (na * nb)
+
+
+def test_cluster_psi_validates_threshold(spark):
+    from log_analysis_spark.operators import similarity
+
+    vs = _psi_vecs(spark, [(1, [1.0, 0.0])])
+    with pytest.raises(ValueError):
+        similarity.cluster_histogram_psi(vs, vs, _PSI_CENTS, thr_micro=0)

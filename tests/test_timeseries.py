@@ -934,3 +934,105 @@ def test_burn_rate_blip_vs_sustained(spark):
         long_h=6, short_h=1,
     ).collect()
     assert [r["hour_id"] for r in out2] == [int(base.timestamp()) // 3600 + 9]
+
+
+# ------------------------------------------------------------ attribution
+
+
+def _attr_events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+
+
+def _h(hour, minute=0):
+    return dt.datetime(2024, 3, 1, hour, minute)
+
+
+def test_attribution_models_and_window_boundary(spark):
+    ev = _attr_events(
+        spark,
+        [
+            (1, _h(1), 7, "click"),    # earliest in window
+            (2, _h(5), 7, "view"),
+            (3, _h(10), 7, "click"),   # latest -> last-touch credit
+            (4, _h(10, 30), 7, "purchase"),
+            (5, _h(12), 9, "purchase"),  # no touches at all
+        ],
+    )
+    out = T.attribution(ev, lookback_hours=24)
+    rows = {(r["conv_event_id"], r["touch_event_id"]): r for r in out.collect()}
+    assert rows[(4, 3)]["credit_last_micro"] == 1_000_000
+    assert rows[(4, 1)]["credit_first_micro"] == 1_000_000
+    assert all(rows[(4, t)]["credit_linear_micro"] == 333_333 for t in (1, 2, 3))
+    assert rows[(4, 2)]["credit_last_micro"] == 0
+    assert rows[(4, 1)]["n_touches"] == 3
+    # zero-touch conversion still emitted with empty credits
+    r9 = rows[(5, None)]
+    assert (r9["n_touches"], r9["credit_linear_micro"]) == (0, 0)
+    assert r9["touch_type"] is None
+
+
+def test_attribution_lookback_excludes_old_and_future_touches(spark):
+    ev = _attr_events(
+        spark,
+        [
+            (1, _h(0), 7, "click"),        # exactly 24h before: INSIDE
+            (2, dt.datetime(2024, 2, 28, 23, 59), 7, "click"),  # outside
+            (3, dt.datetime(2024, 3, 2, 1), 7, "click"),        # after conv
+            (4, dt.datetime(2024, 3, 2, 0), 7, "purchase"),
+        ],
+    )
+    out = T.attribution(ev, lookback_hours=24).collect()
+    assert {(r["conv_event_id"], r["touch_event_id"]) for r in out} == {(4, 1)}
+    assert out[0]["credit_last_micro"] == out[0]["credit_first_micro"] == 1_000_000
+
+
+def test_attribution_same_ts_tie_rules(spark):
+    ev = _attr_events(
+        spark,
+        [
+            (10, _h(3), 7, "click"),
+            (11, _h(3), 7, "view"),   # same ts: higher id wins LAST,
+            (12, _h(4), 7, "purchase"),  # lower id wins FIRST
+        ],
+    )
+    rows = {r["touch_event_id"]: r
+            for r in T.attribution(ev, lookback_hours=24).collect()}
+    assert rows[11]["credit_last_micro"] == 1_000_000
+    assert rows[10]["credit_first_micro"] == 1_000_000
+    assert rows[10]["credit_last_micro"] == rows[11]["credit_first_micro"] == 0
+
+
+def test_attribution_credit_conservation_on_real_events(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = T.attribution(ev).cache()
+    per_conv = out.groupBy("conv_event_id").agg(
+        F.sum("credit_last_micro").alias("l"),
+        F.sum("credit_first_micro").alias("f"),
+        F.sum("credit_linear_micro").alias("lin"),
+        F.max("n_touches").alias("n"),
+    )
+    # touched conversions: last/first each sum to exactly 1e6; linear to
+    # n*(1e6 div n); untouched: all zero
+    bad = per_conv.filter(
+        ((F.col("n") > 0) & ((F.col("l") != 1_000_000)
+                             | (F.col("f") != 1_000_000)
+                             | (F.col("lin") != F.col("n") * F.expr(
+                                 "CAST(1000000 DIV n AS BIGINT)"))))
+        | ((F.col("n") == 0) & ((F.col("l") != 0) | (F.col("f") != 0)
+                                | (F.col("lin") != 0)))
+    ).count()
+    assert bad == 0
+    # every purchase appears
+    n_conv = ev.filter(F.col("event_type") == "purchase").count()
+    assert per_conv.count() == n_conv
+    out.unpersist()
+
+
+def test_attribution_validates(spark):
+    ev = _attr_events(spark, [(1, _h(0), 7, "click")])
+    with pytest.raises(ValueError):
+        T.attribution(ev, lookback_hours=0)
+    with pytest.raises(ValueError):
+        T.attribution(ev, touch_types=())

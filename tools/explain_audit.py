@@ -1727,6 +1727,58 @@ def main() -> int:
     ]
     sections.append(("Neighborhood-overlap similarity", executed(ov), notes))
 
+    # ---- session-16 batch 2: containment / cluster PSI / attribution ------
+    from log_analysis_spark.operators import similarity as sim_ops
+    from log_analysis_spark.operators import timeseries as tsr_ops
+
+    cont = dedup_ops.containment_pairs(docs, k=3, threshold=0.9)
+    cont_plan = executed(cont)
+    cont_shufs = shuffle_schemas(cont)
+    notes = [
+        check("containment: candidates from the asymmetric prefix-filter "
+              "equi-join — no CartesianProduct/BNLJ, no exchange carries "
+              "raw document text (shingle SETS attach by id for the exact "
+              "verify, the ngram_jaccard discipline)",
+              "CartesianProduct" not in cont_plan
+              and "BroadcastNestedLoopJoin" not in cont_plan
+              and all("text" not in cols for _, cols in cont_shufs)),
+    ]
+    sections.append(("Containment pairs (asymmetric prefix filter)", cont_plan, notes))
+
+    emb16 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents16 = sim_ops.md5_seed_centroids(emb16, n_centroids=8)
+    cpsi = sim_ops.cluster_histogram_psi(
+        emb16.filter(F.col("label") < 5), emb16.filter(F.col("label") >= 5), cents16
+    )
+    cpsi_shufs = shuffle_schemas(cpsi)
+    notes = [
+        check("cluster PSI: assignment is projection-only — no exchange "
+              "carries an embedding/unit vector, only (bin, count) cells "
+              "and the one-row totals",
+              all("embedding" not in cols and "unit" not in cols
+                  for _, cols in cpsi_shufs),
+              f"shuffles={[c for _, c in cpsi_shufs]}"),
+    ]
+    sections.append(("Embedding cluster-histogram PSI", executed(cpsi), notes))
+
+    ev16 = spark.read.parquet(f"{sf_dir}/events.parquet")
+    attr = tsr_ops.attribution(ev16)
+    attr_plan = executed(attr)
+    attr_shufs = shuffle_schemas(attr)
+    notes = [
+        check("attribution: hour-bucketed equi interval join (no "
+              "CartesianProduct/BNLJ), exactly one Window pass, exchanges "
+              "never carry the events payload columns (value/props pruned "
+              "at the scan)",
+              "CartesianProduct" not in attr_plan
+              and "BroadcastNestedLoopJoin" not in attr_plan
+              and attr_plan.count("Window") == 1
+              and all("value" not in cols and "props" not in cols
+                      for _, cols in attr_shufs),
+              f"shuffles={[c for _, c in attr_shufs]}"),
+    ]
+    sections.append(("Multi-touch attribution", attr_plan, notes))
+
     # ---- write EXPLAIN.md -------------------------------------------------
     md = ["# EXPLAIN audit — physical plans vs 100 TB design intents",
           "",
