@@ -1927,6 +1927,23 @@ def q_doc_containment(spark, sf_dir):
     return dedup.containment_pairs(aug, k=3, threshold=0.9)
 
 
+def q_embed_mmr(spark, sf_dir):
+    """MMR diverse re-ranking (Carbonell & Goldstein 1998) of the
+    brute-force cosine top-20 candidates: greedy λ·rel − (1−λ)·max-sim
+    selection (λ=0.7) to top-5 per query, all-integer objective
+    (micro rel/sim → pico values), ties → lowest id.  The oracle recomputes
+    candidates, the pairwise sim matrix and all five greedy rounds as
+    unrolled MATERIALIZED CTEs — the same discipline as the PageRank
+    replay."""
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    cand = similarity.cosine_topk(emb, queries, k=20)
+    units = similarity.with_unit_vec(emb).select(
+        F.col("vec_id").alias("corpus_id"), "unit"
+    )
+    return similarity.mmr_rerank(cand.join(units, "corpus_id"), k=5)
+
+
 def q_events_attribution(spark, sf_dir):
     """Multi-touch conversion attribution: every purchase credits its
     trailing-24h click/view touches under last / first / linear models in
@@ -2624,6 +2641,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_containment": q_doc_containment,
         "embed_cluster_psi": q_embed_cluster_psi,
         "events_attribution": q_events_attribution,
+        "embed_mmr": q_embed_mmr,
         "doc_hybrid_search": q_doc_hybrid_search,
         "graph_tool_overlap": q_graph_tool_overlap,
         "doc_strip_markup": q_doc_strip_markup,
@@ -3038,6 +3056,7 @@ SELECT doc_id, w AS n_words, s AS n_sentences, syl AS n_syllables,
 FROM agg""",
         "doc_hybrid_search": _hybrid_oracle(k_each=20, k=5, k0=60, k1=1.2, b=0.75),
         "embed_cluster_psi": _cluster_psi_oracle(n_centroids=8),
+        "embed_mmr": _mmr_oracle(n_cand=20, k=5, lam=700_000),
         "events_attribution": """
 WITH conv AS (
   SELECT user_id, event_id AS conv_event_id, ts AS cts
@@ -4218,6 +4237,84 @@ reach(id, r) AS (
 reps AS (SELECT id, min(r) AS rep_id FROM reach GROUP BY id)
 SELECT a.vec_id, CAST(a.centroid_id AS INTEGER) AS centroid_id
 FROM assigned a JOIN reps g ON g.id = a.vec_id AND g.rep_id = a.vec_id
+"""
+
+
+def _mmr_oracle(n_cand: int = 20, k: int = 5, lam: int = 700_000) -> str:
+    """Independent replay of q_embed_mmr: cosine top-n_cand candidates,
+    the full pairwise round-6 micro sim matrix, then each greedy round as
+    its own MATERIALIZED CTE (selected set grows by the per-query argmax
+    of lam·rel − (1e6−lam)·max-sim, ties → lowest id).  MATERIALIZED is
+    load-bearing: each round references the previous selection twice and
+    CTE inlining re-expands the chain multiplicatively (the k-core fd
+    lesson)."""
+    om = 1_000_000 - lam
+    rounds, sels = [], []
+    for i in range(2, k + 1):
+        rounds.append(f"""
+s{i} AS MATERIALIZED (
+  SELECT query_id, corpus_id, rel, val FROM (
+    SELECT c.query_id, c.corpus_id, c.rel,
+           {lam} * c.rel - {om} * mx.m AS val,
+           row_number() OVER (PARTITION BY c.query_id
+                              ORDER BY ({lam} * c.rel - {om} * mx.m) DESC,
+                                       c.corpus_id) AS rk
+    FROM cand c
+    JOIN (SELECT sims.query_id, sims.ca AS corpus_id, max(sims.sm) AS m
+          FROM sims JOIN sel{i - 1} sl
+            ON sl.query_id = sims.query_id AND sl.corpus_id = sims.cb
+          GROUP BY 1, 2) mx
+      ON mx.query_id = c.query_id AND mx.corpus_id = c.corpus_id
+    ANTI JOIN sel{i - 1} pv
+      ON pv.query_id = c.query_id AND pv.corpus_id = c.corpus_id)
+  WHERE rk = 1
+),
+sel{i} AS MATERIALIZED (
+  SELECT query_id, corpus_id FROM sel{i - 1}
+  UNION ALL SELECT query_id, corpus_id FROM s{i}
+)""")
+        sels.append(i)
+    chain = ",".join(rounds)
+    finals = "\nUNION ALL\n".join(
+        f"SELECT query_id, corpus_id, {i} AS rank, rel AS rel_micro,"
+        f" val AS val_pico FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return f"""
+WITH {_UNIT_VEC.strip()},
+q AS (SELECT vec_id AS query_id, unit AS qvec FROM unitv WHERE query_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS corpus_id,
+         round(list_inner_product(q.qvec, c.unit), 6) AS score, c.unit AS cu
+  FROM q JOIN unitv c ON q.query_id <> c.vec_id
+),
+cand AS MATERIALIZED (
+  SELECT query_id, corpus_id,
+         CAST(round(score * 1000000) AS BIGINT) AS rel, cu
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, corpus_id) AS rk
+        FROM scored)
+  WHERE rk <= {int(n_cand)}
+),
+sims AS MATERIALIZED (
+  SELECT a.query_id, a.corpus_id AS ca, b.corpus_id AS cb,
+         CAST(round(round(list_inner_product(a.cu, b.cu), 6) * 1000000)
+              AS BIGINT) AS sm
+  FROM cand a JOIN cand b ON a.query_id = b.query_id
+),
+s1 AS MATERIALIZED (
+  SELECT query_id, corpus_id, rel, CAST({lam} AS BIGINT) * rel AS val
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, corpus_id) AS rk
+        FROM cand)
+  WHERE rk = 1
+),
+sel1 AS MATERIALIZED (SELECT query_id, corpus_id FROM s1),{chain}
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(corpus_id AS BIGINT) AS corpus_id,
+       CAST(rank AS INTEGER) AS rank,
+       rel_micro, val_pico
+FROM ({finals})
 """
 
 

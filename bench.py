@@ -801,6 +801,24 @@ def main() -> None:
         lambda: tsr_b.attribution(ev_b).count(),
     )
 
+    from log_analysis_spark.operators import similarity as sim_b
+
+    emb_b16 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    timed(
+        "embed_mmr_rerank",
+        lambda: sim_b.mmr_rerank(
+            sim_b.cosine_topk(
+                emb_b16, emb_b16.filter(_F.col("vec_id") % 50 == 0), k=20
+            ).join(
+                sim_b.with_unit_vec(emb_b16).select(
+                    _F.col("vec_id").alias("corpus_id"), "unit"
+                ),
+                "corpus_id",
+            ),
+            k=5,
+        ).count(),
+    )
+
     timings = {name: min(obs) for name, obs in runs.items()}
     total = round(sum(sum(obs) for obs in runs.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -1314,3 +1314,88 @@ def cluster_histogram_psi(
         )
 
     return psi_from_cells(cells(emb_a, "ca"), cells(emb_b, "cb"), thr_micro)
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 5,
+    lam_micro: int = 700_000,
+    query_col: str = "query_id",
+    id_col: str = "corpus_id",
+    score_col: str = "score",
+    unit_col: str = "unit",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
+    — the standard diversity-aware selection over an ANN/BM25 candidate
+    list: greedily pick the candidate maximizing
+
+        λ·rel(c)  −  (1−λ)·max_{s ∈ selected} sim(c, s)
+
+    (first pick = pure relevance), so near-duplicate hits don't crowd the
+    top-k.  This is the retrieval-side twin of SemDeDup: instead of
+    deleting semantic duplicates from the corpus, it de-duplicates each
+    RESULT LIST.
+
+    Inputs: one row per (query, candidate) with the round-6 relevance
+    ``score_col`` and the candidate's ``unit`` vector (e.g.
+    ``cosine_topk`` output joined back to unit vectors).  Returns
+    ``(query_id, corpus_id, rank, rel_micro, val_pico)`` where ``rank``
+    is selection order, ``rel_micro = round(score·1e6)`` and ``val_pico``
+    the exact integer objective ``lam_micro·rel_micro −
+    (1e6−lam_micro)·max_sim_micro`` at selection time — all arithmetic
+    integer (pairwise sims are round-6 micro ints), ties → lowest id, so
+    a DuckDB oracle replays the greedy loop bit-for-bit.
+
+    Scale shape: MMR is inherently sequential in k, but only WITHIN a
+    result list — candidate lists are bounded (top-N per query, N ≲ 100),
+    so each list is one Arrow group in ``applyInPandas`` and queries
+    parallelize embarrassingly; the k·N² work per group is a few thousand
+    flops.  Nothing corpus-sized is shuffled — only the candidate rows.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not (0 <= lam_micro <= 1_000_000):
+        raise ValueError(f"lam_micro must be in [0, 1e6], got {lam_micro}")
+    qt = candidates.schema[query_col].dataType.simpleString()
+    it = candidates.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{query_col} {qt}, {id_col} {it}, rank int, rel_micro long, "
+        "val_pico long"
+    )
+    kk, lam = int(k), int(lam_micro)
+
+    def rerank(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        rel = np.round(pdf[score_col].to_numpy() * 1e6).astype(np.int64)
+        U = np.stack(pdf[unit_col].to_numpy())
+        sim = np.round(np.round(U @ U.T, 6) * 1e6).astype(np.int64)
+        picked: list[int] = []
+        vals: list[int] = []
+        avail = np.ones(n, dtype=bool)
+        for _ in range(min(kk, n)):
+            if picked:
+                max_sim = sim[:, picked].max(axis=1)
+            else:
+                max_sim = np.zeros(n, dtype=np.int64)
+            val = lam * rel - (1_000_000 - lam) * max_sim
+            val_masked = np.where(avail, val, np.iinfo(np.int64).min)
+            i = int(np.argmax(val_masked))  # first max = lowest id (sorted)
+            picked.append(i)
+            vals.append(int(val[i]))
+            avail[i] = False
+        return pd.DataFrame(
+            {
+                query_col: pdf[query_col].iloc[picked].to_numpy(),
+                id_col: pdf[id_col].iloc[picked].to_numpy(),
+                "rank": np.arange(1, len(picked) + 1, dtype=np.int32),
+                "rel_micro": rel[picked],
+                "val_pico": np.asarray(vals, dtype=np.int64),
+            }
+        )
+
+    return (
+        candidates.select(query_col, id_col, score_col, unit_col)
+        .groupBy(query_col)
+        .applyInPandas(rerank, out_schema)
+    )

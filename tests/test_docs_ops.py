@@ -1454,3 +1454,102 @@ def test_containment_validates_threshold(spark):
         dedup.containment_pairs(df, threshold=0.0)
     with pytest.raises(ValueError):
         dedup.containment_pairs(df, threshold=1.5)
+
+
+# ------------------------------------------------------------------- MMR
+
+
+def _mmr_cand(spark, rows):
+    return spark.createDataFrame(
+        rows, "query_id long, corpus_id long, score double, unit array<double>"
+    )
+
+
+def test_mmr_prefers_diverse_over_near_duplicate(spark):
+    # candidates: 10 and 11 nearly identical (both high rel); 12 orthogonal
+    # with lower rel.  Pure relevance would return (10, 11); MMR at λ=0.7
+    # must pick 10 then 12.
+    rows = [
+        (1, 10, 0.95, [1.0, 0.0]),
+        (1, 11, 0.94, [1.0, 0.0]),
+        (1, 12, 0.60, [0.0, 1.0]),
+    ]
+    out = [
+        (r["corpus_id"], r["rank"], r["val_pico"])
+        for r in similarity.mmr_rerank(_mmr_cand(spark, rows), k=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert [c for c, _, _ in out] == [10, 12]
+    # round 1: val = 700000 * 950000 ; round 2 for 12: rel .6, max_sim 0
+    assert out[0][2] == 700_000 * 950_000
+    assert out[1][2] == 700_000 * 600_000  # = 420e9
+    # the near-dup 11's round-2 value is lower:
+    # 700000*940000 - 300000*1000000 = 358e9 < 420e9
+
+
+def test_mmr_lambda_one_is_pure_relevance_with_id_ties(spark):
+    rows = [
+        (1, 30, 0.9, [1.0, 0.0]),
+        (1, 20, 0.9, [0.0, 1.0]),  # tie on rel -> lower id first
+        (1, 40, 0.8, [1.0, 0.0]),
+    ]
+    out = [
+        r["corpus_id"]
+        for r in similarity.mmr_rerank(
+            _mmr_cand(spark, rows), k=3, lam_micro=1_000_000
+        ).orderBy("rank").collect()
+    ]
+    assert out == [20, 30, 40]
+
+
+def test_mmr_k_exceeding_candidates_and_validation(spark):
+    rows = [(1, 10, 0.9, [1.0, 0.0]), (2, 20, 0.5, [0.0, 1.0])]
+    out = similarity.mmr_rerank(_mmr_cand(spark, rows), k=5).collect()
+    assert {(r["query_id"], r["corpus_id"], r["rank"]) for r in out} == {
+        (1, 10, 1),
+        (2, 20, 1),
+    }
+    with pytest.raises(ValueError):
+        similarity.mmr_rerank(_mmr_cand(spark, rows), k=0)
+    with pytest.raises(ValueError):
+        similarity.mmr_rerank(_mmr_cand(spark, rows), lam_micro=2_000_000)
+
+
+def test_mmr_matches_python_greedy_mirror(spark):
+    import itertools
+    import math
+
+    # deterministic 6-candidate soup on the unit circle
+    rows = []
+    for i, (deg, rel) in enumerate(
+        [(0, 0.9), (5, 0.88), (90, 0.6), (85, 0.58), (45, 0.7), (180, 0.3)]
+    ):
+        rad = math.radians(deg)
+        rows.append((1, 100 + i, rel, [math.cos(rad), math.sin(rad)]))
+    got = [
+        (r["corpus_id"], r["val_pico"])
+        for r in similarity.mmr_rerank(_mmr_cand(spark, rows), k=4)
+        .orderBy("rank")
+        .collect()
+    ]
+
+    import numpy as np
+
+    ids = np.array([r[1] for r in rows])
+    order = np.argsort(ids)
+    ids = ids[order]
+    rel = np.round(np.array([r[2] for r in rows])[order] * 1e6).astype(np.int64)
+    U = np.stack([np.array(r[3]) for r in rows])[order]
+    sim = np.round(np.round(U @ U.T, 6) * 1e6).astype(np.int64)
+    picked, expect = [], []
+    avail = np.ones(len(ids), bool)
+    for _ in range(4):
+        ms = sim[:, picked].max(axis=1) if picked else np.zeros(len(ids), np.int64)
+        val = 700_000 * rel - 300_000 * ms
+        vm = np.where(avail, val, np.iinfo(np.int64).min)
+        i = int(np.argmax(vm))
+        picked.append(i)
+        avail[i] = False
+        expect.append((int(ids[i]), int(val[i])))
+    assert got == expect

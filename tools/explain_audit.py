@@ -1779,6 +1779,29 @@ def main() -> int:
     ]
     sections.append(("Multi-touch attribution", attr_plan, notes))
 
+    # ---- MMR re-rank -------------------------------------------------------
+    mmr = sim_ops.mmr_rerank(
+        sim_ops.cosine_topk(
+            emb16, emb16.filter(F.col("vec_id") % 50 == 0), k=20
+        ).join(
+            sim_ops.with_unit_vec(emb16).select(
+                F.col("vec_id").alias("corpus_id"), "unit"
+            ),
+            "corpus_id",
+        ),
+        k=5,
+    )
+    mmr_plan = executed(mmr)
+    notes = [
+        check("MMR: the only Python stage is the per-query whole-group "
+              "Arrow rerank over BOUNDED candidate lists (top-20/query) — "
+              "no per-row Python, nothing corpus-sized enters the group "
+              "exchange (candidates only)",
+              "FlatMapGroupsInPandas" in mmr_plan
+              and "BatchEvalPython" not in mmr_plan),
+    ]
+    sections.append(("MMR diverse re-ranking", mmr_plan, notes))
+
     # ---- write EXPLAIN.md -------------------------------------------------
     md = ["# EXPLAIN audit — physical plans vs 100 TB design intents",
           "",
