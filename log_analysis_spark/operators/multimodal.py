@@ -262,8 +262,10 @@ def image_feature_extract(media: DataFrame) -> DataFrame:
 
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling *plan*: one row per sampled frame index, derived
-    from metadata only (real frame extraction needs a video codec).  Shows
-    the explode-based fan-out a real frame sampler would use."""
+    from metadata only (real frame extraction from COMPRESSED codecs needs
+    a library this container doesn't ship).  Shows the explode-based
+    fan-out a real frame sampler uses; for uncompressed Y4M payloads the
+    REAL decode path is ``video_frame_sample`` below."""
     n_frames = (F.col("meta.n_bytes") / 100).cast("int")  # fake: 100 B/frame
     return (
         media.filter(F.col("kind") == "video")
@@ -404,4 +406,158 @@ def audio_feature_extract(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         extract, AUDIO_FEATURE_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------- video
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("ts_us", T.LongType()),  # exact integer micro-s
+        T.StructField("mean_luma_milli", T.LongType()),
+        T.StructField("min_luma", T.IntegerType()),
+        T.StructField("max_luma", T.IntegerType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def encode_y4m(
+    frames: np.ndarray, fps: tuple[int, int] = (25, 1), colorspace: str = "mono"
+) -> bytes:
+    """YUV4MPEG2 encoder for an (n, h, w) uint8 luma array — the
+    fixture-side inverse of ``decode_y4m`` (Y4M is the standard
+    UNCOMPRESSED video interchange container: a text header + raw planar
+    frames, no codec library needed — the video twin of PPM/WAV).
+    ``colorspace``: "mono" writes luma only; "420" appends flat 128-valued
+    chroma planes (w/2 × h/2 each), exercising the C420 frame layout."""
+    assert frames.ndim == 3 and frames.dtype == np.uint8
+    n, h, w = frames.shape
+    ctag = "Cmono" if colorspace == "mono" else "C420"
+    hdr = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 {ctag}\n".encode()
+    parts = [hdr]
+    chroma = (
+        b""
+        if colorspace == "mono"
+        else bytes([128]) * ((w // 2) * (h // 2) * 2)
+    )
+    for i in range(n):
+        parts.append(b"FRAME\n")
+        parts.append(frames[i].tobytes())
+        parts.append(chroma)
+    return b"".join(parts)
+
+
+def decode_y4m(payload: bytes) -> tuple[int, int, tuple[int, int], np.ndarray]:
+    """Decode a YUV4MPEG2 payload to (width, height, (fps_num, fps_den),
+    (n, h, w) uint8 luma array).  Real container walk: stream-header
+    parameter tokens (W/H/F required, C defaulting to 420 per spec),
+    per-frame FRAME headers (optional frame parameters tolerated), plane
+    sizes validated; Cmono and C420-family supported — the chroma planes
+    of 420 are skipped, the luma plane is returned.  Raises ``ValueError``
+    on anything else (compressed codecs need a library this container
+    doesn't ship)."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError(f"not a YUV4MPEG2 payload (magic={payload[:9]!r})")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("unterminated stream header")
+    w = h = None
+    num, den = 25, 1
+    ctag = "420"
+    for tok in payload[9:nl].split():
+        t = tok.decode("ascii", "replace")
+        if t[0] == "W":
+            w = int(t[1:])
+        elif t[0] == "H":
+            h = int(t[1:])
+        elif t[0] == "F":
+            num, den = (int(x) for x in t[1:].split(":"))
+        elif t[0] == "C":
+            ctag = t[1:]
+    if not w or not h or num < 1 or den < 1:
+        raise ValueError(f"bad stream header (W={w} H={h} F={num}:{den})")
+    if ctag.startswith("mono"):
+        chroma = 0
+    elif ctag.startswith("420"):
+        chroma = (w // 2) * (h // 2) * 2
+    else:
+        raise ValueError(f"unsupported colorspace C{ctag}")
+    fsize = w * h + chroma
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad frame header at byte {pos}")
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or len(payload) < fnl + 1 + fsize:
+            raise ValueError(f"truncated frame at byte {pos}")
+        luma = np.frombuffer(
+            payload, dtype=np.uint8, count=w * h, offset=fnl + 1
+        ).reshape(h, w)
+        frames.append(luma)
+        pos = fnl + 1 + fsize
+    return w, h, (num, den), (
+        np.stack(frames) if frames else np.zeros((0, h, w), np.uint8)
+    )
+
+
+def video_frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """REAL video frame sampling: Y4M payloads → every ``every_n``-th
+    frame's luma statistics via mapInPandas — the realized version of
+    ``frame_sample_plan`` (which remains the metadata-only planner for
+    codec formats this container can't decode).  Per sampled frame:
+    exact integer ``ts_us = idx·1e6·fps_den div fps_num`` and
+    ``mean_luma_milli = 1000·Σluma div (h·w)`` — no float anywhere.
+    Container walk is per-payload by nature; the per-frame statistics are
+    whole-frame numpy reductions.  Undecodable payloads yield one row of
+    nulls + ``decode_error``, so corrupt assets surface instead of
+    vanishing."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in VIDEO_FRAME_SCHEMA.fields}
+
+            def emit(mid, idx, w, h, ts, mean, mn, mx, err):
+                out["media_id"].append(mid)
+                out["frame_idx"].append(idx)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["ts_us"].append(ts)
+                out["mean_luma_milli"].append(mean)
+                out["min_luma"].append(mn)
+                out["max_luma"].append(mx)
+                out["decode_error"].append(err)
+
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                mid = int(mid)
+                try:
+                    if payload is None:
+                        raise ValueError("null payload")
+                    w, h, (num, den), luma = decode_y4m(bytes(payload))
+                    for idx in range(0, luma.shape[0], every_n):
+                        fr = luma[idx]
+                        emit(
+                            mid,
+                            idx,
+                            w,
+                            h,
+                            idx * 10**6 * den // num,
+                            int(fr.sum(dtype=np.int64)) * 1000 // (h * w),
+                            int(fr.min()),
+                            int(fr.max()),
+                            None,
+                        )
+                except (ValueError, IndexError) as e:
+                    emit(mid, None, None, None, None, None, None, None, str(e))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract, VIDEO_FRAME_SCHEMA
     )

@@ -1553,3 +1553,76 @@ def test_mmr_matches_python_greedy_mirror(spark):
         avail[i] = False
         expect.append((int(ids[i]), int(val[i])))
     assert got == expect
+
+
+# ---------------------------------------------------------------- video
+
+
+def test_y4m_roundtrip_and_frame_sample(spark):
+    import numpy as np
+
+    # 7 deterministic 4x6 mono frames with known luma ramps
+    frames = np.stack(
+        [np.full((4, 6), 10 * i, dtype=np.uint8) for i in range(7)]
+    )
+    payload = multimodal.encode_y4m(frames, fps=(30, 1))
+    w, h, (num, den), back = multimodal.decode_y4m(payload)
+    assert (w, h, num, den) == (6, 4, 30, 1)
+    assert np.array_equal(back, frames)
+
+    media = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    rows = {
+        r["frame_idx"]: r
+        for r in multimodal.video_frame_sample(media, every_n=3).collect()
+    }
+    assert set(rows) == {0, 3, 6}  # every 3rd of 7 frames
+    for idx in (0, 3, 6):
+        r = rows[idx]
+        assert r["mean_luma_milli"] == 10 * idx * 1000  # flat frame
+        assert r["min_luma"] == r["max_luma"] == 10 * idx
+        assert r["ts_us"] == idx * 10**6 // 30  # exact integral timestamp
+        assert (r["width"], r["height"]) == (6, 4)
+        assert r["decode_error"] is None
+
+
+def test_y4m_c420_layout_and_corrupt_payloads(spark):
+    import numpy as np
+
+    frames = np.arange(2 * 4 * 4, dtype=np.uint8).reshape(2, 4, 4)
+    payload = multimodal.encode_y4m(frames, fps=(24, 1), colorspace="420")
+    w, h, _, back = multimodal.decode_y4m(payload)
+    assert np.array_equal(back, frames)  # chroma skipped, luma exact
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(payload)),
+            (2, bytearray(b"RIFFjunk")),               # wrong container
+            (3, bytearray(payload[: len(payload) - 5])),  # truncated frame
+            (4, None),
+        ],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in multimodal.video_frame_sample(media, 1).collect()
+           if r["media_id"] != 1}
+    assert "YUV4MPEG2" in out[2]["decode_error"]
+    assert "truncated" in out[3]["decode_error"]
+    assert out[4]["decode_error"] == "null payload"
+    good = [r for r in multimodal.video_frame_sample(media, 1).collect()
+            if r["media_id"] == 1]
+    assert len(good) == 2 and all(r["decode_error"] is None for r in good)
+    # mean of the ramp frame is exact integral milli
+    fr0 = frames[0].astype(int)
+    assert good[0]["mean_luma_milli"] == fr0.sum() * 1000 // 16
+
+
+def test_y4m_rejects_unsupported_colorspace_and_validates():
+    import numpy as np
+
+    frames = np.zeros((1, 2, 2), dtype=np.uint8)
+    payload = multimodal.encode_y4m(frames).replace(b"Cmono", b"C444")
+    with pytest.raises(ValueError):
+        multimodal.decode_y4m(payload)
+    with pytest.raises(ValueError):
+        multimodal.decode_y4m(b"not a video")
