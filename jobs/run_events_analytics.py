@@ -18,7 +18,10 @@ with the most recent right event), ``sliding/`` (hopping-window counts per
 type), ``funnel/`` (per-user steps completed), ``retention/`` (cohort
 matrix), ``report/`` (per-type KMV distinct users + value quantiles, plus
 HLL estimates under ``--hll-p``), ``alerts/`` (hourly burst/drop
-anomalies from ``timeseries.burst_hours``, ``--burst-trail-hours``).  The
+anomalies from ``timeseries.burst_hours``, ``--burst-trail-hours``),
+``attribution/`` (multi-touch conversion credit under
+``--attr-conv-type``, last/first/linear models in exact integer
+micro-units).  The
 summary JSON line carries per-output row counts plus the CMS-detected hot
 keys — the skew advisory that feeds salting knobs downstream.
 
@@ -76,6 +79,13 @@ def main() -> None:
     )
     ap.add_argument("--cusum-k-milli", type=int, default=300)
     ap.add_argument(
+        "--attr-conv-type", default="",
+        help="enable multi-touch attribution crediting this conversion "
+        "event type's trailing-window touches (last/first/linear models)",
+    )
+    ap.add_argument("--attr-touch-types", default="click,view")
+    ap.add_argument("--attr-lookback-hours", type=int, default=24)
+    ap.add_argument(
         "--hll-p", type=int, default=0,
         help="also report HLL distinct-user estimates at 2^p registers "
         "(0 = KMV only)",
@@ -109,6 +119,7 @@ def main() -> None:
         args.funnel, args.kmv_k, args.quantiles, args.quantile_resolution,
         args.skew_frac, args.ohlc_bucket_sec, args.burst_trail_hours,
         args.burst_z, args.hll_p, args.cusum_h, args.cusum_k_milli,
+        args.attr_conv_type, args.attr_touch_types, args.attr_lookback_hours,
         fingerprint_source(ev),
     )
     prior = manifest.lookup("events_analytics", fp)
@@ -202,6 +213,23 @@ def main() -> None:
         counts["n_drift_alerts"] = spark.read.parquet(
             f"{args.out}/drift"
         ).count()
+
+    if args.attr_conv_type:
+        attr = timeseries.attribution(
+            ev,
+            conv_type=args.attr_conv_type,
+            touch_types=tuple(
+                t for t in args.attr_touch_types.split(",") if t
+            ),
+            lookback_hours=args.attr_lookback_hours,
+        )
+        attr.write.mode("overwrite").parquet(f"{args.out}/attribution")
+        attr_back = spark.read.parquet(f"{args.out}/attribution")
+        counts["n_attribution_rows"] = attr_back.count()
+        counts["n_attributed_convs"] = (
+            attr_back.filter(F.col("touch_event_id").isNotNull())
+            .select("conv_event_id").distinct().count()
+        )
 
     from log_analysis_spark.operators import expectations as expect_ops
 

@@ -571,10 +571,15 @@ def test_submit_events_analytics_job(pkg_zip, tmp_path):
             "--cusum-h", "1",
             "--cusum-k-milli", "100",
             "--hll-p", "6",
+            "--attr-conv-type", "purchase",
         ],
         cwd=tmp_path,
     )
     assert res["n_events"] == 1000
+    # attribution stage bites: >= one row per purchase (~200 of 1000
+    # events), and a nonempty attributed subset
+    assert res["n_attribution_rows"] >= 150
+    assert 0 < res["n_attributed_convs"] <= res["n_attribution_rows"]
     assert res["n_asof"] > 0 and res["n_sliding"] > 0
     assert res["n_funnel_users"] == 15
     assert 0 < res["n_funnel_completed"] <= res["n_funnel_users"]
@@ -602,6 +607,7 @@ def test_submit_events_analytics_job(pkg_zip, tmp_path):
             "--cusum-h", "1",
             "--cusum-k-milli", "100",
             "--hll-p", "6",
+            "--attr-conv-type", "purchase",
         ],
         cwd=tmp_path,
     )
