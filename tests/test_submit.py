@@ -648,3 +648,43 @@ def test_pipeline_expect_gate(pkg_zip, tmp_path):
     )
     assert out.returncode != 0
     assert "unique(conv_id,turn_idx)" in (out.stderr + out.stdout)
+
+
+def test_submit_retrieval_job(pkg_zip, tmp_path):
+    res = _submit(
+        pkg_zip,
+        "run_retrieval.py",
+        [
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--out", str(tmp_path / "ret"),
+            "--query", "hash join table",
+            "--query", "slow scan filter",
+            "--k", "5",
+            "--hybrid",
+            "--phrase", "the data",
+        ],
+        cwd=tmp_path,
+    )
+    assert res["n_bm25"] > 0 and res["n_jaccard"] > 0
+    assert res["n_hybrid"] == 2 * 5  # full top-5 per query
+    assert res["n_phrase_docs"] >= 0
+    import duckdb
+
+    con = duckdb.connect()
+    fused = con.execute(
+        f"SELECT query_id, count(*), max(rank) "
+        f"FROM read_parquet('{tmp_path}/ret/hybrid/*.parquet') GROUP BY 1"
+    ).fetchall()
+    assert sorted(r[0] for r in fused) == [1, 2]
+    assert all(r[1] == 5 and r[2] == 5 for r in fused)
+    # every hybrid doc appears in at least one input ranking
+    orphan = con.execute(
+        f"""SELECT count(*) FROM read_parquet('{tmp_path}/ret/hybrid/*.parquet') h
+            ANTI JOIN (SELECT query_id, doc_id
+                       FROM read_parquet('{tmp_path}/ret/bm25/*.parquet')
+                       UNION ALL
+                       SELECT query_id, doc_id
+                       FROM read_parquet('{tmp_path}/ret/jaccard/*.parquet')) s
+            ON s.query_id = h.query_id AND s.doc_id = h.doc_id"""
+    ).fetchone()[0]
+    assert orphan == 0
