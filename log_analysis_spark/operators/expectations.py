@@ -598,6 +598,40 @@ def k_anonymity_summary(
     )
 
 
+def l_diversity_violations(
+    df: DataFrame, qi_cols: list[str], sensitive_col: str, l: int
+) -> DataFrame:
+    """Quasi-identifier classes whose SENSITIVE attribute takes fewer than
+    ``l`` distinct values (Machanavajjhala et al. 2007) — the
+    homogeneity-attack complement of ``k_anonymity_violations``: a
+    10-member class is k-safe, but if all 10 share one sensitive value the
+    attacker learns it WITHOUT re-identifying anyone.
+
+    Returns the violating classes: (*qi_cols, group_n, n_sensitive) with
+    ``n_sensitive < l``.  NULL quasi-identifier values form equivalence
+    classes like any other value (GROUP BY semantics, as in k-anonymity);
+    NULL sensitive values contribute NO diversity (count-distinct ignores
+    NULL identically in both engines — an unknown diagnosis doesn't
+    protect the known ones).
+
+    Scale shape: count-distinct expands to the standard two-phase
+    aggregate keyed (qi…, sensitive) then (qi…) — both narrow,
+    map-side-combined; output bounded by the violating classes, which is
+    what the audit is for."""
+    if l < 2:
+        raise ValueError(f"l must be >= 2, got {l}")
+    if not qi_cols:
+        raise ValueError("qi_cols must be non-empty")
+    return (
+        df.groupBy(*qi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("group_n"),
+            F.countDistinct(F.col(sensitive_col)).alias("n_sensitive"),
+        )
+        .filter(F.col("n_sensitive") < l)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Chi-square independence, ranking AUC, Gini concentration — the same
 # exact-integer discipline as rank_compare/ks_test: values fold into

@@ -881,6 +881,36 @@ def test_k_anonymity_violations_and_summary(spark):
 
 
 # ---------------------------------------------------------------------------
+# l-diversity audit
+# ---------------------------------------------------------------------------
+
+
+def test_l_diversity_violations_semantics(spark):
+    from log_analysis_spark.operators import expectations as E
+
+    rows = (
+        [("90210", "flu", i) for i in range(5)]        # 1 distinct -> viol
+        + [("10001", "flu", 0), ("10001", "cold", 1),
+           ("10001", "cut", 2)]                        # 3 distinct -> safe
+        + [("60601", "flu", 0), ("60601", None, 1)]    # NULL adds NO diversity
+        + [(None, "flu", 0), (None, "cold", 1)]        # NULL QI is a class
+    )
+    df = spark.createDataFrame(rows, "zip string, dx string, i int")
+    viol = {
+        r["zip"]: (r["group_n"], r["n_sensitive"])
+        for r in E.l_diversity_violations(df, ["zip"], "dx", 3).collect()
+    }
+    # 90210: 5 rows, 1 value; 60601: 2 rows but only 1 non-null value;
+    # NULL zip: 2 rows, 2 values -> violating at l=3
+    assert viol == {"90210": (5, 1), "60601": (2, 1), None: (2, 2)}
+    # 10001 is l-diverse at 3 and absent
+    with pytest.raises(ValueError):
+        E.l_diversity_violations(df, [], "dx", 3)
+    with pytest.raises(ValueError):
+        E.l_diversity_violations(df, ["zip"], "dx", 1)
+
+
+# ---------------------------------------------------------------------------
 # Chi-square independence, ranking AUC, Gini concentration
 # ---------------------------------------------------------------------------
 
