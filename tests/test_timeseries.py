@@ -780,7 +780,7 @@ def _acf_mirror(xs, k):
     return q if num >= 0 else -q  # trunc toward zero
 
 
-def _hourly_events(spark, counts, key="k"):
+def _hourly_unit_events(spark, counts, key="k"):
     """One event row per unit of each hourly count, hours are contiguous."""
     rows = []
     eid = 0
@@ -797,7 +797,7 @@ def test_autocorrelation_matches_bruteforce(spark):
 
     # period-3 sawtooth plus a gap hour (zero-filled by the spine)
     counts = [5, 1, 0, 5, 1, 0, 5, 1, 0, 5, 1, 0]
-    df = _hourly_events(spark, counts)
+    df = _hourly_unit_events(spark, counts)
     out = {
         r["lag"]: (r["n_hours"], r["acf_micro"])
         for r in TS.autocorrelation(df, "ts", "key", lags=(1, 3)).collect()
@@ -814,7 +814,7 @@ def test_autocorrelation_matches_bruteforce(spark):
 def test_autocorrelation_constant_and_guards(spark):
     from log_analysis_spark.operators import timeseries as TS
 
-    df = _hourly_events(spark, [4, 4, 4, 4])
+    df = _hourly_unit_events(spark, [4, 4, 4, 4])
     rows = TS.autocorrelation(df, "ts", "key", lags=(1,)).collect()
     assert rows[0]["acf_micro"] is None   # zero variance
     with pytest.raises(ValueError):
