@@ -954,6 +954,38 @@ def q_events_cms(spark, sf_dir):
     )
 
 
+def q_streaming_quantiles(spark, sf_dir):
+    """§2.9 streaming quantiles: per micro-batch the values collapse to
+    (group, cell) histogram counts that ADD into versioned bounded state
+    (state ~ occupied cells, never value volume); the final read runs the
+    SAME quantiles_from_cells finisher as batch, so the drained snapshot
+    equals the batch oracle exactly — cell additivity makes the result
+    batch-boundary-independent."""
+    import os
+    import shutil
+    import tempfile
+
+    from log_analysis_spark.streaming.sketch_stream import run_stream_quantiles
+
+    work = tempfile.mkdtemp(prefix="quant_stream_")
+    os.makedirs(f"{work}/src")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{work}/src/drop0.parquet")
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    )
+    return run_stream_quantiles(
+        spark,
+        f"{work}/src",
+        f"{work}/state",
+        "value",
+        schema,
+        QUANTILE_QS,
+        resolution=QUANTILE_RES,
+        group="event_type",
+    )
+
+
 def q_events_quantiles(spark, sf_dir):
     """Histogram-CDF quantiles (p50/p90/p99 of value per event_type) —
     fixed-size-state distributed quantiles with resolution-bounded error
@@ -2595,6 +2627,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kmv_setops": q_events_kmv_setops,
         "events_cms_counts": q_events_cms,
         "events_quantiles": q_events_quantiles,
+        "streaming_quantiles": q_streaming_quantiles,
         "events_rolling": q_events_rolling,
         "events_bloom_join": q_events_bloom_join,
         "events_funnel_times": q_events_funnel_times,
@@ -2835,6 +2868,9 @@ FROM grp GROUP BY conv_id, sid"""
         "events_kmv_setops": _kmv_setops_oracle(k=KMV_SETOPS_K),
         "events_cms_counts": _cms_oracle(depth=CMS_DEPTH, width=CMS_WIDTH),
         "events_quantiles": _hist_quantiles_oracle(
+            qs=QUANTILE_QS, resolution=QUANTILE_RES
+        ),
+        "streaming_quantiles": _hist_quantiles_oracle(
             qs=QUANTILE_QS, resolution=QUANTILE_RES
         ),
         "events_rolling": _rolling_oracle(n=ROLLING_N),

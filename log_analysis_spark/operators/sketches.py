@@ -253,18 +253,46 @@ def hist_quantiles(
     The CDF window runs over occupied CELLS per group (≤ range/resolution
     rows), not over data rows — the same trick as textstats.
     perplexity_buckets' equal-mass cut."""
-    q_lits = sorted(set(qs))
-    if not q_lits or not all(0 < q <= 1 for q in q_lits):
-        raise ValueError("qs must be in (0, 1]")
+    return quantiles_from_cells(
+        value_cells(df, value_col, resolution, group), qs, resolution, group
+    )
+
+
+def value_cells(
+    df: DataFrame,
+    value_col: str,
+    resolution: float = 0.01,
+    group: str | None = None,
+) -> DataFrame:
+    """The mergeable half of ``hist_quantiles``: per-(group, cell) counts
+    on the fixed resolution grid.  Cell counts ADD, so two cell tables
+    (two partitions, two micro-batches, two days) union+sum into one with
+    no loss — the property the streaming quantile fold
+    (`streaming.sketch_stream.run_stream_quantiles`) is built on."""
     inv = 1.0 / resolution
     cell = F.floor(F.col(value_col) * F.lit(inv)).cast("long")
     keys = [group] if group else []
-    hist = (
+    return (
         df.filter(F.col(value_col).isNotNull())
         .select(*keys, cell.alias("_cell"))
         .groupBy(*keys, "_cell")
         .agg(F.count("*").alias("_c"))
     )
+
+
+def quantiles_from_cells(
+    hist: DataFrame,
+    qs: list[float],
+    resolution: float = 0.01,
+    group: str | None = None,
+) -> DataFrame:
+    """CDF finisher over a (group, _cell, _c) table — shared verbatim by
+    the batch ``hist_quantiles`` and the streaming fold, so the two can't
+    drift."""
+    q_lits = sorted(set(qs))
+    if not q_lits or not all(0 < q <= 1 for q in q_lits):
+        raise ValueError("qs must be in (0, 1]")
+    keys = [group] if group else []
     w = (
         Window.partitionBy(*keys)
         .orderBy("_cell")

@@ -279,3 +279,54 @@ def run_stream_active_users(
         raise RuntimeError("no micro-batch produced state")
     final = spark.read.parquet(f"{sk_dir}/version={v}")
     return timeseries.active_users_from_presence(final, window_days)
+
+
+def run_stream_quantiles(
+    spark: SparkSession,
+    src_path: str,
+    state_dir: str,
+    value_col: str,
+    schema: str,
+    qs: list[float],
+    resolution: float = 0.25,
+    group: str | None = None,
+) -> DataFrame:
+    """Streaming histogram-CDF quantiles: each micro-batch's values
+    collapse to (group, cell) counts (``sketches.value_cells``) and ADD
+    into the versioned bounded state (state ~ occupied grid cells, never
+    value volume; same exactly-once version protocol as the other sketch
+    streams).  The final read runs the SAME
+    ``sketches.quantiles_from_cells`` finisher as batch — cell counts are
+    additive, so streaming == batch EXACTLY regardless of batch
+    boundaries (the presence-set argument of ``run_stream_active_users``,
+    with counts in place of sets)."""
+    from log_analysis_spark.operators import sketches as sk
+
+    stream = spark.readStream.schema(schema).parquet(src_path)
+    sk_dir = f"{state_dir}/qcells"
+    keys = ([group] if group else []) + ["_cell"]
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        new = sk.value_cells(batch_df, value_col, resolution, group)
+        prev_v = _latest_version(sk_dir, batch_id)
+        if prev_v is not None:
+            prev = spark.read.parquet(f"{sk_dir}/version={prev_v}")
+            new = (
+                new.unionByName(prev)
+                .groupBy(*keys)
+                .agg(F.sum("_c").alias("_c"))
+            )
+        new.write.mode("overwrite").parquet(f"{sk_dir}/version={batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{state_dir}/ckpt_quantiles")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    v = _latest_version(sk_dir, 1 << 62)
+    if v is None:
+        raise RuntimeError("no micro-batch produced state")
+    final = spark.read.parquet(f"{sk_dir}/version={v}")
+    return sk.quantiles_from_cells(final, qs, resolution, group)

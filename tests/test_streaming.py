@@ -678,3 +678,41 @@ def test_streaming_active_users_equals_batch(spark, tmp_path):
     assert final.count() == timeseries.user_day_presence(
         ev, "ts", "user_id"
     ).count()
+
+
+def test_streaming_quantiles_equals_batch(spark, tmp_path):
+    """Histogram cells folded across TWO micro-batch drops (split so the
+    same (group, cell) appears in BOTH batches — counts must ADD across
+    the boundary) yield exactly the batch hist_quantiles answer, and the
+    persisted state is bounded by occupied cells."""
+    from log_analysis_spark.operators import sketches
+    from log_analysis_spark.streaming.sketch_stream import (
+        run_stream_quantiles,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "q_src")
+    ev.filter("event_id % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+    ev.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    )
+    qs = [0.5, 0.9, 0.99]
+    got = run_stream_quantiles(
+        spark, src, str(tmp_path / "st"), "value", schema, qs,
+        resolution=0.25, group="event_type",
+    )
+    want = sketches.hist_quantiles(
+        ev, "value", qs, resolution=0.25, group="event_type"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # bounded state: persisted cells equal the batch cell table exactly
+    import glob as _g
+
+    vs = sorted(_g.glob(str(tmp_path / "st" / "qcells" / "version=*")))
+    final = sorted(map(tuple, spark.read.parquet(vs[-1]).collect()))
+    batch_cells = sorted(
+        map(tuple, sketches.value_cells(ev, "value", 0.25, "event_type").collect())
+    )
+    assert final == batch_cells
