@@ -2354,6 +2354,20 @@ def q_events_l_diversity(spark, sf_dir):
     )
 
 
+def q_events_benford(spark, sf_dir):
+    """Benford first-digit audit of the value column — the
+    fabricated-data smell test.  First digits come from the decimal
+    string of the micro-quantized INTEGER (no float log10 boundary
+    wobble), expected mass is the shared literal micro table, shares are
+    integral divisions — 9 rows, all exact.  The synthetic uniform
+    values deviate grossly from Benford, which is exactly what the audit
+    reports."""
+    from log_analysis_spark.operators import expectations
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return expectations.benford_deviation(ev, "value")
+
+
 def q_events_acf(spark, sf_dir):
     """Lag-1/lag-24 autocorrelation of the hourly count series per event
     type — exact integer ACF over dense spine cells; the diagnostic that
@@ -2665,6 +2679,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ks_drift": q_events_ks_drift,
         "events_k_anonymity": q_events_k_anonymity,
         "events_l_diversity": q_events_l_diversity,
+        "events_benford": q_events_benford,
         "events_chi2": q_events_chi2,
         "events_auc": q_events_auc,
         "events_gini": q_events_gini,
@@ -2998,6 +3013,7 @@ SELECT event_id, key, hour_id FROM (
             "SELECT user_id, event_type, count(*) AS group_n "
             "FROM events GROUP BY 1, 2 HAVING count(*) < 10"
         ),
+        "events_benford": _benford_oracle(),
         "events_l_diversity": (
             "SELECT user_id, date_trunc('day', ts) AS day, "
             "count(*) AS group_n, "
@@ -4298,6 +4314,40 @@ reach(id, r) AS (
 reps AS (SELECT id, min(r) AS rep_id FROM reach GROUP BY id)
 SELECT a.vec_id, CAST(a.centroid_id AS INTEGER) AS centroid_id
 FROM assigned a JOIN reps g ON g.id = a.vec_id AND g.rep_id = a.vec_id
+"""
+
+
+def _benford_oracle() -> str:
+    """Independent recompute of q_events_benford: micro-quantized integer
+    first digits, the shared literal expected-mass table, integral-division
+    shares."""
+    from log_analysis_spark.operators.expectations import BENFORD_EXPECTED_MICRO
+
+    evals = ", ".join(
+        f"({d}, {m})" for d, m in sorted(BENFORD_EXPECTED_MICRO.items())
+    )
+    return f"""
+WITH src AS (
+  SELECT abs(CAST(round(value * 1000000) AS BIGINT)) AS i
+  FROM events WHERE value IS NOT NULL
+),
+c AS (
+  SELECT CAST(substr(CAST(i AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         count(*) AS n
+  FROM src WHERE i > 0 GROUP BY 1
+),
+e AS (SELECT * FROM (VALUES {evals}) t(digit, expected_micro)),
+t AS (SELECT COALESCE(sum(n), 0) AS tot FROM c)
+SELECT e.digit,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+       CAST(CASE WHEN t.tot > 0
+            THEN (1000000 * COALESCE(c.n, 0)) // t.tot ELSE 0 END AS BIGINT)
+         AS observed_micro,
+       CAST(e.expected_micro AS BIGINT) AS expected_micro,
+       CAST(CASE WHEN t.tot > 0
+            THEN (1000000 * COALESCE(c.n, 0)) // t.tot ELSE 0 END
+            - e.expected_micro AS BIGINT) AS dev_micro
+FROM e LEFT JOIN c USING (digit) CROSS JOIN t
 """
 
 

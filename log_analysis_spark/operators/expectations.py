@@ -941,3 +941,65 @@ def psi_from_cells(
         psi.alias("psi_micro"),
         (psi > F.lit(int(thr_micro))).alias("drifted"),
     )
+
+
+# Benford's-law expected first-digit mass, micro units:
+# round(log10(1 + 1/d) * 1e6) for d = 1..9 — literals so both engines
+# compare against the identical integers.
+BENFORD_EXPECTED_MICRO = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def benford_deviation(df: DataFrame, val_col: str) -> DataFrame:
+    """Benford's-law first-digit audit (Newcomb 1881 / Benford 1938) —
+    the classic fabricated-or-truncated-data smell test for naturally
+    occurring magnitudes (transaction amounts, durations, file sizes):
+    real multi-scale data puts ~30.1% of first digits at 1; uniform or
+    invented numbers don't.
+
+    Digit extraction is engine-portable by construction: values
+    micro-quantize to integers FIRST (``round(v·1e6)``), and the first
+    digit is the leading character of the absolute integer's decimal
+    string — integer-to-string is identical everywhere, sidestepping the
+    float ``log10`` boundary wobble at powers of ten.  Zero and NULL
+    values are excluded (no first significant digit).
+
+    Returns one row per digit 1-9: ``(digit, n, observed_micro,
+    expected_micro, dev_micro)`` with ``observed_micro = 1e6·n_d div n``
+    and ``dev_micro = observed − expected`` — all exact integers.
+    Unobserved digits still emit (n=0), so the output is always 9 rows.
+
+    Scale shape: one narrow (digit) map-side-combined count + a 9-row
+    literal join; the total rides a 1-row broadcast; zero Python."""
+    i = F.abs(F.round(F.col(val_col) * 1_000_000).cast("long"))
+    digit = F.substring(i.cast("string"), 1, 1).cast("int")
+    counts = (
+        df.filter(F.col(val_col).isNotNull() & (i > 0))
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spark = df.sparkSession
+    expected = spark.createDataFrame(
+        sorted(BENFORD_EXPECTED_MICRO.items()), "digit int, expected_micro long"
+    )
+    tot = counts.groupBy().agg(F.coalesce(F.sum("n"), F.lit(0)).alias("_tot"))
+    out = (
+        F.broadcast(expected)
+        .join(counts, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.when(
+                F.col("_tot") > 0,
+                F.expr("CAST(1000000 * COALESCE(n, 0) DIV _tot AS BIGINT)"),
+            ).otherwise(F.lit(0)).alias("observed_micro"),
+            "expected_micro",
+        )
+    )
+    return out.withColumn(
+        "dev_micro", (F.col("observed_micro") - F.col("expected_micro")).cast("long")
+    )
