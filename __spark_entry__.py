@@ -2354,6 +2354,22 @@ def q_events_l_diversity(spark, sf_dir):
     )
 
 
+def q_events_concurrency(spark, sf_dir):
+    """Peak-concurrency sweep line over 30-min-gap user sessions: sessions
+    collapse to intervals, each contributes (+1 start, −1 end), and the
+    ordered running sum is the exact step function of simultaneously-open
+    sessions — the capacity-planning number per-hour start counts can't
+    give.  The sweep's global ordering runs over interval ENDPOINTS only
+    (2 rows/session), the W4 single-partition-over-aggregates precedent.
+    The oracle replays sessionize, the interval collapse and the tie-ruled
+    running sum end to end."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    iv = timeseries.session_intervals(
+        ev, "ts", "user_id", gap_sec=1800, order_cols=["ts", "event_id"]
+    )
+    return timeseries.concurrency_timeline(iv)
+
+
 def q_events_benford(spark, sf_dir):
     """Benford first-digit audit of the value column — the
     fabricated-data smell test.  First digits come from the decimal
@@ -2680,6 +2696,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_k_anonymity": q_events_k_anonymity,
         "events_l_diversity": q_events_l_diversity,
         "events_benford": q_events_benford,
+        "events_concurrency": q_events_concurrency,
         "events_chi2": q_events_chi2,
         "events_auc": q_events_auc,
         "events_gini": q_events_gini,
@@ -3014,6 +3031,34 @@ SELECT event_id, key, hour_id FROM (
             "FROM events GROUP BY 1, 2 HAVING count(*) < 10"
         ),
         "events_benford": _benford_oracle(),
+        "events_concurrency": """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM g
+),
+iv AS (
+  SELECT user_id, sess_id, min(ts) AS s_ts, max(ts) AS e_ts
+  FROM s GROUP BY 1, 2
+),
+pts AS (
+  SELECT s_ts AS ts, 1 AS delta FROM iv
+  UNION ALL
+  SELECT e_ts AS ts, -1 AS delta FROM iv
+)
+SELECT ts, CAST(delta AS INTEGER) AS delta,
+       CAST(sum(delta) OVER (ORDER BY ts ASC, delta DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS concurrency
+FROM pts""",
         "events_l_diversity": (
             "SELECT user_id, date_trunc('day', ts) AS day, "
             "count(*) AS group_n, "

@@ -1465,3 +1465,72 @@ def attribution(
         )
     )
     return attributed.unionByName(untouched)
+
+
+def concurrency_timeline(
+    intervals: DataFrame,
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    key_col: str | None = None,
+) -> DataFrame:
+    """Sweep-line concurrency over a table of [start, end] INTERVALS
+    (sessions, requests in flight, active incidents): the exact
+    step-function of how many intervals are simultaneously open — the
+    "peak concurrent sessions" number capacity planning runs on, which
+    no per-hour count aggregate can produce (a count of session STARTS
+    per hour says nothing about overlap).
+
+    Each interval contributes (+1 at start, −1 at end); events sort by
+    ``(ts, delta DESC, …)`` so a start at the same instant counts before
+    an end — intervals are CLOSED ([s, e]), two sessions touching at a
+    boundary instant overlap there.  Returns one row per endpoint:
+    ``(…key, ts, delta, concurrency)`` with ``concurrency`` the running
+    open-interval count AFTER the endpoint, exact integers end to end.
+
+    Scale shape: the sweep runs over interval ENDPOINTS (2 rows per
+    interval — session tables are orders of magnitude smaller than their
+    event streams), one ordered window per key partition.  With
+    ``key_col=None`` the single global ordering is a deliberate
+    SinglePartition over the endpoint table only (the W4 precedent:
+    global order on the compressed aggregate, never on raw events); pass
+    a key to shard the sweep."""
+    keys = [key_col] if key_col else []
+    starts = intervals.select(
+        *keys, F.col(start_col).alias("ts"), F.lit(1).alias("delta")
+    )
+    ends = intervals.select(
+        *keys, F.col(end_col).alias("ts"), F.lit(-1).alias("delta")
+    )
+    pts = starts.unionByName(ends)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("ts").asc(), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return pts.withColumn(
+        "concurrency", F.sum("delta").over(w).cast("long")
+    ).select(*keys, "ts", F.col("delta").cast("int").alias("delta"), "concurrency")
+
+
+def session_intervals(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap_sec: int = 1800,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Gap-based sessions as INTERVALS: ``windows_ops.sessionize`` (the
+    shared session machinery) collapsed to one ``(key, sess_id, start_ts,
+    end_ts, n_events)`` row per session — the input shape
+    ``concurrency_timeline`` and any session-duration analytics need.
+    One key-partitioned window + one (key, sess_id) aggregate, both on
+    the same exchange."""
+    from log_analysis_spark.operators.windows_ops import sessionize
+
+    oc = order_cols if order_cols is not None else [ts_col]
+    s = sessionize(events, key_col, ts_col, oc, gap_sec)
+    return s.groupBy(key_col, "sess_id").agg(
+        F.min(ts_col).alias("start_ts"),
+        F.max(ts_col).alias("end_ts"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )

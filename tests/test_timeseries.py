@@ -1036,3 +1036,73 @@ def test_attribution_validates(spark):
         T.attribution(ev, lookback_hours=0)
     with pytest.raises(ValueError):
         T.attribution(ev, touch_types=())
+
+
+# ----------------------------------------------------------- concurrency
+
+
+def test_concurrency_timeline_closed_form(spark):
+    iv = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 0), dt.datetime(2024, 1, 1, 0, 10)),
+            (2, dt.datetime(2024, 1, 1, 0, 5), dt.datetime(2024, 1, 1, 0, 20)),
+            # touches interval 2's end exactly: closed intervals overlap
+            (3, dt.datetime(2024, 1, 1, 0, 20), dt.datetime(2024, 1, 1, 0, 30)),
+        ],
+        "i long, start_ts timestamp, end_ts timestamp",
+    )
+    rows = [
+        (r["ts"].minute, r["delta"], r["concurrency"])
+        for r in T.concurrency_timeline(iv)
+        .orderBy("ts", F.col("delta").desc())
+        .collect()
+    ]
+    # sweep: +1@0 (c=1), +1@5 (2), -1@10 (1), +1@20 before -1@20 (2 then 1),
+    # -1@30 (0)
+    assert rows == [
+        (0, 1, 1), (5, 1, 2), (10, -1, 1),
+        (20, 1, 2), (20, -1, 1), (30, -1, 0),
+    ]
+    assert max(r[2] for r in rows) == 2  # peak concurrency
+
+
+def test_concurrency_per_key_and_zero_length_intervals(spark):
+    iv = spark.createDataFrame(
+        [
+            ("a", dt.datetime(2024, 1, 1, 0, 0), dt.datetime(2024, 1, 1, 0, 0)),
+            ("a", dt.datetime(2024, 1, 1, 0, 0), dt.datetime(2024, 1, 1, 1, 0)),
+            ("b", dt.datetime(2024, 1, 1, 0, 30), dt.datetime(2024, 1, 1, 0, 40)),
+        ],
+        "k string, start_ts timestamp, end_ts timestamp",
+    )
+    out = T.concurrency_timeline(iv, key_col="k").collect()
+    by_k = {}
+    for r in out:
+        by_k.setdefault(r["k"], []).append(r["concurrency"])
+    # a: two starts at the same instant both count before the zero-length
+    # interval's end -> peak 2; b independent, peak 1
+    assert max(by_k["a"]) == 2 and max(by_k["b"]) == 1
+    # every timeline ends at zero open intervals
+    ends = {
+        r["k"]: r["concurrency"]
+        for r in T.concurrency_timeline(iv, key_col="k")
+        .orderBy("ts", F.col("delta").desc())
+        .collect()
+    }
+    assert ends == {"a": 0, "b": 0}
+
+
+def test_session_intervals_collapse(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 0), 7, "click"),
+            (2, dt.datetime(2024, 1, 1, 0, 10), 7, "view"),
+            (3, dt.datetime(2024, 1, 1, 2, 0), 7, "click"),  # new session
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    out = {
+        r["sess_id"]: (r["start_ts"].hour, r["end_ts"].minute, r["n_events"])
+        for r in T.session_intervals(ev, gap_sec=1800).collect()
+    }
+    assert out == {0: (0, 10, 2), 1: (2, 0, 1)}
