@@ -84,6 +84,11 @@ def main() -> None:
     ap.add_argument("--decontam-min-hits", type=int, default=1)
     ap.add_argument("--scrub-pii", action="store_true")
     ap.add_argument(
+        "--soft-dedup", action="store_true",
+        help="attach SoftDedup 1e6 div n_copies sampling weights instead "
+        "of dropping exact duplicates (weights ride the packed shards)",
+    )
+    ap.add_argument(
         "--span-k", type=int, default=0,
         help="enable duplicated-span dedup at word k-grams (0 = off)",
     )
@@ -424,6 +429,15 @@ def main() -> None:
             f"first hit zero: {json.dumps(counts)}"
         )
 
+    n_soft_dup = None
+    if args.soft_dedup:
+        # SoftDedup (He et al. 2024): keep every exact-dup copy, attach the
+        # 1e6 div n_copies sampling weight so the group carries one doc of
+        # gradient mass downstream — the keep-everything alternative to a
+        # hard dedup stage; weights ride the packed shards.
+        docs = docs.join(dedup.softdedup_weights(docs), "doc_id")
+        n_soft_dup = docs.filter(F.col("n_copies") > 1).count()
+
     if args.split_eval_frac is not None:
         pairs = dedup.minhash_lsh_pairs(docs, threshold=0.2)
         groups = dedup.neardup_groups(
@@ -468,6 +482,7 @@ def main() -> None:
                 "n_after_ppl_tiering": n_ppl,
                 "n_after_classifier": n_classifier,
                 "n_after_dsir": n_dsir,
+                "n_soft_dup_docs": n_soft_dup,
                 "n_after_sampling": n_sampled,
                 "budget": args.budget,
                 "n_shards": n_shards,

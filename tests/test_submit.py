@@ -156,6 +156,7 @@ def test_submit_corpus_job_full_stage_chain(pkg_zip, tmp_path):
             "--target-fraction", "0.8",
             "--split-eval-frac", "0.25",
             "--vocab-top", "50",
+            "--soft-dedup",
             "--report",
         ],
         cwd=tmp_path,
@@ -179,6 +180,20 @@ def test_submit_corpus_job_full_stage_chain(pkg_zip, tmp_path):
     assert res["n_after_dsir"] <= 300
     assert res["n_shards"] > 0 and res["total_tokens"] > 0
     assert res["n_eval"] is not None and 0 <= res["n_eval"] < res["n_after_sampling"]
+    # SoftDedup weights ride the shards: every doc weighted, group mass
+    # n * (1e6 div n) <= 1e6
+    assert res["n_soft_dup_docs"] is not None
+    import duckdb as _d
+
+    wbad = _d.connect().execute(
+        f"""SELECT count(*) FROM (
+              SELECT n_copies, max(n_copies * weight_micro) AS mx
+              FROM read_parquet('{tmp_path}/cp/shards/**/*.parquet',
+                                hive_partitioning=1)
+              GROUP BY 1)
+            WHERE mx > 1000000 OR mx <= 1000000 - n_copies"""
+    ).fetchone()[0]
+    assert wbad == 0
     # split partitioning materialized on disk + vocab sidecar written
     shard_dir = tmp_path / "cp" / "shards"
     assert any(p.name.startswith("split=") for p in shard_dir.iterdir())
