@@ -2001,6 +2001,16 @@ def q_embed_cluster_psi(spark, sf_dir):
     )
 
 
+def q_doc_loop_detection(spark, sf_dir):
+    """Degenerate-loop detection: longest period-p token repeat (p ≤ 8,
+    ≥ 2 full repetitions) per document — the looping-decoder failure mode
+    duplicate-fraction signals under-weight.  Zero-shuffle zero-Python
+    fold over the let-bound token array; the oracle is a DIFFERENT
+    algorithm (positional self-join + islands-trick run lengths), so
+    agreement verifies the rule, not a replay."""
+    return textstats.loop_detection(_docs(spark, sf_dir), max_period=8)
+
+
 def q_doc_softdedup(spark, sf_dir):
     """SoftDedup reweighting (He et al. 2024): every document kept, each
     exact-dup group's members weighted 1_000_000 div n_copies micro-units
@@ -2722,6 +2732,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_readability": q_doc_readability,
         "doc_softdedup": q_doc_softdedup,
         "doc_containment": q_doc_containment,
+        "doc_loop_detection": q_doc_loop_detection,
         "embed_cluster_psi": q_embed_cluster_psi,
         "events_attribution": q_events_attribution,
         "embed_mmr": q_embed_mmr,
@@ -3178,6 +3189,52 @@ SELECT doc_id, w AS n_words, s AS n_sentences, syl AS n_syllables,
 FROM agg""",
         "doc_hybrid_search": _hybrid_oracle(k_each=20, k=5, k0=60, k1=1.2, b=0.75),
         "embed_cluster_psi": _cluster_psi_oracle(n_centroids=8),
+        "doc_loop_detection": f"""
+WITH tk AS (
+  SELECT doc_id, list_filter({_DOC_TOKENS}, t -> t <> '') AS tks
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, u.t.tok AS tok, u.t.pos AS pos
+  FROM tk,
+       unnest(list_transform(tks, (x, i) -> {{'tok': x, 'pos': i}})) AS u(t)
+),
+m AS (
+  SELECT a.doc_id, p.p, a.pos
+  FROM tok a
+  JOIN (SELECT unnest(range(1, 9)) AS p) p ON true
+  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos - p.p
+            AND b.tok = a.tok
+),
+runs AS (
+  SELECT doc_id, p, count(*) AS mm
+  FROM (SELECT doc_id, p, pos,
+               pos - row_number() OVER (PARTITION BY doc_id, p
+                                        ORDER BY pos) AS g
+        FROM m)
+  GROUP BY doc_id, p, g
+),
+best_m AS (SELECT doc_id, p, max(mm) AS mm FROM runs GROUP BY 1, 2),
+cand AS (
+  SELECT doc_id, p,
+         CASE WHEN mm >= p THEN mm + p ELSE 0 END AS lt
+  FROM best_m
+),
+pick AS (
+  SELECT doc_id, p, lt,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY lt DESC, p ASC) AS rk
+  FROM cand
+)
+SELECT tk.doc_id,
+       CAST(len(tks) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(CASE WHEN s.lt > 0 THEN s.p END, 0) AS INTEGER)
+         AS best_period,
+       CAST(COALESCE(s.lt, 0) AS BIGINT) AS loop_tokens,
+       CAST(CASE WHEN len(tks) > 0
+            THEN (1000000 * COALESCE(s.lt, 0)) // len(tks)
+            ELSE 0 END AS BIGINT) AS loop_frac_micro
+FROM tk LEFT JOIN (SELECT * FROM pick WHERE rk = 1) s USING (doc_id)""",
         "embed_mmr": _mmr_oracle(n_cand=20, k=5, lam=700_000),
         "events_attribution": """
 WITH conv AS (

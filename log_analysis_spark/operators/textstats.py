@@ -1239,3 +1239,86 @@ def readability(
         flesch_milli.cast("long").alias("flesch_milli"),
         fk_milli.cast("long").alias("fk_grade_milli"),
     )
+
+
+def loop_detection(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_period: int = 8,
+) -> DataFrame:
+    """Degenerate-loop detection for generated text: the longest stretch
+    where the token stream repeats with period p ("the cat the cat the
+    cat…" = period 2) for every p ≤ ``max_period`` — the failure mode of
+    a looping decoder, which Gopher-style DUPLICATE-fraction signals
+    under-weight (a loop's grams are all distinct-ish for large p, but
+    ``tok[i] == tok[i−p]`` holds along the whole stretch).
+
+    Rule (stated precisely so both engines replay it): for period p, let
+    m_p = the longest run of consecutive positions i with
+    ``tok[i] = tok[i−p]``; the loop covers ``m_p + p`` tokens and counts
+    only when ``m_p >= p`` (at least two full repetitions).  Reported:
+    ``best_period`` (tie → smallest p), ``loop_tokens`` = max over p,
+    and ``loop_frac_micro = 1e6·loop_tokens div n_tokens`` — exact
+    integers.  Docs with no qualifying loop report (0, 0, 0).
+
+    Scale shape: pure zero-shuffle zero-Python projection — the token
+    array is let-bound once, each period's match list and run fold are
+    ``transform``/``aggregate`` lambdas over it; at 100 TB the whole
+    signal fuses into the parquet scan.
+    """
+    if max_period < 1:
+        raise ValueError(f"max_period must be >= 1, got {max_period}")
+    base = df.withColumn("_toks", F.filter(tokens_col(text_col), lambda x: x != ""))
+    toks = F.col("_toks")
+    n = F.size(toks)
+
+    def run_for(p: int) -> F.Column:
+        # matches[i] = tok(p+i) == tok(i), 1-based over n-p positions.
+        # Guard: sequence(1, 0) DESCENDS and ANSI element_at throws
+        # out-of-bounds (the shingles_from_tokens lesson), so docs with
+        # n <= p short-circuit to an empty match list.
+        matches = F.when(
+            n > F.lit(p),
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(p)),
+                lambda i: (
+                    F.element_at(toks, (i + F.lit(p)).cast("int"))
+                    == F.element_at(toks, i.cast("int"))
+                ).cast("int"),
+            ),
+        ).otherwise(F.array().cast("array<int>"))
+        best_m = F.aggregate(
+            matches,
+            F.struct(F.lit(0).alias("cur"), F.lit(0).alias("best")),
+            lambda acc, x: F.struct(
+                (F.when(x == 1, acc.cur + 1).otherwise(F.lit(0))).alias("cur"),
+                F.greatest(
+                    acc.best,
+                    F.when(x == 1, acc.cur + 1).otherwise(F.lit(0)),
+                ).alias("best"),
+            ),
+            lambda acc: acc.best,
+        )
+        loop_toks = F.when(best_m >= F.lit(p), best_m + F.lit(p)).otherwise(
+            F.lit(0)
+        )
+        return F.struct(
+            loop_toks.alias("lt"), F.lit(-p).alias("negp")
+        )
+    cands = F.array(*[run_for(p) for p in range(1, max_period + 1)])
+    best = F.array_max(cands)  # max loop_tokens, tie -> smallest p (-p max)
+    counted = base.withColumn("_best", best).withColumn("_n", n)
+    lt = F.col("_best.lt")
+    return counted.select(
+        id_col,
+        F.col("_n").cast("long").alias("n_tokens"),
+        F.when(lt > 0, -F.col("_best.negp")).otherwise(F.lit(0))
+        .cast("int")
+        .alias("best_period"),
+        lt.cast("long").alias("loop_tokens"),
+        F.when(
+            F.col("_n") > 0,
+            F.expr("CAST((1000000 * _best.lt) DIV _n AS BIGINT)"),
+        ).otherwise(F.lit(0).cast("long")).alias("loop_frac_micro"),
+    )

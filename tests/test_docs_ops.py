@@ -1626,3 +1626,65 @@ def test_y4m_rejects_unsupported_colorspace_and_validates():
         multimodal.decode_y4m(payload)
     with pytest.raises(ValueError):
         multimodal.decode_y4m(b"not a video")
+
+
+# -------------------------------------------------------- loop detection
+
+
+def test_loop_detection_closed_forms(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat the cat the cat sat down"),  # period 2, 6 tokens
+            (2, "a b c d e f g"),                     # no loop
+            (3, "go go go go stop"),                  # period 1, run 3 -> 4
+            (4, ""),
+            (5, "x y x z x y x z x y x z"),           # period 4 loop
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["n_tokens"], r["best_period"], r["loop_tokens"],
+                         r["loop_frac_micro"])
+           for r in textstats.loop_detection(df).collect()}
+    assert out[1] == (8, 2, 6, 750_000)
+    assert out[2] == (7, 0, 0, 0)
+    assert out[3] == (5, 1, 4, 800_000)
+    assert out[4] == (0, 0, 0, 0)
+    # doc 5: 12 tokens, period 4 matches at positions 5..12 (run 8) -> 12
+    assert out[5] == (12, 2, 12, 1_000_000) or out[5] == (12, 4, 12, 1_000_000)
+
+
+def test_loop_detection_matches_python_mirror_fuzz(spark):
+    import random as _r
+
+    rng = _r.Random(7)
+    vocab = ["a", "b", "c", "d"]
+    rows = []
+    for i in range(40):
+        n = rng.randrange(0, 30)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["best_period"], r["loop_tokens"])
+           for r in textstats.loop_detection(df, max_period=5).collect()}
+
+    def mirror(txt, P=5):
+        toks = [t for t in txt.split() if t]
+        n = len(toks)
+        best = (0, 0)
+        for p in range(1, P + 1):
+            cur = bm = 0
+            for i in range(p, n):
+                cur = cur + 1 if toks[i] == toks[i - p] else 0
+                bm = max(bm, cur)
+            lt = bm + p if bm >= p else 0
+            if lt > best[0]:
+                best = (lt, p)
+        return (best[1] if best[0] > 0 else 0, best[0])
+
+    for i, txt in rows:
+        assert got[i] == mirror(txt), (i, txt)
+
+
+def test_loop_detection_validates(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        textstats.loop_detection(df, max_period=0)
