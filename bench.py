@@ -819,6 +819,22 @@ def main() -> None:
         ).count(),
     )
 
+    from log_analysis_spark.operators import timeseries as tsl_b
+
+    timed(
+        "events_concurrency",
+        lambda: tsl_b.concurrency_timeline(
+            tsl_b.session_intervals(ev_b, "ts", "user_id", 1800,
+                                    ["ts", "event_id"])
+        ).count(),
+    )
+    timed(
+        "doc_loop_detection",
+        lambda: ts_b.loop_detection(docs)
+        .agg({"loop_tokens": "sum"})
+        .collect(),
+    )
+
     timings = {name: min(obs) for name, obs in runs.items()}
     total = round(sum(sum(obs) for obs in runs.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -1802,6 +1802,52 @@ def main() -> int:
     ]
     sections.append(("MMR diverse re-ranking", mmr_plan, notes))
 
+    # ---- session-16 batch 3: l-diversity / benford / concurrency / loop ---
+    ldv = exp_ops.l_diversity_violations(
+        ev16.withColumn("day", F.date_trunc("day", F.col("ts"))),
+        ["user_id", "day"], "event_type", 3,
+    )
+    ldv_shufs = shuffle_schemas(ldv)
+    benf = exp_ops.benford_deviation(ev16, "value")
+    benf_plan = executed(benf)
+    benf_shufs = shuffle_schemas(benf)
+    conc = tsr_ops.concurrency_timeline(
+        tsr_ops.session_intervals(ev16, "ts", "user_id", 1800,
+                                  ["ts", "event_id"])
+    )
+    conc_shufs = shuffle_schemas(conc)
+    loop = ts_ops.loop_detection(docs)
+    loop_plan = executed(loop)
+    notes = [
+        check("l-diversity: the two-phase count-distinct shuffles only "
+              "narrow (qi, sensitive) keys and counts — no payload column "
+              "in any exchange",
+              all("value" not in c and "props" not in c
+                  for _, c in ldv_shufs),
+              f"shuffles={[c for _, c in ldv_shufs]}"),
+        check("benford: one narrow (digit) count exchange + the 9-row "
+              "literal broadcast; zero Python; the raw value column never "
+              "shuffles",
+              all("value" not in c for _, c in benf_shufs)
+              and "EvalPython" not in benf_plan
+              and "InPandas" not in benf_plan,
+              f"shuffles={[c for _, c in benf_shufs]}"),
+        check("concurrency: the sweep shuffles interval ENDPOINTS only "
+              "(session aggregates, 2 rows/session) — no event payload "
+              "column in any exchange",
+              all("value" not in c and "props" not in c
+                  and "event_type" not in c for _, c in conc_shufs),
+              f"shuffles={[c for _, c in conc_shufs]}"),
+        check("loop detection: pure zero-shuffle zero-Python projection",
+              "Exchange" not in loop_plan
+              and "EvalPython" not in loop_plan
+              and "InPandas" not in loop_plan),
+    ]
+    sections.append(
+        ("l-diversity / Benford / concurrency sweep / loop detection",
+         benf_plan, notes)
+    )
+
     # ---- write EXPLAIN.md -------------------------------------------------
     md = ["# EXPLAIN audit — physical plans vs 100 TB design intents",
           "",
