@@ -2380,6 +2380,20 @@ def q_events_concurrency(spark, sf_dir):
     return timeseries.concurrency_timeline(iv)
 
 
+def q_logs_latency_quantiles(spark, sf_dir):
+    """THE log-ops metric: p50/p95 duration per (action, hour) — the
+    histogram-CDF quantile family over a COMPOSITE group key (no global
+    sort, no per-row window; the CDF runs over occupied cells per band).
+    Resolution 16 ms bounds the answer error; the oracle replays cells,
+    per-band CDF and the ceil(q·n) read exactly."""
+    p = _parsed(spark, sf_dir).filter(F.col("duration_ms").isNotNull())
+    p = p.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+    return sketches.hist_quantiles(
+        p, "duration_ms", [0.5, 0.95], resolution=16.0,
+        group=["action", "hour"],
+    )
+
+
 def q_events_benford(spark, sf_dir):
     """Benford first-digit audit of the value column — the
     fabricated-data smell test.  First digits come from the decimal
@@ -2707,6 +2721,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_l_diversity": q_events_l_diversity,
         "events_benford": q_events_benford,
         "events_concurrency": q_events_concurrency,
+        "logs_latency_quantiles": q_logs_latency_quantiles,
         "events_chi2": q_events_chi2,
         "events_auc": q_events_auc,
         "events_gini": q_events_gini,
@@ -3042,6 +3057,22 @@ SELECT event_id, key, hour_id FROM (
             "FROM events GROUP BY 1, 2 HAVING count(*) < 10"
         ),
         "events_benford": _benford_oracle(),
+        "logs_latency_quantiles": oracles.on_parsed(f"""
+, h AS (
+  SELECT action, date_trunc('hour', ts) AS hour,
+         CAST(floor(duration_ms * {1.0 / 16.0!r}) AS BIGINT) AS cell,
+         count(*) AS c
+  FROM parsed WHERE duration_ms IS NOT NULL GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT action, hour, cell,
+         sum(c) OVER (PARTITION BY action, hour ORDER BY cell) AS cum,
+         sum(c) OVER (PARTITION BY action, hour) AS n
+  FROM h
+),
+qs(q) AS (VALUES (0.5), (0.95))
+SELECT action, hour, q, min(cell) * {16.0!r} AS value
+FROM cum, qs WHERE cum >= ceil(q * n) GROUP BY action, hour, q"""),
         "events_concurrency": """
 WITH g AS (
   SELECT user_id, ts, event_id,

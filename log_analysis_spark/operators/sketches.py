@@ -235,12 +235,20 @@ def skewed_keys(
 # ---------------------------------------------------------------------------
 
 
+def _group_keys(group: str | list[str] | None) -> list[str]:
+    """Normalize the ``group`` knob of the quantile family: None, a single
+    column, or a COMPOSITE key list (e.g. (route, hour) latency bands)."""
+    if group is None:
+        return []
+    return [group] if isinstance(group, str) else list(group)
+
+
 def hist_quantiles(
     df: DataFrame,
     value_col: str,
     qs: list[float],
     resolution: float = 0.01,
-    group: str | None = None,
+    group: str | list[str] | None = None,
 ) -> DataFrame:
     """Quantiles without a global sort: quantize values to a fixed
     ``resolution`` grid (floor), histogram the grid cells (algebraic —
@@ -262,7 +270,7 @@ def value_cells(
     df: DataFrame,
     value_col: str,
     resolution: float = 0.01,
-    group: str | None = None,
+    group: str | list[str] | None = None,
 ) -> DataFrame:
     """The mergeable half of ``hist_quantiles``: per-(group, cell) counts
     on the fixed resolution grid.  Cell counts ADD, so two cell tables
@@ -271,7 +279,7 @@ def value_cells(
     (`streaming.sketch_stream.run_stream_quantiles`) is built on."""
     inv = 1.0 / resolution
     cell = F.floor(F.col(value_col) * F.lit(inv)).cast("long")
-    keys = [group] if group else []
+    keys = _group_keys(group)
     return (
         df.filter(F.col(value_col).isNotNull())
         .select(*keys, cell.alias("_cell"))
@@ -284,7 +292,7 @@ def quantiles_from_cells(
     hist: DataFrame,
     qs: list[float],
     resolution: float = 0.01,
-    group: str | None = None,
+    group: str | list[str] | None = None,
 ) -> DataFrame:
     """CDF finisher over a (group, _cell, _c) table — shared verbatim by
     the batch ``hist_quantiles`` and the streaming fold, so the two can't
@@ -292,7 +300,7 @@ def quantiles_from_cells(
     q_lits = sorted(set(qs))
     if not q_lits or not all(0 < q <= 1 for q in q_lits):
         raise ValueError("qs must be in (0, 1]")
-    keys = [group] if group else []
+    keys = _group_keys(group)
     w = (
         Window.partitionBy(*keys)
         .orderBy("_cell")

@@ -359,3 +359,26 @@ def test_heavy_hitters_ignores_nulls_and_validates_k(spark):
     assert got == {"a": 3}
     with pytest.raises(ValueError):
         SK.heavy_hitters(df, "item", 0)
+
+
+def test_hist_quantiles_composite_group(spark):
+    from log_analysis_spark.operators import sketches
+
+    rows = [("a", 1, float(v)) for v in range(1, 11)] + [
+        ("a", 2, 100.0), ("b", 1, 5.0), ("b", 1, 7.0)
+    ]
+    df = spark.createDataFrame(rows, "k string, h int, v double")
+    out = {
+        (r["k"], r["h"], r["q"]): r["value"]
+        for r in sketches.hist_quantiles(
+            df, "v", [0.5, 1.0], resolution=1.0, group=["k", "h"]
+        ).collect()
+    }
+    # (a,1): 10 values 1..10 -> p50 = ceil(0.5*10)=5th cell = 5.0; max 10.0
+    assert out[("a", 1, 0.5)] == 5.0 and out[("a", 1, 1.0)] == 10.0
+    # (a,2) singleton; (b,1): p50 = 1st of {5,7} -> 5.0
+    assert out[("a", 2, 0.5)] == 100.0
+    assert out[("b", 1, 0.5)] == 5.0 and out[("b", 1, 1.0)] == 7.0
+    # string single-column group keeps working (back-compat)
+    single = sketches.hist_quantiles(df, "v", [1.0], resolution=1.0, group="k")
+    assert {r["k"] for r in single.collect()} == {"a", "b"}
