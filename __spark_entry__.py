@@ -2011,6 +2011,15 @@ def q_doc_loop_detection(spark, sf_dir):
     return textstats.loop_detection(_docs(spark, sf_dir), max_period=8)
 
 
+def q_corpus_diversity(spark, sf_dir):
+    """Corpus distinct-n diversity (distinct n-grams / total occurrences
+    for n=1..3) — the one-table "how templated is this corpus?" audit a
+    dedup rollout watches.  Grams leave the scan as md5 keys (text never
+    shuffles); the oracle mirrors the shingling and the md5
+    count-distinct exactly."""
+    return textstats.distinct_ngram_ratio(_docs(spark, sf_dir), ns=(1, 2, 3))
+
+
 def q_doc_softdedup(spark, sf_dir):
     """SoftDedup reweighting (He et al. 2024): every document kept, each
     exact-dup group's members weighted 1_000_000 div n_copies micro-units
@@ -2380,6 +2389,16 @@ def q_events_concurrency(spark, sf_dir):
     return timeseries.concurrency_timeline(iv)
 
 
+def q_events_forecast_backtest(spark, sf_dir):
+    """Forecastability report: persistence (lag 1) vs seasonal-naive
+    (lag 24) MAE per event type over the dense hourly spine — which
+    series are predictable, and at what period, before any model.  All
+    lags from ONE window pass over spine cells; exact integer MAE; the
+    oracle replays the spine, both lags and the integral division."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return timeseries.seasonal_naive_backtest(ev, "ts", "event_type")
+
+
 def q_logs_latency_quantiles(spark, sf_dir):
     """THE log-ops metric: p50/p95 duration per (action, hour) — the
     histogram-CDF quantile family over a COMPOSITE group key (no global
@@ -2722,6 +2741,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_benford": q_events_benford,
         "events_concurrency": q_events_concurrency,
         "logs_latency_quantiles": q_logs_latency_quantiles,
+        "events_forecast_backtest": q_events_forecast_backtest,
         "events_chi2": q_events_chi2,
         "events_auc": q_events_auc,
         "events_gini": q_events_gini,
@@ -2748,6 +2768,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_softdedup": q_doc_softdedup,
         "doc_containment": q_doc_containment,
         "doc_loop_detection": q_doc_loop_detection,
+        "corpus_diversity": q_corpus_diversity,
         "embed_cluster_psi": q_embed_cluster_psi,
         "events_attribution": q_events_attribution,
         "embed_mmr": q_embed_mmr,
@@ -3057,6 +3078,35 @@ SELECT event_id, key, hour_id FROM (
             "FROM events GROUP BY 1, 2 HAVING count(*) < 10"
         ),
         "events_benford": _benford_oracle(),
+        "corpus_diversity": _diversity_oracle(ns=(1, 2, 3)),
+        "events_forecast_backtest": """
+WITH h AS (
+  SELECT event_type AS key, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+b AS (SELECT key, min(hour_id) AS mn, max(hour_id) AS mx FROM h GROUP BY 1),
+sp AS (SELECT key, unnest(generate_series(mn, mx)) AS hour_id FROM b),
+d AS (
+  SELECT sp.key, sp.hour_id, COALESCE(h.cnt, 0) AS cnt
+  FROM sp LEFT JOIN h ON h.key = sp.key AND h.hour_id = sp.hour_id
+),
+e AS (
+  SELECT key,
+         abs(cnt - lag(cnt, 1) OVER w) AS e1,
+         abs(cnt - lag(cnt, 24) OVER w) AS e24
+  FROM d WINDOW w AS (PARTITION BY key ORDER BY hour_id)
+),
+st AS (
+  SELECT key, 1 AS lag, e1 AS e FROM e WHERE e1 IS NOT NULL
+  UNION ALL
+  SELECT key, 24 AS lag, e24 AS e FROM e WHERE e24 IS NOT NULL
+)
+SELECT key, CAST(lag AS INTEGER) AS lag,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       CAST(sum(e) AS BIGINT) AS sum_abs_err,
+       CAST((1000 * sum(e)) // count(*) AS BIGINT) AS mae_milli
+FROM st GROUP BY key, lag""",
         "logs_latency_quantiles": oracles.on_parsed(f"""
 , h AS (
   SELECT action, date_trunc('hour', ts) AS hour,
@@ -4447,6 +4497,35 @@ reach(id, r) AS (
 reps AS (SELECT id, min(r) AS rep_id FROM reach GROUP BY id)
 SELECT a.vec_id, CAST(a.centroid_id AS INTEGER) AS centroid_id
 FROM assigned a JOIN reps g ON g.id = a.vec_id AND g.rep_id = a.vec_id
+"""
+
+
+def _diversity_oracle(ns: tuple[int, ...]) -> str:
+    """Independent recompute of q_corpus_diversity: per n the full
+    (non-distinct) shingle stream as md5 keys, count + count-distinct,
+    integral-division ratio — mirroring shingles_from_tokens' guard
+    (docs shorter than n tokens contribute nothing)."""
+    parts = []
+    for n in ns:
+        parts.append(f"""
+SELECT CAST({n} AS INTEGER) AS n,
+       CAST(count(*) AS BIGINT) AS total_grams,
+       CAST(count(DISTINCT h) AS BIGINT) AS distinct_grams,
+       CAST(CASE WHEN count(*) > 0
+            THEN (1000000 * count(DISTINCT h)) // count(*)
+            ELSE 0 END AS BIGINT) AS ratio_micro
+FROM (
+  SELECT unnest([md5(array_to_string(tks[i:i+{n - 1}], ' '))
+                 FOR i IN range(1, len(tks) - {n - 2})]) AS h
+  FROM tk WHERE len(tks) >= {n}
+)""")
+        # noqa: the CTE tk is shared by every branch of the UNION
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tk AS (
+  SELECT list_filter({_DOC_TOKENS}, t -> t <> '') AS tks FROM documents
+)
+{body}
 """
 
 

@@ -968,3 +968,51 @@ def containment_pairs(
         F.expr("CAST((1000000 * n_common) DIV _sa AS BIGINT)").alias("cont_a_micro"),
         F.expr("CAST((1000000 * n_common) DIV _sb AS BIGINT)").alias("cont_b_micro"),
     )
+
+
+def lsh_tuning(threshold: float, n_hashes: int = 32) -> dict:
+    """Pick the MinHash-LSH banding for a target Jaccard ``threshold`` —
+    the standard S-curve analysis (Leskovec/Rajaraman/Ullman, MMDS ch. 3):
+    with b bands of r rows (b·r = n_hashes) a pair of similarity s becomes
+    a candidate with probability ``P(s) = 1 − (1 − s^r)^b``, whose
+    inflection sits near ``t* = (1/b)^(1/r)``.  Chooses the divisor pair
+    with t* closest to the target, and reports the operating
+    characteristics every dedup rollout needs to sign off on:
+
+    - ``p_at_threshold``: candidate recall AT the threshold (1 − this is
+      the false-negative rate for borderline pairs — exact pairs are
+      always caught);
+    - ``p_half_threshold``: candidate probability at s = threshold/2 (the
+      false-positive mass driver — the verify step removes them but pays
+      their bandwidth).
+
+    Driver-side arithmetic only (a handful of floats); feed the result's
+    ``bands`` into ``minhash_lsh_pairs`` / the incremental ingest params.
+    """
+    if not (0.0 < threshold < 1.0):
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if n_hashes < 2:
+        raise ValueError(f"n_hashes must be >= 2, got {n_hashes}")
+    divisors = [b for b in range(1, n_hashes + 1) if n_hashes % b == 0]
+
+    def p_cand(s: float, b: int, r: int) -> float:
+        return 1.0 - (1.0 - s**r) ** b
+
+    best = None
+    for b in divisors:
+        r = n_hashes // b
+        if r < 1:
+            continue
+        t_star = (1.0 / b) ** (1.0 / r) if b > 1 else 1.0
+        score = abs(t_star - threshold)
+        if best is None or score < best[0]:
+            best = (score, b, r, t_star)
+    _, b, r, t_star = best
+    return {
+        "bands": b,
+        "rows_per_band": r,
+        "n_hashes": n_hashes,
+        "t_star": round(t_star, 6),
+        "p_at_threshold": round(p_cand(threshold, b, r), 6),
+        "p_half_threshold": round(p_cand(threshold / 2.0, b, r), 6),
+    }

@@ -1322,3 +1322,53 @@ def loop_detection(
             F.expr("CAST((1000000 * _best.lt) DIV _n AS BIGINT)"),
         ).otherwise(F.lit(0).cast("long")).alias("loop_frac_micro"),
     )
+
+
+def distinct_ngram_ratio(
+    df: DataFrame,
+    ns: tuple[int, ...] = (1, 2, 3),
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level distinct-n diversity (Li et al. 2016's distinct-n,
+    applied corpus-wide): for each n, the ratio of DISTINCT n-grams to
+    total n-gram occurrences — the one-table answer to "how templated is
+    this corpus?"  A crawl dominated by boilerplate or a generation dump
+    from a looping model collapses the ratio long before any per-doc gate
+    fires; FineWeb-class dedup rollouts watch exactly this number move.
+
+    Returns one row per n: ``(n, total_grams, distinct_grams,
+    ratio_micro)`` with ``ratio_micro = 1e6·distinct div total`` — exact
+    integers.
+
+    Scale shape: grams leave the scan as 16-byte md5 keys (text never
+    shuffles — the exact_dedup discipline; md5 is also what makes the
+    count-distinct identical in the oracle); per n one
+    count/count-distinct aggregate over those keys, map-side combined."""
+    if not ns or any(n < 1 for n in ns):
+        raise ValueError(f"ns must all be >= 1, got {ns}")
+    from log_analysis_spark.operators.dedup import shingles_from_tokens
+
+    base = df.withColumn(
+        "_toks", F.filter(tokens_col(text_col), lambda x: x != "")
+    )
+    out = None
+    for n in ns:
+        grams = shingles_from_tokens(F.col("_toks"), int(n), distinct=False)
+        keyed = base.select(
+            F.explode(grams).alias("_g")
+        ).select(F.md5("_g").alias("_h"))
+        agg = keyed.agg(
+            F.count(F.lit(1)).cast("long").alias("total_grams"),
+            F.countDistinct("_h").cast("long").alias("distinct_grams"),
+        ).select(
+            F.lit(int(n)).alias("n"),
+            "total_grams",
+            "distinct_grams",
+            F.expr(
+                "CAST(CASE WHEN total_grams > 0 "
+                "THEN (1000000 * distinct_grams) DIV total_grams "
+                "ELSE 0 END AS BIGINT)"
+            ).alias("ratio_micro"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out

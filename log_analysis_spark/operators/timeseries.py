@@ -1534,3 +1534,78 @@ def session_intervals(
         F.max(ts_col).alias("end_ts"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
+
+
+def seasonal_naive_backtest(
+    events: DataFrame,
+    ts_col: str,
+    key_col: str,
+    lags: tuple[int, ...] = (1, 24),
+) -> DataFrame:
+    """Forecastability report: backtest the two classic no-model
+    predictors over the dense hourly spine — persistence (forecast(h) =
+    cnt(h−1)) and seasonal naive (cnt(h−lag), e.g. lag 24 = "same hour
+    yesterday") — and report each lag's mean absolute error.  The number
+    that says WHICH keys are predictable (and at what period) before
+    anyone reaches for a heavier model; a seasonal MAE well under the
+    persistence MAE is the capacity-planning green light the ACF hints
+    at.
+
+    Per (key, lag): ``n_eval`` = spine hours with an h−lag reference,
+    ``sum_abs_err`` = Σ|cnt(h) − cnt(h−lag)| and
+    ``mae_milli = 1000·sum_abs_err div n_eval`` — exact integers (the
+    dense spine zero-fills gaps, so outage hours count as real error).
+
+    Scale shape: the raw stream aggregates ONCE to hourly counts
+    (map-side combined, the shared fold family); ALL lags come from one
+    ordered window pass per key over spine CELLS; one final (key, lag)
+    aggregate."""
+    if not lags or any(l < 1 for l in lags):
+        raise ValueError(f"lags must be >= 1, got {lags}")
+    counts = hourly_counts(events, ts_col, key_col)
+    spine = (
+        counts.groupBy("key")
+        .agg(F.min("hour_id").alias("_mn"), F.max("hour_id").alias("_mx"))
+        .select("key", F.explode(F.sequence("_mn", "_mx")).alias("hour_id"))
+    )
+    dense = spine.join(counts, ["key", "hour_id"], "left").select(
+        "key", "hour_id", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("key").orderBy("hour_id")
+    errs = dense.select(
+        "key",
+        *[
+            F.abs(F.col("cnt") - F.lag("cnt", l).over(w)).alias(f"_e{l}")
+            for l in lags
+        ],
+    )
+    stacked = errs.select(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(l)).alias("lag"), F.col(f"_e{l}").alias("e")
+                    )
+                    for l in lags
+                ]
+            )
+        ).alias("kv"),
+    ).select("key", "kv.lag", "kv.e")
+    agg = (
+        stacked.filter(F.col("e").isNotNull())
+        .groupBy("key", "lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.sum("e").cast("long").alias("sum_abs_err"),
+        )
+    )
+    return agg.select(
+        "key",
+        "lag",
+        "n_eval",
+        "sum_abs_err",
+        F.expr("CAST((1000 * sum_abs_err) DIV n_eval AS BIGINT)").alias(
+            "mae_milli"
+        ),
+    )

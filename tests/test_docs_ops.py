@@ -1688,3 +1688,69 @@ def test_loop_detection_validates(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         textstats.loop_detection(df, max_period=0)
+
+
+# ------------------------------------------------------------ LSH tuning
+
+
+def test_lsh_tuning_scurve_properties():
+    lo = dedup.lsh_tuning(0.2, 32)
+    hi = dedup.lsh_tuning(0.8, 32)
+    # lower thresholds need MORE bands (fewer rows) to keep recall
+    assert lo["bands"] > hi["bands"]
+    assert lo["bands"] * lo["rows_per_band"] == 32
+    assert hi["bands"] * hi["rows_per_band"] == 32
+    # the inflection lands nearer its target than the other config's
+    assert abs(lo["t_star"] - 0.2) < abs(hi["t_star"] - 0.2)
+    # S-curve sanity: recall at the threshold beats the half-threshold FP
+    for cfg, t in ((lo, 0.2), (hi, 0.8)):
+        assert 0 < cfg["p_half_threshold"] < cfg["p_at_threshold"] <= 1
+
+    # mirror the probability closed-form
+    import math
+
+    b, r = lo["bands"], lo["rows_per_band"]
+    assert lo["p_at_threshold"] == round(1 - (1 - 0.2**r) ** b, 6)
+    _ = math
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        dedup.lsh_tuning(0.0)
+    with _p.raises(ValueError):
+        dedup.lsh_tuning(0.5, n_hashes=1)
+
+
+# ------------------------------------------------------ distinct-n ratio
+
+
+def test_distinct_ngram_ratio_closed_form(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "")], "doc_id long, text string"
+    )
+    out = {r["n"]: (r["total_grams"], r["distinct_grams"], r["ratio_micro"])
+           for r in textstats.distinct_ngram_ratio(df, ns=(1, 2, 3)).collect()}
+    # unigrams: 6 occurrences of {a, b} -> 2/6
+    assert out[1] == (6, 2, (1_000_000 * 2) // 6)
+    # bigrams: doc1 has [a b, b a, a b], doc2 [a b] -> 4 occ, 2 distinct
+    assert out[2] == (4, 2, 500_000)
+    # trigrams: doc1 [a b a, b a b] -> 2 occ, 2 distinct; doc2 too short
+    assert out[3] == (2, 2, 1_000_000)
+    with pytest.raises(ValueError):
+        textstats.distinct_ngram_ratio(df, ns=())
+
+
+def test_distinct_ngram_ratio_collapses_under_duplication(spark):
+    uniq = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} z{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    dup = spark.createDataFrame(
+        [(i, "same words every time here") for i in range(20)],
+        "doc_id long, text string",
+    )
+    r_u = {r["n"]: r["ratio_micro"]
+           for r in textstats.distinct_ngram_ratio(uniq, ns=(2,)).collect()}
+    r_d = {r["n"]: r["ratio_micro"]
+           for r in textstats.distinct_ngram_ratio(dup, ns=(2,)).collect()}
+    assert r_u[2] == 1_000_000 and r_d[2] < 100_000

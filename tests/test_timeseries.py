@@ -1106,3 +1106,34 @@ def test_session_intervals_collapse(spark):
         for r in T.session_intervals(ev, gap_sec=1800).collect()
     }
     assert out == {0: (0, 10, 2), 1: (2, 0, 1)}
+
+
+# ------------------------------------------------- seasonal naive backtest
+
+
+def test_seasonal_naive_backtest_periodic_series(spark):
+    # 3 days of a perfect 24h-periodic profile: seasonal lag-24 MAE = 0,
+    # persistence lag-1 MAE > 0
+    plan = [(1000 + h, 5 + (h % 24 == 3) * 10) for h in range(72)]
+    ev = _hourly_events(spark, plan, key="k")
+    out = {r["lag"]: (r["n_eval"], r["sum_abs_err"], r["mae_milli"])
+           for r in T.seasonal_naive_backtest(ev, "ts", "event_type",
+                                              lags=(1, 24)).collect()}
+    assert out[24] == (48, 0, 0)           # perfectly seasonal
+    n1, s1, m1 = out[1]
+    assert n1 == 71 and s1 > 0 and m1 == (1000 * s1) // 71
+
+
+def test_seasonal_naive_backtest_gap_hours_count_as_error(spark):
+    # hours 0,1,3 with count 4 — hour 2 is a spine zero, so lag-1 errors
+    # are |4-4|, |0-4|, |4-0| = 0,4,4
+    plan = [(2000, 4), (2001, 4), (2003, 4)]
+    ev = _hourly_events(spark, plan, key="k")
+    out = {r["lag"]: (r["n_eval"], r["sum_abs_err"])
+           for r in T.seasonal_naive_backtest(ev, "ts", "event_type",
+                                              lags=(1,)).collect()}
+    assert out[1] == (3, 8)
+    with pytest.raises(ValueError):
+        T.seasonal_naive_backtest(ev, "ts", "event_type", lags=())
+    with pytest.raises(ValueError):
+        T.seasonal_naive_backtest(ev, "ts", "event_type", lags=(0,))
