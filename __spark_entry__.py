@@ -2011,6 +2011,19 @@ def q_doc_loop_detection(spark, sf_dir):
     return textstats.loop_detection(_docs(spark, sf_dir), max_period=8)
 
 
+def q_doc_classifier_calibration(spark, sf_dir):
+    """Reliability curve of the NB quality classifier: per fixed-width
+    mean-logodds bin, the observed lang='en' rate — the check that a
+    higher score actually means more-target-like before the gate's
+    threshold is trusted.  PSI-style deterministic binning, one narrow
+    (bin) conditional count; the oracle rebuilds the whole classifier
+    chain plus the binning."""
+    docs = _docs(spark, sf_dir)
+    return textstats.classifier_calibration(
+        docs, F.col("lang") == "en", n_buckets=4096, bin_width_milli=10
+    )
+
+
 def q_corpus_diversity(spark, sf_dir):
     """Corpus distinct-n diversity (distinct n-grams / total occurrences
     for n=1..3) — the one-table "how templated is this corpus?" audit a
@@ -2769,6 +2782,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_containment": q_doc_containment,
         "doc_loop_detection": q_doc_loop_detection,
         "corpus_diversity": q_corpus_diversity,
+        "doc_classifier_calibration": q_doc_classifier_calibration,
         "embed_cluster_psi": q_embed_cluster_psi,
         "events_attribution": q_events_attribution,
         "embed_mmr": q_embed_mmr,
@@ -3079,6 +3093,20 @@ SELECT event_id, key, hour_id FROM (
         ),
         "events_benford": _benford_oracle(),
         "corpus_diversity": _diversity_oracle(ns=(1, 2, 3)),
+        "doc_classifier_calibration": (
+            _classifier_ctes(4096, "lang = 'en'")
+            + """
+SELECT CAST(floor(CAST(round(mean_logodds * 1000000) AS BIGINT)
+                  / 10000.0) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_target,
+       CAST((1000000 * sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS rate_micro
+FROM docscores JOIN documents d USING (doc_id)
+GROUP BY 1
+"""
+        ),
         "events_forecast_backtest": """
 WITH h AS (
   SELECT event_type AS key, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id,

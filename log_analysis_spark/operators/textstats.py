@@ -1372,3 +1372,53 @@ def distinct_ngram_ratio(
         )
         out = agg if out is None else out.unionByName(agg)
     return out
+
+
+def classifier_calibration(
+    df: DataFrame,
+    target: F.Column,
+    n_buckets: int = 1 << 16,
+    bin_width_milli: int = 500,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Calibration table for the NB quality classifier: bin every doc's
+    ``mean_logodds`` into fixed-width bins and report each bin's observed
+    target rate — the reliability curve that answers "does a higher score
+    actually mean more-target-like?" before anyone trusts the gate's
+    threshold.  A well-ordered classifier shows rate_micro monotone in
+    the bin; a flat curve means the score is noise at that granularity.
+
+    Deterministic binning (the PSI discipline): scores micro-quantize
+    first, ``bin = floor(score_micro / (1000·bin_width_milli))`` — no
+    data-dependent edges.  Returns per occupied bin: ``(bin, n_docs,
+    n_target, rate_micro = 1e6·n_target div n_docs)`` — exact integers.
+
+    Scale shape: scoring is the classifier's own (broadcast weight
+    table, text never shuffles); the calibration adds ONE narrow (bin)
+    conditional-count aggregate."""
+    if bin_width_milli < 1:
+        raise ValueError(f"bin_width_milli must be >= 1, got {bin_width_milli}")
+    scored = ngram_quality_classifier(
+        df, target, n_buckets, text_col, id_col
+    ).select(id_col, "mean_logodds")
+    labeled = df.select(id_col, target.alias("_is_target")).join(
+        scored, id_col
+    )
+    width_micro = 1000 * int(bin_width_milli)
+    b = F.floor(
+        F.round(F.col("mean_logodds") * 1_000_000).cast("long")
+        / F.lit(width_micro)
+    ).cast("long")
+    return (
+        labeled.select(b.alias("bin"), "_is_target")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_if(F.col("_is_target")).cast("long").alias("n_target"),
+        )
+        .withColumn(
+            "rate_micro",
+            F.expr("CAST((1000000 * n_target) DIV n_docs AS BIGINT)"),
+        )
+    )

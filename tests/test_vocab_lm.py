@@ -430,3 +430,30 @@ def test_normalize_unicode_composes_and_passes_columns(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="normalization form"):
         normalize_unicode(df, "NFX")
+
+
+def test_classifier_calibration_separable_corpus(spark):
+    """On a cleanly separable corpus the reliability curve is perfectly
+    ordered: target docs land in strictly higher-score bins with rate 1,
+    non-target in lower bins with rate 0."""
+    from pyspark.sql import functions as F
+
+    from log_analysis_spark.operators import textstats
+
+    rows = [(i, "alpha beta gamma delta", "en") for i in range(10)] + [
+        (100 + i, "uno dos tres cuatro", "es") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    cal = textstats.classifier_calibration(
+        df, F.col("lang") == "en", n_buckets=512, bin_width_milli=50
+    ).collect()
+    by_bin = sorted((r["bin"], r["n_docs"], r["rate_micro"]) for r in cal)
+    assert sum(n for _, n, _ in by_bin) == 20
+    # rates are monotone nondecreasing over bins, hitting 0 and 1e6
+    rates = [r for _, _, r in by_bin]
+    assert rates == sorted(rates)
+    assert rates[0] == 0 and rates[-1] == 1_000_000
+    with __import__("pytest").raises(ValueError):
+        textstats.classifier_calibration(
+            df, F.col("lang") == "en", bin_width_milli=0
+        )
