@@ -2402,6 +2402,31 @@ def q_events_concurrency(spark, sf_dir):
     return timeseries.concurrency_timeline(iv)
 
 
+def q_streaming_forecast_backtest(spark, sf_dir):
+    """§2.9 streaming forecastability: hourly counts fold per micro-batch
+    into the shared versioned state (the burst/CUSUM substrate), finished
+    by the SAME backtest_from_counts as batch — the drained snapshot
+    equals the batch oracle exactly."""
+    import os
+    import shutil
+    import tempfile
+
+    from log_analysis_spark.streaming.sketch_stream import (
+        run_stream_forecast_backtest,
+    )
+
+    work = tempfile.mkdtemp(prefix="bt_stream_")
+    os.makedirs(f"{work}/src")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{work}/src/drop0.parquet")
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    )
+    return run_stream_forecast_backtest(
+        spark, f"{work}/src", f"{work}/state", "ts", "event_type", schema
+    )
+
+
 def q_events_forecast_backtest(spark, sf_dir):
     """Forecastability report: persistence (lag 1) vs seasonal-naive
     (lag 24) MAE per event type over the dense hourly spine — which
@@ -2755,6 +2780,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_concurrency": q_events_concurrency,
         "logs_latency_quantiles": q_logs_latency_quantiles,
         "events_forecast_backtest": q_events_forecast_backtest,
+        "streaming_forecast_backtest": q_streaming_forecast_backtest,
         "events_chi2": q_events_chi2,
         "events_auc": q_events_auc,
         "events_gini": q_events_gini,
@@ -3107,34 +3133,9 @@ FROM docscores JOIN documents d USING (doc_id)
 GROUP BY 1
 """
         ),
-        "events_forecast_backtest": """
-WITH h AS (
-  SELECT event_type AS key, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id,
-         count(*) AS cnt
-  FROM events GROUP BY 1, 2
-),
-b AS (SELECT key, min(hour_id) AS mn, max(hour_id) AS mx FROM h GROUP BY 1),
-sp AS (SELECT key, unnest(generate_series(mn, mx)) AS hour_id FROM b),
-d AS (
-  SELECT sp.key, sp.hour_id, COALESCE(h.cnt, 0) AS cnt
-  FROM sp LEFT JOIN h ON h.key = sp.key AND h.hour_id = sp.hour_id
-),
-e AS (
-  SELECT key,
-         abs(cnt - lag(cnt, 1) OVER w) AS e1,
-         abs(cnt - lag(cnt, 24) OVER w) AS e24
-  FROM d WINDOW w AS (PARTITION BY key ORDER BY hour_id)
-),
-st AS (
-  SELECT key, 1 AS lag, e1 AS e FROM e WHERE e1 IS NOT NULL
-  UNION ALL
-  SELECT key, 24 AS lag, e24 AS e FROM e WHERE e24 IS NOT NULL
-)
-SELECT key, CAST(lag AS INTEGER) AS lag,
-       CAST(count(*) AS BIGINT) AS n_eval,
-       CAST(sum(e) AS BIGINT) AS sum_abs_err,
-       CAST((1000 * sum(e)) // count(*) AS BIGINT) AS mae_milli
-FROM st GROUP BY key, lag""",
+        "streaming_forecast_backtest": _FORECAST_BACKTEST_ORACLE,
+        "events_forecast_backtest": _FORECAST_BACKTEST_ORACLE,
+
         "logs_latency_quantiles": oracles.on_parsed(f"""
 , h AS (
   SELECT action, date_trunc('hour', ts) AS hour,
@@ -4555,6 +4556,36 @@ WITH tk AS (
 )
 {body}
 """
+
+
+_FORECAST_BACKTEST_ORACLE = """
+WITH h AS (
+  SELECT event_type AS key, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+b AS (SELECT key, min(hour_id) AS mn, max(hour_id) AS mx FROM h GROUP BY 1),
+sp AS (SELECT key, unnest(generate_series(mn, mx)) AS hour_id FROM b),
+d AS (
+  SELECT sp.key, sp.hour_id, COALESCE(h.cnt, 0) AS cnt
+  FROM sp LEFT JOIN h ON h.key = sp.key AND h.hour_id = sp.hour_id
+),
+e AS (
+  SELECT key,
+         abs(cnt - lag(cnt, 1) OVER w) AS e1,
+         abs(cnt - lag(cnt, 24) OVER w) AS e24
+  FROM d WINDOW w AS (PARTITION BY key ORDER BY hour_id)
+),
+st AS (
+  SELECT key, 1 AS lag, e1 AS e FROM e WHERE e1 IS NOT NULL
+  UNION ALL
+  SELECT key, 24 AS lag, e24 AS e FROM e WHERE e24 IS NOT NULL
+)
+SELECT key, CAST(lag AS INTEGER) AS lag,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       CAST(sum(e) AS BIGINT) AS sum_abs_err,
+       CAST((1000 * sum(e)) // count(*) AS BIGINT) AS mae_milli
+FROM st GROUP BY key, lag"""
 
 
 def _benford_oracle() -> str:

@@ -1560,9 +1560,19 @@ def seasonal_naive_backtest(
     (map-side combined, the shared fold family); ALL lags come from one
     ordered window pass per key over spine CELLS; one final (key, lag)
     aggregate."""
+    counts = hourly_counts(events, ts_col, key_col)
+    return backtest_from_counts(counts, lags)
+
+
+def backtest_from_counts(
+    counts: DataFrame, lags: tuple[int, ...] = (1, 24)
+) -> DataFrame:
+    """Finisher of ``seasonal_naive_backtest`` over a (key, hour_id, cnt)
+    table — shared verbatim with the streaming fold
+    (``sketch_stream.run_stream_forecast_backtest``), so batch and stream
+    cannot drift."""
     if not lags or any(l < 1 for l in lags):
         raise ValueError(f"lags must be >= 1, got {lags}")
-    counts = hourly_counts(events, ts_col, key_col)
     spine = (
         counts.groupBy("key")
         .agg(F.min("hour_id").alias("_mn"), F.max("hour_id").alias("_mx"))

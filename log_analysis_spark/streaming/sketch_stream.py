@@ -330,3 +330,26 @@ def run_stream_quantiles(
         raise RuntimeError("no micro-batch produced state")
     final = spark.read.parquet(f"{sk_dir}/version={v}")
     return sk.quantiles_from_cells(final, qs, resolution, group)
+
+
+def run_stream_forecast_backtest(
+    spark: SparkSession,
+    src_path: str,
+    state_dir: str,
+    ts_col: str,
+    key_col: str,
+    schema: str,
+    lags: tuple[int, ...] = (1, 24),
+) -> DataFrame:
+    """Streaming forecastability report: hourly counts fold per
+    micro-batch into the shared versioned bounded state
+    (``_run_hourly_count_fold`` — verbatim the burst/CUSUM substrate),
+    finished by the SAME ``timeseries.backtest_from_counts`` as batch, so
+    the drained snapshot's persistence/seasonal MAEs equal the batch
+    answer exactly."""
+    from log_analysis_spark.operators import timeseries
+
+    final = _run_hourly_count_fold(
+        spark, src_path, state_dir, ts_col, key_col, schema, "backtest"
+    )
+    return timeseries.backtest_from_counts(final, lags)

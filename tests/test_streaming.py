@@ -716,3 +716,26 @@ def test_streaming_quantiles_equals_batch(spark, tmp_path):
         map(tuple, sketches.value_cells(ev, "value", 0.25, "event_type").collect())
     )
     assert final == batch_cells
+
+
+def test_streaming_forecast_backtest_equals_batch(spark, tmp_path):
+    """Hourly counts folded across two drops finish through the SAME
+    backtest_from_counts as batch — MAEs equal exactly."""
+    from log_analysis_spark.operators import timeseries
+    from log_analysis_spark.streaming.sketch_stream import (
+        run_stream_forecast_backtest,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "bt_src")
+    ev.filter("event_id % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+    ev.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    )
+    got = run_stream_forecast_backtest(
+        spark, src, str(tmp_path / "st"), "ts", "event_type", schema,
+    )
+    want = timeseries.seasonal_naive_backtest(ev, "ts", "event_type")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
