@@ -2024,6 +2024,18 @@ def q_doc_classifier_calibration(spark, sf_dir):
     )
 
 
+def q_doc_lang_margin(spark, sf_dir):
+    """Language-ID confidence: top-2 stopword-hit languages per doc with
+    margin and a code-switching ``mixed`` flag (second language at >= half
+    the winner's evidence and >= 2 hits) — the docs a single-label gate
+    mislabels.  Shares lists and the struct-max tie rule with doc_langid;
+    the oracle replays the sorted-struct top-2 and the flag rule."""
+    return textstats.with_lang_margin(_docs(spark, sf_dir)).select(
+        "doc_id", "lang_pred", "best_hits", "second_lang", "second_hits",
+        "margin", "mixed",
+    )
+
+
 def q_corpus_diversity(spark, sf_dir):
     """Corpus distinct-n diversity (distinct n-grams / total occurrences
     for n=1..3) — the one-table "how templated is this corpus?" audit a
@@ -2809,6 +2821,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_loop_detection": q_doc_loop_detection,
         "corpus_diversity": q_corpus_diversity,
         "doc_classifier_calibration": q_doc_classifier_calibration,
+        "doc_lang_margin": q_doc_lang_margin,
         "embed_cluster_psi": q_embed_cluster_psi,
         "events_attribution": q_events_attribution,
         "embed_mmr": q_embed_mmr,
@@ -3119,6 +3132,7 @@ SELECT event_id, key, hour_id FROM (
         ),
         "events_benford": _benford_oracle(),
         "corpus_diversity": _diversity_oracle(ns=(1, 2, 3)),
+        "doc_lang_margin": _lang_margin_oracle(),
         "doc_classifier_calibration": (
             _classifier_ctes(4096, "lang = 'en'")
             + """
@@ -4586,6 +4600,36 @@ SELECT key, CAST(lag AS INTEGER) AS lag,
        CAST(sum(e) AS BIGINT) AS sum_abs_err,
        CAST((1000 * sum(e)) // count(*) AS BIGINT) AS mae_milli
 FROM st GROUP BY key, lag"""
+
+
+def _lang_margin_oracle() -> str:
+    """Replay of q_doc_lang_margin: per-language stopword hit structs,
+    lexicographic struct sort (desc hits, desc lang — the array_max tie
+    rule), top-2 extraction and the mixed-flag rule."""
+    structs = ", ".join(
+        "{{'hits': len(list_filter(toks, x -> x IN ({words}))), "
+        "'lang': '{lang}'}}".format(
+            words=", ".join(f"'{w}'" for w in ws), lang=lang
+        )
+        for lang, ws in _LANG_HITS.items()
+    )
+    return f"""
+WITH tk AS (
+  SELECT doc_id, list_transform({_DOC_TOKENS}, x -> lower(x)) AS toks
+  FROM documents
+),
+sc AS (
+  SELECT doc_id, list_reverse(list_sort([{structs}])) AS r FROM tk
+)
+SELECT doc_id,
+  CASE WHEN r[1].hits > 0 THEN r[1].lang ELSE 'unknown' END AS lang_pred,
+  CAST(r[1].hits AS BIGINT) AS best_hits,
+  CASE WHEN r[2].hits > 0 THEN r[2].lang END AS second_lang,
+  CAST(r[2].hits AS BIGINT) AS second_hits,
+  CAST(r[1].hits - r[2].hits AS BIGINT) AS margin,
+  (r[2].hits * 2 >= r[1].hits AND r[2].hits >= 2) AS mixed
+FROM sc
+"""
 
 
 def _benford_oracle() -> str:

@@ -1422,3 +1422,55 @@ def classifier_calibration(
             F.expr("CAST((1000000 * n_target) DIV n_docs AS BIGINT)"),
         )
     )
+
+
+def with_lang_margin(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID with CONFIDENCE: top-2 stopword-hit languages per doc,
+    their margin, and a ``mixed`` flag for code-switched text (second
+    language's evidence at least half the winner's and >= 2 hits) — the
+    docs a single-label language gate silently mislabels.  Shares the
+    stopword lists and the (hits, lang) struct-max tie rule with
+    ``with_lang_pred`` so the two can never disagree on the winner.
+
+    Adds ``lang_pred`` / ``best_hits`` / ``second_lang`` /
+    ``second_hits`` / ``margin`` / ``mixed``.  Zero-shuffle zero-Python
+    projection."""
+    toks = F.transform(tokens_col(text_col), lambda x: F.lower(x))
+    base = df.withColumn("_ltoks", toks)
+    lt = F.col("_ltoks")
+    scores = []
+    for lang, words in STOPWORDS.items():
+        wl = F.array(*[F.lit(w) for w in words])
+        scores.append(
+            F.struct(
+                F.size(F.filter(lt, lambda x: F.array_contains(wl, x))).alias(
+                    "hits"
+                ),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    ranked = F.reverse(F.array_sort(F.array(*scores)))
+    best, second = ranked[0], ranked[1]
+    out = (
+        base.withColumn(
+            "lang_pred",
+            F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("unknown")),
+        )
+        .withColumn("best_hits", best["hits"].cast("long"))
+        .withColumn(
+            "second_lang",
+            F.when(second["hits"] > 0, second["lang"]).otherwise(
+                F.lit(None).cast("string")
+            ),
+        )
+        .withColumn("second_hits", second["hits"].cast("long"))
+        .withColumn(
+            "margin", (best["hits"] - second["hits"]).cast("long")
+        )
+        .withColumn(
+            "mixed",
+            (second["hits"] * 2 >= best["hits"]) & (second["hits"] >= 2),
+        )
+        .drop("_ltoks")
+    )
+    return out

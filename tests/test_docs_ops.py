@@ -1754,3 +1754,28 @@ def test_distinct_ngram_ratio_collapses_under_duplication(spark):
     r_d = {r["n"]: r["ratio_micro"]
            for r in textstats.distinct_ngram_ratio(dup, ns=(2,)).collect()}
     assert r_u[2] == 1_000_000 and r_d[2] < 100_000
+
+
+# ------------------------------------------------------- language margin
+
+
+def test_lang_margin_mixed_flag_and_agreement(spark):
+    rows = [
+        (1, "the cat of the house and a dog"),        # clean en
+        (2, "the casa de la playa of el verano and"), # code-switched en/es
+        (3, "xyz qrs tuv"),                           # no evidence
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.with_lang_margin(df).collect()}
+    assert out[1]["lang_pred"] == "en" and not out[1]["mixed"]
+    assert out[1]["second_hits"] == 0 and out[1]["second_lang"] is None
+    r2 = out[2]
+    assert r2["mixed"] and {r2["lang_pred"], r2["second_lang"]} == {"en", "es"}
+    assert r2["margin"] == abs(r2["best_hits"] - r2["second_hits"])
+    assert out[3]["lang_pred"] == "unknown" and not out[3]["mixed"]
+    # winner always agrees with the single-label predictor
+    preds = {
+        r["doc_id"]: r["lang_pred"]
+        for r in textstats.with_lang_pred(df).collect()
+    }
+    assert all(out[d]["lang_pred"] == preds[d] for d in preds)
