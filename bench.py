@@ -834,6 +834,14 @@ def main() -> None:
         .agg({"loop_tokens": "sum"})
         .collect(),
     )
+    timed(
+        "corpus_diversity",
+        lambda: ts_b.distinct_ngram_ratio(docs, ns=(1, 2, 3)).count(),
+    )
+    timed(
+        "events_forecast_backtest",
+        lambda: tsl_b.seasonal_naive_backtest(ev_b, "ts", "event_type").count(),
+    )
 
     timings = {name: min(obs) for name, obs in runs.items()}
     total = round(sum(sum(obs) for obs in runs.values()), 3)

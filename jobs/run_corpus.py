@@ -137,6 +137,11 @@ def main() -> None:
         help="drop docs whose unigram-LM surprise exceeds this (garbled text)",
     )
     ap.add_argument(
+        "--max-loop-frac", type=float, default=None,
+        help="drop docs whose longest period-p token loop covers more "
+        "than this fraction of the doc (degenerate generation filter)",
+    )
+    ap.add_argument(
         "--max-bigram-surprise", type=float, default=None,
         help="drop docs whose interpolated-bigram-LM surprise exceeds this "
         "(incoherent token ORDER the unigram gate can't see)",
@@ -333,6 +338,19 @@ def main() -> None:
             .drop("bigram_surprise")
         )
 
+    if args.max_loop_frac is not None:
+        loops = textstats.loop_detection(docs).select(
+            "doc_id", "loop_frac_micro"
+        )
+        thr = round(args.max_loop_frac * 1_000_000)
+        docs, n_loop = _materialize(
+            docs.join(loops, "doc_id")
+            .filter(F.col("loop_frac_micro") <= thr)
+            .drop("loop_frac_micro")
+        )
+    else:
+        n_loop = None
+
     if args.ppl_keep is not None:
         keep_tiers = [int(x) for x in args.ppl_keep.split(",") if x != ""]
         if not keep_tiers or not all(
@@ -419,6 +437,7 @@ def main() -> None:
             "n_after_badwords": n_badwords,
             "n_after_span_dedup": n_span,
             "n_after_decontamination": n_decontam,
+            "n_after_loop_gate": n_loop,
             "n_after_ppl_tiering": n_ppl,
             "n_after_classifier": n_classifier,
             "n_after_dsir": n_dsir,
@@ -479,7 +498,8 @@ def main() -> None:
                 "n_after_badwords": n_badwords,
                 "n_after_span_dedup": n_span,
                 "n_after_decontamination": n_decontam,
-                "n_after_ppl_tiering": n_ppl,
+                "n_after_loop_gate": n_loop,
+            "n_after_ppl_tiering": n_ppl,
                 "n_after_classifier": n_classifier,
                 "n_after_dsir": n_dsir,
                 "n_soft_dup_docs": n_soft_dup,

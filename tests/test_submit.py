@@ -146,6 +146,7 @@ def test_submit_corpus_job_full_stage_chain(pkg_zip, tmp_path):
             "--span-action", "filter",
             "--span-max-coverage", "0.9",
             "--max-surprise", "20.0",
+            "--max-loop-frac", "0.9",
             "--max-bigram-surprise", "20.0",
             "--classifier-min-mean", "-10.0",
             "--classifier-target", "lang = 'en'",
@@ -167,6 +168,7 @@ def test_submit_corpus_job_full_stage_chain(pkg_zip, tmp_path):
         >= res["n_after_gopher"]
         >= res["n_after_badwords"]
         >= res["n_after_span_dedup"]
+        >= res["n_after_loop_gate"]
         >= res["n_after_ppl_tiering"]
         >= res["n_after_classifier"]
         >= res["n_after_dsir"]

@@ -1848,6 +1848,33 @@ def main() -> int:
          benf_plan, notes)
     )
 
+    # ---- session-16 batch 4: lang margin / diversity / backtest -----------
+    lm_plan = executed(ts_ops.with_lang_margin(docs))
+    div = ts_ops.distinct_ngram_ratio(docs, ns=(1, 2))
+    div_shufs = shuffle_schemas(div)
+    bt = tsr_ops.seasonal_naive_backtest(ev16, "ts", "event_type")
+    bt_plan = executed(bt)
+    bt_shufs = shuffle_schemas(bt)
+    notes = [
+        check("lang margin: zero-shuffle zero-Python projection",
+              "Exchange" not in lm_plan and "EvalPython" not in lm_plan
+              and "InPandas" not in lm_plan),
+        check("distinct-n diversity: grams shuffle as 16-byte md5 keys — "
+              "raw text/gram strings never enter an exchange",
+              all("text" not in c and "_g" not in c for _, c in div_shufs),
+              f"shuffles={[c for _, c in div_shufs]}"),
+        check("forecast backtest: ONE Window node serves every lag; "
+              "exchanges carry spine cells and (key, lag) aggregates only",
+              bt_plan.count("Window") == 1
+              and all("value" not in c and "props" not in c
+                      for _, c in bt_shufs),
+              f"shuffles={[c for _, c in bt_shufs]}"),
+    ]
+    sections.append(
+        ("Lang margin / distinct-n diversity / forecast backtest",
+         bt_plan, notes)
+    )
+
     # ---- write EXPLAIN.md -------------------------------------------------
     md = ["# EXPLAIN audit — physical plans vs 100 TB design intents",
           "",
