@@ -1324,6 +1324,7 @@ def mmr_rerank(
     id_col: str = "corpus_id",
     score_col: str = "score",
     unit_col: str = "unit",
+    max_candidates: int = 10_000,
 ) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
     — the standard diversity-aware selection over an ANN/BM25 candidate
@@ -1356,6 +1357,10 @@ def mmr_rerank(
         raise ValueError(f"k must be >= 1, got {k}")
     if not (0 <= lam_micro <= 1_000_000):
         raise ValueError(f"lam_micro must be in [0, 1e6], got {lam_micro}")
+    if max_candidates < k:
+        raise ValueError(
+            f"max_candidates={max_candidates} must be >= k={k}"
+        )
     qt = candidates.schema[query_col].dataType.simpleString()
     it = candidates.schema[id_col].dataType.simpleString()
     out_schema = (
@@ -1364,9 +1369,20 @@ def mmr_rerank(
     )
     kk, lam = int(k), int(lam_micro)
 
+    mc = int(max_candidates)
+
     def rerank(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
         n = len(pdf)
+        if n > mc:
+            # the N^2 sim matrix is the whole cost model — a caller who
+            # passes an unbounded candidate list gets a LOUD error, not a
+            # silent quadratic blowup on one executor
+            raise ValueError(
+                f"mmr_rerank: query {pdf[query_col].iloc[0]!r} has {n} "
+                f"candidates > max_candidates={mc}; top-N the rankings "
+                "before fusing or raise the knob explicitly"
+            )
         rel = np.round(pdf[score_col].to_numpy() * 1e6).astype(np.int64)
         U = np.stack(pdf[unit_col].to_numpy())
         sim = np.round(np.round(U @ U.T, 6) * 1e6).astype(np.int64)

@@ -1779,3 +1779,14 @@ def test_lang_margin_mixed_flag_and_agreement(spark):
         for r in textstats.with_lang_pred(df).collect()
     }
     assert all(out[d]["lang_pred"] == preds[d] for d in preds)
+
+
+def test_mmr_guards_unbounded_candidate_lists(spark):
+    rows = [(1, 100 + i, 0.5, [1.0, 0.0]) for i in range(6)]
+    df = _mmr_cand(spark, rows)
+    with pytest.raises(Exception, match="max_candidates"):
+        similarity.mmr_rerank(df, k=2, max_candidates=5).collect()
+    # at the bound it runs
+    assert similarity.mmr_rerank(df, k=2, max_candidates=6).count() == 2
+    with pytest.raises(ValueError):
+        similarity.mmr_rerank(df, k=7, max_candidates=6)
