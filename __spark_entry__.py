@@ -2439,6 +2439,47 @@ def q_streaming_forecast_backtest(spark, sf_dir):
     )
 
 
+def q_streaming_psi_drift(spark, sf_dir):
+    """§2.9 streaming distribution drift: the current sample's PSI cells
+    fold per micro-batch (additive — boundary-independent) and the final
+    read PSIs them against the frozen reference cells through the SAME
+    psi_from_cells as batch, so the drained snapshot equals the batch
+    purchase-vs-signup oracle exactly."""
+    import os
+    import tempfile
+
+    from log_analysis_spark.operators import expectations
+    from log_analysis_spark.streaming.sketch_stream import run_stream_psi_drift
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    work = tempfile.mkdtemp(prefix="psi_stream_")
+    os.makedirs(f"{work}/src")
+    ev.filter(F.col("event_type") == "signup").coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{work}/src")
+    ref = expectations.psi_value_cells(
+        ev.filter(F.col("event_type") == "purchase"), "value", 0.5, "ca"
+    )
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    )
+    return run_stream_psi_drift(
+        spark, f"{work}/src", f"{work}/state", "value", schema, ref, width=0.5
+    )
+
+
+def q_events_percentile(spark, sf_dir):
+    """Per-row percentile annotation ("this value sits at p98 of its
+    type") from the bounded cell-CDF broadcast — the data is never
+    re-shuffled for the annotation.  The oracle replays cells, CDF and
+    the integral-division percentile per row."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sketches.with_percentile(
+        ev, "value", resolution=0.25, group="event_type"
+    ).select("event_id", "event_type", "value", "pct_micro")
+
+
 def q_events_forecast_backtest(spark, sf_dir):
     """Forecastability report: persistence (lag 1) vs seasonal-naive
     (lag 24) MAE per event type over the dense hourly spine — which
@@ -2793,6 +2834,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logs_latency_quantiles": q_logs_latency_quantiles,
         "events_forecast_backtest": q_events_forecast_backtest,
         "streaming_forecast_backtest": q_streaming_forecast_backtest,
+        "events_percentile": q_events_percentile,
+        "streaming_psi_drift": q_streaming_psi_drift,
         "events_chi2": q_events_chi2,
         "events_auc": q_events_auc,
         "events_gini": q_events_gini,
@@ -3125,6 +3168,7 @@ SELECT event_id, key, hour_id FROM (
         "events_active_users": _ACTIVE_USERS_ORACLE,
         "events_burn_rate": _BURN_RATE_ORACLE,
         "events_psi_drift": _PSI_ORACLE,
+        "streaming_psi_drift": _PSI_ORACLE,
         "streaming_active_users": _ACTIVE_USERS_ORACLE,
         "events_k_anonymity": (
             "SELECT user_id, event_type, count(*) AS group_n "
@@ -3149,6 +3193,22 @@ GROUP BY 1
         ),
         "streaming_forecast_backtest": _FORECAST_BACKTEST_ORACLE,
         "events_forecast_backtest": _FORECAST_BACKTEST_ORACLE,
+        "events_percentile": """
+WITH cells AS (
+  SELECT event_type, CAST(floor(value * 4.0) AS BIGINT) AS cell,
+         count(*) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+cdf AS (
+  SELECT event_type, cell,
+         CAST((1000000 * sum(c) OVER (PARTITION BY event_type ORDER BY cell))
+              // (sum(c) OVER (PARTITION BY event_type)) AS BIGINT) AS pct
+  FROM cells
+)
+SELECT e.event_id, e.event_type, e.value, cdf.pct AS pct_micro
+FROM events e
+LEFT JOIN cdf ON cdf.event_type = e.event_type
+             AND cdf.cell = CAST(floor(e.value * 4.0) AS BIGINT)""",
 
         "logs_latency_quantiles": oracles.on_parsed(f"""
 , h AS (

@@ -882,19 +882,31 @@ def psi_drift(
         raise ValueError(f"width must be positive, got {width}")
     if thr_micro <= 0:
         raise ValueError(f"thr_micro must be positive, got {thr_micro}")
+    return psi_from_cells(
+        psi_value_cells(df_a, val_col, width, "ca"),
+        psi_value_cells(df_b, val_col, width, "cb"),
+        thr_micro,
+    )
+
+
+def psi_value_cells(
+    df: DataFrame, val_col: str, width: float = 1.0, out: str = "ca"
+) -> DataFrame:
+    """The mergeable half of ``psi_drift``: (bin, count) cells on the
+    fixed micro-quantized grid.  Counts ADD, so per-partition /
+    per-micro-batch cells union+sum losslessly — the property
+    ``sketch_stream.run_stream_psi_drift`` folds on."""
+    if width <= 0:
+        raise ValueError(f"width must be positive, got {width}")
     width_micro = round(width * 1_000_000)
     v = F.round(F.col(val_col) * 1_000_000).cast("long")
     bin_of = F.floor(v / F.lit(width_micro)).cast("long")
-
-    def cells(df, out):
-        return (
-            df.filter(F.col(val_col).isNotNull())
-            .select(bin_of.alias("bin"))
-            .groupBy("bin")
-            .agg(F.count(F.lit(1)).alias(out))
-        )
-
-    return psi_from_cells(cells(df_a, "ca"), cells(df_b, "cb"), thr_micro)
+    return (
+        df.filter(F.col(val_col).isNotNull())
+        .select(bin_of.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias(out))
+    )
 
 
 def psi_from_cells(

@@ -628,3 +628,46 @@ def heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
         .filter(F.col("cnt") * F.lit(k) > F.col("_n"))
         .select("item", "cnt")
     )
+
+
+def with_percentile(
+    df: DataFrame,
+    value_col: str,
+    resolution: float = 0.01,
+    group: str | list[str] | None = None,
+    out_col: str = "pct_micro",
+) -> DataFrame:
+    """Annotate every row with its value's percentile WITHIN its group —
+    "this request sits at p98 of its route" — from the same histogram-CDF
+    machinery as ``hist_quantiles`` (resolution-bounded, no global sort,
+    no per-row rank window over data rows).
+
+    ``pct_micro = 1e6·(rows in cells <= this value's cell) div n`` —
+    exact integers given the cell grid; NULL values annotate NULL.
+
+    Scale shape: the cell-CDF table is bounded (occupied cells per
+    group) and BROADCASTS back onto the data — the data itself is never
+    re-shuffled for the annotation."""
+    keys = _group_keys(group)
+    inv = 1.0 / resolution
+    cell = F.floor(F.col(value_col) * F.lit(inv)).cast("long")
+    cells = value_cells(df, value_col, resolution, group)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_cell")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy(*keys)
+    cdf = (
+        cells.withColumn("_cum", F.sum("_c").over(w))
+        .withColumn("_n", F.sum("_c").over(wn))
+        .select(
+            *keys,
+            "_cell",
+            F.expr("CAST((1000000 * _cum) DIV _n AS BIGINT)").alias("_pct"),
+        )
+    )
+    joined = df.withColumn("_cell", cell).join(
+        F.broadcast(cdf), keys + ["_cell"], "left"
+    )
+    return joined.withColumn(out_col, F.col("_pct")).drop("_cell", "_pct")

@@ -353,3 +353,53 @@ def run_stream_forecast_backtest(
         spark, src_path, state_dir, ts_col, key_col, schema, "backtest"
     )
     return timeseries.backtest_from_counts(final, lags)
+
+
+def run_stream_psi_drift(
+    spark: SparkSession,
+    src_path: str,
+    state_dir: str,
+    value_col: str,
+    schema: str,
+    ref_cells: DataFrame,
+    width: float = 1.0,
+    thr_micro: int = 200_000,
+) -> DataFrame:
+    """Streaming distribution-drift monitor: the CURRENT sample's PSI
+    value cells fold per micro-batch into versioned bounded state (cell
+    counts are ADDITIVE — batch-boundary-independent, the quantile-fold
+    argument), then the final read PSIs the folded cells against a
+    PRE-AGGREGATED reference cell table (``expectations.psi_value_cells``
+    over the baseline snapshot) through the SAME
+    ``expectations.psi_from_cells`` as batch.  This is the shape a
+    production drift alarm runs: reference frozen, current side
+    streaming."""
+    from log_analysis_spark.operators import expectations as exp_ops
+
+    stream = spark.readStream.schema(schema).parquet(src_path)
+    sk_dir = f"{state_dir}/psicells"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        new = exp_ops.psi_value_cells(batch_df, value_col, width, "cb")
+        prev_v = _latest_version(sk_dir, batch_id)
+        if prev_v is not None:
+            prev = spark.read.parquet(f"{sk_dir}/version={prev_v}")
+            new = (
+                new.unionByName(prev)
+                .groupBy("bin")
+                .agg(F.sum("cb").alias("cb"))
+            )
+        new.write.mode("overwrite").parquet(f"{sk_dir}/version={batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{state_dir}/ckpt_psi")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    v = _latest_version(sk_dir, 1 << 62)
+    if v is None:
+        raise RuntimeError("no micro-batch produced state")
+    final = spark.read.parquet(f"{sk_dir}/version={v}")
+    return exp_ops.psi_from_cells(ref_cells, final, thr_micro)

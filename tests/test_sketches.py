@@ -382,3 +382,18 @@ def test_hist_quantiles_composite_group(spark):
     # string single-column group keeps working (back-compat)
     single = sketches.hist_quantiles(df, "v", [1.0], resolution=1.0, group="k")
     assert {r["k"] for r in single.collect()} == {"a", "b"}
+
+
+def test_with_percentile_closed_form_and_nulls(spark):
+    from log_analysis_spark.operators import sketches
+
+    rows = [("a", float(v)) for v in range(1, 11)] + [("b", 5.0), ("a", None)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = sketches.with_percentile(df, "v", resolution=1.0, group="k").collect()
+    by = {(r["k"], r["v"]): r["pct_micro"] for r in out}
+    # group a: value i sits at i/10
+    for i in range(1, 11):
+        assert by[("a", float(i))] == (1_000_000 * i) // 10
+    assert by[("b", 5.0)] == 1_000_000  # singleton group
+    assert by[("a", None)] is None      # NULL annotates NULL
+    assert len(out) == len(rows)        # nothing dropped

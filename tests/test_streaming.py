@@ -739,3 +739,29 @@ def test_streaming_forecast_backtest_equals_batch(spark, tmp_path):
     )
     want = timeseries.seasonal_naive_backtest(ev, "ts", "event_type")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_streaming_psi_drift_equals_batch(spark, tmp_path):
+    """Current-side PSI cells folded across TWO drops (split so the same
+    bin lands in both) against frozen reference cells equal the batch
+    psi_drift exactly."""
+    from log_analysis_spark.operators import expectations
+    from log_analysis_spark.streaming.sketch_stream import run_stream_psi_drift
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    cur = ev.filter(F.col("event_type") == "signup")
+    src = str(tmp_path / "psi_src")
+    cur.filter("event_id % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+    cur.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    ref_df = ev.filter(F.col("event_type") == "purchase")
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    )
+    got = run_stream_psi_drift(
+        spark, src, str(tmp_path / "st"), "value", schema,
+        expectations.psi_value_cells(ref_df, "value", 0.5, "ca"), width=0.5,
+    )
+    want = expectations.psi_drift(ref_df, cur, "value", width=0.5)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
