@@ -2469,6 +2469,38 @@ def q_streaming_psi_drift(spark, sf_dir):
     )
 
 
+def q_events_session_impact(spark, sf_dir):
+    """INTERVAL × INTERVAL overlap join: which user sessions overlapped an
+    anomalous (burst/drop) hour window — the blast-radius question
+    point-in-interval joins can't ask because BOTH sides have extent.
+    Both sides bucket-explode and hash-join on the hour; the oracle
+    recomputes sessions, the burst windows and the brute-force overlap
+    predicate with exact intersection spans."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    iv = timeseries.session_intervals(
+        ev, "ts", "user_id", gap_sec=1800, order_cols=["ts", "event_id"]
+    )
+    sessions = iv.select(
+        (F.col("user_id") * 100000 + F.col("sess_id")).alias("sid"),
+        "start_ts",
+        "end_ts",
+    )
+    anom = (
+        timeseries.burst_hours(ev, "ts", "event_type", n_trail=24, z=3)
+        .filter(F.col("anomaly").isNotNull())
+        .select(
+            F.concat_ws("#", "event_type", F.col("hour_id").cast("string")).alias(
+                "rid"
+            ),
+            F.timestamp_seconds(F.col("hour_id") * 3600).alias("r_start_ts"),
+            F.timestamp_seconds(F.col("hour_id") * 3600 + 3599).alias(
+                "r_end_ts"
+            ),
+        )
+    )
+    return joins.interval_overlap_join(sessions, anom, "sid", "rid")
+
+
 def q_events_percentile(spark, sf_dir):
     """Per-row percentile annotation ("this value sits at p98 of its
     type") from the bounded cell-CDF broadcast — the data is never
@@ -2836,6 +2868,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_forecast_backtest": q_streaming_forecast_backtest,
         "events_percentile": q_events_percentile,
         "streaming_psi_drift": q_streaming_psi_drift,
+        "events_session_impact": q_events_session_impact,
         "events_chi2": q_events_chi2,
         "events_auc": q_events_auc,
         "events_gini": q_events_gini,
@@ -3169,6 +3202,7 @@ SELECT event_id, key, hour_id FROM (
         "events_burn_rate": _BURN_RATE_ORACLE,
         "events_psi_drift": _PSI_ORACLE,
         "streaming_psi_drift": _PSI_ORACLE,
+        "events_session_impact": _session_impact_oracle(),
         "streaming_active_users": _ACTIVE_USERS_ORACLE,
         "events_k_anonymity": (
             "SELECT user_id, event_type, count(*) AS group_n "
@@ -4689,6 +4723,46 @@ SELECT doc_id,
   CAST(r[1].hits - r[2].hits AS BIGINT) AS margin,
   (r[2].hits * 2 >= r[1].hits AND r[2].hits >= 2) AS mixed
 FROM sc
+"""
+
+
+def _session_impact_oracle() -> str:
+    """Replay of q_events_session_impact: the full burst oracle rides as a
+    nested-WITH CTE, sessions via the proven sessionize chain, then a
+    BRUTE-FORCE overlap join (no bucket structure — checks the bucketed
+    join's completeness) with exact intersection spans."""
+    return f"""
+WITH anom AS ({_burst_hours_oracle(n=24, z=3)}),
+g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM g
+),
+iv AS (
+  SELECT CAST(user_id * 100000 + sess_id AS BIGINT) AS sid,
+         min(ts) AS s_ts, max(ts) AS e_ts
+  FROM s GROUP BY user_id, sess_id
+),
+win AS (
+  SELECT event_type || '#' || CAST(hour_id AS VARCHAR) AS rid,
+         TIMESTAMP '1970-01-01' + INTERVAL (hour_id * 3600) SECOND AS rs,
+         TIMESTAMP '1970-01-01' + INTERVAL (hour_id * 3600 + 3599) SECOND AS re
+  FROM anom
+)
+SELECT sid, rid,
+       greatest(s_ts, rs) AS overlap_start,
+       least(e_ts, re) AS overlap_end,
+       CAST(epoch_us(least(e_ts, re)) - epoch_us(greatest(s_ts, rs))
+            AS BIGINT) AS overlap_us
+FROM iv JOIN win ON s_ts <= re AND rs <= e_ts
 """
 
 

@@ -468,3 +468,87 @@ def fuzzy_match(
         )
     )
     return best
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_start: str = "start_ts",
+    left_end: str = "end_ts",
+    right_start: str = "r_start_ts",
+    right_end: str = "r_end_ts",
+    equi_keys: list[str] | None = None,
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """INTERVAL × INTERVAL overlap join — "which sessions overlapped an
+    incident window", "which deploys intersected an alert span": two
+    tables of CLOSED [start, end] intervals, joined where they share any
+    instant (``l.start <= r.end AND r.start <= l.end``).  The missing
+    sibling of ``interval_join`` (point-in-interval): here BOTH sides
+    have extent.
+
+    Returns one row per overlapping (left_id, right_id) pair with the
+    exact intersection: ``overlap_start = greatest(starts)``,
+    ``overlap_end = least(ends)`` and integer ``overlap_us``.
+
+    Scale shape: BOTH sides explode into their covered time buckets and
+    hash-join on (equi_keys, bucket) — fan-out bounded by interval
+    length / bucket, never a per-row range scan; the overlap predicate
+    filters inside the join and pairs dedup AFTER projecting the
+    bucket away (duplicate bucket hits collapse).  Pick ``bucket`` near
+    the typical interval length: too fine multiplies the explode, too
+    coarse fattens the candidate cells."""
+    eq = list(equi_keys or [])
+
+    def bucketed(df, s, e):
+        return df.withColumn(
+            "_ob",
+            F.explode(
+                F.sequence(
+                    F.date_trunc("hour", F.col(s)),
+                    F.date_trunc("hour", F.col(e)),
+                    F.expr(f"INTERVAL {bucket}"),
+                )
+            ),
+        )
+
+    l = bucketed(
+        left.select(left_id, *eq, left_start, left_end), left_start, left_end
+    )
+    r = bucketed(
+        right.select(right_id, *eq, right_start, right_end),
+        right_start,
+        right_end,
+    )
+    for k in eq:
+        r = r.withColumnRenamed(k, f"__r_{k}")
+    cond = [F.col("_ob") == F.col("_rob")] + [
+        F.col(k) == F.col(f"__r_{k}") for k in eq
+    ]
+    r = r.withColumnRenamed("_ob", "_rob")
+    j = (
+        l.join(r, on=cond)
+        .filter(
+            (F.col(left_start) <= F.col(right_end))
+            & (F.col(right_start) <= F.col(left_end))
+        )
+        .select(
+            left_id,
+            right_id,
+            *eq,
+            F.greatest(F.col(left_start), F.col(right_start)).alias(
+                "overlap_start"
+            ),
+            F.least(F.col(left_end), F.col(right_end)).alias("overlap_end"),
+        )
+        .dropDuplicates([left_id, right_id])
+    )
+    return j.withColumn(
+        "overlap_us",
+        (
+            F.unix_micros(F.col("overlap_end"))
+            - F.unix_micros(F.col("overlap_start"))
+        ).cast("long"),
+    )

@@ -1141,3 +1141,64 @@ def test_benford_conforming_sample_small_deviation(spark):
     d1 = {r["digit"]: r["dev_micro"] for r in E.benford_deviation(uni, "v").collect()}
     assert d1[1] < -180_000  # uniform puts ~11.1% at digit 1 vs 30.1%
     _ = math  # quiet linters: math used via expression above
+
+
+# ---------------------------------------------------------------------------
+# interval x interval overlap join
+# ---------------------------------------------------------------------------
+
+
+def test_interval_overlap_join_closed_form(spark):
+    import datetime as dt
+
+    from log_analysis_spark.operators import joins as J
+
+    def t(h, m=0, s=0):
+        return dt.datetime(2024, 1, 1, h, m, s)
+
+    left = spark.createDataFrame(
+        [(1, t(0), t(2)), (2, t(5), t(6)), (3, t(10), t(10, 30))],
+        "lid long, start_ts timestamp, end_ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, t(1), t(3)),          # overlaps lid 1 on [1, 2]
+            (11, t(6), t(7)),          # touches lid 2 at exactly t(6)
+            (12, t(11), t(12)),        # no overlap with anything
+            (13, t(0, 30), t(1, 30)),  # nested inside lid 1
+        ],
+        "rid long, r_start_ts timestamp, r_end_ts timestamp",
+    )
+    out = {
+        (r["lid"], r["rid"]): (r["overlap_start"], r["overlap_end"],
+                               r["overlap_us"])
+        for r in J.interval_overlap_join(left, right, "lid", "rid").collect()
+    }
+    assert set(out) == {(1, 10), (2, 11), (1, 13)}
+    assert out[(1, 10)] == (t(1), t(2), 3600 * 10**6)
+    assert out[(2, 11)] == (t(6), t(6), 0)          # closed-boundary touch
+    assert out[(1, 13)] == (t(0, 30), t(1, 30), 3600 * 10**6)
+    # multi-bucket spans dedup to one pair row (lid 1 x rid 10 share
+    # buckets at hours 1 and 2)
+    assert len(out) == 3
+
+
+def test_interval_overlap_join_equi_keys_partition(spark):
+    import datetime as dt
+
+    from log_analysis_spark.operators import joins as J
+
+    t0, t1 = dt.datetime(2024, 1, 1, 0), dt.datetime(2024, 1, 1, 1)
+    left = spark.createDataFrame(
+        [(1, "a", t0, t1), (2, "b", t0, t1)],
+        "lid long, k string, start_ts timestamp, end_ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, "a", t0, t1)],
+        "rid long, k string, r_start_ts timestamp, r_end_ts timestamp",
+    )
+    out = J.interval_overlap_join(
+        left, right, "lid", "rid", equi_keys=["k"]
+    ).collect()
+    # only the same-key pair joins despite identical time spans
+    assert [(r["lid"], r["rid"], r["k"]) for r in out] == [(1, 10, "a")]
