@@ -1875,6 +1875,36 @@ def main() -> int:
          bt_plan, notes)
     )
 
+    # ---- interval x interval overlap join ---------------------------------
+    from log_analysis_spark.operators import joins as joins_ops
+
+    iv16 = tsr_ops.session_intervals(ev16, "ts", "user_id", 1800,
+                                     ["ts", "event_id"])
+    sess16 = iv16.select(
+        (F.col("user_id") * 100000 + F.col("sess_id")).alias("sid"),
+        "start_ts", "end_ts",
+    )
+    anom16 = (
+        tsr_ops.burst_hours(ev16, "ts", "event_type", n_trail=24, z=3)
+        .filter(F.col("anomaly").isNotNull())
+        .select(
+            F.concat_ws("#", "event_type",
+                        F.col("hour_id").cast("string")).alias("rid"),
+            F.timestamp_seconds(F.col("hour_id") * 3600).alias("r_start_ts"),
+            F.timestamp_seconds(F.col("hour_id") * 3600 + 3599).alias(
+                "r_end_ts"),
+        )
+    )
+    ovj = joins_ops.interval_overlap_join(sess16, anom16, "sid", "rid")
+    ovj_plan = executed(ovj)
+    notes = [
+        check("interval overlap join: bucketed equi hash join — no "
+              "CartesianProduct/BroadcastNestedLoop anywhere in the plan",
+              "CartesianProduct" not in ovj_plan
+              and "BroadcastNestedLoopJoin" not in ovj_plan),
+    ]
+    sections.append(("Interval x interval overlap join", ovj_plan, notes))
+
     # ---- write EXPLAIN.md -------------------------------------------------
     md = ["# EXPLAIN audit — physical plans vs 100 TB design intents",
           "",
