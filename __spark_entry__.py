@@ -1406,6 +1406,26 @@ def q_doc_decontaminate_bloom(spark, sf_dir):
     )
 
 
+def q_doc_fuzzy_decontam(spark, sf_dir):
+    """Fuzzy (MinHash-LSH near-duplicate) benchmark decontamination — the
+    paraphrase-light companion of the exact n-gram gate: same md5-hex
+    '0'/'1' benchmark split, but a corpus doc is flagged when its shingle
+    Jaccard against ANY benchmark doc reaches 0.2 (the contract corpus's
+    planted near-dup band), decided by the cross-multiplied integer rule.
+    md5 hashing makes the whole candidate structure DuckDB-expressible;
+    the oracle rebuilds shingles, signatures, band keys, the cross-corpus
+    candidate join and the integer verify end to end (xxhash64 stays the
+    production hash — `dedup.fuzzy_decontaminate`'s default)."""
+    docs = _docs(spark, sf_dir)
+    is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1")
+    return dedup.fuzzy_decontaminate(
+        docs.filter(~is_bench),
+        docs.filter(is_bench),
+        threshold=0.2,
+        hash_impl="md5",
+    )
+
+
 # BM25's one source of truth for the contract query set — the Spark query
 # and the DuckDB oracle both render from this list
 BM25_QUERIES = [
@@ -2905,6 +2925,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_tool_overlap": q_graph_tool_overlap,
         "doc_strip_markup": q_doc_strip_markup,
         "doc_normalize_unicode": q_doc_normalize_unicode,
+        "doc_fuzzy_decontam": q_doc_fuzzy_decontam,
         "corpus_shard_assign": q_corpus_shard_assign,
         "corpus_overlap_matrix": q_corpus_overlap_matrix,
         "doc_bigram_surprise": q_doc_bigram_surprise,
@@ -3576,6 +3597,7 @@ FROM resp GROUP BY conv_id"""),
         ),
         "doc_strip_markup": _strip_markup_oracle(),
         "doc_normalize_unicode": _normalize_oracle(),
+        "doc_fuzzy_decontam": _fuzzy_decontam_oracle(threshold=0.2),
         "doc_tfidf_top": _tfidf_oracle(m=3),
         "corpus_shard_assign": """
 WITH sh AS (
@@ -5592,6 +5614,64 @@ cand AS (
   FROM banded a JOIN banded b2
     ON a.band = b2.band AND a.bkey = b2.bkey AND a.id < b2.id
 )"""
+
+
+def _fuzzy_decontam_oracle(
+    threshold: float = 0.2, n_hashes: int = 32, bands: int = 8
+) -> str:
+    """Mirror of q_doc_fuzzy_decontam: rebuilds dedup.fuzzy_decontaminate's
+    (hash_impl='md5') cross-corpus candidate structure — shingles, seeded
+    min-md5 signatures, band keys, the corpus×bench (band, bkey) join, the
+    cross-multiplied integer Jaccard verify and the per-doc hit fold — with
+    no knowledge of the broadcast execution shape."""
+    rpb = n_hashes // bands
+    t_micro = int(round(threshold * 1_000_000))
+    band_arms = "\n  UNION ALL ".join(
+        "SELECT id, is_bench, sh, {b} AS band,"
+        " md5(array_to_string(sig[{lo}:{hi}], ',')) AS bkey FROM sigs".format(
+            b=b, lo=b * rpb + 1, hi=(b + 1) * rpb
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1') AS is_bench,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        FOR i IN range(1, len(toks) - 1)]) AS sh
+  FROM (SELECT doc_id, {_DOC_TOKENS} AS toks FROM documents)
+  WHERE len(toks) >= 3
+),
+sigs AS (
+  SELECT id, is_bench, sh,
+         [list_min([md5('mh' || CAST(j AS VARCHAR) || ':' || s) FOR s IN sh])
+          FOR j IN range(0, {n_hashes})] AS sig
+  FROM base
+),
+banded AS (
+  {band_arms}
+),
+cand AS (
+  SELECT DISTINCT c.id AS cid, b.id AS bid, c.sh AS sh_c, b.sh AS sh_b
+  FROM banded c JOIN banded b ON c.band = b.band AND c.bkey = b.bkey
+  WHERE NOT c.is_bench AND b.is_bench
+),
+scored AS (
+  SELECT cid,
+         CAST(len(list_intersect(sh_c, sh_b)) AS BIGINT) AS i,
+         CAST(len(sh_c) + len(sh_b) - len(list_intersect(sh_c, sh_b)) AS BIGINT) AS u
+  FROM cand
+),
+hits AS (
+  SELECT cid, CAST(count(*) AS BIGINT) AS n_bench_hits,
+         CAST(max((1000000 * i) // u) AS BIGINT) AS max_jaccard_micro
+  FROM scored WHERE 1000000 * i >= {t_micro} * u GROUP BY cid
+)
+SELECT d.doc_id, h.cid IS NOT NULL AS contaminated,
+       COALESCE(h.n_bench_hits, 0) AS n_bench_hits, h.max_jaccard_micro
+FROM documents d LEFT JOIN hits h ON h.cid = d.doc_id
+WHERE NOT (substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) IN ('0', '1'))
+"""
 
 
 def _minhash_md5_oracle(

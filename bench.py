@@ -470,6 +470,19 @@ def main() -> None:
         .collect(),
     )
 
+    # fuzzy (MinHash-LSH) decontamination, production xxhash64 path: the
+    # bench side broadcasts twice, the corpus never enters a wide exchange
+    timed(
+        "doc_fuzzy_decontam",
+        lambda: dedup.fuzzy_decontaminate(
+            docs.filter(~bench_split),
+            docs.filter(bench_split),
+            threshold=0.5,
+        )
+        .agg(F.count_if("contaminated"), F.sum("n_bench_hits"))
+        .collect(),
+    )
+
     # cluster-balanced embedding downsampling: projection assignment +
     # k-row count aggregate + broadcast rate join + pure filter
     timed(

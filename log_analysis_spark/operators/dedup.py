@@ -874,6 +874,108 @@ def source_overlap_matrix(
     )
 
 
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    hash_impl: str = "xxhash64",
+) -> DataFrame:
+    """Fuzzy (near-duplicate) benchmark decontamination — the MinHash-LSH
+    companion of ``corpus.decontaminate``'s exact n-gram overlap and
+    ``similarity.semantic_decontaminate``'s embedding cosine: flag every
+    corpus document whose shingle-set Jaccard against ANY benchmark doc
+    reaches ``threshold`` (the Dolma / FineWeb "fuzzy decontamination"
+    rule — paraphrase-light near-copies of eval items that exact n-gram
+    matching misses once a few tokens drift).
+
+    Returns one row per corpus doc: ``(doc_id, contaminated, n_bench_hits,
+    max_jaccard_micro)`` with ``max_jaccard_micro = max over hits of
+    (1_000_000 * |A∩B|) div |A∪B|`` (NULL when no hit).  The qualifying
+    filter is the cross-multiplied INTEGER comparison ``1_000_000 * |∩| >=
+    t_micro * |∪|`` — no float in the decision, so a DuckDB oracle replays
+    it bit-for-bit.  Corpus docs with fewer than ``k`` tokens cannot form
+    shingles and are never flagged (same rule as every shingle op here).
+
+    Scale shape — the benchmark side is BOUNDED (eval suites, not corpora),
+    so it broadcasts twice and the corpus NEVER enters a wide exchange:
+
+    * candidates: the corpus band stream (id, band, bkey — narrow, from
+      ``bands_from_sig``) probes a broadcast of the bench band index; only
+      cross-corpus candidates form — a duplicate pair WITHIN the corpus
+      can never flag anything;
+    * verify: the candidate (corpus_id, bench_id) pairs — bounded by the
+      bench side — pick up the bench shingle set by broadcast, and the
+      result probes the corpus shingle table as ANOTHER broadcast, so the
+      corpus-side shingle arrays are consumed where they are produced;
+    * the per-doc hit aggregate shuffles only hit rows (ints), and the
+      final contaminated flag is a broadcast left join onto the corpus ids.
+
+    Net cost at 100 TB: two scans of the corpus (band stream + verify),
+    zero corpus-sized shuffles.  ``hash_impl``: "xxhash64" (production) or
+    "md5" (DuckDB-expressible — the exact-oracle contract twin; identical
+    candidate machinery, same discipline as ``minhash_lsh_pairs``)."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    t_micro = int(round(threshold * 1_000_000))
+    c_sh = shingled(corpus, text_col, id_col, k)
+    b_sh = shingled(bench, text_col, id_col, k)
+
+    def banded(sh_tbl: DataFrame) -> DataFrame:
+        sig = sh_tbl.withColumn(
+            "sig", minhash_signature(F.col("sh"), n_hashes, hash_impl)
+        )
+        return bands_from_sig(sig, n_hashes, bands, hash_impl)
+
+    cand = (
+        banded(c_sh)
+        .alias("c")
+        .join(
+            F.broadcast(banded(b_sh).alias("b")),
+            on=[F.col("c.band") == F.col("b.band"),
+                F.col("c.bkey") == F.col("b.bkey")],
+        )
+        .select(F.col("c.id").alias("cid"), F.col("b.id").alias("bid"))
+        .dropDuplicates(["cid", "bid"])
+    )
+    with_bench_sh = cand.join(
+        F.broadcast(b_sh.select(F.col("id").alias("bid"), F.col("sh").alias("sh_b"))),
+        "bid",
+    )
+    scored = c_sh.select(F.col("id").alias("cid"), F.col("sh").alias("sh_c")).join(
+        F.broadcast(with_bench_sh), "cid"
+    )
+    inter = F.size(F.array_intersect("sh_c", "sh_b")).cast("long")
+    union = (F.size("sh_c") + F.size("sh_b")).cast("long") - inter
+    hits = (
+        scored.select(
+            "cid",
+            inter.alias("_i"),
+            union.alias("_u"),
+        )
+        .filter(F.lit(1_000_000) * F.col("_i") >= F.lit(t_micro) * F.col("_u"))
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_bench_hits"),
+            F.max(
+                F.expr("CAST((1000000 * _i) DIV _u AS BIGINT)")
+            ).alias("max_jaccard_micro"),
+        )
+    )
+    return corpus.select(F.col(id_col)).join(
+        F.broadcast(hits.withColumnRenamed("cid", id_col)), id_col, "left"
+    ).select(
+        F.col(id_col),
+        F.col("n_bench_hits").isNotNull().alias("contaminated"),
+        F.coalesce("n_bench_hits", F.lit(0).cast("long")).alias("n_bench_hits"),
+        "max_jaccard_micro",
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     text_col: str = "text",

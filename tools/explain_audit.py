@@ -466,6 +466,40 @@ def main() -> int:
          executed(nd_mm), notes)
     )
 
+    # 14b — fuzzy decontamination: the bench side (bounded eval suites)
+    # broadcasts at every join, so the corpus never enters a wide exchange —
+    # the only shuffles are the candidate-pair dedup and the per-doc hit
+    # fold, both carrying ids/ints, never text or shingle arrays.
+    is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        "0", "1"
+    )
+    fz = dedup.fuzzy_decontaminate(
+        docs.filter(~is_bench), docs.filter(is_bench), threshold=0.2
+    )
+    fz_plan = executed(fz)
+    fz_shufs = shuffle_schemas(fz)
+    notes = [
+        check(
+            "fuzzy_decontaminate: every bench-side join is broadcast "
+            "(no sort-merge join anywhere)",
+            "SortMergeJoin" not in fz_plan
+            and fz_plan.count("BroadcastHashJoin") >= 3,
+            f"{fz_plan.count('BroadcastHashJoin')} broadcast joins",
+        ),
+        check(
+            "fuzzy_decontaminate: no exchange carries text or shingle arrays",
+            all(
+                not any(c == "text" or c.startswith("sh") for c in cols)
+                for _p, cols in fz_shufs
+            ),
+            f"shuffles={[(p[:50], cols) for p, cols in fz_shufs]}",
+        ),
+    ]
+    sections.append(
+        ("Fuzzy decontamination (broadcast bench side, corpus never shuffles)",
+         fz_plan, notes)
+    )
+
     # 15 — incremental EMBED ingest: the cross-corpus candidate probe is a
     # (band, bkey) equi join against the persisted index whose exchanges
     # carry no vector column (units re-attach by id only for the verify),
