@@ -1024,6 +1024,25 @@ def q_corpus_snapshot_diff(spark, sf_dir):
     return corpus.snapshot_diff(old, new, "doc_id", ["text", "lang", "source"])
 
 
+def q_corpus_vocab_drift(spark, sf_dir):
+    """Token-distribution drift between the same two simulated snapshots
+    as corpus_snapshot_diff (plus a planted ' driftmarker' token on the
+    rewritten docs): top-200 movers by |add-1-smoothed log-prob delta| in
+    integer micro-nats.  The oracle rebuilds both snapshots, the union
+    vocabulary, the smoothed LMs, the round-6 micro quantization and the
+    deterministic (|drift| desc, token) cut end to end."""
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.col("text"), F.lit(" driftmarker")),
+        ).otherwise(F.col("text")),
+    )
+    return textstats.vocab_drift(old, new, top_k=200, min_total=5)
+
+
 def q_embed_hard_negatives(spark, sf_dir):
     """Hard-negative mining (contrastive training): for every 50th vector
     as anchor, the top-3 most cosine-similar corpus vectors with a
@@ -2926,6 +2945,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_strip_markup": q_doc_strip_markup,
         "doc_normalize_unicode": q_doc_normalize_unicode,
         "doc_fuzzy_decontam": q_doc_fuzzy_decontam,
+        "corpus_vocab_drift": q_corpus_vocab_drift,
         "corpus_shard_assign": q_corpus_shard_assign,
         "corpus_overlap_matrix": q_corpus_overlap_matrix,
         "doc_bigram_surprise": q_doc_bigram_surprise,
@@ -3598,6 +3618,7 @@ FROM resp GROUP BY conv_id"""),
         "doc_strip_markup": _strip_markup_oracle(),
         "doc_normalize_unicode": _normalize_oracle(),
         "doc_fuzzy_decontam": _fuzzy_decontam_oracle(threshold=0.2),
+        "corpus_vocab_drift": _vocab_drift_oracle(top_k=200, min_total=5),
         "doc_tfidf_top": _tfidf_oracle(m=3),
         "corpus_shard_assign": """
 WITH sh AS (
@@ -5614,6 +5635,55 @@ cand AS (
   FROM banded a JOIN banded b2
     ON a.band = b2.band AND a.bkey = b2.bkey AND a.id < b2.id
 )"""
+
+
+def _vocab_drift_oracle(top_k: int, min_total: int) -> str:
+    """Mirror of q_corpus_vocab_drift: both simulated snapshots, the union
+    vocabulary, add-1 smoothed log-probs round-6 quantized to integer
+    micro-nats PER SIDE before the subtraction (textstats.vocab_drift's
+    cross-engine discipline), the min_total floor and the deterministic
+    (|drift| desc, token) top-k cut."""
+    return f"""
+WITH old_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+new_docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN text || ' driftmarker' ELSE text END AS text
+  FROM documents WHERE doc_id % 5 <> 0),
+tok AS (
+  SELECT lower(t) AS tok, FALSE AS is_new
+  FROM (SELECT unnest(list_filter({_DOC_TOKENS}, x -> x <> '')) AS t
+        FROM old_docs)
+  UNION ALL
+  SELECT lower(t) AS tok, TRUE AS is_new
+  FROM (SELECT unnest(list_filter({_DOC_TOKENS}, x -> x <> '')) AS t
+        FROM new_docs)
+),
+counts AS (
+  SELECT tok,
+         count(*) FILTER (WHERE NOT is_new) AS n_old,
+         count(*) FILTER (WHERE is_new) AS n_new
+  FROM tok GROUP BY tok
+),
+tots AS (
+  SELECT CAST(sum(n_old) AS DOUBLE) AS t_o,
+         CAST(sum(n_new) AS DOUBLE) AS t_n,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM counts
+),
+scored AS (
+  SELECT tok AS token,
+         CAST(n_old AS BIGINT) AS n_old,
+         CAST(n_new AS BIGINT) AS n_new,
+         CAST(round(round(ln((n_new + 1) / (t_n + v)), 6) * 1000000.0) AS BIGINT)
+         - CAST(round(round(ln((n_old + 1) / (t_o + v)), 6) * 1000000.0) AS BIGINT)
+           AS drift_micro
+  FROM counts, tots
+  WHERE n_old + n_new >= {min_total}
+)
+SELECT token, n_old, n_new, drift_micro
+FROM scored ORDER BY abs(drift_micro) DESC, token LIMIT {top_k}
+"""
 
 
 def _fuzzy_decontam_oracle(

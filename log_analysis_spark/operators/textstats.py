@@ -465,6 +465,76 @@ def vocabulary(
     )
 
 
+def vocab_drift(
+    df_old: DataFrame,
+    df_new: DataFrame,
+    top_k: int = 100,
+    min_total: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Token-distribution drift between two corpus snapshots — the
+    vocabulary-level companion of ``corpus.snapshot_diff`` (which tells you
+    WHICH docs changed; this tells you what the change did to the language
+    of the corpus): the ``top_k`` tokens whose smoothed log-probability
+    moved most between the old and new snapshots, as
+    ``(token, n_old, n_new, drift_micro)`` with
+
+        drift = ln((n_new+1)/(tot_new+V)) - ln((n_old+1)/(tot_old+V))
+
+    under add-1 smoothing over the UNION vocabulary V (so a token present
+    in only one snapshot gets a finite score).  Positive drift = the token
+    is over-represented in the new snapshot.  Each log-prob is round-6
+    quantized to integer micro-nats before the subtraction — the same
+    cross-engine discipline as ``dsir_logweights`` — so the score is an
+    exact integer and ordering is engine-independent; ties break on token.
+    ``min_total`` drops tokens with fewer than that many combined
+    occurrences (rare-token noise dominates raw log-ratio drift).
+
+    Scale shape: ONE token-keyed shuffle builds both counts (the snapshots
+    union with a side tag and aggregate conditionally — (token, long, long)
+    payload, never text); totals + vocab size are a one-row broadcast; the
+    top-k cut is orderBy().limit() = per-partition top-k + driver merge
+    (TakeOrderedAndProject), so no global sort materializes."""
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    if min_total < 1:
+        raise ValueError(f"min_total must be >= 1, got {min_total}")
+    tok = token_table(df_old, text_col, id_col, lowercase).select(
+        "tok", F.lit(False).alias("_is_new")
+    ).unionByName(
+        token_table(df_new, text_col, id_col, lowercase).select(
+            "tok", F.lit(True).alias("_is_new")
+        )
+    )
+    counts = tok.groupBy("tok").agg(
+        F.count_if(~F.col("_is_new")).alias("n_old"),
+        F.count_if(F.col("_is_new")).alias("n_new"),
+    )
+    tots = counts.agg(
+        F.sum("n_old").cast("double").alias("_to"),
+        F.sum("n_new").cast("double").alias("_tn"),
+        F.count(F.lit(1)).cast("double").alias("_v"),
+    )
+    micro = lambda c: F.round(c * F.lit(1e6), 0).cast("long")  # noqa: E731
+    lp_old = F.round(F.log((F.col("n_old") + 1) / (F.col("_to") + F.col("_v"))), 6)
+    lp_new = F.round(F.log((F.col("n_new") + 1) / (F.col("_tn") + F.col("_v"))), 6)
+    scored = (
+        counts.crossJoin(F.broadcast(tots))
+        .filter(F.col("n_old") + F.col("n_new") >= min_total)
+        .select(
+            F.col("tok").alias("token"),
+            F.col("n_old").cast("long").alias("n_old"),
+            F.col("n_new").cast("long").alias("n_new"),
+            (micro(lp_new) - micro(lp_old)).alias("drift_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.desc(F.abs("drift_micro")), F.asc("token")
+    ).limit(top_k)
+
+
 def unigram_surprise(
     df: DataFrame,
     text_col: str = "text",

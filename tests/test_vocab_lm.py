@@ -457,3 +457,55 @@ def test_classifier_calibration_separable_corpus(spark):
         textstats.classifier_calibration(
             df, F.col("lang") == "en", bin_width_milli=0
         )
+
+
+def test_vocab_drift_matches_python_mirror(spark):
+    from log_analysis_spark.operators.textstats import vocab_drift
+
+    old = _docs(spark, [(1, "alpha beta beta gamma"), (2, "alpha beta delta")])
+    new = _docs(spark, [(1, "alpha beta gamma"), (3, "alpha zeta zeta zeta")])
+    got = {
+        r["token"]: (r["n_old"], r["n_new"], r["drift_micro"])
+        for r in vocab_drift(old, new, top_k=10, min_total=1).collect()
+    }
+
+    def toks(texts):
+        out = []
+        for t in texts:
+            out += [w.lower() for w in t.strip().split() if w]
+        return out
+
+    import collections
+
+    co = collections.Counter(toks(["alpha beta beta gamma", "alpha beta delta"]))
+    cn = collections.Counter(toks(["alpha beta gamma", "alpha zeta zeta zeta"]))
+    vocab = set(co) | set(cn)
+    to, tn, v = sum(co.values()), sum(cn.values()), len(vocab)
+
+    def micro(x):
+        return int(round(round(x, 6) * 1e6))
+
+    for tok in vocab:
+        drift = micro(math.log((cn[tok] + 1) / (tn + v))) - micro(
+            math.log((co[tok] + 1) / (to + v))
+        )
+        assert got[tok] == (co[tok], cn[tok], drift), tok
+    # zeta appears only in the new snapshot and rises; delta only in old, falls
+    assert got["zeta"][2] > 0 and got["delta"][2] < 0
+
+
+def test_vocab_drift_min_total_and_topk(spark):
+    from log_analysis_spark.operators.textstats import vocab_drift
+
+    old = _docs(spark, [(1, "common common common rare")])
+    new = _docs(spark, [(1, "common common shift shift")])
+    # min_total=2 drops 'rare' (1 occurrence total); keeps common (5), shift (2)
+    toks = {r["token"] for r in vocab_drift(old, new, min_total=2).collect()}
+    assert toks == {"common", "shift"}
+    # top_k=1 keeps the single largest |drift| mover
+    top = vocab_drift(old, new, top_k=1, min_total=2).collect()
+    assert len(top) == 1 and top[0]["token"] == "shift"
+    with pytest.raises(ValueError):
+        vocab_drift(old, new, top_k=0)
+    with pytest.raises(ValueError):
+        vocab_drift(old, new, min_total=0)
