@@ -1024,6 +1024,34 @@ def q_corpus_snapshot_diff(spark, sf_dir):
     return corpus.snapshot_diff(old, new, "doc_id", ["text", "lang", "source"])
 
 
+def q_orders_join_size(spark, sf_dir):
+    """Pre-flight join-size + skew estimate for orders ⋈ lineitem on the
+    order key — the planner query run BEFORE committing to a shuffle join.
+    Order keys are near-uniform, so the heavy set is EMPTY and the whole
+    estimate flows through the sampled-tail arm; deterministic md5
+    key-domain sampling makes every intermediate (gate, per-key counts,
+    product fold, argmax) replayable, so the oracle recomputes the
+    estimator bit-for-bit."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("jk")
+    )
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("jk")
+    )
+    return sketches.join_size_estimate(orders, lineitem, "jk")
+
+
+def q_events_join_size(spark, sf_dir):
+    """The same planner over the SKEWED case: events self-joined on
+    user_id (Σ n_v² = same-user event pairs, the blast-radius join).  At
+    hh_k=128 several users clear the exact heavy-hitter bar, so BOTH
+    estimator arms — exact heavy products and the scaled sampled tail —
+    execute and are oracle-verified (the oracle finds heavies with a plain
+    HAVING, a different algorithm than the Misra-Gries two-pass)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id")
+    return sketches.join_size_estimate(ev, ev, "user_id", hh_k=128)
+
+
 def q_corpus_vocab_drift(spark, sf_dir):
     """Token-distribution drift between the same two simulated snapshots
     as corpus_snapshot_diff (plus a planted ' driftmarker' token on the
@@ -2946,6 +2974,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_normalize_unicode": q_doc_normalize_unicode,
         "doc_fuzzy_decontam": q_doc_fuzzy_decontam,
         "corpus_vocab_drift": q_corpus_vocab_drift,
+        "orders_join_size": q_orders_join_size,
+        "events_join_size": q_events_join_size,
         "corpus_shard_assign": q_corpus_shard_assign,
         "corpus_overlap_matrix": q_corpus_overlap_matrix,
         "doc_bigram_surprise": q_doc_bigram_surprise,
@@ -3619,6 +3649,14 @@ FROM resp GROUP BY conv_id"""),
         "doc_normalize_unicode": _normalize_oracle(),
         "doc_fuzzy_decontam": _fuzzy_decontam_oracle(threshold=0.2),
         "corpus_vocab_drift": _vocab_drift_oracle(top_k=200, min_total=5),
+        "orders_join_size": _join_size_oracle(
+            ("orders", "o_orderkey"), ("lineitem", "l_orderkey"),
+            mod=256, keep=32, hh_k=64,
+        ),
+        "events_join_size": _join_size_oracle(
+            ("events", "user_id"), ("events", "user_id"),
+            mod=256, keep=32, hh_k=128,
+        ),
         "doc_tfidf_top": _tfidf_oracle(m=3),
         "corpus_shard_assign": """
 WITH sh AS (
@@ -5635,6 +5673,68 @@ cand AS (
   FROM banded a JOIN banded b2
     ON a.band = b2.band AND a.bkey = b2.bkey AND a.id < b2.id
 )"""
+
+
+def _join_size_oracle(
+    left: tuple[str, str],
+    right: tuple[str, str],
+    mod: int,
+    keep: int,
+    hh_k: int,
+) -> str:
+    """Mirror of sketches.join_size_estimate over two (table, key) sides:
+    exact heavy keys (count·hh_k > n on either side — a plain HAVING, a
+    DIFFERENT algorithm than Spark's Misra-Gries two-pass, so agreement
+    also re-proves the MG guarantee), exact per-key counts for them, the
+    md5-u32 domain gate on the tail, the end-biased product-sum fold in
+    HUGEINT, and the (product desc, key desc) argmax."""
+    lt, lk = left
+    rt, rk = right
+
+    def keyed(table: str, key: str) -> str:
+        return (
+            f"SELECT CAST({key} AS VARCHAR) AS k FROM {table} "
+            f"WHERE {key} IS NOT NULL"
+        )
+
+    gate = f"({_u32_sql(chr(39) + 'jse:' + chr(39) + ' || k')}) % {mod} < {keep}"
+    return f"""
+WITH la AS ({keyed(lt, lk)}),
+rb AS ({keyed(rt, rk)}),
+hot AS (
+  SELECT k FROM la GROUP BY k HAVING count(*) * {hh_k} > (SELECT count(*) FROM la)
+  UNION
+  SELECT k FROM rb GROUP BY k HAVING count(*) * {hh_k} > (SELECT count(*) FROM rb)
+),
+hj AS (
+  SELECT a.k, CAST(a.n AS HUGEINT) * b.n AS p, TRUE AS ex FROM
+    (SELECT k, count(*) AS n FROM la WHERE k IN (SELECT k FROM hot) GROUP BY k) a
+    JOIN
+    (SELECT k, count(*) AS n FROM rb WHERE k IN (SELECT k FROM hot) GROUP BY k) b
+    USING (k)
+),
+tj AS (
+  SELECT a.k, CAST(a.n AS HUGEINT) * b.n AS p, FALSE AS ex FROM
+    (SELECT k, count(*) AS n FROM la
+     WHERE {gate} AND k NOT IN (SELECT k FROM hot) GROUP BY k) a
+    JOIN
+    (SELECT k, count(*) AS n FROM rb
+     WHERE {gate} AND k NOT IN (SELECT k FROM hot) GROUP BY k) b
+    USING (k)
+),
+allp AS (SELECT * FROM hj UNION ALL SELECT * FROM tj),
+am AS (SELECT k FROM allp ORDER BY p DESC, k DESC LIMIT 1)
+SELECT CAST(count(*) FILTER (WHERE ex) AS BIGINT) AS n_hot_keys,
+       CAST(COALESCE(sum(p) FILTER (WHERE ex), 0) AS BIGINT) AS hot_pairs,
+       CAST(count(*) FILTER (WHERE NOT ex) AS BIGINT) AS n_sample_keys,
+       CAST(COALESCE(sum(p) FILTER (WHERE NOT ex), 0) AS BIGINT) AS sample_pairs,
+       CAST(COALESCE(sum(p) FILTER (WHERE ex), 0)
+            + COALESCE(sum(p) FILTER (WHERE NOT ex), 0) * {mod} // {keep}
+            AS BIGINT) AS est_join_rows,
+       CAST(COALESCE(max(p), 0) AS BIGINT) AS max_key_pairs,
+       (SELECT k FROM am) AS hot_key
+FROM allp
+"""
 
 
 def _vocab_drift_oracle(top_k: int, min_total: int) -> str:

@@ -691,6 +691,19 @@ def main() -> None:
         others_sk.unpersist()
         anchors_sk.unpersist()
 
+    # pre-flight join-size planner over the full skewed turns table (10%
+    # of rows in 5 hot convs): exact heavy-hitter arm + sampled tail —
+    # the estimate that decides salting BEFORE any shuffle join runs
+    from log_analysis_spark.operators import sketches as sk_plan
+
+    timed(
+        "join_size_preflight",
+        lambda: sk_plan.join_size_estimate(
+            turns.select("conv_id"), turns.select("conv_id"), "conv_id",
+            hh_k=64,
+        ).collect(),
+    )
+
     # incremental ingest vs full re-dedup: the daily-increment scenario —
     # corpus = 90% of docs with its LSH state PREBUILT (amortized across
     # increments, like the IVF index), increment = the other 10%.  The

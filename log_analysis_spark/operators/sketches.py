@@ -229,6 +229,131 @@ def skewed_keys(
     )
 
 
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    mod: int = 256,
+    keep: int = 32,
+    hh_k: int = 64,
+) -> DataFrame:
+    """Pre-flight shuffle-join planner: estimate ``|left ⋈ right|`` on
+    ``key_col`` equality — and surface the hottest key — WITHOUT running
+    the join.  ``|A ⋈ B| = Σ_v f_A(v)·f_B(v)``, split END-BIASED (the
+    Estan & Naughton 2006 idea, reduced to a deterministic md5 core so a
+    DuckDB oracle replays every intermediate):
+
+    * HEAVY keys — any key with count > n/``hh_k`` on EITHER side
+      (``heavy_hitters``: exact, two passes, tail never shuffles) — are
+      counted exactly on both sides and contribute their TRUE pair
+      products.  This is the part plain key sampling gets catastrophically
+      wrong: one unsampled hot key can hold most of the join's mass.
+    * TAIL keys are sampled by key DOMAIN — a key participates iff
+      ``md5-u32('jse:' || key) mod mod < keep`` — so each sampled key's
+      contribution is exact (both sides agree on the gate) and the tail
+      estimator is the sampled product sum scaled by ``mod / keep``, with
+      no f_A·f_B bias correction (row sampling would need one).
+
+    Returns ONE row: ``(n_hot_keys, hot_pairs, n_sample_keys,
+    sample_pairs, est_join_rows, max_key_pairs, hot_key)`` where
+    ``est_join_rows = hot_pairs + (sample_pairs · mod) div keep`` (sums in
+    DECIMAL(38,0), emitted as BIGINT — a join OUTPUT above 2^63 rows is
+    not a plannable join), and ``(max_key_pairs, hot_key)`` is the exact
+    argmax product over heavy ∪ sampled keys (ties → greatest key string)
+    — any key heavy on either side is guaranteed inspected, so the
+    straggler that needs ``joins.skew_aware_join`` or salting is named
+    BEFORE paying for the shuffle.
+
+    Scale shape: per side, the heavy-hitter pass is bounded-state with no
+    shuffle + a broadcast-candidate recount; the tail gate filters AT THE
+    SCAN (~keep/mod of rows survive to a sample-sized count aggregate);
+    hot membership tests are broadcasts of a ≤ 2·hh_k key set; the final
+    fold is a 1-row aggregate.  NULL keys are excluded (equi-join
+    semantics: NULL matches nothing)."""
+    if not (0 < keep <= mod):
+        raise ValueError(f"need 0 < keep <= mod, got keep={keep} mod={mod}")
+    if hh_k < 2:
+        raise ValueError(f"hh_k must be >= 2, got {hh_k}")
+
+    def keyed(df: DataFrame) -> DataFrame:
+        kc = F.col(key_col).cast("string")
+        return df.filter(kc.isNotNull()).select(kc.alias("k"))
+
+    la, rb = keyed(left), keyed(right)
+    hot = (
+        heavy_hitters(la, "k", hh_k)
+        .select(F.col("item").alias("k"))
+        .unionByName(heavy_hitters(rb, "k", hh_k).select(F.col("item").alias("k")))
+        .distinct()
+    )
+
+    def hot_counts(side: DataFrame, cnt: str) -> DataFrame:
+        return (
+            side.join(F.broadcast(hot), "k", "left_semi")
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias(cnt))
+        )
+
+    def tail_counts(side: DataFrame, cnt: str) -> DataFrame:
+        gate = (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("jse:"), F.col("k"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(int(mod))
+            < F.lit(int(keep))
+        )
+        return (
+            side.filter(gate)
+            .join(F.broadcast(hot), "k", "left_anti")
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias(cnt))
+        )
+
+    def products(j: DataFrame, is_hot: bool) -> DataFrame:
+        # multiply in DECIMAL, not LONG — two per-key counts can overflow
+        # a 64-bit product long before either count is itself suspicious
+        p = (
+            F.col("na").cast("decimal(18,0)") * F.col("nb").cast("decimal(18,0)")
+        ).cast("decimal(38,0)")
+        return j.select("k", p.alias("p"), F.lit(is_hot).alias("_exact"))
+
+    allp = products(
+        hot_counts(la, "na").join(hot_counts(rb, "nb"), "k"), True
+    ).unionByName(
+        products(tail_counts(la, "na").join(tail_counts(rb, "nb"), "k"), False)
+    )
+    folded = allp.agg(
+        F.count_if(F.col("_exact")).cast("long").alias("n_hot_keys"),
+        F.coalesce(
+            F.sum(F.when(F.col("_exact"), F.col("p"))),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("hot_pairs"),
+        F.count_if(~F.col("_exact")).cast("long").alias("n_sample_keys"),
+        F.coalesce(
+            F.sum(F.when(~F.col("_exact"), F.col("p"))),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("sample_pairs"),
+        F.max(F.col("p").cast("long")).alias("max_key_pairs"),
+        F.max(F.struct(F.col("p"), F.col("k"))).alias("_argmax"),
+    )
+    return folded.select(
+        "n_hot_keys",
+        F.col("hot_pairs").cast("long").alias("hot_pairs"),
+        "n_sample_keys",
+        F.col("sample_pairs").cast("long").alias("sample_pairs"),
+        F.expr(
+            f"CAST(hot_pairs + (sample_pairs * {int(mod)}) DIV {int(keep)}"
+            " AS BIGINT)"
+        ).alias("est_join_rows"),
+        F.coalesce("max_key_pairs", F.lit(0).cast("long")).alias(
+            "max_key_pairs"
+        ),
+        F.col("_argmax.k").alias("hot_key"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Histogram-CDF quantiles — fixed-size-state distributed quantiles with an
 # EXACT cross-engine definition (no t-digest/KLL register layouts).

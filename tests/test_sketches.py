@@ -397,3 +397,65 @@ def test_with_percentile_closed_form_and_nulls(spark):
     assert by[("b", 5.0)] == 1_000_000  # singleton group
     assert by[("a", None)] is None      # NULL annotates NULL
     assert len(out) == len(rows)        # nothing dropped
+
+
+# ------------------------------------------------ join-size pre-flight
+
+
+def test_join_size_full_sample_is_exact(spark):
+    left = spark.createDataFrame(
+        [(k,) for k in [1, 1, 1, 2, 2, 3, 9]], "jk long"
+    )
+    right = spark.createDataFrame(
+        [(k,) for k in [1, 2, 2, 2, 3, 3, 4]], "jk long"
+    )
+    true_size = left.join(right, "jk").count()
+    assert true_size == 3 * 1 + 2 * 3 + 1 * 2
+
+    # hh_k=2: no key clears count*2 > 7, so everything rides the tail —
+    # and keep == mod samples every key: the "estimate" is the true size
+    r = SK.join_size_estimate(left, right, "jk", mod=8, keep=8, hh_k=2).first()
+    assert r["n_hot_keys"] == 0 and r["hot_pairs"] == 0
+    assert r["est_join_rows"] == r["sample_pairs"] == true_size
+    assert r["n_sample_keys"] == 3
+    assert (r["max_key_pairs"], r["hot_key"]) == (6, "2")
+
+    # hh_k=64: every key is heavy (count*64 > 7) — the whole mass is exact
+    # through the hot arm, whatever the gate samples
+    r = SK.join_size_estimate(left, right, "jk", mod=8, keep=1, hh_k=64).first()
+    assert r["n_hot_keys"] == 3 and r["hot_pairs"] == true_size
+    assert r["est_join_rows"] == true_size
+    assert (r["max_key_pairs"], r["hot_key"]) == (6, "2")
+
+
+def test_join_size_hot_key_never_missed(spark):
+    # 1000 uniform keys x3 left x2 right + one hot key x200 x100: the hot
+    # key holds 77% of the join mass; plain key-domain sampling misses it
+    # with probability 1 - keep/mod, but the exact heavy-hitter arm cannot
+    left = spark.range(1000).selectExpr("id % 1000 AS jk").unionAll(
+        spark.range(2000).selectExpr("id % 1000 AS jk")
+    ).unionAll(spark.range(200).selectExpr("CAST(777777 AS LONG) AS jk"))
+    right = spark.range(2000).selectExpr("id % 1000 AS jk").unionAll(
+        spark.range(100).selectExpr("CAST(777777 AS LONG) AS jk")
+    )
+    r = SK.join_size_estimate(left, right, "jk", mod=256, keep=64).first()
+    true_size = left.join(right, "jk").count()
+    assert true_size == 6000 + 20000
+    # the planted hot key is heavy on both sides -> exact arm, exact argmax
+    assert r["n_hot_keys"] == 1 and r["hot_pairs"] == 20000
+    assert (r["hot_key"], r["max_key_pairs"]) == ("777777", 20000)
+    # uniform tail at 1/4 sampling: within 2x of its 6000 true mass
+    assert 3000 <= r["est_join_rows"] - 20000 <= 12000
+
+
+def test_join_size_nulls_and_validation(spark):
+    left = spark.createDataFrame([(None,), ("a",)], "jk string")
+    right = spark.createDataFrame([(None,), ("a",)], "jk string")
+    r = SK.join_size_estimate(left, right, "jk", mod=1, keep=1, hh_k=2).first()
+    assert r["est_join_rows"] == 1  # NULL keys never pair
+    with pytest.raises(ValueError):
+        SK.join_size_estimate(left, right, "jk", mod=4, keep=0)
+    with pytest.raises(ValueError):
+        SK.join_size_estimate(left, right, "jk", mod=4, keep=8)
+    with pytest.raises(ValueError):
+        SK.join_size_estimate(left, right, "jk", hh_k=1)
