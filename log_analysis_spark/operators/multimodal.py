@@ -277,6 +277,153 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
 
+# -------------------------------------------------- image perceptual hash
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def dhash64(img: "np.ndarray") -> int:
+    """64-bit difference hash (dHash) of an (h, w, 3) uint8 image —
+    ALL-INTEGER, so the same image bytes hash identically on any
+    platform/numpy version:
+
+    * integer luma ``(299·R + 587·G + 114·B) div 1000`` per pixel;
+    * 8×9 grid of block means with boundaries ``(i·h) div 8`` /
+      ``(j·w) div 9`` (area averaging as integer sum div count — no
+      float resize);
+    * bit (r, c) = 1 iff ``cell[r][c] > cell[r][c+1]`` (row gradient),
+      packed row-major MSB-first.
+
+    Robust to re-encoding, scaling and brightness-preserving noise (the
+    gradient SIGN survives them); a structural edit flips only the bits
+    whose cells it crosses — Hamming distance is the edit budget."""
+    h, w = img.shape[0], img.shape[1]
+    if h < 8 or w < 9:
+        raise ValueError(f"image too small for dhash ({h}x{w}, need >=8x9)")
+    luma = (
+        299 * img[..., 0].astype(np.int64)
+        + 587 * img[..., 1].astype(np.int64)
+        + 114 * img[..., 2].astype(np.int64)
+    ) // 1000
+    rb = [(r * h) // 8 for r in range(9)]
+    cb = [(c * w) // 9 for c in range(10)]
+    cells = np.empty((8, 9), dtype=np.int64)
+    for r in range(8):
+        for c in range(9):
+            block = luma[rb[r]: rb[r + 1], cb[c]: cb[c + 1]]
+            cells[r, c] = int(block.sum()) // block.size
+    bits = (cells[:, :-1] > cells[:, 1:]).astype(np.uint64).reshape(-1)
+    acc = np.uint64(0)
+    for b in bits:
+        acc = (acc << np.uint64(1)) | b
+    return int(np.int64(acc))  # two's-complement into Spark's LongType
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Per-image 64-bit perceptual hash over the REAL decode path
+    (PPM/BMP): (media_id, dhash, decode_error) — undecodable or
+    too-small payloads yield a NULL hash + the error string instead of
+    failing the batch.  Decode is per-payload by nature; the grid math is
+    numpy per image.  The hash is 8 bytes/image — the downstream near-dup
+    machinery never touches pixels again (the text-side signature-store
+    discipline applied to images)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, errs = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(int(mid))
+                try:
+                    if payload is None:
+                        raise ValueError("null payload")
+                    hashes.append(dhash64(decode_image(bytes(payload))))
+                    errs.append(None)
+                except (ValueError, IndexError) as e:
+                    hashes.append(None)
+                    errs.append(str(e))
+            yield pd.DataFrame(
+                {"media_id": ids, "dhash": pd.array(hashes, dtype="Int64"),
+                 "decode_error": errs}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract, DHASH_SCHEMA
+    )
+
+
+def image_neardup_pairs(
+    hashes: DataFrame, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs from a (media_id, dhash) table —
+    re-encodes, slight crops/noise, brightness-preserving edits — via
+    banded Hamming blocking: split the 64-bit hash into ``bands``
+    contiguous slices; by pigeonhole any pair within Hamming
+    ``bands - 1`` agrees exactly on ≥ 1 slice, so the candidate join is a
+    plain (band, slice-value) equi self-join — 100 % recall by
+    construction, which is why ``max_hamming <= bands - 1`` is ENFORCED
+    (the text-simhash family's Manku rule, at image scale).
+
+    Returns (id_a, id_b, hamming) with id_a < id_b.  Scale shape: the
+    band stream is (id, band, key) ints; verify re-attaches the two
+    8-byte hashes by id and is one ``bit_count(xor)`` — pixels are never
+    read again, nothing wide ever shuffles."""
+    if bands < 2 or 64 % bands != 0:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    if not (0 <= max_hamming <= bands - 1):
+        raise ValueError(
+            f"max_hamming must be in [0, bands-1] for guaranteed recall "
+            f"(got max_hamming={max_hamming}, bands={bands})"
+        )
+    width = 64 // bands
+    ht = hashes.filter(F.col("dhash").isNotNull()).select(
+        F.col("media_id").alias("id"), "dhash"
+    )
+    banded = ht.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(
+                            F.col("dhash"), b * width
+                        ).bitwiseAND(F.lit((1 << width) - 1)).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bkey")
+    cand = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bkey") == F.col("r.bkey"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = cand.join(
+        ht.select(F.col("id").alias("id_a"), F.col("dhash").alias("ha")), "id_a"
+    ).join(ht.select(F.col("id").alias("id_b"), F.col("dhash").alias("hb")), "id_b")
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        pairs.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 # ---------------------------------------------------------------- audio
 
 AUDIO_FEATURE_SCHEMA = T.StructType(

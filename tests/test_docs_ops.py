@@ -1856,3 +1856,104 @@ def test_fuzzy_decontaminate_validates_threshold(spark):
     corpus, bench = _fuzzy_frames(spark)
     with pytest.raises(ValueError):
         dedup.fuzzy_decontaminate(corpus, bench, threshold=0.0)
+
+
+# ------------------------------------------------- image perceptual hash
+
+
+def _big_image(seed: int, h: int = 32, w: int = 36):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_dhash_matches_pure_python_mirror():
+    img = _big_image(3)
+    got = multimodal.dhash64(img)
+
+    # independent all-int mirror (no numpy vectorization)
+    h, w = img.shape[0], img.shape[1]
+    luma = [
+        [
+            (299 * int(img[r, c, 0]) + 587 * int(img[r, c, 1]) + 114 * int(img[r, c, 2]))
+            // 1000
+            for c in range(w)
+        ]
+        for r in range(h)
+    ]
+    rb = [(r * h) // 8 for r in range(9)]
+    cb = [(c * w) // 9 for c in range(10)]
+    cells = [
+        [
+            sum(
+                luma[r][c]
+                for r in range(rb[ri], rb[ri + 1])
+                for c in range(cb[ci], cb[ci + 1])
+            )
+            // ((rb[ri + 1] - rb[ri]) * (cb[ci + 1] - cb[ci]))
+            for ci in range(9)
+        ]
+        for ri in range(8)
+    ]
+    acc = 0
+    for r in range(8):
+        for c in range(8):
+            acc = (acc << 1) | (1 if cells[r][c] > cells[r][c + 1] else 0)
+    expect = acc - (1 << 64) if acc >= (1 << 63) else acc
+    assert got == expect
+    # same bytes -> same hash; tiny images refuse loudly
+    assert multimodal.dhash64(img.copy()) == got
+    with pytest.raises(ValueError):
+        multimodal.dhash64(_big_image(1, h=4, w=4))
+
+
+def test_image_neardup_pairs_end_to_end(spark):
+    import numpy as np
+
+    base = _big_image(7)
+    near = base.copy()
+    # brighten ONE interior grid cell strongly: flips at most the two
+    # gradient bits adjacent to that cell -> hamming <= 2, deterministic
+    near[8:12, 12:16] = np.minimum(near[8:12, 12:16].astype(int) + 120, 255).astype(
+        np.uint8
+    )
+    other = _big_image(99)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(multimodal.encode_ppm(base))),
+            (2, bytearray(multimodal.encode_ppm(near))),
+            (3, bytearray(multimodal.encode_ppm(other))),
+            (4, bytearray(b"\x89PNG nope")),  # decode_error -> excluded
+        ],
+        "media_id long, payload binary",
+    )
+    hashes = multimodal.image_dhash(media)
+    rows = {r["media_id"]: r for r in hashes.collect()}
+    assert rows[4]["dhash"] is None and rows[4]["decode_error"]
+    assert rows[1]["dhash"] != rows[3]["dhash"]
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.image_neardup_pairs(hashes, max_hamming=3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 2
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_image_neardup_recall_at_band_bound(spark):
+    # hashes at hamming EXACTLY bands-1: flip 3 bits in 3 different bands
+    # of a 4-band split -> the untouched band still matches (pigeonhole)
+    h0 = 0x0123456789ABCDEF
+    h1 = h0 ^ (1 << 0) ^ (1 << 16) ^ (1 << 32)
+    df = spark.createDataFrame(
+        [(1, h0 - (1 << 64) if h0 >= 1 << 63 else h0),
+         (2, h1 - (1 << 64) if h1 >= 1 << 63 else h1)],
+        "media_id long, dhash long",
+    )
+    out = multimodal.image_neardup_pairs(df, max_hamming=3, bands=4).collect()
+    assert len(out) == 1 and out[0]["hamming"] == 3
+    with pytest.raises(ValueError):
+        multimodal.image_neardup_pairs(df, max_hamming=4, bands=4)
+    with pytest.raises(ValueError):
+        multimodal.image_neardup_pairs(df, bands=5)
