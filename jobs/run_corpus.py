@@ -82,6 +82,12 @@ def main() -> None:
     ap.add_argument("--bench", help="benchmark table (parquet) to decontaminate against")
     ap.add_argument("--decontam-n", type=int, default=5)
     ap.add_argument("--decontam-min-hits", type=int, default=1)
+    ap.add_argument(
+        "--fuzzy-decontam-threshold", type=float, default=None,
+        help="ALSO drop docs whose MinHash-LSH shingle Jaccard against any "
+        "--bench doc reaches this threshold (near-dup decontamination — "
+        "catches paraphrase-light eval copies the exact n-gram gate misses)",
+    )
     ap.add_argument("--scrub-pii", action="store_true")
     ap.add_argument(
         "--soft-dedup", action="store_true",
@@ -313,6 +319,20 @@ def main() -> None:
     else:
         n_decontam = n_span
 
+    n_fuzzy = n_decontam
+    if args.fuzzy_decontam_threshold is not None:
+        if not args.bench:
+            raise SystemExit("--fuzzy-decontam-threshold requires --bench")
+        bench = spark.read.parquet(args.bench)
+        fz = dedup.fuzzy_decontaminate(
+            docs, bench, threshold=args.fuzzy_decontam_threshold
+        ).select("doc_id", "contaminated")
+        docs, n_fuzzy = _materialize(
+            docs.join(fz, "doc_id")
+            .filter(~F.col("contaminated"))
+            .drop("contaminated")
+        )
+
     if args.scrub_pii:
         docs = (
             textstats.scrub_pii(docs)
@@ -437,6 +457,7 @@ def main() -> None:
             "n_after_badwords": n_badwords,
             "n_after_span_dedup": n_span,
             "n_after_decontamination": n_decontam,
+            "n_after_fuzzy_decontam": n_fuzzy,
             "n_after_loop_gate": n_loop,
             "n_after_ppl_tiering": n_ppl,
             "n_after_classifier": n_classifier,
@@ -498,6 +519,7 @@ def main() -> None:
                 "n_after_badwords": n_badwords,
                 "n_after_span_dedup": n_span,
                 "n_after_decontamination": n_decontam,
+                "n_after_fuzzy_decontam": n_fuzzy,
                 "n_after_loop_gate": n_loop,
             "n_after_ppl_tiering": n_ppl,
                 "n_after_classifier": n_classifier,

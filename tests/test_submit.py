@@ -104,6 +104,7 @@ def test_submit_corpus_job(pkg_zip, tmp_path):
             "--budget", "1024",
             "--rates", '{"en": 0.5}',
             "--bench", str(bench),
+            "--fuzzy-decontam-threshold", "0.2",
             "--scrub-pii",
         ],
         cwd=tmp_path,
@@ -112,10 +113,15 @@ def test_submit_corpus_job(pkg_zip, tmp_path):
         res["n_input"]
         >= res["n_after_repetition_filter"]
         >= res["n_after_decontamination"]
+        >= res["n_after_fuzzy_decontam"]
         >= res["n_after_sampling"]
     )
     # the benchmark docs themselves are in the corpus → at least 3 removed
     assert res["n_after_decontamination"] <= res["n_after_repetition_filter"] - 3
+    # the fuzzy gate composes after the exact gate (near-dups of the bench
+    # docs that dodged the 5-gram collision at this corpus go here; it may
+    # legitimately be a no-op on a given corpus, but never grows the set)
+    assert res["n_after_fuzzy_decontam"] <= res["n_after_decontamination"]
     assert res["n_after_sampling"] > 0 and res["n_shards"] > 0
     # shard count accounting: shard = floor(exclusive_cumsum / budget), so
     # the last shard index is within one doc's tokens of total/budget
