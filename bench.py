@@ -354,13 +354,22 @@ def main() -> None:
         .collect(),
     )
 
-    # exact line-level corpus dedup over the transcript-assembled docs
-    # (real multi-line corpus with recurring lines): md5-keyed line
-    # shuffle + indexed rebuild (text never shuffles)
+    # exact line-level corpus dedup + boilerplate stripping over the
+    # transcript-assembled docs.  The assembly is MATERIALIZED once at the
+    # stage boundary — exactly what jobs/run_transcript_corpus.py does
+    # between assemble and dedup — because both line ops consume their
+    # input 2-3x (occurrence stream, drop-list aggregate, rebuild join):
+    # inline composition re-runs the assembly window per consumer
+    # (measured 24.3s -> 3.2s for dedup_lines at sf0.1, BENCH/BASELINE.md
+    # round-4 notes).  conv_docs_assembly above times the assembly itself.
+    conv_docs = corpus_ops.transcripts_to_docs(turns).persist()
+    conv_docs.count()
+
+    # md5-keyed line shuffle + indexed rebuild (text never shuffles)
     timed(
         "doc_line_dedup",
         lambda: span_ops.dedup_lines(
-            corpus_ops.transcripts_to_docs(turns),
+            conv_docs,
             min_words=2,
             id_col="conv_id",
         )
@@ -368,12 +377,12 @@ def main() -> None:
         .collect(),
     )
 
-    # boilerplate-line stripping over the assembled conv docs: broadcast
-    # common-set probe, occurrences never shuffle on the line key
+    # boilerplate-line stripping: broadcast common-set probe, occurrences
+    # never shuffle on the line key
     timed(
         "doc_strip_common_lines",
         lambda: span_ops.strip_common_lines(
-            corpus_ops.transcripts_to_docs(turns),
+            conv_docs,
             max_doc_frac=0.03,
             min_words=2,
             id_col="conv_id",
@@ -381,6 +390,7 @@ def main() -> None:
         .agg(F.sum("n_lines_removed"))
         .collect(),
     )
+    conv_docs.unpersist()
 
     # Gopher quality gate: 7 integer rules fused into the scan, zero shuffle
     timed(

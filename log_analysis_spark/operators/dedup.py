@@ -1027,6 +1027,17 @@ def containment_pairs(
             ).alias("osh")
         )
     )
+    # `ordered` feeds BOTH the prefix and the full posting streams, and
+    # `base` re-attaches twice for the verify — without materialization
+    # Spark replays the shingle scan + the df-frequency shuffle + the
+    # sort-aggregate once per consumer.  Persist both (disk-spillable):
+    # at 100 TB this is the "materialize the shingle table once" step a
+    # production pipeline does between stages (measured 32s -> 17s on the
+    # sf0.1 bench corpus; see BENCH/BASELINE.md round-4 notes).
+    from pyspark import StorageLevel
+
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    ordered = ordered.persist(StorageLevel.MEMORY_AND_DISK)
     n = F.size("osh")
     pref_len = n - F.ceil(n * F.lit(float(threshold)) - F.lit(1e-9)).cast("int") + 1
     pref = ordered.select(
