@@ -1052,6 +1052,23 @@ def q_events_join_size(spark, sf_dir):
     return sketches.join_size_estimate(ev, ev, "user_id", hh_k=128)
 
 
+def q_conv_seq_integrity(spark, sf_dir):
+    """Per-conversation turn-sequence integrity audit over a
+    deterministically CORRUPTED turn stream (drop turn_idx%13==5 — gaps;
+    re-append turn_idx%17==3 — duplicate indexes), so gap, dup and
+    clean statuses all occur: the ingest-health check (dropped producer
+    batches, replays, shifted numbering) per-turn text equality can't
+    see.  One group-keyed integer aggregate; the oracle replays the
+    corruption and every count."""
+    from log_analysis_spark.operators import expectations as E
+
+    turns = transcripts_from_events(spark, sf_dir)
+    corrupted = turns.filter(~(F.col("turn_idx") % 13 == 5)).unionByName(
+        turns.filter(F.col("turn_idx") % 17 == 3)
+    )
+    return E.sequence_integrity(corrupted)
+
+
 def q_corpus_vocab_drift(spark, sf_dir):
     """Token-distribution drift between the same two simulated snapshots
     as corpus_snapshot_diff (plus a planted ' driftmarker' token on the
@@ -2976,6 +2993,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_vocab_drift": q_corpus_vocab_drift,
         "orders_join_size": q_orders_join_size,
         "events_join_size": q_events_join_size,
+        "conv_seq_integrity": q_conv_seq_integrity,
         "corpus_shard_assign": q_corpus_shard_assign,
         "corpus_overlap_matrix": q_corpus_overlap_matrix,
         "doc_bigram_surprise": q_doc_bigram_surprise,
@@ -3657,6 +3675,26 @@ FROM resp GROUP BY conv_id"""),
             ("events", "user_id"), ("events", "user_id"),
             mod=256, keep=32, hh_k=128,
         ),
+        "conv_seq_integrity": oracles.on_parsed("""
+, cr AS (
+  SELECT conv_id, turn_idx FROM parsed WHERE turn_idx % 13 <> 5
+  UNION ALL
+  SELECT conv_id, turn_idx FROM parsed WHERE turn_idx % 17 = 3
+),
+g AS (
+  SELECT conv_id AS "group",
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT turn_idx) AS BIGINT) AS n_distinct_idx,
+         CAST(min(turn_idx) AS BIGINT) AS min_idx,
+         CAST(max(turn_idx) AS BIGINT) AS max_idx
+  FROM cr GROUP BY conv_id
+)
+SELECT "group", n_rows, n_distinct_idx, min_idx, max_idx,
+       CAST(max_idx - min_idx + 1 - n_distinct_idx AS BIGINT) AS n_missing,
+       CAST(n_rows - n_distinct_idx AS BIGINT) AS n_dup_rows,
+       (min_idx = 0 AND max_idx - min_idx + 1 = n_distinct_idx
+        AND n_rows = n_distinct_idx) AS is_contiguous
+FROM g"""),
         "doc_tfidf_top": _tfidf_oracle(m=3),
         "corpus_shard_assign": """
 WITH sh AS (

@@ -1015,3 +1015,57 @@ def benford_deviation(df: DataFrame, val_col: str) -> DataFrame:
     return out.withColumn(
         "dev_micro", (F.col("observed_micro") - F.col("expected_micro")).cast("long")
     )
+
+
+def sequence_integrity(
+    df: DataFrame,
+    group_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    start_at: int = 0,
+) -> DataFrame:
+    """Per-group sequence-integrity audit over an ordinal index column —
+    the transcript-pipeline question "is every conversation's turn stream
+    whole?" asked BEFORE training consumes it: a dropped producer batch
+    leaves index GAPS, a replayed one leaves DUPLICATE indexes, and a
+    mis-keyed ingest shifts the FIRST index off ``start_at`` — three
+    defects per-turn text equality checks can't see (they compare the rows
+    that exist, not the ones that don't).
+
+    One row per group: ``(group, n_rows, n_distinct_idx, min_idx, max_idx,
+    n_missing, n_dup_rows, is_contiguous)`` where
+
+    * ``n_missing = (max_idx - min_idx + 1) - n_distinct_idx`` — indexes
+      absent INSIDE the observed span (leading truncation shows up via
+      ``min_idx > start_at`` instead, folded into ``is_contiguous``);
+    * ``n_dup_rows = n_rows - n_distinct_idx`` — replayed rows;
+    * ``is_contiguous`` ⇔ no gaps, no dups, and ``min_idx = start_at``.
+
+    NULL indexes count into ``n_rows`` but not the distinct/extrema math
+    (they make the group non-contiguous via the dup term).  Scale shape:
+    ONE group-keyed shuffle carrying (group, idx) ints — the classic
+    sort-based alternative (lag window over every row) pays the same
+    shuffle plus a per-group sort; this is pure counting, and every output
+    is an exact integer any engine replays."""
+    g = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct(F.col(idx_col)).cast("long").alias("n_distinct_idx"),
+        F.min(idx_col).cast("long").alias("min_idx"),
+        F.max(idx_col).cast("long").alias("max_idx"),
+    )
+    n_missing = F.col("max_idx") - F.col("min_idx") + 1 - F.col("n_distinct_idx")
+    n_dup = F.col("n_rows") - F.col("n_distinct_idx")
+    return g.select(
+        "group",
+        "n_rows",
+        "n_distinct_idx",
+        "min_idx",
+        "max_idx",
+        F.coalesce(n_missing, F.lit(0)).cast("long").alias("n_missing"),
+        n_dup.cast("long").alias("n_dup_rows"),
+        (
+            F.col("min_idx").isNotNull()
+            & (F.col("min_idx") == F.lit(int(start_at)))
+            & (n_missing == 0)
+            & (n_dup == 0)
+        ).alias("is_contiguous"),
+    )

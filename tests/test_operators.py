@@ -1202,3 +1202,45 @@ def test_interval_overlap_join_equi_keys_partition(spark):
     ).collect()
     # only the same-key pair joins despite identical time spans
     assert [(r["lid"], r["rid"], r["k"]) for r in out] == [(1, 10, "a")]
+
+
+def test_sequence_integrity_statuses(spark):
+    from log_analysis_spark.operators import expectations as E
+
+    rows = [
+        # clean 0..3
+        *[("clean", i) for i in range(4)],
+        # gap: 0,1,3 (missing 2)
+        ("gap", 0), ("gap", 1), ("gap", 3),
+        # dup: 0,1,1,2
+        ("dup", 0), ("dup", 1), ("dup", 1), ("dup", 2),
+        # shifted start: 2,3,4 (contiguous span but min != 0)
+        ("shift", 2), ("shift", 3), ("shift", 4),
+        # all-null indexes
+        ("nulls", None), ("nulls", None),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int")
+    out = {r["group"]: r for r in E.sequence_integrity(df).collect()}
+
+    assert out["clean"]["is_contiguous"]
+    assert out["clean"]["n_missing"] == 0 and out["clean"]["n_dup_rows"] == 0
+
+    assert not out["gap"]["is_contiguous"]
+    assert out["gap"]["n_missing"] == 1 and out["gap"]["n_dup_rows"] == 0
+
+    assert not out["dup"]["is_contiguous"]
+    assert out["dup"]["n_missing"] == 0 and out["dup"]["n_dup_rows"] == 1
+
+    assert not out["shift"]["is_contiguous"]  # min_idx=2, start_at=0
+    assert out["shift"]["n_missing"] == 0 and out["shift"]["min_idx"] == 2
+    # but with start_at=2 the same group is contiguous
+    out2 = {
+        r["group"]: r
+        for r in E.sequence_integrity(df, start_at=2).collect()
+    }
+    assert out2["shift"]["is_contiguous"] and not out2["clean"]["is_contiguous"]
+
+    r = out["nulls"]
+    assert not r["is_contiguous"]
+    assert r["n_rows"] == 2 and r["n_distinct_idx"] == 0
+    assert r["min_idx"] is None and r["n_missing"] == 0 and r["n_dup_rows"] == 2
