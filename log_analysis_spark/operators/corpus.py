@@ -368,6 +368,69 @@ def bloom_positions(col: F.Column, m_bits: int, n_hashes: int) -> F.Column:
     )
 
 
+def bloom_bitmap(
+    keys: DataFrame, col: str, m_bits: int, n_hashes: int
+) -> DataFrame:
+    """Fold a key column into an m_bits Bloom bitmap PACKED INTO
+    ``m_bits/64`` longs, returned as ONE row ``(_bloom array<bigint>)`` —
+    the broadcastable form a probe side tests with pure JVM bit
+    arithmetic (no per-position explode, no equi-join on positions).
+    Build cost: one narrow aggregate over the distinct positions; the
+    driver collect is ≤ m_bits/64 rows — bounded by the KNOB, not data.
+    Shared by ``decontaminate_bloom`` and ``joins.bloom_prefiltered_join``
+    so the two bitmap layouts can never drift."""
+    n_words = (int(m_bits) + 63) // 64
+    set_words = (
+        keys.select(
+            F.explode(
+                bloom_positions(F.col(col).cast("string"), m_bits, n_hashes)
+            ).alias("_p")
+        )
+        .distinct()
+        .groupBy((F.col("_p") / 64).cast("int").alias("_w"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_p % 64 AS INT))")
+            ).alias("_bits")
+        )
+        .collect()
+    )
+    bitmap = [0] * n_words
+    for r in set_words:
+        bitmap[r["_w"]] = r["_bits"]
+    return keys.sparkSession.createDataFrame(
+        [(bitmap,)], "_bloom array<bigint>"
+    )
+
+
+def bloom_all_set(value: F.Column, m_bits: int, n_hashes: int) -> F.Column:
+    """TRUE iff every salted position of ``value`` is set in the packed
+    ``_bloom`` bitmap column (which must be in scope — crossJoin the
+    one-row frame from :func:`bloom_bitmap` first).  Positions are the
+    same ``bloom_positions`` md5-u32 draw, so membership semantics are
+    identical to the exploded set-bit probe, row for row."""
+    from functools import reduce
+
+    tests = []
+    for i in range(n_hashes):
+        pos = (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), value)), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(int(m_bits))
+        )
+        # call_function/F.get: the py wrappers for shiftleft/element_at
+        # only take literal ints for the second argument
+        word = F.get(F.col("_bloom"), (pos / 64).cast("int"))
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+        )
+        tests.append(word.bitwiseAND(mask) != 0)
+    return reduce(lambda a, b: a & b, tests)
+
+
 def decontaminate_bloom(
     docs: DataFrame,
     bench: DataFrame,
@@ -395,18 +458,18 @@ def decontaminate_bloom(
     right trade for a hygiene filter (over-dropping epsilon of clean docs
     is harmless; missing contamination is not).
 
-    Scale shape: the broadcast side is the distinct SET-BIT table —
-    ``<= min(m_bits, n_hashes * |bench grams|)`` single-long rows, bounded
-    by ``m_bits`` BY CONSTRUCTION no matter how large the benchmark grows
-    (a 128 MB bit budget checks ~10^9 grams at 4 hashes / ~2% FP) — where
-    the exact operator's broadcast grows linearly with the benchmark's
-    distinct grams.  The corpus side explodes ``n_hashes`` positions per
-    distinct gram and probes the broadcast bit table; the per-doc
-    reduction groups on ``(id, md5(gram))`` so gram TEXT never enters an
-    exchange (the exact operator shuffles the gram strings themselves).
-    Everything is md5/conv/explode/groupBy JVM expressions — deterministic
-    given (m_bits, n_hashes), hence exactly mirrorable in a cross-engine
-    oracle, and no per-row Python.
+    Scale shape: the broadcast side is the bit set PACKED INTO m_bits/64
+    longs as ONE row (:func:`bloom_bitmap`) — bounded by ``m_bits`` BY
+    CONSTRUCTION no matter how large the benchmark grows (a 128 MB bit
+    budget checks ~10^9 grams at 4 hashes / ~2% FP) — where the exact
+    operator's broadcast grows linearly with the benchmark's distinct
+    grams.  Each corpus gram tests ALL its positions with JVM bit
+    arithmetic inside one projection (:func:`bloom_all_set` — no
+    per-position explode, no position join), so the only corpus-sized
+    exchange is the per-doc flagged count, keyed by id alone; gram text
+    never enters an exchange.  Everything is md5/conv/bit JVM
+    expressions — deterministic given (m_bits, n_hashes), hence exactly
+    mirrorable in a cross-engine oracle, and no per-row Python.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
@@ -415,26 +478,23 @@ def decontaminate_bloom(
             F.array_distinct(_word_ngrams(bench_text_col or text_col, n))
         ).alias("gram")
     ).distinct()
-    bits = F.broadcast(
-        bench_grams.select(
-            F.explode(bloom_positions(F.col("gram"), m_bits, n_hashes)).alias("_pos")
-        ).distinct()
-    )
+    # the bench bits ride as ONE packed-longs row (bloom_bitmap) and each
+    # corpus gram tests all its positions with JVM bit arithmetic in the
+    # SAME projection — no per-position explode, no position equi-join, no
+    # per-gram md5 id: the only corpus-sized exchange left is the per-doc
+    # count, keyed by id alone.  (The previous exploded-probe shape paid
+    # n_hashes rows per gram THROUGH a hit-join and a (id, gram-md5)
+    # regroup — at a loaded filter nearly every position hits, so that
+    # shuffle approached n_hashes x |corpus grams| wide rows: measured
+    # 27.0 s -> see BENCH/BASELINE.md session-17 notes at sf0.1.)
+    bdf = bloom_bitmap(bench_grams, "gram", m_bits, n_hashes)
     doc_grams = docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(_word_ngrams(text_col, n))).alias("gram"),
-    ).select(
-        id_col,
-        F.md5(F.col("gram")).alias("_gid"),
-        bloom_positions(F.col("gram"), m_bits, n_hashes).alias("_poss"),
     )
     flagged = (
-        doc_grams.withColumn("_npos", F.size("_poss"))
-        .select(id_col, "_gid", "_npos", F.explode("_poss").alias("_pos"))
-        .join(bits, "_pos")
-        .groupBy(id_col, "_gid", "_npos")
-        .agg(F.count(F.lit(1)).alias("_nhit"))
-        .filter(F.col("_nhit") == F.col("_npos"))
+        doc_grams.crossJoin(F.broadcast(bdf))
+        .filter(bloom_all_set(F.col("gram"), m_bits, n_hashes))
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_flagged_grams"))
     )

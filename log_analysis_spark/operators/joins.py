@@ -248,28 +248,10 @@ def bloom_prefiltered_join(
         raise ValueError(f"how must be inner or left_semi, got {how!r}")
     from functools import reduce
 
-    from .corpus import bloom_positions
+    from .corpus import bloom_bitmap
 
-    n_words = (int(m_bits) + 63) // 64
     key_str = F.col(key).cast("string")
-    set_words = (
-        right.select(
-            F.explode(bloom_positions(key_str, m_bits, n_hashes)).alias("_p")
-        )
-        .distinct()
-        .groupBy((F.col("_p") / 64).cast("int").alias("_w"))
-        .agg(
-            F.bit_or(
-                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_p % 64 AS INT))")
-            ).alias("_bits")
-        )
-        .collect()
-    )
-    bitmap = [0] * n_words
-    for r in set_words:
-        bitmap[r["_w"]] = r["_bits"]
-    spark = left.sparkSession
-    bdf = spark.createDataFrame([(bitmap,)], "_bloom array<bigint>")
+    bdf = bloom_bitmap(right, key, m_bits, n_hashes)
     probe = left.crossJoin(F.broadcast(bdf))
     pos_cols = []
     for i in range(n_hashes):

@@ -863,10 +863,10 @@ def main() -> int:
     sections.append(("BM25 retrieval (query-vocab broadcast, text-free shuffles)",
                      bm_plan, notes))
 
-    # Bloom decontamination: the corpus-side reduction groups on the
-    # 16-byte gram md5 — no exchange may carry BOTH the doc id and raw
-    # gram/text strings (the bench side's tiny distinct-gram exchange is
-    # the one legitimate gram carrier); the set-bit probe is a broadcast
+    # Bloom decontamination: the bench bits ride as ONE packed-longs row
+    # and every gram's positions are bit-tested inside the projection —
+    # no exchange may carry BOTH the doc id and raw gram/text strings
+    # (the only corpus-sized exchange is the per-doc count, keyed by id)
     bm_bench = docs.limit(20)
     bd = corpus.decontaminate_bloom(
         docs, bm_bench, n=5, m_bits=1 << 20, n_hashes=4
@@ -876,20 +876,22 @@ def main() -> int:
     bd_wide = [
         (p, cols)
         for p, cols in bd_shufs
-        if any("doc_id" in c for c in cols)
-        and any(c in ("gram", "text") for c in cols)
+        if any(c in ("gram", "text") for c in cols)
     ]
     notes = [
-        check("bloom decontaminate: corpus-side exchanges never pair doc_id "
-              "with gram/text strings (gram rides as md5)",
+        check("bloom decontaminate: no exchange carries gram/text strings "
+              "(the per-doc count is the only corpus-sized shuffle)",
               len(bd_shufs) >= 1 and not bd_wide,
               f"{len(bd_shufs)} shuffles; wide={bd_wide[:1]}"),
-        check("bloom decontaminate: set-bit probe is a broadcast join",
-              "BroadcastHashJoin" in bd_plan),
+        check("bloom decontaminate: probe is the one-row packed-bitmap "
+              "broadcast (bit tests in the projection — no per-position "
+              "explode/equi-join)",
+              "BroadcastNestedLoopJoin" in bd_plan
+              and "BroadcastHashJoin" not in bd_plan),
         check("bloom decontaminate: no Python in the plan",
               "Python" not in bd_plan and "Arrow" not in bd_plan),
     ]
-    sections.append(("Bloom decontamination (bounded broadcast, md5-keyed grams)",
+    sections.append(("Bloom decontamination (packed-bitmap broadcast probe)",
                      bd_plan, notes))
 
     # token-window chunking: scan -> project -> generate, fully pipelined —
