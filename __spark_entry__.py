@@ -1069,6 +1069,37 @@ def q_conv_seq_integrity(spark, sf_dir):
     return E.sequence_integrity(corrupted)
 
 
+def q_streaming_seq_integrity(spark, sf_dir):
+    """§2.9 streaming twin of conv_seq_integrity: the SAME corrupted turn
+    stream folds per micro-batch into (group, idx, cnt) occurrence cells
+    (additive, so streaming == batch EXACTLY at any batch boundary) and
+    the audit runs the shared from-cells finisher — verified against the
+    batch oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    from log_analysis_spark.streaming.sketch_stream import (
+        run_stream_seq_integrity,
+    )
+
+    work = tempfile.mkdtemp(prefix="seq_stream_")
+    os.makedirs(f"{work}/src")
+    turns = transcripts_from_events(spark, sf_dir)
+    corrupted = turns.filter(~(F.col("turn_idx") % 13 == 5)).unionByName(
+        turns.filter(F.col("turn_idx") % 17 == 3)
+    )
+    corrupted.select("conv_id", "turn_idx").write.mode("overwrite").parquet(
+        f"{work}/src"
+    )
+    return run_stream_seq_integrity(
+        spark,
+        f"{work}/src",
+        f"{work}/state",
+        "conv_id string, turn_idx int",
+    )
+
+
 def q_corpus_vocab_drift(spark, sf_dir):
     """Token-distribution drift between the same two simulated snapshots
     as corpus_snapshot_diff (plus a planted ' driftmarker' token on the
@@ -2994,6 +3025,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_join_size": q_orders_join_size,
         "events_join_size": q_events_join_size,
         "conv_seq_integrity": q_conv_seq_integrity,
+        "streaming_seq_integrity": q_streaming_seq_integrity,
         "corpus_shard_assign": q_corpus_shard_assign,
         "corpus_overlap_matrix": q_corpus_overlap_matrix,
         "doc_bigram_surprise": q_doc_bigram_surprise,
@@ -3008,6 +3040,30 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ivf_topk_kmeans": q_embed_ivf_topk_kmeans,
         "embed_pca_project": q_embed_pca_project,
     }.items()}
+
+
+# shared by conv_seq_integrity (batch) and streaming_seq_integrity (the
+# additive-cells streaming twin) — one recompute, two execution paths
+_SEQ_INTEGRITY_ORACLE = oracles.on_parsed("""
+, cr AS (
+  SELECT conv_id, turn_idx FROM parsed WHERE turn_idx % 13 <> 5
+  UNION ALL
+  SELECT conv_id, turn_idx FROM parsed WHERE turn_idx % 17 = 3
+),
+g AS (
+  SELECT conv_id AS "group",
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT turn_idx) AS BIGINT) AS n_distinct_idx,
+         CAST(min(turn_idx) AS BIGINT) AS min_idx,
+         CAST(max(turn_idx) AS BIGINT) AS max_idx
+  FROM cr GROUP BY conv_id
+)
+SELECT "group", n_rows, n_distinct_idx, min_idx, max_idx,
+       CAST(max_idx - min_idx + 1 - n_distinct_idx AS BIGINT) AS n_missing,
+       CAST(n_rows - n_distinct_idx AS BIGINT) AS n_dup_rows,
+       (min_idx = 0 AND max_idx - min_idx + 1 = n_distinct_idx
+        AND n_rows = n_distinct_idx) AS is_contiguous
+FROM g""")
 
 
 def retired_oracle_sql() -> dict[str, str]:
@@ -3675,26 +3731,10 @@ FROM resp GROUP BY conv_id"""),
             ("events", "user_id"), ("events", "user_id"),
             mod=256, keep=32, hh_k=128,
         ),
-        "conv_seq_integrity": oracles.on_parsed("""
-, cr AS (
-  SELECT conv_id, turn_idx FROM parsed WHERE turn_idx % 13 <> 5
-  UNION ALL
-  SELECT conv_id, turn_idx FROM parsed WHERE turn_idx % 17 = 3
-),
-g AS (
-  SELECT conv_id AS "group",
-         CAST(count(*) AS BIGINT) AS n_rows,
-         CAST(count(DISTINCT turn_idx) AS BIGINT) AS n_distinct_idx,
-         CAST(min(turn_idx) AS BIGINT) AS min_idx,
-         CAST(max(turn_idx) AS BIGINT) AS max_idx
-  FROM cr GROUP BY conv_id
-)
-SELECT "group", n_rows, n_distinct_idx, min_idx, max_idx,
-       CAST(max_idx - min_idx + 1 - n_distinct_idx AS BIGINT) AS n_missing,
-       CAST(n_rows - n_distinct_idx AS BIGINT) AS n_dup_rows,
-       (min_idx = 0 AND max_idx - min_idx + 1 = n_distinct_idx
-        AND n_rows = n_distinct_idx) AS is_contiguous
-FROM g"""),
+        "conv_seq_integrity": _SEQ_INTEGRITY_ORACLE,
+        # the streaming twin folds the SAME corrupted stream through
+        # additive cells + the shared finisher — one oracle serves both
+        "streaming_seq_integrity": _SEQ_INTEGRITY_ORACLE,
         "doc_tfidf_top": _tfidf_oracle(m=3),
         "corpus_shard_assign": """
 WITH sh AS (

@@ -1045,12 +1045,40 @@ def sequence_integrity(
     ONE group-keyed shuffle carrying (group, idx) ints — the classic
     sort-based alternative (lag window over every row) pays the same
     shuffle plus a per-group sort; this is pure counting, and every output
-    is an exact integer any engine replays."""
-    g = df.groupBy(F.col(group_col).alias("group")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.count_distinct(F.col(idx_col)).cast("long").alias("n_distinct_idx"),
-        F.min(idx_col).cast("long").alias("min_idx"),
-        F.max(idx_col).cast("long").alias("max_idx"),
+    is an exact integer any engine replays.
+
+    Factored through ``sequence_cells`` + ``sequence_integrity_from_cells``
+    so the streaming twin (cell counts are ADDITIVE — fold per micro-batch,
+    audit from the folded state) runs the identical finisher and cannot
+    drift from batch."""
+    return sequence_integrity_from_cells(
+        sequence_cells(df, group_col, idx_col), start_at
+    )
+
+
+def sequence_cells(
+    df: DataFrame, group_col: str = "conv_id", idx_col: str = "turn_idx"
+) -> DataFrame:
+    """(group, idx, cnt) occurrence cells — the additive state the
+    sequence-integrity audit folds from (NULL idx kept as its own cell so
+    null rows survive into ``n_rows``)."""
+    return df.groupBy(
+        F.col(group_col).alias("group"), F.col(idx_col).alias("idx")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+
+def sequence_integrity_from_cells(
+    cells: DataFrame, start_at: int = 0
+) -> DataFrame:
+    """The audit finisher over (group, idx, cnt) cells — shared verbatim by
+    the batch operator and the streaming fold (see sequence_integrity)."""
+    g = cells.groupBy("group").agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count_if(F.col("idx").isNotNull()).cast("long").alias(
+            "n_distinct_idx"
+        ),
+        F.min("idx").cast("long").alias("min_idx"),
+        F.max("idx").cast("long").alias("max_idx"),
     )
     n_missing = F.col("max_idx") - F.col("min_idx") + 1 - F.col("n_distinct_idx")
     n_dup = F.col("n_rows") - F.col("n_distinct_idx")

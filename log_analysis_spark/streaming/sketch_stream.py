@@ -403,3 +403,52 @@ def run_stream_psi_drift(
         raise RuntimeError("no micro-batch produced state")
     final = spark.read.parquet(f"{sk_dir}/version={v}")
     return exp_ops.psi_from_cells(ref_cells, final, thr_micro)
+
+
+def run_stream_seq_integrity(
+    spark: SparkSession,
+    src_path: str,
+    state_dir: str,
+    schema: str,
+    group_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    start_at: int = 0,
+) -> DataFrame:
+    """Streaming turn-sequence integrity: each micro-batch collapses to
+    (group, idx, cnt) occurrence cells (``expectations.sequence_cells``)
+    that ADD into the versioned bounded state (state ~ distinct (group,
+    idx) cells, never event volume — the quantile-cells argument), and
+    the audit comes from the SAME
+    ``expectations.sequence_integrity_from_cells`` finisher batch runs:
+    counts are additive, so streaming == batch EXACTLY at any batch
+    boundary — a conversation's gap only closes when the missing turn
+    actually arrives, whichever batch carries it."""
+    from log_analysis_spark.operators import expectations as exp_ops
+
+    stream = spark.readStream.schema(schema).parquet(src_path)
+    sk_dir = f"{state_dir}/seqcells"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        new = exp_ops.sequence_cells(batch_df, group_col, idx_col)
+        prev_v = _latest_version(sk_dir, batch_id)
+        if prev_v is not None:
+            prev = spark.read.parquet(f"{sk_dir}/version={prev_v}")
+            new = (
+                new.unionByName(prev)
+                .groupBy("group", "idx")
+                .agg(F.sum("cnt").cast("long").alias("cnt"))
+            )
+        new.write.mode("overwrite").parquet(f"{sk_dir}/version={batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{state_dir}/ckpt_seq")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    v = _latest_version(sk_dir, 1 << 62)
+    if v is None:
+        raise RuntimeError("no micro-batch produced state")
+    final = spark.read.parquet(f"{sk_dir}/version={v}")
+    return exp_ops.sequence_integrity_from_cells(final, start_at)

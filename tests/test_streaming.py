@@ -765,3 +765,47 @@ def test_streaming_psi_drift_equals_batch(spark, tmp_path):
     )
     want = expectations.psi_drift(ref_df, cur, "value", width=0.5)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_streaming_seq_integrity_equals_batch(spark, tmp_path):
+    """Sequence cells folded across TWO micro-batch drops, split so the
+    SAME (conv, idx) cell lands in both batches (a duplicate index whose
+    two occurrences arrive separately) and a gap's flanking turns arrive
+    in different batches — additive counts + the shared finisher must
+    yield exactly the batch audit."""
+    from log_analysis_spark.operators import expectations as E
+    from log_analysis_spark.streaming.sketch_stream import (
+        run_stream_seq_integrity,
+    )
+
+    rows = [
+        ("a", 0), ("a", 1), ("a", 3),          # gap at 2
+        ("b", 0), ("b", 1), ("b", 1), ("b", 2),  # duplicate idx 1
+        ("c", 0), ("c", 1),                     # clean
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int")
+    src = str(tmp_path / "seq_src")
+    # batch 1: a's low turns + ONE copy of b's dup; batch 2: the rest
+    first = {("a", 0), ("a", 1), ("b", 1), ("c", 0)}
+    import pyspark.sql.functions as _F
+
+    b1 = df.filter(
+        _F.concat_ws(":", "conv_id", "turn_idx").isin(
+            [f"{c}:{i}" for c, i in first]
+        )
+    )
+    # drop exactly one of b's duplicate rows into each batch
+    b1 = b1.dropDuplicates(["conv_id", "turn_idx"])
+    b2 = df.exceptAll(b1)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    got = run_stream_seq_integrity(
+        spark, src, str(tmp_path / "seq_state"),
+        "conv_id string, turn_idx int",
+    )
+    want = E.sequence_integrity(df)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    r = {x["group"]: x for x in got.collect()}
+    assert r["a"]["n_missing"] == 1 and r["b"]["n_dup_rows"] == 1
+    assert r["c"]["is_contiguous"]
