@@ -1069,6 +1069,28 @@ def q_conv_seq_integrity(spark, sf_dir):
     return E.sequence_integrity(corrupted)
 
 
+def q_turn_class_cube(spark, sf_dir):
+    """Dashboard cube: counts at EVERY grouping combination of
+    (turn_class, role) in one pass — GROUPING SETS/CUBE with the
+    grouping_id bit mask disambiguating rollup NULLs from data NULLs.
+    The oracle replays the cube and the mask arithmetic in DuckDB."""
+    parsed = _parsed(spark, sf_dir)
+    return agg.dimensional_rollup(parsed, ["turn_class", "role"])
+
+
+def q_role_class_pivot(spark, sf_dir):
+    """Long→wide pivot: one row per role, one n_<turn_class> count column
+    per EXPLICIT class (schema pinned — inferred pivot columns are a
+    moving target no table contract can hold).  The oracle replays it as
+    conditional counts, proving the pivot is exactly that one narrow
+    aggregate."""
+    parsed = _parsed(spark, sf_dir)
+    return agg.pivot_matrix(
+        parsed, "role", "turn_class",
+        ["error", "info", "request", "timing", "unknown"],
+    )
+
+
 def q_streaming_seq_integrity(spark, sf_dir):
     """§2.9 streaming twin of conv_seq_integrity: the SAME corrupted turn
     stream folds per micro-batch into (group, idx, cnt) occurrence cells
@@ -3026,6 +3048,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_join_size": q_events_join_size,
         "conv_seq_integrity": q_conv_seq_integrity,
         "streaming_seq_integrity": q_streaming_seq_integrity,
+        "turn_class_cube": q_turn_class_cube,
+        "role_class_pivot": q_role_class_pivot,
         "corpus_shard_assign": q_corpus_shard_assign,
         "corpus_overlap_matrix": q_corpus_overlap_matrix,
         "doc_bigram_surprise": q_doc_bigram_surprise,
@@ -3735,6 +3759,19 @@ FROM resp GROUP BY conv_id"""),
         # the streaming twin folds the SAME corrupted stream through
         # additive cells + the shared finisher — one oracle serves both
         "streaming_seq_integrity": _SEQ_INTEGRITY_ORACLE,
+        "turn_class_cube": oracles.on_parsed("""
+SELECT turn_class, role,
+       CAST(2 * GROUPING(turn_class) + GROUPING(role) AS BIGINT) AS grouping_id,
+       CAST(count(*) AS BIGINT) AS n
+FROM parsed GROUP BY CUBE (turn_class, role)"""),
+        "role_class_pivot": oracles.on_parsed("""
+SELECT role,
+       CAST(count(*) FILTER (WHERE turn_class = 'error') AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (WHERE turn_class = 'info') AS BIGINT) AS n_info,
+       CAST(count(*) FILTER (WHERE turn_class = 'request') AS BIGINT) AS n_request,
+       CAST(count(*) FILTER (WHERE turn_class = 'timing') AS BIGINT) AS n_timing,
+       CAST(count(*) FILTER (WHERE turn_class = 'unknown') AS BIGINT) AS n_unknown
+FROM parsed GROUP BY role"""),
         "doc_tfidf_top": _tfidf_oracle(m=3),
         "corpus_shard_assign": """
 WITH sh AS (

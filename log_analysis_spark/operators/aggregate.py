@@ -103,3 +103,68 @@ def groups_with_exact_pair(
     if expected_count is not None:
         out = out.filter(F.col("n") == expected_count)
     return out.select(key, "n")
+
+
+def dimensional_rollup(
+    df: DataFrame, dims: list[str], count_col: str = "n"
+) -> DataFrame:
+    """Every grouping combination of ``dims`` in ONE pass — the
+    dashboard-cube version of the per-sink sanity totals: counts for each
+    subset of the dimensions (full detail, every partial rollup, grand total)
+    via GROUPING SETS, so the scan and the aggregate run once instead of
+    2^|dims| times.  Output: the dim columns (NULL where rolled up),
+    ``grouping_id`` (Spark's bit mask — bit set ⇔ that dim is rolled up,
+    leftmost dim = highest bit), and the count.  NULLs in the DATA are
+    disambiguated from rollup NULLs by the mask — the reason grouping_id
+    exists at all.
+
+    Scale shape: Spark's Expand node replicates each input row once per
+    grouping set BEFORE the exchange — shuffle volume is 2^|dims| × rows
+    of narrow (dims, id, count) tuples with map-side partial aggregation
+    collapsing them per partition first, exactly how a hand-written
+    union-of-rollups would shuffle, minus the repeated scans."""
+    if not dims:
+        raise ValueError("dims must be non-empty")
+    # grouping_id() is only resolvable INSIDE the grouping-sets Aggregate —
+    # it must be an agg expression, not a post-hoc projection
+    return df.cube(*dims).agg(
+        F.grouping_id(*dims).cast("long").alias("grouping_id"),
+        F.count(F.lit(1)).cast("long").alias(count_col),
+    ).select(*dims, "grouping_id", count_col)
+
+
+def pivot_matrix(
+    df: DataFrame,
+    row_key: str,
+    col_key: str,
+    col_values: list[str],
+    count_col_prefix: str = "n_",
+) -> DataFrame:
+    """Long→wide count matrix: one row per ``row_key``, one
+    ``{prefix}{value}`` LONG column per EXPLICIT ``col_values`` entry
+    (0 where absent) — the role × hour / tool × class dashboard table.
+
+    ``col_values`` is REQUIRED: letting Spark infer pivot columns costs an
+    extra distinct-collect job AND makes the output schema data-dependent
+    — a moving target no downstream table contract (or cross-engine
+    oracle) can pin.  Values outside the list are DROPPED, matching SQL
+    PIVOT ... IN (...).  Scale shape: with explicit values Spark compiles
+    the pivot to one groupBy(row_key) over pivot-aggregate expressions —
+    a single narrow shuffle keyed by row_key, identical to hand-written
+    conditional counts."""
+    if not col_values:
+        raise ValueError("col_values must be non-empty (explicit schema)")
+    out = (
+        df.groupBy(row_key)
+        .pivot(col_key, col_values)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        row_key,
+        *[
+            F.coalesce(F.col(f"`{v}`"), F.lit(0))
+            .cast("long")
+            .alias(f"{count_col_prefix}{v}")
+            for v in col_values
+        ],
+    )

@@ -1244,3 +1244,37 @@ def test_sequence_integrity_statuses(spark):
     assert not r["is_contiguous"]
     assert r["n_rows"] == 2 and r["n_distinct_idx"] == 0
     assert r["min_idx"] is None and r["n_missing"] == 0 and r["n_dup_rows"] == 2
+
+
+def test_dimensional_rollup_cube_and_null_disambiguation(spark):
+    rows = [("a", "x"), ("a", "y"), ("b", "x"), ("a", None)]
+    df = spark.createDataFrame(rows, "d1 string, d2 string")
+    out = {
+        (r["d1"], r["d2"], r["grouping_id"]): r["n"]
+        for r in agg.dimensional_rollup(df, ["d1", "d2"]).collect()
+    }
+    # full detail: the DATA null keeps grouping_id 0
+    assert out[("a", "x", 0)] == 1 and out[("a", None, 0)] == 1
+    # d2 rolled up (bit 0 set): counts fold over d2 INCLUDING the null row
+    assert out[("a", None, 1)] == 3 and out[("b", None, 1)] == 1
+    # d1 rolled up (bit 1 set)
+    assert out[(None, "x", 2)] == 2
+    # grand total
+    assert out[(None, None, 3)] == 4
+    # one row per (set, key) combination — nothing duplicated
+    assert len(out) == 4 + 2 + 3 + 1  # detail, d1-level, d2-level, total
+    with pytest.raises(ValueError):
+        agg.dimensional_rollup(df, [])
+
+
+def test_pivot_matrix_counts_and_schema(spark):
+    rows = [("r1", "a"), ("r1", "a"), ("r1", "b"), ("r2", "b"), ("r2", "zz")]
+    df = spark.createDataFrame(rows, "k string, c string")
+    out = {
+        r["k"]: (r["n_a"], r["n_b"])
+        for r in agg.pivot_matrix(df, "k", "c", ["a", "b"]).collect()
+    }
+    # absent cells are 0, values outside the explicit list are dropped
+    assert out == {"r1": (2, 1), "r2": (0, 1)}
+    with pytest.raises(ValueError):
+        agg.pivot_matrix(df, "k", "c", [])
