@@ -40,6 +40,19 @@ def main() -> None:
         " non-empty) and FAIL LOUDLY with the report on any violation — "
         "routed-row equality downstream is meaningless over corrupt input",
     )
+    ap.add_argument(
+        "--seq-audit", action="store_true",
+        help="write the per-conversation turn-sequence integrity audit "
+        "(gaps / duplicate indexes / shifted starts) to OUT/seq_audit and "
+        "report the anomalous-conversation count — the ingest-health "
+        "companion of --expect's structural gate (which only proves keys "
+        "unique, not streams whole)",
+    )
+    ap.add_argument(
+        "--seq-audit-max-bad-frac", type=float, default=None,
+        help="with --seq-audit: fail loudly when more than this fraction "
+        "of conversations is non-contiguous",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -74,6 +87,30 @@ def main() -> None:
                 f"input failed the structural gate: {json.dumps(bad)}"
             )
 
+    seq_report = None
+    if args.seq_audit:
+        from log_analysis_spark.operators import expectations as E
+        from pyspark.sql import functions as F
+
+        audit = E.sequence_integrity(turns)
+        audit.write.mode("overwrite").parquet(f"{args.out}/seq_audit")
+        audit = spark.read.parquet(f"{args.out}/seq_audit")
+        tot = audit.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(~F.col("is_contiguous")).alias("bad"),
+        ).first()
+        seq_report = {"n_convs": int(tot["n"]), "n_bad_convs": int(tot["bad"])}
+        if (
+            args.seq_audit_max_bad_frac is not None
+            and tot["n"] > 0
+            and tot["bad"] > args.seq_audit_max_bad_frac * tot["n"]
+        ):
+            raise SystemExit(
+                f"sequence audit failed: {tot['bad']}/{tot['n']} "
+                f"conversations non-contiguous "
+                f"(max {args.seq_audit_max_bad_frac}); see {args.out}/seq_audit"
+            )
+
     res = run_pipeline(spark, turns, args.out, parse_impl=args.parse_impl)
     print(
         json.dumps(
@@ -84,6 +121,7 @@ def main() -> None:
                 "stages_skipped": res.stages_skipped,
                 "routed_path": res.routed_path,
                 "expectations": expect_report,
+                "seq_audit": seq_report,
             }
         )
     )

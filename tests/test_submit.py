@@ -673,6 +673,47 @@ def test_pipeline_expect_gate(pkg_zip, tmp_path):
     assert "unique(conv_id,turn_idx)" in (out.stderr + out.stdout)
 
 
+def test_pipeline_seq_audit_gate(pkg_zip, tmp_path):
+    """--seq-audit: clean derived turns audit fully contiguous (sidecar
+    written + zero bad convs in the summary); a gapped input stream under
+    a tight --seq-audit-max-bad-frac fails loudly BEFORE the pipeline."""
+    res = _submit(
+        pkg_zip,
+        "run_pipeline.py",
+        ["--sf-dir", "/root/testdata/sf0.001",
+         "--out", str(tmp_path / "s1"), "--seq-audit",
+         "--seq-audit-max-bad-frac", "0.0"],
+        cwd=tmp_path,
+    )
+    assert res["seq_audit"]["n_convs"] > 0
+    assert res["seq_audit"]["n_bad_convs"] == 0
+    import duckdb
+
+    n = duckdb.connect().execute(
+        f"SELECT count(*), count(*) FILTER (WHERE NOT is_contiguous)"
+        f" FROM read_parquet('{tmp_path}/s1/seq_audit/*.parquet')"
+    ).fetchone()
+    assert n[0] == res["seq_audit"]["n_convs"] and n[1] == 0
+
+    # gapped stream: drop turn_idx=1 from one conv → non-contiguous
+    bad = tmp_path / "gap_turns"
+    duckdb.connect().execute(
+        "COPY (SELECT 'conv-0' AS conv_id, i AS turn_idx, 'user' AS role,"
+        " 'x' AS text, '-' AS tool, TIMESTAMP '2024-01-01' AS ts"
+        " FROM (SELECT unnest([0, 2, 3]) AS i))"
+        f" TO '{bad}' (FORMAT PARQUET)"
+    )
+    env = dict(os.environ)
+    out = subprocess.run(
+        ["python", str(REPO / "jobs" / "run_pipeline.py"),
+         "--input", str(bad), "--out", str(tmp_path / "s2"),
+         "--seq-audit", "--seq-audit-max-bad-frac", "0.0"],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode != 0
+    assert "non-contiguous" in (out.stderr + out.stdout)
+
+
 def test_submit_retrieval_job(pkg_zip, tmp_path):
     res = _submit(
         pkg_zip,
