@@ -1598,6 +1598,19 @@ def q_corpus_pack_sequences(spark, sf_dir):
     return chunking.pack_sequences(_docs(spark, sf_dir), seq_len=64)
 
 
+def q_corpus_pack_bylang(spark, sf_dir):
+    """Group-coherent sequence packing: the SAME concat-and-split
+    decomposition with the stream ordered (lang, md5(id), id), so
+    same-language documents are adjacent and a fixed-length training
+    sequence rarely straddles two languages — the long-context packing
+    a multilingual pretraining mix wants.  The oracle replays the
+    lang-prefixed global cumsum, proving the |groups|×256-bucket
+    two-phase equals the true grouped order."""
+    return chunking.pack_sequences(
+        _docs(spark, sf_dir), seq_len=64, order_col="lang"
+    )
+
+
 def q_corpus_cap_group(spark, sf_dir):
     """Per-group quota capping: at most 100 docs per language, survivors
     the 100 smallest (md5(id), id) draws — en (218 docs at sf0.01) is
@@ -3050,6 +3063,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_seq_integrity": q_streaming_seq_integrity,
         "turn_class_cube": q_turn_class_cube,
         "role_class_pivot": q_role_class_pivot,
+        "corpus_pack_bylang": q_corpus_pack_bylang,
         "corpus_shard_assign": q_corpus_shard_assign,
         "corpus_overlap_matrix": q_corpus_overlap_matrix,
         "doc_bigram_surprise": q_doc_bigram_surprise,
@@ -3236,6 +3250,7 @@ FROM grp GROUP BY conv_id, sid"""
         "doc_lev_neardup": _lev_neardup_oracle(max_dist=5),
         "doc_chunks": _chunks_oracle(max_tokens=24, overlap=6, min_tokens=1),
         "corpus_pack_sequences": _pack_sequences_oracle(seq_len=64),
+        "corpus_pack_bylang": _pack_sequences_oracle(seq_len=64, order_col="lang"),
         "corpus_cap_group": _cap_group_oracle(group_col="lang", cap=100),
         "events_asof": _ASOF_ORACLE,
         "events_sliding": _sliding_oracle(window_sec=3600, slide_sec=900),
@@ -6067,23 +6082,28 @@ WHERE (s = 0 OR n - s > {overlap}) AND least({max_tokens}, n - s) >= {min_tokens
 """
 
 
-def _pack_sequences_oracle(seq_len: int) -> str:
+def _pack_sequences_oracle(seq_len: int, order_col: str | None = None) -> str:
     """Independent recompute of q_corpus_pack_sequences: tokenization, the
     md5(id)-ordered EXCLUSIVE global cumsum (ONE true global window — the
     Spark side's 256-bucket two-phase must equal it), the per-doc sequence
     range and the boundary-splitting segment arithmetic, in DuckDB list
-    algebra with all-integer offsets."""
+    algebra with all-integer offsets.  ``order_col`` prepends the grouping
+    dimension to the stream order (q_corpus_pack_bylang's group-coherent
+    variant — the |groups|x256-bucket two-phase must equal THIS window)."""
     L = int(seq_len)
+    osel = f"d.{order_col}, " if order_col else ""
+    oby = f"{order_col}, " if order_col else ""
     return f"""
 WITH toks AS (
-  SELECT doc_id, list_filter({_DOC_TOKENS}, x -> x <> '') AS t FROM documents),
+  SELECT d.doc_id, {osel}list_filter({_DOC_TOKENS}, x -> x <> '') AS t
+  FROM documents d),
 o AS (
-  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
+  SELECT doc_id, {oby.replace('d.', '')}t, CAST(len(t) AS BIGINT) AS n,
          md5(CAST(doc_id AS VARCHAR)) AS pk
   FROM toks WHERE len(t) > 0),
 c AS (
   SELECT doc_id, t, n,
-         CAST(COALESCE(SUM(n) OVER (ORDER BY pk, doc_id
+         CAST(COALESCE(SUM(n) OVER (ORDER BY {oby}pk, doc_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
            AS goff
   FROM o),

@@ -124,6 +124,7 @@ def pack_sequences(
     text_col: str = "text",
     token_count_col: str | None = None,
     emit_text: bool = True,
+    order_col: str | None = None,
 ) -> DataFrame:
     """GPT-style concat-and-split sequence packing → one row per
     ``(document, training sequence)`` segment.
@@ -167,7 +168,7 @@ def pack_sequences(
 
     L = F.lit(int(seq_len))
     off = (
-        global_token_offsets(docs, id_col, token_count_col, text_col)
+        global_token_offsets(docs, id_col, token_count_col, text_col, order_col)
         .filter(F.col("n_tokens") > 0)
         .select(
             id_col,

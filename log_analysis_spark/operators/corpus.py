@@ -241,6 +241,7 @@ def global_token_offsets(
     id_col: str = "doc_id",
     token_count_col: str | None = None,
     text_col: str = "text",
+    order_col: str | None = None,
 ) -> DataFrame:
     """Exclusive global running token offsets in deterministic
     ``pack_key = md5(id)`` order → ``(id, n_tokens, pack_key, _goff)`` —
@@ -259,19 +260,31 @@ def global_token_offsets(
     bucket-total branch); when tokenization is the expensive part, pass a
     pre-materialized ``token_count_col`` so the second scan re-reads a
     stored long instead of re-splitting text.
+
+    ``order_col`` prepends a GROUPING dimension to the stream order —
+    the order becomes ``(order_col, pack_key, id)``, so same-group
+    documents are ADJACENT in the token stream (a language- or
+    cluster-coherent pack: a fixed-length training sequence then rarely
+    straddles two groups) while staying md5-shuffled within the group.
+    Buckets become (order value, hex byte), so the bounded offset window
+    grows to |groups| × 256 rows — still knob-bounded, never corpus-sized
+    (keep ``order_col`` low-cardinality: lang, source, cluster id).
     """
     n_tok = (
         F.col(token_count_col)
         if token_count_col
         else F.size(F.filter(tokens_col(text_col), lambda x: x != ""))
     )
+    ocols = [order_col] if order_col else []
     keyed = df.select(
+        *ocols,
         F.col(id_col),
         n_tok.cast("long").alias("n_tokens"),
         F.md5(F.col(id_col).cast("string")).alias("pack_key"),
     ).withColumn("_bucket", F.substring("pack_key", 1, 2))
+    bkeys = ocols + ["_bucket"]
 
-    in_bucket = Window.partitionBy("_bucket").orderBy("pack_key", id_col)
+    in_bucket = Window.partitionBy(*bkeys).orderBy("pack_key", id_col)
     with_local = keyed.withColumn(
         "_local_excl",
         F.coalesce(
@@ -280,14 +293,14 @@ def global_token_offsets(
         ),
     )
 
-    bucket_tot = keyed.groupBy("_bucket").agg(F.sum("n_tokens").alias("_btok"))
-    off_win = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bucket_tot = keyed.groupBy(*bkeys).agg(F.sum("n_tokens").alias("_btok"))
+    off_win = Window.orderBy(*bkeys).rowsBetween(Window.unboundedPreceding, -1)
     offsets = bucket_tot.withColumn(
         "_offset", F.coalesce(F.sum("_btok").over(off_win), F.lit(0))
-    ).select("_bucket", "_offset")
+    ).select(*bkeys, "_offset")
 
     return (
-        with_local.join(F.broadcast(offsets), "_bucket")
+        with_local.join(F.broadcast(offsets), bkeys)
         .withColumn("_goff", F.col("_local_excl") + F.col("_offset"))
         .select(id_col, "n_tokens", "pack_key", "_goff")
     )

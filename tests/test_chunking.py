@@ -162,3 +162,35 @@ def test_pack_sequences_covers_every_token_exactly_once(spark):
             assert a + na == b
     with pytest.raises(ValueError):
         chunking.pack_sequences(df, 0)
+
+
+def test_pack_sequences_order_col_groups_are_contiguous(spark):
+    from log_analysis_spark.operators import chunking
+
+    rows = [
+        (1, "a " * 10, "en"), (2, "b " * 10, "de"),
+        (3, "c " * 10, "en"), (4, "d " * 10, "de"),
+        (5, "e " * 10, "en"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t.strip(), l) for i, t, l in rows],
+        "doc_id long, text string, lang string",
+    )
+    out = chunking.pack_sequences(
+        df, seq_len=7, order_col="lang", emit_text=False
+    ).collect()
+    lang = {1: "en", 2: "de", 3: "en", 4: "de", 5: "en"}
+    # reconstruct each doc's global start: seq_id*7 + start_in_seq of its
+    # first segment; within the stream all de docs precede or follow all
+    # en docs as one contiguous block
+    starts = {}
+    for r in out:
+        pos = r["seq_id"] * 7 + r["start_in_seq"] - r["tok_start"]
+        starts.setdefault(r["doc_id"], pos)
+    ordered = [lang[d] for d, _ in sorted(starts.items(), key=lambda kv: kv[1])]
+    # grouped: exactly one transition between the two language blocks
+    transitions = sum(1 for a, b in zip(ordered, ordered[1:]) if a != b)
+    assert transitions == 1
+    # token conservation unchanged by the ordering knob
+    total = sum(r["n_tokens"] for r in out)
+    assert total == 5 * 10
