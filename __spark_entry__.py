@@ -1122,6 +1122,23 @@ def q_streaming_seq_integrity(spark, sf_dir):
     )
 
 
+def q_corpus_budget_mix(spark, sf_dir):
+    """Token-budget waterfilling mixture: 12k tokens at weights
+    en 0.2 / de 0.4 / zh 0.4 over the per-lang availability — de and zh
+    CANNOT supply their shares (both cap, taking all their tokens) and
+    the surplus waterfalls entirely to en; es/fr carry no weight and are
+    excluded, so the capped, uncapped and excluded arms all execute.  The
+    oracle replays the integer closed-form scan (fill-ratio sort, the two
+    prefix sums, the cross-multiplied capped rule, the floored residual
+    split) and the per-lang md5-prefix selection end to end."""
+    return corpus.budget_mix(
+        _docs(spark, sf_dir),
+        {"en": 0.2, "de": 0.4, "zh": 0.4},
+        12_000,
+        mix_col="lang",
+    )
+
+
 def q_corpus_vocab_drift(spark, sf_dir):
     """Token-distribution drift between the same two simulated snapshots
     as corpus_snapshot_diff (plus a planted ' driftmarker' token on the
@@ -3064,6 +3081,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_class_cube": q_turn_class_cube,
         "role_class_pivot": q_role_class_pivot,
         "corpus_pack_bylang": q_corpus_pack_bylang,
+        "corpus_budget_mix": q_corpus_budget_mix,
         "corpus_shard_assign": q_corpus_shard_assign,
         "corpus_overlap_matrix": q_corpus_overlap_matrix,
         "doc_bigram_surprise": q_doc_bigram_surprise,
@@ -3251,6 +3269,9 @@ FROM grp GROUP BY conv_id, sid"""
         "doc_chunks": _chunks_oracle(max_tokens=24, overlap=6, min_tokens=1),
         "corpus_pack_sequences": _pack_sequences_oracle(seq_len=64),
         "corpus_pack_bylang": _pack_sequences_oracle(seq_len=64, order_col="lang"),
+        "corpus_budget_mix": _budget_mix_oracle(
+            {"en": 200000, "de": 400000, "zh": 400000}, budget=12_000
+        ),
         "corpus_cap_group": _cap_group_oracle(group_col="lang", cap=100),
         "events_asof": _ASOF_ORACLE,
         "events_sliding": _sliding_oracle(window_sec=3600, slide_sec=900),
@@ -5864,6 +5885,61 @@ SELECT CAST(count(*) FILTER (WHERE ex) AS BIGINT) AS n_hot_keys,
        CAST(COALESCE(max(p), 0) AS BIGINT) AS max_key_pairs,
        (SELECT k FROM am) AS hot_key
 FROM allp
+"""
+
+
+def _budget_mix_oracle(w_micro: dict[str, int], budget: int) -> str:
+    """Mirror of q_corpus_budget_mix / corpus.budget_mix: per-lang token
+    availability, the integer fill-ratio sort ((avail·1e6) div w; ties
+    avail, group), the two prefix sums, the cross-multiplied capped rule
+    avail·W_from ≤ w·(B − pre_avail), the floored residual split for
+    uncapped groups, and the per-lang (md5(id), id) exclusive-cumsum
+    prefix selection — all integer, HUGEINT products."""
+    B = int(budget)
+    vals = ", ".join(f"('{k}', {int(v)})" for k, v in w_micro.items())
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter({_DOC_TOKENS}, x -> x <> '')) AS BIGINT)
+           AS n_tokens
+  FROM documents),
+w(grp, w_micro) AS (VALUES {vals}),
+avail AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS avail
+          FROM toks GROUP BY lang),
+g AS (
+  SELECT a.lang, a.avail, w.w_micro,
+         (CAST(a.avail AS HUGEINT) * 1000000) // w.w_micro AS quot
+  FROM avail a JOIN w ON a.lang = w.grp),
+s AS (
+  SELECT lang, avail, w_micro,
+         COALESCE(SUM(avail) OVER (ORDER BY quot, avail, lang
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre_avail,
+         SUM(w_micro) OVER (ORDER BY quot, avail, lang
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS w_from
+  FROM g),
+c AS (
+  SELECT *, CAST(avail AS HUGEINT) * w_from
+            <= CAST(w_micro AS HUGEINT) * ({B} - pre_avail) AS capped
+  FROM s),
+tot AS (
+  SELECT COALESCE(SUM(avail) FILTER (WHERE capped), 0) AS capped_avail,
+         COALESCE(SUM(w_micro) FILTER (WHERE NOT capped), 0) AS w_final
+  FROM c),
+tgt AS (
+  SELECT lang,
+         CASE WHEN capped THEN avail
+              ELSE CAST(CAST(w_micro AS HUGEINT) * ({B} - capped_avail)
+                        // w_final AS BIGINT) END AS target
+  FROM c, tot),
+cum AS (
+  SELECT t.doc_id, t.lang, t.n_tokens,
+         COALESCE(SUM(t.n_tokens) OVER (PARTITION BY t.lang
+           ORDER BY md5(CAST(t.doc_id AS VARCHAR)), t.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+  FROM toks t)
+SELECT c2.doc_id, c2.lang, c2.n_tokens
+FROM cum c2 JOIN tgt USING (lang)
+WHERE c2.excl < tgt.target
 """
 
 

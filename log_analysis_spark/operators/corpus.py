@@ -681,6 +681,138 @@ def cap_per_group(
     return df.join(under_ids.unionByName(over_ids), id_col)
 
 
+def budget_mix(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    budget_tokens: int,
+    mix_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_count_col: str | None = None,
+) -> DataFrame:
+    """Token-budget mixture planner: select documents totalling (up to)
+    ``budget_tokens`` whose per-group token mass follows ``weights`` —
+    with WATERFILLING when a group can't supply its share (the surplus
+    redistributes over the remaining groups by weight, the rule every
+    "60% web / 30% code / 10% books but code ran out" mix needs).  Groups
+    absent from ``weights`` get weight 0 (excluded).
+
+    The cut is the closed-form waterfilling scan, all-integer so a DuckDB
+    oracle replays it bit-for-bit: groups sort ascending by the integer
+    fill ratio ``(avail·1e6) div w_micro`` (ties: avail, group); walking
+    that order with two prefix sums, a group is CAPPED (takes all its
+    tokens) iff ``avail·W_from ≤ w·(B − prefix_avail_before)`` (W_from =
+    weights from this group onward — the pool its share divides over) —
+    cross-multiplied, no division; uncapped groups get ``target =
+    (w·B_final) div W_final`` of the post-cap budget.  Flooring may leave
+    up to |groups| tokens of budget unused — deterministic by design.
+
+    Selection within a group is the deterministic token-prefix rule: docs
+    ordered by (md5(id), id), a doc is kept iff its EXCLUSIVE in-group
+    running token sum is < target — so the kept mass overshoots the
+    target by at most one document (greedy prefix, same decorrelating
+    order as shard packing).
+
+    Scale shape: per-group avail is one map-side-combinable aggregate;
+    the waterfilling windows run over the |groups|-row stats table (the
+    bounded-single-partition class of pack's 256-row offset window);
+    targets broadcast back; the in-group cumsum is a keyed window (no
+    global funnel).  Output: selected ``(id, group, n_tokens)``."""
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError("weights must be non-negative with a positive sum")
+    w_rows = [(k, int(round(w * 1_000_000))) for k, w in weights.items()]
+    wdf = df.sparkSession.createDataFrame(
+        w_rows, "group string, w_micro long"
+    ).filter(F.col("w_micro") > 0)
+
+    n_tok = (
+        F.col(token_count_col)
+        if token_count_col
+        else F.size(F.filter(tokens_col(text_col), lambda x: x != ""))
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.col(mix_col).alias("group"),
+        n_tok.cast("long").alias("n_tokens"),
+    )
+    avail = toks.groupBy("group").agg(F.sum("n_tokens").alias("avail"))
+    g = avail.join(wdf, "group")  # inner: unweighted groups excluded
+
+    B = F.lit(int(budget_tokens)).cast("decimal(18,0)")
+    quot = F.expr("CAST((avail * 1000000) DIV w_micro AS BIGINT)")
+    order = [F.col("_quot"), F.col("avail"), F.col("group")]
+    win = Window.orderBy(*order)
+    stats = (
+        g.withColumn("_quot", quot)
+        .withColumn(
+            "_pre_avail",
+            F.coalesce(
+                F.sum("avail").over(win.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).cast("decimal(18,0)"),
+        )
+        .withColumn(
+            # the uncapped pool at my position INCLUDES me: my share of
+            # the residual budget is w·(B − pre_avail) / (w + W_strictly_after)
+            "_w_from",
+            F.coalesce(
+                F.sum("w_micro").over(
+                    win.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+                ),
+                F.lit(0),
+            ).cast("decimal(18,0)"),
+        )
+        .withColumn(
+            "_capped",
+            F.col("avail").cast("decimal(18,0)") * F.col("_w_from")
+            <= F.col("w_micro").cast("decimal(18,0)")
+            * (B - F.col("_pre_avail")),
+        )
+    )
+    totals = stats.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("_capped"), F.col("avail"))), F.lit(0)
+        ).cast("decimal(18,0)").alias("_capped_avail"),
+        F.coalesce(
+            F.sum(F.when(~F.col("_capped"), F.col("w_micro"))), F.lit(0)
+        ).cast("decimal(18,0)").alias("_w_final"),
+    )
+    targets = stats.crossJoin(F.broadcast(totals)).select(
+        "group",
+        F.when(F.col("_capped"), F.col("avail").cast("decimal(18,0)"))
+        .otherwise(
+            F.expr(
+                "CAST((w_micro * (CAST({b} AS DECIMAL(18,0)) - _capped_avail))"
+                " DIV _w_final AS DECIMAL(38,0))".format(b=int(budget_tokens))
+            )
+        )
+        .cast("long")
+        .alias("_target"),
+    )
+
+    in_group = Window.partitionBy("group").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    cum = toks.withColumn(
+        "_excl",
+        F.coalesce(
+            F.sum("n_tokens").over(
+                in_group.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    return (
+        cum.join(F.broadcast(targets), "group")
+        .filter(F.col("_excl") < F.col("_target"))
+        .select(id_col, F.col("group").alias(mix_col), "n_tokens")
+    )
+
+
 def temperature_mix(
     df: DataFrame,
     strata_col: str = "source",

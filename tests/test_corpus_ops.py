@@ -423,3 +423,52 @@ def test_rendezvous_validation(spark):
         rendezvous_assign(docs, [])
     with _pytest.raises(ValueError, match="distinct"):
         rendezvous_assign(docs, ["a", "a"])
+
+
+def test_budget_mix_waterfilling(spark):
+    from log_analysis_spark.operators import corpus as C
+    from pyspark.sql import functions as F
+
+    rows = (
+        [(i, "t " * 10, "A") for i in range(10)]
+        + [(i, "t " * 10, "B") for i in range(10, 13)]
+        + [(i, "t " * 10, "C") for i in range(13, 18)]
+    )
+    df = spark.createDataFrame(
+        [(i, t.strip(), g) for i, t, g in rows],
+        "doc_id long, text string, source string",
+    )
+
+    def masses(out):
+        return {
+            r["source"]: r["tok"]
+            for r in out.groupBy("source")
+            .agg(F.sum("n_tokens").alias("tok"))
+            .collect()
+        }
+
+    # equal weights, budget 120: B (30 avail) caps, surplus waterfalls to
+    # A and C (target 45 → greedy prefix overshoots to 50 at 10-token docs)
+    m = masses(C.budget_mix(df, {"A": 1.0, "B": 1.0, "C": 1.0}, 120))
+    assert m == {"A": 50, "B": 30, "C": 50}
+    # no group caps: equal thirds
+    m = masses(C.budget_mix(df, {"A": 1.0, "B": 1.0, "C": 1.0}, 60))
+    assert m == {"A": 20, "B": 20, "C": 20}
+    # budget >= corpus: everything kept, capped arm only
+    out = C.budget_mix(df, {"A": 1.0, "B": 1.0, "C": 1.0}, 10_000)
+    assert out.count() == 18 and sum(masses(out).values()) == 180
+    # unweighted groups are excluded entirely
+    m = masses(C.budget_mix(df, {"A": 2.0, "B": 1.0}, 60))
+    assert set(m) == {"A", "B"} and m["A"] == 40 and m["B"] == 20
+    # determinism: same call, same doc set
+    ids1 = {r["doc_id"] for r in C.budget_mix(df, {"A": 1.0}, 50).collect()}
+    ids2 = {r["doc_id"] for r in C.budget_mix(df, {"A": 1.0}, 50).collect()}
+    assert ids1 == ids2 and len(ids1) == 5
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        C.budget_mix(df, {}, 100)
+    with _pt.raises(ValueError):
+        C.budget_mix(df, {"A": -1.0}, 100)
+    with _pt.raises(ValueError):
+        C.budget_mix(df, {"A": 1.0}, -5)
