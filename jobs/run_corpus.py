@@ -160,6 +160,19 @@ def main() -> None:
     ap.add_argument("--target-fraction", type=float, default=0.5)
     ap.add_argument("--mix-col", default="source")
     ap.add_argument(
+        "--budget-mix-weights", default=None,
+        help="JSON per-group target weights for the token-budget "
+        'waterfilling mixture, e.g. \'{"en": 0.6, "de": 0.4}\' '
+        "(requires --budget-mix-tokens; mutually exclusive with --rates "
+        "and --temperature; groups run over --mix-col)",
+    )
+    ap.add_argument("--budget-mix-tokens", type=int, default=None)
+    ap.add_argument(
+        "--pack-order-col", default=None,
+        help="group-coherent shard packing: order the packed token stream "
+        "(group, md5(id)) so same-group docs are adjacent (e.g. lang)",
+    )
+    ap.add_argument(
         "--split-eval-frac", type=float, default=None,
         help="emit a leakage-safe train/eval split column (near-dup groups "
         "via MinHash LSH land in one split atomically)",
@@ -433,8 +446,17 @@ def main() -> None:
         n_dsir = None
 
     rates = json.loads(args.rates)
-    if rates and args.temperature is not None:
-        raise SystemExit("--rates and --temperature are mutually exclusive")
+    n_mix_modes = sum(
+        1 for on in (bool(rates), args.temperature is not None,
+                     args.budget_mix_weights is not None) if on
+    )
+    if n_mix_modes > 1:
+        raise SystemExit(
+            "--rates, --temperature and --budget-mix-weights are mutually "
+            "exclusive sampling modes"
+        )
+    if args.budget_mix_weights is not None and args.budget_mix_tokens is None:
+        raise SystemExit("--budget-mix-weights requires --budget-mix-tokens")
     if rates:
         docs = corpus.stratified_sample(docs, args.strata_col, rates)
     elif args.temperature is not None:
@@ -443,6 +465,14 @@ def main() -> None:
             temperature=args.temperature,
             target_fraction=args.target_fraction,
         )
+    elif args.budget_mix_weights is not None:
+        sel = corpus.budget_mix(
+            docs,
+            json.loads(args.budget_mix_weights),
+            args.budget_mix_tokens,
+            mix_col=args.mix_col,
+        ).select("doc_id")
+        docs = docs.join(F.broadcast(sel), "doc_id")
     # docs feeds pack_shards AND the final join — persist so the sampled
     # scrubbed frame isn't recomputed on both sides
     docs, n_sampled = _materialize(docs)
@@ -491,7 +521,9 @@ def main() -> None:
     else:
         part_cols = ["shard"]
 
-    packed = corpus.pack_shards(docs, budget=args.budget)
+    packed = corpus.pack_shards(
+        docs, budget=args.budget, order_col=args.pack_order_col
+    )
     out = (
         docs.join(packed.select("doc_id", "n_tokens", "shard"), "doc_id")
     )

@@ -204,6 +204,7 @@ def pack_shards(
     id_col: str = "doc_id",
     token_count_col: str | None = None,
     text_col: str = "text",
+    order_col: str | None = None,
 ) -> DataFrame:
     """Deterministic token-budget packing → (id, n_tokens, pack_key, shard).
 
@@ -230,7 +231,7 @@ def pack_shards(
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     return (
-        global_token_offsets(df, id_col, token_count_col, text_col)
+        global_token_offsets(df, id_col, token_count_col, text_col, order_col)
         .withColumn("shard", F.floor(F.col("_goff") / F.lit(int(budget))))
         .select(id_col, "n_tokens", "pack_key", "shard")
     )

@@ -752,3 +752,48 @@ def test_submit_retrieval_job(pkg_zip, tmp_path):
             ON s.query_id = h.query_id AND s.doc_id = h.doc_id"""
     ).fetchone()[0]
     assert orphan == 0
+
+
+def test_submit_corpus_budget_mix_and_ordered_pack(pkg_zip, tmp_path):
+    """--budget-mix-weights + --budget-mix-tokens replaces the sampling
+    stage with the waterfilling planner, and --pack-order-col lang packs
+    the stream group-coherently; mutual exclusivity with --temperature is
+    enforced."""
+    res = _submit(
+        pkg_zip,
+        "run_corpus.py",
+        [
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--out", str(tmp_path / "bm"),
+            "--budget", "1024",
+            "--budget-mix-weights", '{"en": 0.5, "de": 0.25, "zh": 0.25}',
+            "--budget-mix-tokens", "2000",
+            "--mix-col", "lang",
+            "--pack-order-col", "lang",
+        ],
+        cwd=tmp_path,
+    )
+    assert 0 < res["n_after_sampling"] < res["n_input"]
+    # the budget bound holds (greedy prefix can overshoot per group by at
+    # most one doc; bound by budget + |groups| * max doc length, and the
+    # unweighted langs contribute nothing)
+    assert res["total_tokens"] <= 2000 + 3 * 200
+    import duckdb
+
+    langs = {
+        r[0]
+        for r in duckdb.connect().execute(
+            f"SELECT DISTINCT lang FROM read_parquet("
+            f"'{tmp_path}/bm/shards/**/*.parquet', hive_partitioning=1)"
+        ).fetchall()
+    }
+    assert langs <= {"en", "de", "zh"}
+
+    out = subprocess.run(
+        ["python", str(REPO / "jobs" / "run_corpus.py"),
+         "--sf-dir", "/root/testdata/sf0.001", "--out", str(tmp_path / "x"),
+         "--budget-mix-weights", '{"en": 1.0}', "--budget-mix-tokens", "100",
+         "--temperature", "2.0"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert out.returncode != 0 and "mutually" in (out.stderr + out.stdout)
