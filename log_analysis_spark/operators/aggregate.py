@@ -148,10 +148,12 @@ def pivot_matrix(
     extra distinct-collect job AND makes the output schema data-dependent
     — a moving target no downstream table contract (or cross-engine
     oracle) can pin.  Values outside the list are DROPPED, matching SQL
-    PIVOT ... IN (...).  Scale shape: with explicit values Spark compiles
-    the pivot to one groupBy(row_key) over pivot-aggregate expressions —
-    a single narrow shuffle keyed by row_key, identical to hand-written
-    conditional counts."""
+    PIVOT ... IN (...).  Scale shape: Spark compiles the explicit-values
+    pivot TWO-PHASE — a partial (row_key, col_key) count exchange, then
+    the row_key-keyed pivot aggregate — both narrow (key + count
+    columns); the partial pre-aggregation means a hot row_key's rows
+    combine map-side before the final pivot, the skew-safer shape
+    (plan-audited in EXPLAIN.md)."""
     if not col_values:
         raise ValueError("col_values must be non-empty (explicit schema)")
     out = (

@@ -1941,6 +1941,100 @@ def main() -> int:
     ]
     sections.append(("Interval x interval overlap join", ovj_plan, notes))
 
+    # ---- session-17 operators ---------------------------------------------
+    from log_analysis_spark.operators import expectations as exp17
+    from log_analysis_spark.operators import sketches as sk17
+    from log_analysis_spark.operators import textstats as ts17
+
+    # sequence integrity: ONE group-keyed integer aggregate — no window,
+    # no sort, no text column in any exchange
+    seq = exp17.sequence_integrity(turns)
+    seq_plan = executed(seq)
+    seq_shufs = shuffle_schemas(seq)
+    notes = [
+        check("sequence integrity: no Window/Sort node — pure counting",
+              "Window" not in seq_plan),
+        check("sequence integrity: exchanges carry group/idx ints only, "
+              "never text",
+              all("text" not in cols for _p, cols in seq_shufs),
+              f"shuffles={[c for _p, c in seq_shufs]}"),
+    ]
+    sections.append(("Turn-sequence integrity audit", seq_plan, notes))
+
+    # join-size planner: no exchange carries a wide payload — per-key
+    # counts, decimal-sum partials (sum/isEmpty pairs) and the 1-row fold
+    ev17 = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id")
+    jsz = sk17.join_size_estimate(ev17, ev17, "user_id", hh_k=128)
+    jsz_shufs = shuffle_schemas(jsz)
+    notes = [
+        check("join-size planner: every exchange carries only key/count/"
+              "aggregate-partial columns — never row payloads",
+              all(
+                  set(cols) <= {"k", "na", "nb", "item", "cnt", "n_part",
+                                "count", "sum", "isEmpty", "min", "max",
+                                "p", "_exact", "user_id"}
+                  for _p, cols in jsz_shufs
+              ),
+              f"shuffles={[c for _p, c in jsz_shufs]}"),
+    ]
+    sections.append(("End-biased join-size pre-flight", executed(jsz), notes))
+
+    # vocabulary drift: the token shuffle carries (tok, count, count);
+    # the top-k cut is TakeOrderedAndProject, never a global sort
+    vd = ts17.vocab_drift(
+        docs.filter(F.col("doc_id") % 7 != 0), docs.filter(F.col("doc_id") % 5 != 0),
+        top_k=50,
+    )
+    vd_plan = executed(vd)
+    notes = [
+        check("vocab drift: top-k via TakeOrderedAndProject (no global sort)",
+              "TakeOrderedAndProject" in vd_plan),
+        check("vocab drift: no exchange carries document text",
+              all("text" not in cols for _p, cols in shuffle_schemas(vd))),
+    ]
+    sections.append(("Cross-snapshot vocabulary drift", vd_plan, notes))
+
+    # budget mixture: the waterfilling windows run over the |groups|-row
+    # stats table only; the doc-level cumsum is a KEYED window (partitioned
+    # by group — no corpus-wide single-partition funnel); no text in any
+    # exchange
+    bm = corpus.budget_mix(
+        docs, {"en": 0.4, "de": 0.3, "zh": 0.3}, 5_000, mix_col="lang"
+    )
+    bm_plan = executed(bm)
+    notes = [
+        check("budget mix: no exchange carries document text",
+              all("text" not in cols for _p, cols in shuffle_schemas(bm))),
+        check("budget mix: the per-doc cumsum exchange is KEYED by group "
+              "(data rows never funnel through a single partition; the "
+              "only SinglePartition stages are the |groups|-row "
+              "waterfilling scans)",
+              any("group" in p for p, _c in shuffle_schemas(bm))),
+    ]
+    sections.append(("Token-budget waterfilling mixture", bm_plan, notes))
+
+    # dimensional cube: ONE Expand + ONE aggregate exchange, never 2^dims
+    # scans; pivot: one row-key exchange
+    cube = agg.dimensional_rollup(parsed, ["turn_class", "role"])
+    cube_plan = executed(cube)
+    notes = [
+        check("cube: single Expand node feeds one aggregate (no repeated "
+              "scans per grouping set)",
+              cube_plan.count("Expand") >= 1
+              and cube_plan.count("FileScan") <= 1),
+        check("pivot: two narrow keyed exchanges (the partial (row, col) "
+              "count, then the row-keyed pivot) — map-side combine before "
+              "the pivot, no text in any exchange",
+              (lambda sh: len(sh) == 2
+               and all("role" in p for p, _c in sh)
+               and all("text" not in c for _p, cols in sh for c in cols))(
+                  shuffle_schemas(
+                      agg.pivot_matrix(parsed, "role", "turn_class",
+                                       ["error", "info", "request",
+                                        "timing", "unknown"])))),
+    ]
+    sections.append(("Dimensional cube + pivot", cube_plan, notes))
+
     # ---- write EXPLAIN.md -------------------------------------------------
     md = ["# EXPLAIN audit — physical plans vs 100 TB design intents",
           "",
