@@ -1122,6 +1122,43 @@ def q_streaming_seq_integrity(spark, sf_dir):
     )
 
 
+def q_streaming_vocab_drift(spark, sf_dir):
+    """§2.9 streaming twin of corpus_vocab_drift: the old snapshot's token
+    counts are FROZEN (the reference LM) while the new snapshot streams in
+    — per micro-batch its (tok, n) counts fold additively into versioned
+    state, and the final read runs the SAME from-counts finisher as
+    batch, so the drained result equals the batch oracle exactly."""
+    import os
+    import tempfile
+
+    from log_analysis_spark.operators import textstats as T
+    from log_analysis_spark.streaming.sketch_stream import (
+        run_stream_vocab_drift,
+    )
+
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.col("text"), F.lit(" driftmarker")),
+        ).otherwise(F.col("text")),
+    )
+    work = tempfile.mkdtemp(prefix="vocab_stream_")
+    os.makedirs(f"{work}/src")
+    new.select("doc_id", "text").write.mode("overwrite").parquet(f"{work}/src")
+    return run_stream_vocab_drift(
+        spark,
+        f"{work}/src",
+        f"{work}/state",
+        "doc_id long, text string",
+        ref_counts=T.token_counts(old),
+        top_k=200,
+        min_total=5,
+    )
+
+
 def q_corpus_budget_mix(spark, sf_dir):
     """Token-budget waterfilling mixture: 12k tokens at weights
     en 0.2 / de 0.4 / zh 0.4 over the per-lang availability — de and zh
@@ -3082,6 +3119,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_class_pivot": q_role_class_pivot,
         "corpus_pack_bylang": q_corpus_pack_bylang,
         "corpus_budget_mix": q_corpus_budget_mix,
+        "streaming_vocab_drift": q_streaming_vocab_drift,
         "corpus_shard_assign": q_corpus_shard_assign,
         "corpus_overlap_matrix": q_corpus_overlap_matrix,
         "doc_bigram_surprise": q_doc_bigram_surprise,
@@ -3783,6 +3821,9 @@ FROM resp GROUP BY conv_id"""),
         "doc_normalize_unicode": _normalize_oracle(),
         "doc_fuzzy_decontam": _fuzzy_decontam_oracle(threshold=0.2),
         "corpus_vocab_drift": _vocab_drift_oracle(top_k=200, min_total=5),
+        # the streaming twin folds the SAME snapshots through additive
+        # token counts + the shared finisher — one oracle serves both
+        "streaming_vocab_drift": _vocab_drift_oracle(top_k=200, min_total=5),
         "orders_join_size": _join_size_oracle(
             ("orders", "o_orderkey"), ("lineitem", "l_orderkey"),
             mod=256, keep=32, hh_k=64,

@@ -497,20 +497,51 @@ def vocab_drift(
     payload, never text); totals + vocab size are a one-row broadcast; the
     top-k cut is orderBy().limit() = per-partition top-k + driver merge
     (TakeOrderedAndProject), so no global sort materializes."""
+    return vocab_drift_from_counts(
+        token_counts(df_old, text_col, id_col, lowercase),
+        token_counts(df_new, text_col, id_col, lowercase),
+        top_k,
+        min_total,
+    )
+
+
+def token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """(tok, n) corpus token counts — the ADDITIVE cell form of a unigram
+    LM snapshot (fold per micro-batch and the stream equals the batch
+    recount exactly); feeds ``vocab_drift_from_counts``."""
+    return (
+        token_table(df, text_col, id_col, lowercase)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def vocab_drift_from_counts(
+    old_counts: DataFrame,
+    new_counts: DataFrame,
+    top_k: int = 100,
+    min_total: int = 5,
+) -> DataFrame:
+    """The drift finisher over two (tok, n) count tables — shared verbatim
+    by the batch operator and the streaming twin (reference counts frozen,
+    current side folded additively), so the two cannot drift (see
+    vocab_drift)."""
     if top_k < 1:
         raise ValueError(f"top_k must be >= 1, got {top_k}")
     if min_total < 1:
         raise ValueError(f"min_total must be >= 1, got {min_total}")
-    tok = token_table(df_old, text_col, id_col, lowercase).select(
-        "tok", F.lit(False).alias("_is_new")
-    ).unionByName(
-        token_table(df_new, text_col, id_col, lowercase).select(
-            "tok", F.lit(True).alias("_is_new")
+    counts = (
+        old_counts.select("tok", F.col("n").alias("n_old"), F.lit(0).cast("long").alias("n_new"))
+        .unionByName(
+            new_counts.select("tok", F.lit(0).cast("long").alias("n_old"), F.col("n").alias("n_new"))
         )
-    )
-    counts = tok.groupBy("tok").agg(
-        F.count_if(~F.col("_is_new")).alias("n_old"),
-        F.count_if(F.col("_is_new")).alias("n_new"),
+        .groupBy("tok")
+        .agg(F.sum("n_old").alias("n_old"), F.sum("n_new").alias("n_new"))
     )
     tots = counts.agg(
         F.sum("n_old").cast("double").alias("_to"),

@@ -452,3 +452,54 @@ def run_stream_seq_integrity(
         raise RuntimeError("no micro-batch produced state")
     final = spark.read.parquet(f"{sk_dir}/version={v}")
     return exp_ops.sequence_integrity_from_cells(final, start_at)
+
+
+def run_stream_vocab_drift(
+    spark: SparkSession,
+    src_path: str,
+    state_dir: str,
+    schema: str,
+    ref_counts: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 100,
+    min_total: int = 5,
+) -> DataFrame:
+    """Streaming vocabulary-drift monitor: the CURRENT corpus's (tok, n)
+    token counts (``textstats.token_counts``) fold per micro-batch into
+    versioned bounded state (token counts are ADDITIVE, so the folded
+    state equals the batch recount at any batch boundary), then the final
+    read scores drift against a FROZEN reference snapshot's counts through
+    the SAME ``textstats.vocab_drift_from_counts`` finisher batch runs —
+    the reference-frozen / current-streaming shape of the PSI monitor, at
+    the vocabulary level (which token shifted, not just that the
+    distribution moved)."""
+    from log_analysis_spark.operators import textstats as ts_ops
+
+    stream = spark.readStream.schema(schema).parquet(src_path)
+    sk_dir = f"{state_dir}/vocabcells"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        new = ts_ops.token_counts(batch_df, text_col, id_col)
+        prev_v = _latest_version(sk_dir, batch_id)
+        if prev_v is not None:
+            prev = spark.read.parquet(f"{sk_dir}/version={prev_v}")
+            new = (
+                new.unionByName(prev)
+                .groupBy("tok")
+                .agg(F.sum("n").cast("long").alias("n"))
+            )
+        new.write.mode("overwrite").parquet(f"{sk_dir}/version={batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{state_dir}/ckpt_vocab")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    v = _latest_version(sk_dir, 1 << 62)
+    if v is None:
+        raise RuntimeError("no micro-batch produced state")
+    final = spark.read.parquet(f"{sk_dir}/version={v}")
+    return ts_ops.vocab_drift_from_counts(ref_counts, final, top_k, min_total)

@@ -809,3 +809,33 @@ def test_streaming_seq_integrity_equals_batch(spark, tmp_path):
     r = {x["group"]: x for x in got.collect()}
     assert r["a"]["n_missing"] == 1 and r["b"]["n_dup_rows"] == 1
     assert r["c"]["is_contiguous"]
+
+
+def test_streaming_vocab_drift_equals_batch(spark, tmp_path):
+    """Token counts folded across TWO micro-batch drops (the same token
+    appearing in both batches must ADD across the boundary) against a
+    frozen reference snapshot yield exactly the batch drift table."""
+    from log_analysis_spark.operators import textstats as T
+    from log_analysis_spark.streaming.sketch_stream import (
+        run_stream_vocab_drift,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta beta gamma"), (2, "alpha beta delta")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (3, "alpha zeta zeta zeta")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "vd_src")
+    # 'alpha' and 'zeta' occurrences straddle the two drops
+    new.filter("doc_id = 1").coalesce(1).write.mode("append").parquet(src)
+    new.filter("doc_id = 3").coalesce(1).write.mode("append").parquet(src)
+    got = run_stream_vocab_drift(
+        spark, src, str(tmp_path / "vd_state"),
+        "doc_id long, text string",
+        ref_counts=T.token_counts(old), top_k=10, min_total=1,
+    )
+    want = T.vocab_drift(old, new, top_k=10, min_total=1)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
