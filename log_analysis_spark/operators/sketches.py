@@ -269,7 +269,10 @@ def join_size_estimate(
     SCAN (~keep/mod of rows survive to a sample-sized count aggregate);
     hot membership tests are broadcasts of a ≤ 2·hh_k key set; the final
     fold is a 1-row aggregate.  NULL keys are excluded (equi-join
-    semantics: NULL matches nothing)."""
+    semantics: NULL matches nothing).  Passing the SAME DataFrame object
+    as both sides (self-join planning, the Σ n_v² blast-radius case) is
+    detected and computes each pass once — the estimate is identical by
+    symmetry."""
     if not (0 < keep <= mod):
         raise ValueError(f"need 0 < keep <= mod, got keep={keep} mod={mod}")
     if hh_k < 2:
@@ -279,13 +282,17 @@ def join_size_estimate(
         kc = F.col(key_col).cast("string")
         return df.filter(kc.isNotNull()).select(kc.alias("k"))
 
-    la, rb = keyed(left), keyed(right)
-    hot = (
-        heavy_hitters(la, "k", hh_k)
-        .select(F.col("item").alias("k"))
-        .unionByName(heavy_hitters(rb, "k", hh_k).select(F.col("item").alias("k")))
-        .distinct()
-    )
+    # self-join planning (left IS right — the Σ n_v² blast-radius case)
+    # is symmetric: one heavy-hitter pass, one count table per arm,
+    # na == nb — half the scans of the general case
+    self_join = left is right
+    la = keyed(left)
+    rb = la if self_join else keyed(right)
+    hot = heavy_hitters(la, "k", hh_k).select(F.col("item").alias("k"))
+    if not self_join:
+        hot = hot.unionByName(
+            heavy_hitters(rb, "k", hh_k).select(F.col("item").alias("k"))
+        ).distinct()
 
     def hot_counts(side: DataFrame, cnt: str) -> DataFrame:
         return (
@@ -319,11 +326,18 @@ def join_size_estimate(
         ).cast("decimal(38,0)")
         return j.select("k", p.alias("p"), F.lit(is_hot).alias("_exact"))
 
-    allp = products(
-        hot_counts(la, "na").join(hot_counts(rb, "nb"), "k"), True
-    ).unionByName(
-        products(tail_counts(la, "na").join(tail_counts(rb, "nb"), "k"), False)
-    )
+    if self_join:
+        hc = hot_counts(la, "na").withColumn("nb", F.col("na"))
+        tc = tail_counts(la, "na").withColumn("nb", F.col("na"))
+        allp = products(hc, True).unionByName(products(tc, False))
+    else:
+        allp = products(
+            hot_counts(la, "na").join(hot_counts(rb, "nb"), "k"), True
+        ).unionByName(
+            products(
+                tail_counts(la, "na").join(tail_counts(rb, "nb"), "k"), False
+            )
+        )
     folded = allp.agg(
         F.count_if(F.col("_exact")).cast("long").alias("n_hot_keys"),
         F.coalesce(

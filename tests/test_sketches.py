@@ -459,3 +459,16 @@ def test_join_size_nulls_and_validation(spark):
         SK.join_size_estimate(left, right, "jk", mod=4, keep=8)
     with pytest.raises(ValueError):
         SK.join_size_estimate(left, right, "jk", hh_k=1)
+
+
+def test_join_size_self_join_fast_path_matches_two_copies(spark):
+    ev = spark.range(3000).selectExpr("CAST(id % 37 AS STRING) AS jk").unionAll(
+        spark.range(600).selectExpr("'hot' AS jk")
+    )
+    ev2 = spark.range(3000).selectExpr("CAST(id % 37 AS STRING) AS jk").unionAll(
+        spark.range(600).selectExpr("'hot' AS jk")
+    )
+    a = SK.join_size_estimate(ev, ev, "jk", hh_k=32).first()    # self-join path
+    b = SK.join_size_estimate(ev, ev2, "jk", hh_k=32).first()   # general path
+    assert tuple(a) == tuple(b)
+    assert a["hot_key"] == "hot" and a["max_key_pairs"] == 600 * 600
