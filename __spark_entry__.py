@@ -1122,6 +1122,19 @@ def q_streaming_seq_integrity(spark, sf_dir):
     )
 
 
+def q_events_robust_outliers(spark, sf_dir):
+    """Median/MAD robust outlier annotation of every event's value within
+    its event_type — the breakdown-resistant complement of the mean/σ
+    z-test family, entirely in integer cell units on the shared 0.01
+    grid.  The oracle replays the grid quantization, both median cuts
+    (value cells, then integer deviation cells) and the cross-multiplied
+    flag row for row across all 10k events."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sketches.robust_outliers(
+        ev, "value", resolution=0.01, k_milli=3500, group="event_type"
+    ).select("event_id", "event_type", "dev_cells", "mad_cells", "is_outlier")
+
+
 def q_streaming_vocab_drift(spark, sf_dir):
     """§2.9 streaming twin of corpus_vocab_drift: the old snapshot's token
     counts are FROZEN (the reference LM) while the new snapshot streams in
@@ -3120,6 +3133,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_bylang": q_corpus_pack_bylang,
         "corpus_budget_mix": q_corpus_budget_mix,
         "streaming_vocab_drift": q_streaming_vocab_drift,
+        "events_robust_outliers": q_events_robust_outliers,
         "corpus_shard_assign": q_corpus_shard_assign,
         "corpus_overlap_matrix": q_corpus_overlap_matrix,
         "doc_bigram_surprise": q_doc_bigram_surprise,
@@ -3824,6 +3838,9 @@ FROM resp GROUP BY conv_id"""),
         # the streaming twin folds the SAME snapshots through additive
         # token counts + the shared finisher — one oracle serves both
         "streaming_vocab_drift": _vocab_drift_oracle(top_k=200, min_total=5),
+        "events_robust_outliers": _robust_outliers_oracle(
+            resolution=0.01, k_milli=3500
+        ),
         "orders_join_size": _join_size_oracle(
             ("orders", "o_orderkey"), ("lineitem", "l_orderkey"),
             mod=256, keep=32, hh_k=64,
@@ -5981,6 +5998,49 @@ cum AS (
 SELECT c2.doc_id, c2.lang, c2.n_tokens
 FROM cum c2 JOIN tgt USING (lang)
 WHERE c2.excl < tgt.target
+"""
+
+
+def _robust_outliers_oracle(
+    resolution: float, k_milli: int, group: str = "event_type"
+) -> str:
+    """Replay of q_events_robust_outliers: floor-quantized value cells,
+    the per-group median cell (smallest cell whose CDF reaches
+    ceil(0.5·n) — the _hist_quantiles_oracle rule), integer deviation
+    cells, the deviation median (MAD), and the cross-multiplied flag —
+    all integers past the shared grid quantizer."""
+    inv = 1.0 / resolution
+    return f"""
+WITH xs AS (
+  SELECT event_id, {group},
+         CASE WHEN value IS NOT NULL
+              THEN CAST(floor(value * {inv}) AS BIGINT) END AS xc
+  FROM events),
+h AS (SELECT {group}, xc AS cell, count(*) AS c
+      FROM xs WHERE xc IS NOT NULL GROUP BY 1, 2),
+medc AS (
+  SELECT {group}, min(cell) AS medc FROM (
+    SELECT {group}, cell,
+           sum(c) OVER (PARTITION BY {group} ORDER BY cell) AS cum,
+           sum(c) OVER (PARTITION BY {group}) AS n
+    FROM h) WHERE cum >= ceil(0.5 * n) GROUP BY 1),
+dev AS (
+  SELECT x.event_id, x.{group},
+         CASE WHEN x.xc IS NOT NULL THEN abs(x.xc - m.medc) END AS dev
+  FROM xs x JOIN medc m USING ({group})),
+dh AS (SELECT {group}, dev AS cell, count(*) AS c
+       FROM dev WHERE dev IS NOT NULL GROUP BY 1, 2),
+madc AS (
+  SELECT {group}, min(cell) AS madc FROM (
+    SELECT {group}, cell,
+           sum(c) OVER (PARTITION BY {group} ORDER BY cell) AS cum,
+           sum(c) OVER (PARTITION BY {group}) AS n
+    FROM dh) WHERE cum >= ceil(0.5 * n) GROUP BY 1)
+SELECT d.event_id, d.{group},
+       CAST(d.dev AS BIGINT) AS dev_cells,
+       CAST(ma.madc AS BIGINT) AS mad_cells,
+       COALESCE(1000 * d.dev > {int(k_milli)} * ma.madc, FALSE) AS is_outlier
+FROM dev d JOIN madc ma USING ({group})
 """
 
 

@@ -466,6 +466,82 @@ def quantiles_from_cells(
     return out
 
 
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    resolution: float = 0.01,
+    k_milli: int = 3500,
+    group: str | list[str] | None = None,
+) -> DataFrame:
+    """Median/MAD outlier annotation — the ROBUST complement of the
+    mean/σ z-test family (``timeseries.burst_hours`` etc.): a single
+    extreme value inflates both the mean and σ enough to hide itself,
+    while the median and the median-absolute-deviation ignore up to half
+    the data being wild.  Flags rows where ``|x − median| > (k_milli /
+    1000) · MAD``, per ``group`` if given.
+
+    Everything happens on the fixed resolution grid, in INTEGER cell
+    units: ``dev_cells = |floor(x/res) − median_cell|``, MAD = the median
+    of those integer deviations, and the flag is the cross-multiplied
+    comparison ``1000·dev_cells > k_milli·mad_cells`` — no float past the
+    shared grid quantizer, so a DuckDB oracle replays row for row.
+    ``MAD = 0`` (at least half the group sits in one cell) flags ANY
+    deviation — the degenerate-scale behavior the burst z-test's var=0
+    rule also chose, and the robust-statistics convention for "the bulk
+    is constant, anything else is anomalous".
+
+    Scale shape: two bounded cell aggregates (the ``hist_quantiles``
+    machinery — state ~ occupied cells, never rows) and two broadcast
+    med/MAD attach joins; the data rows are NEVER re-shuffled — the
+    ``clip_to_quantiles`` class.  Output: the input columns +
+    ``dev_cells`` (long; NULL for NULL values) + ``mad_cells`` (long) +
+    ``is_outlier`` (bool, false for NULL values)."""
+    if k_milli < 0:
+        raise ValueError(f"k_milli must be >= 0, got {k_milli}")
+    keys = _group_keys(group)
+    inv = 1.0 / resolution
+    xc = F.floor(F.col(value_col) * F.lit(inv)).cast("long")
+
+    med = quantiles_from_cells(
+        value_cells(df, value_col, resolution, group), [0.5], resolution, group
+    ).select(
+        *keys, F.round(F.col("value") * F.lit(inv)).cast("long").alias("_medc")
+    )
+    with_dev = (
+        df.join(F.broadcast(med), keys)
+        if keys
+        else df.crossJoin(F.broadcast(med))
+    ).withColumn(
+        "dev_cells",
+        F.when(
+            F.col(value_col).isNotNull(), F.abs(xc - F.col("_medc"))
+        ),
+    )
+    mad = quantiles_from_cells(
+        value_cells(
+            with_dev.withColumn("_devd", F.col("dev_cells").cast("double")),
+            "_devd",
+            1.0,
+            group,
+        ),
+        [0.5],
+        1.0,
+        group,
+    ).select(*keys, F.round(F.col("value")).cast("long").alias("mad_cells"))
+    out = (
+        with_dev.join(F.broadcast(mad), keys)
+        if keys
+        else with_dev.crossJoin(F.broadcast(mad))
+    )
+    return out.withColumn(
+        "is_outlier",
+        F.when(
+            F.col("dev_cells").isNotNull(),
+            F.lit(1000) * F.col("dev_cells") > F.lit(int(k_milli)) * F.col("mad_cells"),
+        ).otherwise(F.lit(False)),
+    ).drop("_medc")
+
+
 def kmv_set_estimates(
     a: DataFrame, b: DataFrame, k: int = 256
 ) -> DataFrame:

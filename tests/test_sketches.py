@@ -472,3 +472,31 @@ def test_join_size_self_join_fast_path_matches_two_copies(spark):
     b = SK.join_size_estimate(ev, ev2, "jk", hh_k=32).first()   # general path
     assert tuple(a) == tuple(b)
     assert a["hot_key"] == "hot" and a["max_key_pairs"] == 600 * 600
+
+
+def test_robust_outliers_planted(spark):
+    rows = (
+        # group A: bulk at 10.00 with slight jitter + one wild spike;
+        # the spike inflates a mean/sigma z-test's sigma, MAD ignores it
+        [("A", 10.0 + 0.01 * (i % 3)) for i in range(20)]
+        + [("A", 500.0)]
+        # group B: exactly constant -> MAD 0 -> ANY deviation flags
+        + [("B", 7.0)] * 10
+        + [("B", 7.5)]
+        # a NULL value rides through unflagged
+        + [("A", None)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = SK.robust_outliers(df, "v", resolution=0.01, k_milli=3500, group="g")
+    flagged = [(r["g"], r["v"]) for r in out.filter("is_outlier").collect()]
+    assert flagged == [("A", 500.0)] + [("B", 7.5)]
+    nulls = out.filter("v IS NULL").collect()
+    assert len(nulls) == 1 and not nulls[0]["is_outlier"]
+    assert nulls[0]["dev_cells"] is None
+    # the jittered bulk stays unflagged (dev <= 2 cells, MAD >= ... )
+    bulk = out.filter("g = 'A' AND v < 100 AND v IS NOT NULL")
+    assert bulk.filter("is_outlier").count() == 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        SK.robust_outliers(df, "v", k_milli=-1)
