@@ -357,22 +357,27 @@ def image_dhash(media: DataFrame) -> DataFrame:
     )
 
 
-def image_neardup_pairs(
-    hashes: DataFrame, max_hamming: int = 3, bands: int = 4
+def hamming_neardup_pairs(
+    hashes: DataFrame,
+    hash_col: str,
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    bands: int = 4,
 ) -> DataFrame:
-    """Near-duplicate IMAGE pairs from a (media_id, dhash) table —
-    re-encodes, slight crops/noise, brightness-preserving edits — via
-    banded Hamming blocking: split the 64-bit hash into ``bands``
+    """Near-duplicate pairs from ANY (id, 64-bit perceptual hash) table —
+    the shared banded-Hamming blocker behind image dHash
+    (``image_neardup_pairs``) and audio energy-gradient hashes
+    (``audio_neardup_pairs``): split the 64-bit hash into ``bands``
     contiguous slices; by pigeonhole any pair within Hamming
     ``bands - 1`` agrees exactly on ≥ 1 slice, so the candidate join is a
     plain (band, slice-value) equi self-join — 100 % recall by
     construction, which is why ``max_hamming <= bands - 1`` is ENFORCED
-    (the text-simhash family's Manku rule, at image scale).
+    (the text-simhash family's Manku rule, at media scale).
 
     Returns (id_a, id_b, hamming) with id_a < id_b.  Scale shape: the
     band stream is (id, band, key) ints; verify re-attaches the two
-    8-byte hashes by id and is one ``bit_count(xor)`` — pixels are never
-    read again, nothing wide ever shuffles."""
+    8-byte hashes by id and is one ``bit_count(xor)`` — payload bytes are
+    never read again, nothing wide ever shuffles."""
     if bands < 2 or 64 % bands != 0:
         raise ValueError(f"bands must divide 64, got {bands}")
     if not (0 <= max_hamming <= bands - 1):
@@ -381,8 +386,8 @@ def image_neardup_pairs(
             f"(got max_hamming={max_hamming}, bands={bands})"
         )
     width = 64 // bands
-    ht = hashes.filter(F.col("dhash").isNotNull()).select(
-        F.col("media_id").alias("id"), "dhash"
+    ht = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("dhash")
     )
     banded = ht.select(
         "id",
@@ -421,6 +426,17 @@ def image_neardup_pairs(
         pairs.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def image_neardup_pairs(
+    hashes: DataFrame, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs from an ``image_dhash`` table —
+    re-encodes, slight crops/noise, brightness-preserving edits — via the
+    shared banded-Hamming blocker (see ``hamming_neardup_pairs``)."""
+    return hamming_neardup_pairs(
+        hashes, "dhash", "media_id", max_hamming, bands
     )
 
 
@@ -501,6 +517,94 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     frames = len(data) // (2 * ch)
     arr = np.frombuffer(data, dtype="<i2", count=frames * ch).reshape(frames, ch)
     return rate, arr.copy()
+
+
+AUDIO_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def audio_ahash64(samples: "np.ndarray") -> int:
+    """64-bit energy-gradient hash of a PCM16 sample array — the AUDIO
+    member of the perceptual-hash family (``dhash64`` is the image one),
+    ALL-INTEGER so the same samples hash identically anywhere:
+
+    * channels fold to mono by integer mean (sum div n_ch);
+    * 65 frames with integer boundaries ``(i·n) div 65``; per-frame
+      energy = Σ\|sample\| (exact int64);
+    * bit i = 1 iff ``energy[i]·len[i+1] > energy[i+1]·len[i]``
+      (cross-multiplied MEAN comparison — frames differ by ±1 sample, a
+      raw-sum compare would bias every boundary), packed MSB-first.
+
+    Invariant under uniform volume scaling (gradient SIGNS survive
+    gain), robust to re-encoding and mild noise; a structural edit flips
+    only the bits whose frames it crosses — Hamming distance is the
+    edit budget."""
+    if samples.ndim == 2:
+        mono = samples.astype(np.int64).sum(axis=1) // samples.shape[1]
+    else:
+        mono = samples.astype(np.int64)
+    n = mono.shape[0]
+    if n < 65:
+        raise ValueError(f"audio too short for ahash ({n} samples, need >= 65)")
+    b = [(i * n) // 65 for i in range(66)]
+    e = np.empty(65, dtype=np.int64)
+    ln = np.empty(65, dtype=np.int64)
+    a = np.abs(mono)
+    for i in range(65):
+        e[i] = int(a[b[i]: b[i + 1]].sum())
+        ln[i] = b[i + 1] - b[i]
+    acc = 0
+    for i in range(64):
+        bit = 1 if int(e[i]) * int(ln[i + 1]) > int(e[i + 1]) * int(ln[i]) else 0
+        acc = (acc << 1) | bit
+    return acc - (1 << 64) if acc >= (1 << 63) else acc
+
+
+def audio_hash(media: DataFrame) -> DataFrame:
+    """Per-clip 64-bit perceptual hash over the REAL WAV decode:
+    (media_id, ahash, decode_error) — undecodable or too-short payloads
+    yield a NULL hash + the error string.  8 bytes/clip: downstream
+    near-dup (``audio_neardup_pairs``) never touches samples again —
+    the image-dhash discipline, for audio."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, errs = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(int(mid))
+                try:
+                    if payload is None:
+                        raise ValueError("null payload")
+                    _sr, samples = decode_wav(bytes(payload))
+                    hashes.append(audio_ahash64(samples))
+                    errs.append(None)
+                except (ValueError, IndexError) as e:
+                    hashes.append(None)
+                    errs.append(str(e))
+            yield pd.DataFrame(
+                {"media_id": ids, "ahash": pd.array(hashes, dtype="Int64"),
+                 "decode_error": errs}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract, AUDIO_HASH_SCHEMA
+    )
+
+
+def audio_neardup_pairs(
+    hashes: DataFrame, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Near-duplicate AUDIO pairs from an ``audio_hash`` table —
+    re-encodes, gain changes, mild noise — via the shared banded-Hamming
+    blocker (see ``hamming_neardup_pairs``)."""
+    return hamming_neardup_pairs(
+        hashes, "ahash", "media_id", max_hamming, bands
+    )
 
 
 def audio_feature_extract(media: DataFrame) -> DataFrame:

@@ -1957,3 +1957,72 @@ def test_image_neardup_recall_at_band_bound(spark):
         multimodal.image_neardup_pairs(df, max_hamming=4, bands=4)
     with pytest.raises(ValueError):
         multimodal.image_neardup_pairs(df, bands=5)
+
+
+# ---------------------------------------------------- audio perceptual hash
+
+
+def _tone(seed: int, n: int = 4000):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    t = np.arange(n)
+    x = (
+        6000 * np.sin(2 * np.pi * t / 90.0)
+        + 3000 * np.sin(2 * np.pi * t / (17.0 + seed))
+        + rng.randint(-500, 500, size=n)
+    )
+    return np.clip(x, -32768, 32767).astype(np.int16)
+
+
+def test_audio_ahash_gain_invariant_and_mirror():
+    import numpy as np
+
+    x = _tone(3)
+    h = multimodal.audio_ahash64(x)
+    # uniform gain change preserves every energy-gradient sign
+    assert multimodal.audio_ahash64((x * 0.5).astype(np.int16)) == h
+
+    # pure-python mirror of the all-integer spec
+    mono = [int(v) for v in x]
+    n = len(mono)
+    b = [(i * n) // 65 for i in range(66)]
+    e = [sum(abs(v) for v in mono[b[i]: b[i + 1]]) for i in range(65)]
+    ln = [b[i + 1] - b[i] for i in range(65)]
+    acc = 0
+    for i in range(64):
+        acc = (acc << 1) | (1 if e[i] * ln[i + 1] > e[i + 1] * ln[i] else 0)
+    expect = acc - (1 << 64) if acc >= (1 << 63) else acc
+    assert h == expect
+    with pytest.raises(ValueError):
+        multimodal.audio_ahash64(_tone(1, n=30))
+
+
+def test_audio_neardup_pairs_end_to_end(spark):
+    import numpy as np
+
+    base = _tone(7)
+    # mild independent noise: most frame-energy gradients survive
+    near = np.clip(
+        base.astype(int) + np.random.RandomState(1).randint(-300, 300, base.shape),
+        -32768, 32767,
+    ).astype(np.int16)
+    other = _tone(99)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(multimodal.encode_wav(base, 8000))),
+            (2, bytearray(multimodal.encode_wav(near, 8000))),
+            (3, bytearray(multimodal.encode_wav(other, 8000))),
+            (4, bytearray(b"\x00not a wav")),
+        ],
+        "media_id long, payload binary",
+    )
+    hashes = multimodal.audio_hash(media)
+    rows = {r["media_id"]: r for r in hashes.collect()}
+    assert rows[4]["ahash"] is None and rows[4]["decode_error"]
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.audio_neardup_pairs(hashes, max_hamming=3).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
