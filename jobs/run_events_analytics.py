@@ -79,6 +79,12 @@ def main() -> None:
     )
     ap.add_argument("--cusum-k-milli", type=int, default=300)
     ap.add_argument(
+        "--robust-k-milli", type=int, default=0,
+        help="enable median/MAD robust outlier annotation of event values "
+        "per event_type at k/1000 MADs (0 = off) — flags the wild values "
+        "a mean/sigma test hides behind its own inflated sigma",
+    )
+    ap.add_argument(
         "--attr-conv-type", default="",
         help="enable multi-touch attribution crediting this conversion "
         "event type's trailing-window touches (last/first/linear models)",
@@ -212,6 +218,19 @@ def main() -> None:
         drift.write.mode("overwrite").parquet(f"{args.out}/drift")
         counts["n_drift_alerts"] = spark.read.parquet(
             f"{args.out}/drift"
+        ).count()
+
+    if args.robust_k_milli:
+        from log_analysis_spark.operators import sketches as sk_job
+
+        outl = sk_job.robust_outliers(
+            ev, "value", k_milli=args.robust_k_milli, group="event_type"
+        ).filter("is_outlier").select(
+            "event_id", "event_type", "value", "dev_cells", "mad_cells"
+        )
+        outl.write.mode("overwrite").parquet(f"{args.out}/outliers")
+        counts["n_robust_outliers"] = spark.read.parquet(
+            f"{args.out}/outliers"
         ).count()
 
     if args.attr_conv_type:

@@ -594,6 +594,7 @@ def test_submit_events_analytics_job(pkg_zip, tmp_path):
             "--cusum-h", "1",
             "--cusum-k-milli", "100",
             "--hll-p", "6",
+            "--robust-k-milli", "3500",
             "--attr-conv-type", "purchase",
         ],
         cwd=tmp_path,
@@ -610,6 +611,7 @@ def test_submit_events_analytics_job(pkg_zip, tmp_path):
     assert res["n_ohlc_bars"] > 0 and res["n_profile_rows"] == 2
     assert res["n_burst_alerts"] >= 0  # alerts/ output written
     assert res["n_drift_alerts"] > 0   # drift/ output written, CUSUM bites
+    assert res["n_robust_outliers"] > 0  # outliers/ written, MAD gate bites
     import duckdb
 
     rep = duckdb.connect().execute(
