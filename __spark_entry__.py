@@ -1122,6 +1122,14 @@ def q_streaming_seq_integrity(spark, sf_dir):
     )
 
 
+def q_doc_lexical_diversity(spark, sf_dir):
+    """Per-document type-token ratio in integer micro-units — the
+    doc-level lexical-diversity quality signal; pure zero-shuffle
+    projection whose tokenization, distinct-type count and integral
+    ratio the oracle replays for every document."""
+    return textstats.lexical_diversity(_docs(spark, sf_dir))
+
+
 def q_events_robust_outliers(spark, sf_dir):
     """Median/MAD robust outlier annotation of every event's value within
     its event_type — the breakdown-resistant complement of the mean/σ
@@ -3134,6 +3142,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_budget_mix": q_corpus_budget_mix,
         "streaming_vocab_drift": q_streaming_vocab_drift,
         "events_robust_outliers": q_events_robust_outliers,
+        "doc_lexical_diversity": q_doc_lexical_diversity,
         "corpus_shard_assign": q_corpus_shard_assign,
         "corpus_overlap_matrix": q_corpus_overlap_matrix,
         "doc_bigram_surprise": q_doc_bigram_surprise,
@@ -3841,6 +3850,20 @@ FROM resp GROUP BY conv_id"""),
         "events_robust_outliers": _robust_outliers_oracle(
             resolution=0.01, k_milli=3500
         ),
+        "doc_lexical_diversity": f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(list_filter({_DOC_TOKENS}, x -> x <> ''),
+                        x -> lower(x)) AS toks
+  FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+       CASE WHEN len(toks) > 0
+            THEN CAST((1000000 * len(list_distinct(toks))) // len(toks)
+                      AS BIGINT)
+            ELSE 0 END AS ttr_micro
+FROM t""",
         "orders_join_size": _join_size_oracle(
             ("orders", "o_orderkey"), ("lineitem", "l_orderkey"),
             mod=256, keep=32, hh_k=64,

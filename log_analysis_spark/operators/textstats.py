@@ -465,6 +465,52 @@ def vocabulary(
     )
 
 
+def lexical_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-document type-token ratio → (id, n_tokens, n_types,
+    ttr_micro = (1e6·n_types) div n_tokens) — the doc-level lexical-
+    diversity quality signal (low TTR = repetitive/templated text;
+    the per-DOC companion of the corpus-level distinct-n diversity).
+    Empty docs emit (0, 0, 0).  Pure zero-shuffle projection: tokens are
+    let-bound once, types via array_distinct — text never leaves the
+    scan, and the ratio is integer micro-units, exact in any engine."""
+    toks = F.filter(tokens_col(text_col), lambda x: x != "")
+    if lowercase:
+        toks = F.transform(toks, lambda x: F.lower(x))
+    # let-binding: size() + array_distinct both reference the token array
+    counts = F.get(
+        F.transform(
+            F.array(toks),
+            lambda t: F.struct(
+                F.size(t).cast("long").alias("n"),
+                F.size(F.array_distinct(t)).cast("long").alias("d"),
+            ),
+        ),
+        0,
+    )
+    return df.select(
+        F.col(id_col),
+        counts["n"].alias("n_tokens"),
+        counts["d"].alias("n_types"),
+        F.when(
+            counts["n"] > 0,
+            F.expr("CAST(1000000 AS BIGINT)") * counts["d"],
+        ).otherwise(F.lit(0)).alias("_num"),
+    ).select(
+        id_col,
+        "n_tokens",
+        "n_types",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr("CAST(_num DIV n_tokens AS BIGINT)"),
+        ).otherwise(F.lit(0).cast("long")).alias("ttr_micro"),
+    )
+
+
 def vocab_drift(
     df_old: DataFrame,
     df_new: DataFrame,

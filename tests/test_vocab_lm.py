@@ -509,3 +509,25 @@ def test_vocab_drift_min_total_and_topk(spark):
         vocab_drift(old, new, top_k=0)
     with pytest.raises(ValueError):
         vocab_drift(old, new, min_total=0)
+
+
+def test_lexical_diversity_closed_form(spark):
+    from log_analysis_spark.operators.textstats import lexical_diversity
+
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d"),            # all distinct: ttr 1.0
+            (2, "a a a a"),            # one type of four: 250000
+            (3, "A a B b"),            # lowercase folds: 2 of 4
+            (4, ""),                   # empty: zeros
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_types"], r["ttr_micro"])
+        for r in lexical_diversity(df).collect()
+    }
+    assert out[1] == (4, 4, 1_000_000)
+    assert out[2] == (4, 1, 250_000)
+    assert out[3] == (4, 2, 500_000)
+    assert out[4] == (0, 0, 0)
