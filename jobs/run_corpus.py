@@ -143,6 +143,11 @@ def main() -> None:
         help="drop docs whose unigram-LM surprise exceeds this (garbled text)",
     )
     ap.add_argument(
+        "--min-ttr", type=float, default=None,
+        help="drop docs whose type-token ratio is below this (repetitive/"
+        "templated text the repetition thresholds can miss at short spans)",
+    )
+    ap.add_argument(
         "--max-loop-frac", type=float, default=None,
         help="drop docs whose longest period-p token loop covers more "
         "than this fraction of the doc (degenerate generation filter)",
@@ -384,6 +389,15 @@ def main() -> None:
     else:
         n_loop = None
 
+    n_ttr = n_loop
+    if args.min_ttr is not None:
+        ttr = textstats.lexical_diversity(docs).select(
+            "doc_id", (F.col("ttr_micro") >= int(round(args.min_ttr * 1_000_000))).alias("_keep_ttr")
+        )
+        docs, n_ttr = _materialize(
+            docs.join(ttr, "doc_id").filter("_keep_ttr").drop("_keep_ttr")
+        )
+
     if args.ppl_keep is not None:
         keep_tiers = [int(x) for x in args.ppl_keep.split(",") if x != ""]
         if not keep_tiers or not all(
@@ -489,6 +503,7 @@ def main() -> None:
             "n_after_decontamination": n_decontam,
             "n_after_fuzzy_decontam": n_fuzzy,
             "n_after_loop_gate": n_loop,
+            "n_after_ttr_gate": n_ttr,
             "n_after_ppl_tiering": n_ppl,
             "n_after_classifier": n_classifier,
             "n_after_dsir": n_dsir,
@@ -553,6 +568,7 @@ def main() -> None:
                 "n_after_decontamination": n_decontam,
                 "n_after_fuzzy_decontam": n_fuzzy,
                 "n_after_loop_gate": n_loop,
+                "n_after_ttr_gate": n_ttr,
             "n_after_ppl_tiering": n_ppl,
                 "n_after_classifier": n_classifier,
                 "n_after_dsir": n_dsir,

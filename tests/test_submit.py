@@ -153,6 +153,7 @@ def test_submit_corpus_job_full_stage_chain(pkg_zip, tmp_path):
             "--span-max-coverage", "0.9",
             "--max-surprise", "20.0",
             "--max-loop-frac", "0.9",
+            "--min-ttr", "0.3",
             "--max-bigram-surprise", "20.0",
             "--classifier-min-mean", "-10.0",
             "--classifier-target", "lang = 'en'",
@@ -175,6 +176,7 @@ def test_submit_corpus_job_full_stage_chain(pkg_zip, tmp_path):
         >= res["n_after_badwords"]
         >= res["n_after_span_dedup"]
         >= res["n_after_loop_gate"]
+        >= res["n_after_ttr_gate"]
         >= res["n_after_ppl_tiering"]
         >= res["n_after_classifier"]
         >= res["n_after_dsir"]
