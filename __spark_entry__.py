@@ -6293,6 +6293,9 @@ def _pack_sequences_oracle(seq_len: int, order_col: str | None = None) -> str:
     L = int(seq_len)
     osel = f"d.{order_col}, " if order_col else ""
     oby = f"{order_col}, " if order_col else ""
+    # NULLS FIRST pins DuckDB to Spark's ASC default (NULLS FIRST) —
+    # without it a NULL group value reorders the whole packed stream.
+    osort = f"{order_col} NULLS FIRST, " if order_col else ""
     return f"""
 WITH toks AS (
   SELECT d.doc_id, {osel}list_filter({_DOC_TOKENS}, x -> x <> '') AS t
@@ -6303,7 +6306,7 @@ o AS (
   FROM toks WHERE len(t) > 0),
 c AS (
   SELECT doc_id, t, n,
-         CAST(COALESCE(SUM(n) OVER (ORDER BY {oby}pk, doc_id
+         CAST(COALESCE(SUM(n) OVER (ORDER BY {osort}pk, doc_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
            AS goff
   FROM o),

@@ -295,15 +295,26 @@ def global_token_offsets(
     )
 
     bucket_tot = keyed.groupBy(*bkeys).agg(F.sum("n_tokens").alias("_btok"))
-    off_win = Window.orderBy(*bkeys).rowsBetween(Window.unboundedPreceding, -1)
+    # Pin null ordering explicitly: Spark's ASC default is NULLS FIRST
+    # but an oracle engine's (DuckDB) is NULLS LAST — a NULL order_col
+    # value must land in the same stream position in both engines.
+    off_win = Window.orderBy(
+        *[F.asc_nulls_first(k) for k in bkeys]
+    ).rowsBetween(Window.unboundedPreceding, -1)
     offsets = bucket_tot.withColumn(
         "_offset", F.coalesce(F.sum("_btok").over(off_win), F.lit(0))
     ).select(*bkeys, "_offset")
 
+    # Null-SAFE attach: a plain equi-join on bkeys would silently DROP
+    # every NULL-order_col row (NULL != NULL), not just misorder it.
+    cond = None
+    for k in bkeys:
+        c = with_local[k].eqNullSafe(offsets[k])
+        cond = c if cond is None else (cond & c)
     return (
-        with_local.join(F.broadcast(offsets), bkeys)
+        with_local.join(F.broadcast(offsets), cond)
         .withColumn("_goff", F.col("_local_excl") + F.col("_offset"))
-        .select(id_col, "n_tokens", "pack_key", "_goff")
+        .select(with_local[id_col], "n_tokens", with_local["pack_key"], "_goff")
     )
 
 

@@ -1053,6 +1053,21 @@ def containment_pairs(
 
     base = base.persist(StorageLevel.MEMORY_AND_DISK)
     ordered = ordered.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return _containment_pairs_body(base, ordered, threshold, t_micro)
+    finally:
+        # The result below is eagerly checkpointed, so the cached shingle
+        # blocks are dead weight after this returns — a long-lived driver
+        # (job loop, notebook) calling this repeatedly would otherwise
+        # accumulate pinned executor storage with no handle to release it
+        # (same discipline as neardup_groups' edge cache).
+        base.unpersist()
+        ordered.unpersist()
+
+
+def _containment_pairs_body(
+    base: DataFrame, ordered: DataFrame, threshold: float, t_micro: int
+) -> DataFrame:
     n = F.size("osh")
     pref_len = n - F.ceil(n * F.lit(float(threshold)) - F.lit(1e-9)).cast("int") + 1
     pref = ordered.select(
@@ -1089,13 +1104,15 @@ def containment_pairs(
         (F.lit(1_000_000) * F.col("n_common") >= F.lit(t_micro) * F.col("_sa"))
         | (F.lit(1_000_000) * F.col("n_common") >= F.lit(t_micro) * F.col("_sb"))
     )
+    # Eager: the pair set is tiny next to the shingle intermediates, and
+    # materializing it here lets the caller's caches be released at once.
     return scored.select(
         "id_a",
         "id_b",
         "n_common",
         F.expr("CAST((1000000 * n_common) DIV _sa AS BIGINT)").alias("cont_a_micro"),
         F.expr("CAST((1000000 * n_common) DIV _sb AS BIGINT)").alias("cont_b_micro"),
-    )
+    ).localCheckpoint(eager=True)
 
 
 def lsh_tuning(threshold: float, n_hashes: int = 32) -> dict:

@@ -318,11 +318,14 @@ def dhash64(img: "np.ndarray") -> int:
         for c in range(9):
             block = luma[rb[r]: rb[r + 1], cb[c]: cb[c + 1]]
             cells[r, c] = int(block.sum()) // block.size
-    bits = (cells[:, :-1] > cells[:, 1:]).astype(np.uint64).reshape(-1)
-    acc = np.uint64(0)
+    bits = (cells[:, :-1] > cells[:, 1:]).reshape(-1)
+    acc = 0
     for b in bits:
-        acc = (acc << np.uint64(1)) | b
-    return int(np.int64(acc))  # two's-complement into Spark's LongType
+        acc = (acc << 1) | int(b)
+    # Fold into two's-complement for Spark's LongType via plain Python
+    # ints (np.int64(np.uint64) raises OverflowError on numpy>=2 when
+    # the top bit is set — same portable idiom as audio_ahash64).
+    return acc - (1 << 64) if acc >= (1 << 63) else acc
 
 
 def image_dhash(media: DataFrame) -> DataFrame:

@@ -349,7 +349,14 @@ def join_size_estimate(
             F.sum(F.when(~F.col("_exact"), F.col("p"))),
             F.lit(0).cast("decimal(38,0)"),
         ).alias("sample_pairs"),
-        F.max(F.col("p").cast("long")).alias("max_key_pairs"),
+        # Clamp before the long cast: a per-key pair product > 2^63-1
+        # would cast to NULL (non-ANSI) and coalesce to 0 downstream —
+        # silently hiding the hot key in exactly the blast-radius case.
+        F.max(
+            F.least(
+                F.col("p"), F.lit(2**63 - 1).cast("decimal(38,0)")
+            ).cast("long")
+        ).alias("max_key_pairs"),
         F.max(F.struct(F.col("p"), F.col("k"))).alias("_argmax"),
     )
     return folded.select(
@@ -432,10 +439,13 @@ def quantiles_from_cells(
     qs: list[float],
     resolution: float = 0.01,
     group: str | list[str] | None = None,
+    emit_cells: bool = False,
 ) -> DataFrame:
     """CDF finisher over a (group, _cell, _c) table — shared verbatim by
     the batch ``hist_quantiles`` and the streaming fold, so the two can't
-    drift."""
+    drift.  ``emit_cells=True`` adds the raw INTEGER quantile cell as a
+    ``qcell`` column so integer-domain consumers (``robust_outliers``)
+    never round-trip through ``value * resolution`` floats."""
     q_lits = sorted(set(qs))
     if not q_lits or not all(0 < q <= 1 for q in q_lits):
         raise ValueError("qs must be in (0, 1]")
@@ -452,15 +462,17 @@ def quantiles_from_cells(
     out = None
     for q in q_lits:
         need = F.ceil(F.lit(q) * F.col("_n"))
+        cols = [
+            F.lit(q).alias("q"),
+            (F.col("_qcell") * F.lit(resolution)).alias("value"),
+        ]
+        if emit_cells:
+            cols.append(F.col("_qcell").alias("qcell"))
         hit = (
             cum.filter(F.col("_cum") >= need)
             .groupBy(*keys)
             .agg(F.min("_cell").alias("_qcell"))
-            .select(
-                *keys,
-                F.lit(q).alias("q"),
-                (F.col("_qcell") * F.lit(resolution)).alias("value"),
-            )
+            .select(*keys, *cols)
         )
         out = hit if out is None else out.unionByName(hit)
     return out
@@ -503,10 +515,12 @@ def robust_outliers(
     xc = F.floor(F.col(value_col) * F.lit(inv)).cast("long")
 
     med = quantiles_from_cells(
-        value_cells(df, value_col, resolution, group), [0.5], resolution, group
-    ).select(
-        *keys, F.round(F.col("value") * F.lit(inv)).cast("long").alias("_medc")
-    )
+        value_cells(df, value_col, resolution, group),
+        [0.5],
+        resolution,
+        group,
+        emit_cells=True,
+    ).select(*keys, F.col("qcell").alias("_medc"))
     with_dev = (
         df.join(F.broadcast(med), keys)
         if keys
@@ -527,7 +541,8 @@ def robust_outliers(
         [0.5],
         1.0,
         group,
-    ).select(*keys, F.round(F.col("value")).cast("long").alias("mad_cells"))
+        emit_cells=True,
+    ).select(*keys, F.col("qcell").alias("mad_cells"))
     out = (
         with_dev.join(F.broadcast(mad), keys)
         if keys

@@ -194,3 +194,31 @@ def test_pack_sequences_order_col_groups_are_contiguous(spark):
     # token conservation unchanged by the ordering knob
     total = sum(r["n_tokens"] for r in out)
     assert total == 5 * 10
+
+
+def test_global_token_offsets_null_order_col_kept_and_first(spark):
+    """A NULL order_col value must neither drop rows (the null-unsafe
+    equi-join failure mode) nor land in a different stream position than
+    the DuckDB oracle's pinned NULLS FIRST ordering."""
+    from log_analysis_spark.operators import corpus
+
+    rows = [
+        (1, "a " * 4, "en"), (2, "b " * 4, None),
+        (3, "c " * 4, "de"), (4, "d " * 4, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, t.strip(), l) for i, t, l in rows],
+        "doc_id long, text string, lang string",
+    )
+    out = corpus.global_token_offsets(df, order_col="lang").collect()
+    # no row dropped
+    assert sorted(r["doc_id"] for r in out) == [1, 2, 3, 4]
+    # token conservation: offsets tile [0, total) exactly
+    segs = sorted((r["_goff"], r["n_tokens"]) for r in out)
+    assert segs[0][0] == 0
+    for (a, na), (b, _) in zip(segs, segs[1:]):
+        assert a + na == b
+    # NULL group is FIRST in the stream (Spark ASC default == oracle's
+    # pinned NULLS FIRST): docs 2 and 4 occupy offsets 0 and 4
+    null_offs = sorted(r["_goff"] for r in out if r["doc_id"] in (2, 4))
+    assert null_offs == [0, 4]

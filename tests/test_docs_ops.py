@@ -2026,3 +2026,17 @@ def test_audio_neardup_pairs_end_to_end(spark):
     }
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_dhash_top_bit_set_yields_negative_long():
+    """Regression for the numpy>=2 OverflowError path: a hash with the
+    top bit set (cell[0][0] > cell[0][1], ~half of all real images) must
+    fold into a NEGATIVE Python int via the portable two's-complement
+    idiom — never through np.int64(np.uint64), which raises on numpy 2."""
+    import numpy as np
+
+    img = np.zeros((32, 36, 3), dtype=np.uint8)
+    img[0:4, 0:4, :] = 255  # brightest block = cell (0,0) -> bit 63 set
+    h = multimodal.dhash64(img)
+    assert h < 0
+    assert (h + (1 << 64)) >> 63 == 1
