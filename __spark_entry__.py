@@ -2944,22 +2944,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_dims": q_enrich_dims,
         "hourly_rollup": q_hourly_rollup,
         "conv_counts_salted": q_conv_counts_salted,
-        "distinct_codes": q_distinct_codes,
-        "timing_stats": q_timing_stats,
-        "action_set_convs": q_action_set_convs,
-        "duration_histogram": q_duration_histogram,
         "outliers": q_outliers,
-        "text_filters": q_text_filters,
         "unmatched_roles_anti": q_unmatched_roles_anti,
-        "req_resp_merge": q_req_resp_merge,
         "full_outer_merge": q_full_outer_merge,
         "lookup_sentinel": q_lookup_sentinel,
         "interval_join": q_interval_join,
         "adjacent_pairing": q_adjacent_pairing,
-        "turn_ordering": q_turn_ordering,
-        "pair_math": q_pair_math,
-        "union_by_name": q_union_by_name,
-        "scalar_funcs": q_scalar_funcs,
         "error_subclasses": q_error_subclasses,
         "conditional_agg": q_conditional_agg,
         "nested_errors": q_nested_errors,
@@ -2987,6 +2977,22 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": q_embed_neardup,
         "embed_ivf_topk": q_embed_ivf_topk,
         "multimodal_features": q_multimodal_features,
+        # round-5 window rotation: ten long-stable rows (scalar_funcs,
+        # union_by_name, distinct_codes, timing_stats, pair_math,
+        # action_set_convs, duration_histogram, text_filters,
+        # turn_ordering, req_resp_merge) retired to the --retired suite;
+        # ten high-value retired rows promoted so the driver's hard gate
+        # exercises fresh surface (judge round-4 item 4)
+        "doc_bm25_topk": q_doc_bm25_topk,
+        "events_asof": q_events_asof,
+        "doc_dup_span_clean": q_doc_dup_span_clean,
+        "embed_semdedup": q_embed_semdedup,
+        "events_burst_hours": q_events_burst_hours,
+        "doc_winnow": q_doc_winnow,
+        "doc_line_dedup": q_doc_line_dedup,
+        "corpus_report": q_corpus_report,
+        "events_skew_join": q_events_skew_join,
+        "doc_quality_classifier": q_doc_quality_classifier,
     }
     assert len(q) == 50, f"contract must stay exactly 50 queries, got {len(q)}"
     return q
@@ -2999,6 +3005,17 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     minhash/fingerprint production twins are separately pair-set-equality
     tested against their in-contract md5 twins)."""
     return {name: _utc(fn) for name, fn in {
+        # round-5 rotation: long-stable former contract rows
+        "scalar_funcs": q_scalar_funcs,
+        "union_by_name": q_union_by_name,
+        "distinct_codes": q_distinct_codes,
+        "timing_stats": q_timing_stats,
+        "pair_math": q_pair_math,
+        "action_set_convs": q_action_set_convs,
+        "duration_histogram": q_duration_histogram,
+        "text_filters": q_text_filters,
+        "turn_ordering": q_turn_ordering,
+        "req_resp_merge": q_req_resp_merge,
         "class_counts": q_class_counts,
         "enrich_roles": q_enrich_roles,
         "enrich_tools": q_enrich_tools,
@@ -3017,30 +3034,22 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_count": q_doc_token_count,
         "corpus_temperature_mix": q_corpus_temperature_mix,
         "doc_dup_span_stats": q_doc_dup_span_stats,
-        "doc_dup_span_clean": q_doc_dup_span_clean,
-        "embed_semdedup": q_embed_semdedup,
         "embed_d4_prune": q_embed_d4_prune,
         "embed_cluster_balanced": q_embed_cluster_balanced,
         "corpus_dsir_select": q_corpus_dsir_select,
         "corpus_leakage_split": q_corpus_leakage_split,
         "corpus_vocabulary": q_corpus_vocabulary,
         "doc_unigram_surprise": q_doc_unigram_surprise,
-        "doc_quality_classifier": q_doc_quality_classifier,
         "doc_pareto_gate": q_doc_pareto_gate,
-        "doc_winnow": q_doc_winnow,
         "doc_gopher_rules": q_doc_gopher_rules,
         "doc_ppl_buckets": q_doc_ppl_buckets,
-        "doc_line_dedup": q_doc_line_dedup,
         "doc_strip_common_lines": q_doc_strip_common_lines,
-        "corpus_report": q_corpus_report,
         "embed_semantic_decontam": q_embed_semantic_decontam,
         "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
-        "doc_bm25_topk": q_doc_bm25_topk,
         "doc_lev_neardup": q_doc_lev_neardup,
         "doc_chunks": q_doc_chunks,
         "corpus_pack_sequences": q_corpus_pack_sequences,
         "corpus_cap_group": q_corpus_cap_group,
-        "events_asof": q_events_asof,
         "events_sliding": q_events_sliding,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
@@ -3052,7 +3061,6 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling": q_events_rolling,
         "events_bloom_join": q_events_bloom_join,
         "events_funnel_times": q_events_funnel_times,
-        "events_skew_join": q_events_skew_join,
         "events_ohlc": q_events_ohlc,
         "events_profile": q_events_profile,
         "events_anomalies": q_events_anomalies,
@@ -3066,7 +3074,6 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_url_blocklist": q_doc_url_blocklist,
         "doc_url_domains": q_doc_url_domains,
         "events_hll_distinct": q_events_hll,
-        "events_burst_hours": q_events_burst_hours,
         "conv_response_latency": q_conv_response_latency,
         "streaming_burst_hours": q_streaming_burst_hours,
         "streaming_cusum_drift": q_streaming_cusum_drift,
@@ -3183,7 +3190,7 @@ SELECT "group", n_rows, n_distinct_idx, min_idx, max_idx,
 FROM g""")
 
 
-def retired_oracle_sql() -> dict[str, str]:
+def _retired_oracle_base() -> dict[str, str]:
     """Exact DuckDB oracles for the retired queries that have one (the rest
     are hash-seeded rows-only production twins of in-contract md5 queries)."""
     P = oracles.on_parsed
@@ -4007,7 +4014,7 @@ unitv AS (
 """
 
 
-def oracle_sql() -> dict[str, str]:
+def _oracle_sql_base() -> dict[str, str]:
     P = oracles.on_parsed
     T = oracles.on_transcripts
     return {
@@ -8195,3 +8202,36 @@ cand AS (
 SELECT id_a, id_b, round(list_inner_product(ua, ub), 6) AS cosine
 FROM cand WHERE round(list_inner_product(ua, ub), 6) >= {threshold}
 """
+
+
+# ---- round-5 contract-window rotation --------------------------------------
+# Ten long-stable contract rows swapped with ten high-value retired rows so
+# the driver's hard correctness gate exercises fresh surface each round.
+# The oracle strings stay defined next to their family; these wrappers only
+# re-route which gate (contract vs --retired) each pair runs under.
+_ROTATED_IN_R5 = (
+    "doc_bm25_topk", "events_asof", "doc_dup_span_clean", "embed_semdedup",
+    "events_burst_hours", "doc_winnow", "doc_line_dedup", "corpus_report",
+    "events_skew_join", "doc_quality_classifier",
+)
+_ROTATED_OUT_R5 = (
+    "scalar_funcs", "union_by_name", "distinct_codes", "timing_stats",
+    "pair_math", "action_set_convs", "duration_histogram", "text_filters",
+    "turn_ordering", "req_resp_merge",
+)
+
+
+def oracle_sql() -> dict[str, str]:
+    base, ret = _oracle_sql_base(), _retired_oracle_base()
+    out = {k: v for k, v in base.items() if k not in _ROTATED_OUT_R5}
+    for k in _ROTATED_IN_R5:
+        out[k] = ret[k]
+    return out
+
+
+def retired_oracle_sql() -> dict[str, str]:
+    base, ret = _oracle_sql_base(), _retired_oracle_base()
+    out = {k: v for k, v in ret.items() if k not in _ROTATED_IN_R5}
+    for k in _ROTATED_OUT_R5:
+        out[k] = base[k]
+    return out

@@ -14,8 +14,11 @@ Noise robustness: this host is a shared VM whose co-tenant load has shown
 INTERLEAVED ×``$SPARK_GRAFT_BENCH_REPEATS`` (default 3 — round-robin, so a
 noise burst can't hit all repeats of one query) and report the MIN, with
 every raw observation disclosed under ``"repeats"`` so noise is
-self-evident in the artifact itself.  The expensive doc/embed rows stay
-single-pass to hold total runtime, their raw value visible as a
+self-evident in the artifact itself.  Every operator row whose history
+showed >=5 s single-pass also runs interleaved ×2 within its family
+block (a one-shot observation of a heavy row has misled in both
+directions — see the round-4 incremental-ingest inversion); only the
+cheap sub-5 s rows stay single-pass, their raw value visible as a
 1-element repeats list.
 
 Skew evidence: the hot-cell interval join pair additionally reports the
@@ -225,22 +228,25 @@ def main() -> None:
 
     from log_analysis_spark.operators import corpus as corpus_ops
 
-    timed(
-        "conv_docs_assembly",
-        lambda: corpus_ops.transcripts_to_docs(turns)
-        .select(_F.sum(_F.length("text")), _F.sum("n_turns_kept"))
-        .collect(),
-    )
-
     # production doc-op paths (xxhash64 / pd-hash variants; their md5
     # exact-oracle twins hold the contract slots, these hold the perf line)
     from log_analysis_spark.operators import dedup
+    from log_analysis_spark.operators import span_dedup as span_ops
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # the heaviest doc rows are also the historically noisiest (2× host
     # swings round to round) — interleave ×2 and report the min, same
-    # discipline as the headline block
+    # discipline as the headline block.  Every row whose single-pass
+    # history showed >=5 s lives in one of these round-robin loops: a
+    # one-shot observation of a heavy row has repeatedly misled in BOTH
+    # directions (round-3/4 artifacts).
     for _ in range(2):
+        timed(
+            "conv_docs_assembly",
+            lambda: corpus_ops.transcripts_to_docs(turns)
+            .select(_F.sum(_F.length("text")), _F.sum("n_turns_kept"))
+            .collect(),
+        )
         timed(
             "doc_minhash_lsh",
             lambda: dedup.minhash_lsh_pairs(docs, threshold=0.2).count(),
@@ -257,28 +263,24 @@ def main() -> None:
                 dedup.simhash_table(docs), max_hamming=8
             ).count(),
         )
-
-    # edit-distance verification of the minhash band candidates (bounded
-    # Levenshtein DP over the narrow candidate pairs, texts re-attached by
-    # two id equi-joins)
-    timed(
-        "doc_lev_neardup",
-        lambda: dedup.levenshtein_verified_pairs(
-            dedup.minhash_lsh_pairs(docs, threshold=0.0), docs, max_dist=50
-        ).count(),
-    )
-
-    # span-level dedup: the corpus rebuilt without duplicated 3-gram spans;
-    # sum(length) forces the rebuilt text column so pruning can't skip the
-    # higher-order-filter reassembly
-    from log_analysis_spark.operators import span_dedup as span_ops
-
-    timed(
-        "doc_span_dedup",
-        lambda: span_ops.remove_dup_spans(docs, k=3)
-        .selectExpr("sum(length(clean_text))")
-        .collect(),
-    )
+        # edit-distance verification of the minhash band candidates
+        # (bounded Levenshtein DP over the narrow candidate pairs, texts
+        # re-attached by two id equi-joins)
+        timed(
+            "doc_lev_neardup",
+            lambda: dedup.levenshtein_verified_pairs(
+                dedup.minhash_lsh_pairs(docs, threshold=0.0), docs, max_dist=50
+            ).count(),
+        )
+        # span-level dedup: the corpus rebuilt without duplicated 3-gram
+        # spans; sum(length) forces the rebuilt text column so pruning
+        # can't skip the higher-order-filter reassembly
+        timed(
+            "doc_span_dedup",
+            lambda: span_ops.remove_dup_spans(docs, k=3)
+            .selectExpr("sum(length(clean_text))")
+            .collect(),
+        )
 
     # embedding near-dup: oracle-twin expression path vs numpy-matmul
     # production path (identical pair sets — the delta is pure execution)
@@ -288,14 +290,17 @@ def main() -> None:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     nd_kw = dict(threshold=0.3, n_planes=64, band_bits=4)
-    timed(
-        "embed_neardup_expr",
-        lambda: similarity.embedding_neardup_pairs(emb, **nd_kw).count(),
-    )
-    timed(
-        "embed_neardup_matmul",
-        lambda: similarity.embedding_neardup_pairs_matmul(emb, **nd_kw).count(),
-    )
+    for _ in range(2):
+        timed(
+            "embed_neardup_expr",
+            lambda: similarity.embedding_neardup_pairs(emb, **nd_kw).count(),
+        )
+        timed(
+            "embed_neardup_matmul",
+            lambda: similarity.embedding_neardup_pairs_matmul(
+                emb, **nd_kw
+            ).count(),
+        )
     timed(
         "embed_cosine_topk_matmul",
         lambda: similarity.cosine_topk_matmul(
@@ -315,13 +320,14 @@ def main() -> None:
     # projection-only; within-cluster pairs + CC keep-first)
     from log_analysis_spark.operators import semdedup as semdedup_ops
 
-    timed(
-        "embed_semdedup",
-        lambda: semdedup_ops.semdedup(
-            emb, threshold=0.3,
-            cents=similarity.md5_seed_centroids(emb, n_centroids=8),
-        ).count(),
-    )
+    for _ in range(2):
+        timed(
+            "embed_semdedup",
+            lambda: semdedup_ops.semdedup(
+                emb, threshold=0.3,
+                cents=similarity.md5_seed_centroids(emb, n_centroids=8),
+            ).count(),
+        )
 
     # hashed-n-gram NB quality classifier: train toward the lang='en' slice
     # + score every doc in one pass (sum forces the score columns so
@@ -337,22 +343,23 @@ def main() -> None:
         .collect(),
     )
 
-    # full winnowing fingerprints, production xxhash64 path: pure
-    # projection + explode, O(grams * w) JVM work per doc, zero shuffle
-    timed(
-        "doc_winnow",
-        lambda: textstats_ops.winnow_fingerprints(
-            docs, k=16, w=8, hash_impl="xxhash64"
-        ).count(),
-    )
-
-    # one-pass corpus audit report: scan-fused per-doc features + a single
-    # map-side-combinable aggregate
-    timed(
-        "corpus_report",
-        lambda: corpus_ops.corpus_report(docs, gopher_min_stopwords=1)
-        .collect(),
-    )
+    # full winnowing fingerprints (production xxhash64 path: pure
+    # projection + explode, O(grams * w) JVM work per doc, zero shuffle)
+    # and the one-pass corpus audit report (scan-fused per-doc features +
+    # a single map-side-combinable aggregate) — both >=5 s, so
+    # interleaved ×2
+    for _ in range(2):
+        timed(
+            "doc_winnow",
+            lambda: textstats_ops.winnow_fingerprints(
+                docs, k=16, w=8, hash_impl="xxhash64"
+            ).count(),
+        )
+        timed(
+            "corpus_report",
+            lambda: corpus_ops.corpus_report(docs, gopher_min_stopwords=1)
+            .collect(),
+        )
 
     # exact line-level corpus dedup + boilerplate stripping over the
     # transcript-assembled docs.  The assembly is MATERIALIZED once at the
@@ -534,13 +541,6 @@ def main() -> None:
     eu_90 = est0.new_unit_rows.persist(StorageLevel.MEMORY_AND_DISK)
     eb_90 = est0.new_band_rows.persist(StorageLevel.MEMORY_AND_DISK)
     eu_90.count(), eb_90.count()
-    timed(
-        "embed_increment_ingest",
-        lambda: incremental_embed.ingest_embedding_batch(
-            emb_10, eu_90, eb_90, **nd_kw
-        ).accepted.count(),
-    )
-
     def _embed_repair():
         full = emb_90.unionByName(emb_10)
         pairs = similarity.embedding_neardup_pairs_matmul(full, **nd_kw)
@@ -549,7 +549,16 @@ def main() -> None:
         )
         dedup_ops.drop_near_duplicates(full, groups, "vec_id").count()
 
-    timed("embed_batch_repair", _embed_repair)
+    # the incremental-vs-batch pair is the artifact's amortization claim —
+    # interleave ×2 so one cold pass can't invert it (round-4 lesson)
+    for _ in range(2):
+        timed(
+            "embed_increment_ingest",
+            lambda: incremental_embed.ingest_embedding_batch(
+                emb_10, eu_90, eb_90, **nd_kw
+            ).accepted.count(),
+        )
+        timed("embed_batch_repair", _embed_repair)
     emb_10.unpersist()
     eu_90.unpersist()
     eb_90.unpersist()
@@ -619,7 +628,13 @@ def main() -> None:
     from log_analysis_spark.operators import joins as joins_ops
 
     t0lit = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
-    n_sk = 2_000_000
+    # 16M rows (8M in the ONE hot cell) is the smallest input where the
+    # hot reducer's task dominates its stage on this 32-core box (~5.6 s
+    # unsalted max task vs ~0.2 s overhead floor), so the straggler shows
+    # in max-task DURATION, not just shuffle bytes: measured ~3.1× max-task
+    # and ~4.5× max-shuffle-read reduction under n_salts=32.  At 2M the
+    # hot task was overhead-dominated and the duration ratio pinned at 1.0.
+    n_sk = int(os.environ.get("SPARK_GRAFT_SKEW_ROWS", "16000000"))
     others_sk = (
         spark.range(n_sk)
         .select(
@@ -660,26 +675,45 @@ def main() -> None:
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     skew_metrics: dict[str, dict] = {}
     try:
-        skew_metrics["unsalted"] = _max_task_metrics(
-            spark,
-            "skew_unsalted",
-            lambda: timed(
-                "interval_join_hot_unsalted",
-                lambda: joins_ops.interval_join(
-                    anchors_sk, others_sk, bucketed=True, **sk_kw
-                ).count(),
-            ),
-        )
-        skew_metrics["salted"] = _max_task_metrics(
-            spark,
-            "skew_salted",
-            lambda: timed(
-                "interval_join_hot_salted",
-                lambda: joins_ops.interval_join(
-                    anchors_sk, others_sk, bucketed=True, n_salts=32, **sk_kw
-                ).count(),
-            ),
-        )
+        # interleaved ×2 like every other >=5 s row; per-variant task
+        # metrics take the MAX over both passes — the straggler claim
+        # should survive the variant's worst observed scheduling, not
+        # lean on one lucky pass
+        def _merge(tag, m):
+            prev = skew_metrics.get(tag, {})
+            skew_metrics[tag] = {
+                k: max(m.get(k, 0), prev.get(k, 0))
+                for k in set(m) | set(prev)
+            }
+
+        for i in range(2):
+            _merge(
+                "unsalted",
+                _max_task_metrics(
+                    spark,
+                    f"skew_unsalted_{i}",
+                    lambda: timed(
+                        "interval_join_hot_unsalted",
+                        lambda: joins_ops.interval_join(
+                            anchors_sk, others_sk, bucketed=True, **sk_kw
+                        ).count(),
+                    ),
+                ),
+            )
+            _merge(
+                "salted",
+                _max_task_metrics(
+                    spark,
+                    f"skew_salted_{i}",
+                    lambda: timed(
+                        "interval_join_hot_salted",
+                        lambda: joins_ops.interval_join(
+                            anchors_sk, others_sk, bucketed=True, n_salts=32,
+                            **sk_kw
+                        ).count(),
+                    ),
+                ),
+            )
         u, s = skew_metrics["unsalted"], skew_metrics["salted"]
         skew_metrics["max_task_reduction"] = (
             round(u["max_task_ms"] / s["max_task_ms"], 2)
@@ -736,20 +770,23 @@ def main() -> None:
     sig_90 = st.new_sig_rows.persist(StorageLevel.MEMORY_AND_DISK)
     band_90 = st.new_band_rows.persist(StorageLevel.MEMORY_AND_DISK)
     sig_90.count(), band_90.count()
-    timed(
-        "dedup_increment_ingest",
-        lambda: incremental.ingest_batch(
-            inc_10, sig_90, band_90, threshold=0.5
-        ).accepted.count(),
-    )
-
     def _batch_rededup():
         full = corpus_90.unionByName(inc_10)
         pairs = dedup.minhash_lsh_pairs(full, id_col="doc_id", threshold=0.5)
         groups = dedup.neardup_groups(full.select(F.col("doc_id").alias("id")), pairs)
         dedup.drop_near_duplicates(full, groups, "doc_id").count()
 
-    timed("dedup_batch_rededup", _batch_rededup)
+    # interleave ×2: the round-4 artifact showed a ONE-SHOT ingest row
+    # (10.4 s cold) losing to re-dedup (7.3 s) — warm, ingest is ~3.3 s vs
+    # ~7.2 s, so the single cold pass inverted the row pair's whole claim
+    for _ in range(2):
+        timed(
+            "dedup_increment_ingest",
+            lambda: incremental.ingest_batch(
+                inc_10, sig_90, band_90, threshold=0.5
+            ).accepted.count(),
+        )
+        timed("dedup_batch_rededup", _batch_rededup)
     inc_10.unpersist()
     sig_90.unpersist()
     band_90.unpersist()
@@ -828,10 +865,11 @@ def main() -> None:
         .agg({"flesch_milli": "sum", "fk_grade_milli": "sum"})
         .collect(),
     )
-    timed(
-        "doc_containment",
-        lambda: dedup.containment_pairs(docs, k=3, threshold=0.9).count(),
-    )
+    for _ in range(2):
+        timed(
+            "doc_containment",
+            lambda: dedup.containment_pairs(docs, k=3, threshold=0.9).count(),
+        )
     timed(
         "events_attribution",
         lambda: tsr_b.attribution(ev_b).count(),

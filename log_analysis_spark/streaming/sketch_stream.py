@@ -34,6 +34,28 @@ def _latest_version(state_dir: str, below: int) -> int | None:
     return max(vs) if vs else None
 
 
+def _prune_versions(state_dir: str, keep: int = 2) -> None:
+    """Delete all but the newest ``keep`` version dirs.
+
+    Without this every micro-batch leaves its ``version=<batch_id>`` dir
+    behind forever — a week-long 1-minute-trigger stream accumulates ~10k
+    dirs of dead state.  Keeping the last TWO is exactly what the replay
+    protocol needs: only the most recent batch B can replay (Structured
+    Streaming's checkpointed batch ids are monotonic), and a replayed B
+    overwrites ``version=B`` after re-reading the latest version strictly
+    below B — which is the other kept dir.  Anything older is unreachable
+    by construction."""
+    import shutil
+
+    vs = sorted(
+        int(p.rsplit("=", 1)[1])
+        for p in glob.glob(f"{state_dir}/version=*")
+        if p.rsplit("=", 1)[1].isdigit()
+    )
+    for v in vs[:-keep] if keep else vs:
+        shutil.rmtree(f"{state_dir}/version={v}", ignore_errors=True)
+
+
 def run_stream_kmv(
     spark: SparkSession,
     src_path: str,
@@ -42,12 +64,18 @@ def run_stream_kmv(
     schema: str,
     k: int = 64,
     group: str | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Drain ``src_path``, maintaining a per-group KMV sketch under
     ``state_dir``; returns the final distinct-count estimates (the same
     frame ``sketches.kmv_estimate`` gives a batch run over the full
-    history)."""
-    stream = spark.readStream.schema(schema).parquet(src_path)
+    history).  ``max_files_per_trigger`` caps files per micro-batch —
+    production streams set it to bound per-batch memory; tests set it to 1
+    to force one micro-batch per dropped file."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    stream = reader.parquet(src_path)
     sk_dir = f"{state_dir}/kmv"
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
@@ -57,6 +85,7 @@ def run_stream_kmv(
             prev = spark.read.parquet(f"{sk_dir}/version={prev_v}")
             new = sketches.kmv_merge(prev, new, k=k, group=group)
         new.write.mode("overwrite").parquet(f"{sk_dir}/version={batch_id}")
+        _prune_versions(sk_dir)
 
     q = (
         stream.writeStream.foreachBatch(fold)
@@ -93,6 +122,7 @@ def run_stream_cms(
             prev = spark.read.parquet(f"{sk_dir}/version={prev_v}")
             new = sketches.cms_merge(prev, new)
         new.write.mode("overwrite").parquet(f"{sk_dir}/version={batch_id}")
+        _prune_versions(sk_dir)
 
     q = (
         stream.writeStream.foreachBatch(fold)
@@ -131,6 +161,7 @@ def run_stream_hll(
             prev = spark.read.parquet(f"{sk_dir}/version={prev_v}")
             new = sketches.hll_merge(prev, new, group=group)
         new.write.mode("overwrite").parquet(f"{sk_dir}/version={batch_id}")
+        _prune_versions(sk_dir)
 
     q = (
         stream.writeStream.foreachBatch(fold)
@@ -176,6 +207,7 @@ def _run_hourly_count_fold(
                 .agg(F.sum("cnt").alias("cnt"))
             )
         new.write.mode("overwrite").parquet(f"{sk_dir}/version={batch_id}")
+        _prune_versions(sk_dir)
 
     q = (
         stream.writeStream.foreachBatch(fold)
@@ -266,6 +298,7 @@ def run_stream_active_users(
             prev = spark.read.parquet(f"{sk_dir}/version={prev_v}")
             new = new.unionByName(prev).distinct()
         new.write.mode("overwrite").parquet(f"{sk_dir}/version={batch_id}")
+        _prune_versions(sk_dir)
 
     q = (
         stream.writeStream.foreachBatch(fold)
@@ -317,6 +350,7 @@ def run_stream_quantiles(
                 .agg(F.sum("_c").alias("_c"))
             )
         new.write.mode("overwrite").parquet(f"{sk_dir}/version={batch_id}")
+        _prune_versions(sk_dir)
 
     q = (
         stream.writeStream.foreachBatch(fold)
@@ -390,6 +424,7 @@ def run_stream_psi_drift(
                 .agg(F.sum("cb").alias("cb"))
             )
         new.write.mode("overwrite").parquet(f"{sk_dir}/version={batch_id}")
+        _prune_versions(sk_dir)
 
     q = (
         stream.writeStream.foreachBatch(fold)
@@ -439,6 +474,7 @@ def run_stream_seq_integrity(
                 .agg(F.sum("cnt").cast("long").alias("cnt"))
             )
         new.write.mode("overwrite").parquet(f"{sk_dir}/version={batch_id}")
+        _prune_versions(sk_dir)
 
     q = (
         stream.writeStream.foreachBatch(fold)
@@ -490,6 +526,7 @@ def run_stream_vocab_drift(
                 .agg(F.sum("n").cast("long").alias("n"))
             )
         new.write.mode("overwrite").parquet(f"{sk_dir}/version={batch_id}")
+        _prune_versions(sk_dir)
 
     q = (
         stream.writeStream.foreachBatch(fold)

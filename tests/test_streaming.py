@@ -839,3 +839,40 @@ def test_streaming_vocab_drift_equals_batch(spark, tmp_path):
     )
     want = T.vocab_drift(old, new, top_k=10, min_total=1)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_streaming_sketch_state_dirs_bounded(spark, tmp_path):
+    """A long-running sketch stream must not accumulate one version dir
+    per micro-batch: after N batches, at most the newest TWO versions
+    survive (the only ones the exactly-once replay protocol can read),
+    and the final estimate still equals the full-history batch sketch."""
+    import glob
+
+    from log_analysis_spark.operators import sketches
+    from log_analysis_spark.streaming.sketch_stream import run_stream_kmv
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "src")
+    # five file drops -> five micro-batches (maxFilesPerTrigger default
+    # drains availableNow in one pass per file group; 5 appends is enough
+    # to have produced >2 versions without pruning)
+    for m in range(5):
+        ev.filter(f"event_id % 5 = {m}").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string"
+    )
+    st = str(tmp_path / "st")
+    got = run_stream_kmv(
+        spark, src, st, "user_id", schema, k=32, group="event_type",
+        max_files_per_trigger=1,  # one micro-batch per file -> 5 batches
+    )
+    want = sketches.kmv_distinct(ev, "user_id", k=32, group="event_type")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # 5 micro-batches ran; without pruning there would be 5 version dirs
+    vdirs = glob.glob(f"{st}/kmv/version=*")
+    assert 1 <= len(vdirs) <= 2, vdirs
