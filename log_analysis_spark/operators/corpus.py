@@ -301,20 +301,25 @@ def global_token_offsets(
     off_win = Window.orderBy(
         *[F.asc_nulls_first(k) for k in bkeys]
     ).rowsBetween(Window.unboundedPreceding, -1)
+    # Right-side keys renamed _r_<k>: both frames share lineage, so
+    # unqualified key references would resolve ambiguously (Spark warns
+    # "trivially true predicate" and may pick the wrong side).
     offsets = bucket_tot.withColumn(
         "_offset", F.coalesce(F.sum("_btok").over(off_win), F.lit(0))
-    ).select(*bkeys, "_offset")
+    ).select(
+        *[F.col(k).alias(f"_r_{k}") for k in bkeys], "_offset"
+    )
 
     # Null-SAFE attach: a plain equi-join on bkeys would silently DROP
     # every NULL-order_col row (NULL != NULL), not just misorder it.
     cond = None
     for k in bkeys:
-        c = with_local[k].eqNullSafe(offsets[k])
+        c = F.col(k).eqNullSafe(F.col(f"_r_{k}"))
         cond = c if cond is None else (cond & c)
     return (
         with_local.join(F.broadcast(offsets), cond)
         .withColumn("_goff", F.col("_local_excl") + F.col("_offset"))
-        .select(with_local[id_col], "n_tokens", with_local["pack_key"], "_goff")
+        .select(id_col, "n_tokens", "pack_key", "_goff")
     )
 
 
