@@ -1428,25 +1428,46 @@ def q_events_incidents(spark, sf_dir):
 
 def _sessions(spark, sf_dir, gap_sec: int = 86400) -> DataFrame:
     """24h-gap sessions with per-session text assembled from the ordered
-    event-type sequence — the input of the sessionize→dedup composition.
-    ``sess_key = user_id * 1e6 + sess_id`` (collision-free: per-user session
-    counts are bounded by per-user event counts ≪ 1e6 at every sf)."""
+    TOKEN-ENRICHED event sequence — the input of the sessionize→dedup
+    composition.  ``sess_key = user_id * 1e6 + sess_id`` (collision-free:
+    per-user session counts are bounded by per-user event counts ≪ 1e6 at
+    every sf).
+
+    The token is ``event_type_<k mod 16>`` (k from the props payload, via
+    a portable regexp both engines run identically), NOT the bare event
+    type: a 5-symbol vocabulary gives ≤25 distinct bigram shingles, under
+    which set-Jaccard is semantically degenerate — at sf1 (~15k sessions)
+    nearly EVERY session pair is genuinely ≥0.9 similar and the true pair
+    graph itself is quadratic (surfaced by the round-5 sf1 pass: the
+    contract run sat 20+ minutes inside this one query).  80 tokens /
+    ~6.4k bigrams keeps shingle entropy high enough that similarity is
+    discriminative and AllPairs posting lists stay thin at any corpus
+    size — the enrichment the original scale note prescribed."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     sess = windows_ops.sessionize(
         ev, "user_id", "ts", ["ts", "event_id"], gap_sec=gap_sec
+    )
+    tok = F.concat(
+        F.col("event_type"),
+        F.lit("_"),
+        (
+            F.regexp_extract(F.col("props"), r'"k": (\d+)', 1)
+            .try_cast("long") % 16
+        ).cast("string"),
     )
     return (
         sess.withColumn(
             "sess_key", F.col("user_id") * F.lit(1_000_000) + F.col("sess_id")
         )
+        .withColumn("_tok", tok)
         .groupBy("sess_key")
         .agg(
             F.array_join(
                 F.transform(
                     F.array_sort(
-                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                        F.collect_list(F.struct("ts", "event_id", "_tok"))
                     ),
-                    lambda s: s["event_type"],
+                    lambda s: s["_tok"],
                 ),
                 " ",
             ).alias("text"),
@@ -1463,14 +1484,18 @@ def q_session_dedup(spark, sf_dir):
     kept (representative) sessions.  Exact oracle: recursive-CTE
     reachability over the brute-force global session-pair graph.
 
-    threshold=0.9 on event-type bigrams yields 347 global pairs at sf0.01 —
-    non-trivial, and not reducible to exact-set match (342 pairs at 1.0).
-    Scale note: the event-type vocabulary is tiny here; a production corpus
-    would token-enrich (e.g. ``event_type:prop``) so shingle entropy keeps
-    prefix buckets thin — the machinery is unchanged."""
+    Round-5 scale fix (found by the sf1 pass): the original bare
+    event-type tokens (5 symbols, <=25 distinct bigrams) made set-Jaccard
+    degenerate — at sf1 nearly every session pair is genuinely >=0.9
+    similar and the TRUE pair graph is quadratic, so the query (and its
+    brute-force oracle) exploded at ~15k sessions.  ``_sessions`` now
+    token-enriches (``event_type_<k mod 16>``, ~6.4k distinct bigrams), so
+    similarity is discriminative at every sf; threshold=0.5 keeps a
+    non-empty pair graph at sf0.01 (4 edges) so CC + representative
+    selection stay exercised end to end."""
     sessions = _sessions(spark, sf_dir)
     pairs = dedup.ngram_jaccard_pairs(
-        sessions, text_col="text", id_col="sess_key", k=2, threshold=0.9
+        sessions, text_col="text", id_col="sess_key", k=2, threshold=0.5
     )
     groups = dedup.neardup_groups(
         sessions.select(F.col("sess_key").alias("id")), pairs
@@ -5820,7 +5845,7 @@ FROM scored WHERE hamming <= {max_hamming}
 """
 
 
-def _session_dedup_oracle(threshold: float = 0.9, gap_sec: int = 86400) -> str:
+def _session_dedup_oracle(threshold: float = 0.5, gap_sec: int = 86400) -> str:
     """Mirror of q_session_dedup: sessionize (gap rule, identical ordering)
     → per-session ordered event-type text → brute-force global Jaccard pair
     graph → recursive-CTE reachability → representative (min-reachable-id)
@@ -5828,20 +5853,24 @@ def _session_dedup_oracle(threshold: float = 0.9, gap_sec: int = 86400) -> str:
     filter and min-label CC are independently checked end to end."""
     return f"""
 WITH RECURSIVE g AS (
-  SELECT user_id, ts, event_id, event_type,
+  SELECT user_id, ts, event_id, event_type, props,
          CASE WHEN epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > {gap_sec}
               THEN 1 ELSE 0 END AS ns
   FROM events
 ),
 s AS (
-  SELECT user_id, event_type, ts, event_id,
+  SELECT user_id, event_type, props, ts, event_id,
          sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
   FROM g
 ),
 sess AS (
   SELECT user_id * 1000000 + CAST(sess_id AS BIGINT) AS sess_key,
-         string_agg(event_type, ' ' ORDER BY ts, event_id) AS text,
+         string_agg(
+           event_type || '_' ||
+             CAST(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) % 16
+                  AS VARCHAR),
+           ' ' ORDER BY ts, event_id) AS text,
          count(*) AS n_events
   FROM s GROUP BY user_id, sess_id
 ),

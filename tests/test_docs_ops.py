@@ -435,13 +435,16 @@ def test_session_dedup_composition(spark, tmp_path):
         for s in range(2):
             base = t0 + dt.timedelta(days=3 * s)
             for i, et in enumerate(["view", "click", "purchase", "view"]):
-                rows.append((eid, base + dt.timedelta(minutes=i), u, et))
+                rows.append((eid, base + dt.timedelta(minutes=i), u, et,
+                             f'{{"k": {i}}}'))
                 eid += 1
     for i, et in enumerate(["error", "error", "signup", "error"]):  # odd one out
-        rows.append((eid, t0 + dt.timedelta(minutes=i), 3, et))
+        rows.append((eid, t0 + dt.timedelta(minutes=i), 3, et, '{"k": 9}'))
         eid += 1
     ev = spark.createDataFrame(
-        rows, "event_id long, ts timestamp, user_id long, event_type string"
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " props string",
     )
     ev.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
     kept = {
