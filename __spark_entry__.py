@@ -5467,13 +5467,16 @@ def _conv_docs_ctes(frac: float = 0.1, min_convs: int = 2) -> str:
     text, n_turns, n_turns_kept)`` — used by the conv_docs oracle and the
     line-dedup oracle so the two recomputes cannot drift."""
     return f""",
-tot AS (SELECT count(DISTINCT conv_id) AS nc FROM transcripts),
+tsrc AS (
+  SELECT conv_id, turn_idx, role, COALESCE(text, '') AS text
+  FROM transcripts),
+tot AS (SELECT count(DISTINCT conv_id) AS nc FROM tsrc),
 bp AS (
-  SELECT text FROM transcripts, tot
+  SELECT text FROM tsrc, tot
   GROUP BY text, tot.nc
   HAVING count(DISTINCT conv_id) >= greatest({min_convs}, CAST(ceil({frac} * tot.nc) AS BIGINT))
 ),
-kept AS (SELECT * FROM transcripts WHERE text NOT IN (SELECT text FROM bp)),
+kept AS (SELECT * FROM tsrc WHERE text NOT IN (SELECT text FROM bp)),
 asm AS (
   SELECT conv_id,
          array_to_string(

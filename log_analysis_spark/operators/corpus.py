@@ -572,6 +572,13 @@ def transcripts_to_docs(
         raise ValueError(
             f"boilerplate_conv_frac must be in (0, 1], got {boilerplate_conv_frac}"
         )
+    # NULL turn text normalizes to '' up front: otherwise it threads two
+    # different null semantics through the op (anti-join never matches
+    # NULL so the turn survives stripping, then concat_ws silently skips
+    # the null arg rendering a bare role) while a SQL recompute's
+    # NOT IN / '||' drop the turn entirely — a divergence the round-5 sf1
+    # pass hit on a corpus with ~1% null text.
+    turns = turns.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     totals = turns.agg(F.countDistinct(conv_col).alias("_nc"))
     bp = (
         turns.groupBy(text_col)

@@ -47,7 +47,19 @@ DIM_TABLES = ("region", "nation", "customer", "supplier", "part",
 
 
 def gen_documents(rng: np.random.Generator, n: int) -> pa.Table:
-    vocab = np.array(VOCAB.split())
+    """Vocabulary SCALES with the corpus (Heaps' law, crudely): reusing the
+    driver's 31-word soup at 10x the documents makes every shingle's
+    posting list 10x denser — by 50k docs the 2-gram posting lists hit
+    ~2.8k docs each and every prefix-filter candidate join goes quadratic,
+    which no real corpus does (vocabulary grows with size).  Suffixed
+    decile variants (word0..word<v>) keep per-shingle posting density
+    roughly constant as n grows — same trick as the scaling bench's
+    decorrelated replicas."""
+    base = np.array(VOCAB.split())
+    n_variants = max(1, int(round((n / 5_000) ** 0.5 * 3)))
+    vocab = np.array(
+        [f"{w}{v}" for w in base for v in range(n_variants)]
+    )
     langs = np.array(["en", "de", "es", "fr", "zh"])
     lang_p = np.array([0.40, 0.15, 0.15, 0.15, 0.15])
     lengths = rng.integers(40, 71, size=n)
