@@ -4506,6 +4506,7 @@ docscores AS (
          COALESCE(s.score_micro, 0) AS score_micro,
          CASE WHEN COALESCE(s.n_feats, 0) > 0
               THEN round(CAST(s.score_micro AS DOUBLE) / s.n_feats / 1000000.0, 6)
+                   + 0.0
               ELSE 0.0 END AS mean_logodds
   FROM documents d LEFT JOIN scored s USING (doc_id))"""
 

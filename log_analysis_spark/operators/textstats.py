@@ -965,12 +965,17 @@ def classifier_score(
         F.coalesce("score_micro", F.lit(0).cast("long")).alias("score_micro"),
         F.when(
             F.coalesce("n_feats", F.lit(0)) > 0,
+            # + 0.0 collapses IEEE negative zero: a tiny negative mean
+            # rounds to -0.0 under IEEE round (DuckDB) but to +0.0 under
+            # BigDecimal HALF_UP (Spark) — the two print differently and
+            # break hash equality (found by the round-5 sf1 pass)
             F.round(
                 F.col("score_micro").cast("double")
                 / F.col("n_feats")
                 / F.lit(1e6),
                 6,
-            ),
+            )
+            + F.lit(0.0),
         )
         .otherwise(F.lit(0.0))
         .alias("mean_logodds"),

@@ -35,7 +35,9 @@ def _normalize(df):  # pandas DataFrame → canonical string rows
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_float_dtype(s):
-            df[c] = s.round(6)
+            # + 0.0 collapses IEEE -0.0 (prints "-0.0" and breaks hash
+            # equality when one engine's round keeps the sign)
+            df[c] = s.round(6) + 0.0
         elif pd.api.types.is_datetime64_any_dtype(s):
             df[c] = s.dt.strftime("%Y-%m-%d %H:%M:%S.%f")
         elif s.dtype == object:

@@ -57,8 +57,10 @@ def gen_documents(rng: np.random.Generator, n: int) -> pa.Table:
     decorrelated replicas."""
     base = np.array(VOCAB.split())
     n_variants = max(1, int(round((n / 5_000) ** 0.5 * 3)))
+    # variant 0 keeps the BARE word so fixed-term queries (BM25 / phrase
+    # search rows probe the driver vocabulary) stay non-trivial at any sf
     vocab = np.array(
-        [f"{w}{v}" for w in base for v in range(n_variants)]
+        [w if v == 0 else f"{w}{v}" for w in base for v in range(n_variants)]
     )
     langs = np.array(["en", "de", "es", "fr", "zh"])
     lang_p = np.array([0.40, 0.15, 0.15, 0.15, 0.15])
